@@ -1,0 +1,221 @@
+"""Image payload kernels: PNG codec, lossy-codec stand-in, PSNR, phash.
+
+The graft's payload rows are image+caption (BASELINE.json
+``input_hint``); the per-row invariant is decoded-pixel allclose
+(PSNR ≥ 40 dB for lossy formats, bit-exact for PNG) + caption equality.
+
+No image libraries exist in this environment, so:
+
+* **PNG** is a real, self-contained codec over ``zlib`` (8-bit RGB,
+  non-interlaced; decoder handles scanline filters 0-4, encoder emits
+  filter 0).  Bit-exact round-trip, tested.
+* **JPEG is a STUB**: a clearly-marked deterministic fake lossy codec
+  (``FJPG`` container, 6-bit/channel quantization + zlib).  It stands
+  in for a real JPEG codec in the Ray-side plumbing — schema, batch
+  shapes, PSNR gates are real; bytes are not JPEG.  Feeding real JPEG
+  bytes (``FF D8``) raises ``NotImplementedError``.
+
+All kernels are numpy-vectorized per image and run inside
+``map_batches`` actor-pool stages (decode once per row, amortized
+setup per actor).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+FAKE_JPEG_MAGIC = b"FJPG"
+_JPEG_REAL_MAGIC = b"\xff\xd8\xff"
+
+
+# --------------------------------------------------------------------------
+# PNG (true codec)
+# --------------------------------------------------------------------------
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a non-interlaced RGB8 PNG."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("png_encode expects (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # filter byte 0 per scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an RGB8 non-interlaced PNG into (h, w, 3) uint8."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(PNG_SIG)
+    w = h = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4: pos + 8]
+        payload = data[pos + 8: pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if bit_depth != 8 or color_type != 2 or interlace != 0:
+                raise ValueError("unsupported PNG variant (RGB8 non-interlaced only)")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters = rows[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        line = rows[y, 1:].astype(np.int32)
+        f = filters[y]
+        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif f in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if f == 1:      # Sub
+                    rec[x] = (line[x] + a) & 0xFF
+                elif f == 3:    # Average
+                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:           # Paeth
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+# --------------------------------------------------------------------------
+# Fake lossy codec (JPEG STUB — see module docstring)
+# --------------------------------------------------------------------------
+
+def fake_jpeg_encode(pixels: np.ndarray) -> bytes:
+    """STUB lossy encoder: 6-bit/channel quantization (PSNR ≈ 46 dB,
+    above the 40 dB gate) in an ``FJPG`` container.  Deterministic."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("fake_jpeg_encode expects (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    quant = (pixels >> 2).astype(np.uint8)          # 6 bits/channel
+    body = zlib.compress(quant.tobytes(), 6)
+    return FAKE_JPEG_MAGIC + struct.pack(">II", w, h) + body
+
+
+def fake_jpeg_decode(data: bytes) -> np.ndarray:
+    if data.startswith(_JPEG_REAL_MAGIC):
+        raise NotImplementedError(
+            "real JPEG decode needs an image library not present in this "
+            "environment; the FJPG stub stands in (see module docstring)")
+    if not data.startswith(FAKE_JPEG_MAGIC):
+        raise ValueError("not an FJPG payload")
+    w, h = struct.unpack_from(">II", data, 4)
+    quant = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
+    # dequantize to bin centers: v*4 + 1 (max error 2 per channel)
+    return np.minimum(quant.astype(np.uint16) * 4 + 1, 255).astype(np.uint8)
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "jpeg":
+        return fake_jpeg_decode(data)
+    raise ValueError(f"unknown image fmt {fmt!r}")
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt == "jpeg":
+        return fake_jpeg_encode(pixels)
+    raise ValueError(f"unknown image fmt {fmt!r}")
+
+
+# --------------------------------------------------------------------------
+# Metrics
+# --------------------------------------------------------------------------
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        raise ValueError("shape mismatch")
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+def _mean_pool(gray: np.ndarray, out_size: int) -> np.ndarray:
+    """Deterministic area resample to (out_size, out_size)."""
+    h, w = gray.shape
+    ys = (np.linspace(0, h, out_size + 1)).astype(np.int64)
+    xs = (np.linspace(0, w, out_size + 1)).astype(np.int64)
+    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integral[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    out = np.empty((out_size, out_size), dtype=np.float64)
+    for i in range(out_size):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_size):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            area = (y1 - y0) * (x1 - x0)
+            out[i, j] = (integral[y1, x1] - integral[y0, x1]
+                         - integral[y1, x0] + integral[y0, x0]) / area
+    return out
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Classic 64-bit DCT perceptual hash: grayscale → 32×32 area
+    resample → 2-D DCT-II → top-left 8×8 → median threshold (DC
+    excluded from the median) → big-endian bit-pack into int64."""
+    gray = (0.299 * pixels[..., 0] + 0.587 * pixels[..., 1]
+            + 0.114 * pixels[..., 2]).astype(np.float64)
+    small = _mean_pool(gray, 32)
+    d = _dct_matrix(32)
+    coef = (d @ small @ d.T)[:8, :8].ravel()
+    med = np.median(coef[1:])
+    bits = coef > med
+    value = 0
+    for b in bits:
+        value = (value << 1) | int(b)
+    return value - (1 << 64) if value >= (1 << 63) else value  # as signed int64
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

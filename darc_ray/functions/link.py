@@ -1,0 +1,172 @@
+"""URL canonicalization + proxy-type classification.
+
+Reimplements, batch-at-a-time, the 16-rule classifier of the
+reference's ``parse_link`` (``/root/reference/darc/link.py:228-404``)
+and its exception-suppressing URL helpers (``darc/link.py:40-152``).
+Semantics are matched rule for rule; the implementation is a fresh
+write over plain stdlib parsing with a fast path for common http(s)
+URLs (the hot case at 10^10-URL scale).
+
+Output per URL: ``(proxy, scheme, host, base_host)`` where
+
+* ``host``      — the reference ``Link.host``: netloc for web URLs, a
+  ``(data)``/``(mail)``-style sentinel for scheme-classified ones, or
+  None when the URL has no netloc (rule 0/10).
+* ``base_host`` — the hostname component of the reference ``Link.base``
+  save-path (``<proxy>/<scheme>/<hostname>``): differs from ``host``
+  for zeronet/freenet (first path segment, rules 13-14) and when the
+  URL has no netloc (``(null)``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+from urllib.parse import urljoin as _urljoin, urlsplit as _urlsplit
+
+ZERONET_PORT = 43110  # reference: darc/proxy/zeronet.py:40
+FREENET_PORT = 8888   # reference: darc/proxy/freenet.py:46
+
+_I2P_LOCAL = frozenset((
+    "127.0.0.1:7657", "127.0.0.1:7658", "localhost:7657", "localhost:7658",
+))
+_ZERONET_LOCAL = frozenset((f"127.0.0.1:{ZERONET_PORT}", f"localhost:{ZERONET_PORT}"))
+_FREENET_LOCAL = frozenset((f"127.0.0.1:{FREENET_PORT}", f"localhost:{FREENET_PORT}"))
+
+# scheme → (proxy, host-sentinel); reference darc/link.py:327-357
+_SCHEME_PROXY: dict[str, tuple[str, str]] = {
+    "data": ("data", "(data)"),
+    "javascript": ("script", "(script)"),
+    "bitcoin": ("bitcoin", "(bitcoin)"),
+    "btc": ("bitcoin", "(bitcoin)"),
+    "ethereum": ("ethereum", "(ethereum)"),
+    "eth": ("ethereum", "(ethereum)"),
+    "ed2k": ("ed2k", "(ed2k)"),
+    "magnet": ("magnet", "(magnet)"),
+    "mailto": ("mail", "(mail)"),
+    "tel": ("tel", "(tel)"),
+    "irc": ("irc", "(irc)"),
+    "ws": ("ws", "(ws)"),
+    "wss": ("wss", "(ws)"),
+}
+
+
+class ParsedLink(NamedTuple):
+    url: str
+    proxy: str
+    scheme: str
+    host: str | None
+    base_host: str
+
+
+def urljoin(base: str, url: str) -> str:
+    """Exception-suppressing urljoin (reference darc/link.py:60-76)."""
+    try:
+        return _urljoin(base, url)
+    except ValueError:
+        return url
+
+
+def split_url(url: str) -> tuple[str, str, str]:
+    """Return (scheme, netloc, path), tolerant of junk input.
+
+    Fast path avoids ``urlsplit`` for well-formed ``scheme://netloc/...``
+    URLs; the slow path delegates to stdlib for full equivalence
+    (verified against ``urllib.parse.urlsplit`` in tests).
+    """
+    # fast path: scheme://netloc[/path...]
+    i = url.find(":")
+    if i > 0:
+        scheme = url[:i]
+        if scheme.replace("+", "").replace("-", "").replace(".", "").isalnum() and scheme[0].isalpha():
+            rest = url[i + 1:]
+            if rest.startswith("//"):
+                rest = rest[2:]
+                for j, ch in enumerate(rest):
+                    if ch in "/?#":
+                        netloc, tail = rest[:j], rest[j:]
+                        break
+                else:
+                    netloc, tail = rest, ""
+                if "?" in tail:
+                    tail = tail.split("?", 1)[0]
+                if "#" in tail:
+                    tail = tail.split("#", 1)[0]
+                # netloc containing credentials/brackets → defer to stdlib
+                if "@" not in netloc and "[" not in netloc and "#" not in netloc and "?" not in netloc:
+                    return scheme.lower(), netloc, tail
+            else:
+                # opaque URL like mailto:a@b.c / bitcoin:1A1…
+                tail = rest.split("#", 1)[0].split("?", 1)[0]
+                return scheme.lower(), "", tail
+    try:
+        parts = _urlsplit(url)
+        return parts.scheme.lower(), parts.netloc, parts.path
+    except ValueError:
+        return "", "", url
+
+
+def parse_one(url: str, host: str | None = None) -> ParsedLink:
+    """Classify one URL; mirrors darc/link.py:316-404 rule order."""
+    scheme, netloc, path = split_url(url)
+    if host is None:
+        host = netloc or None
+
+    hostname = host or "(null)"
+    scheme = scheme.casefold()
+
+    sp = _SCHEME_PROXY.get(scheme)
+    if sp is not None:
+        proxy, host = sp
+    elif scheme not in ("http", "https"):
+        proxy = scheme  # rule 9: any other scheme is its own proxy type
+    elif host is None:
+        hostname = "(null)"
+        proxy = "null"
+    elif host.endswith(".onion"):
+        proxy = "tor"
+    elif host.endswith(".onion.sh"):
+        proxy = "tor2web"
+    elif host.endswith(".i2p"):
+        proxy = "i2p"
+    elif host in _I2P_LOCAL:
+        proxy = "i2p"
+    elif host in _ZERONET_LOCAL:
+        if path in ("", "/"):
+            proxy = "null"
+        else:
+            proxy = "zeronet"
+            hostname = _first_path_part(path)
+    elif host in _FREENET_LOCAL:
+        if path in ("", "/"):
+            proxy = "null"
+        else:
+            proxy = "freenet"
+            hostname = _first_path_part(path)
+    else:
+        proxy = "null"
+
+    return ParsedLink(url=url, proxy=proxy, scheme=scheme, host=host, base_host=hostname)
+
+
+def _first_path_part(path: str) -> str:
+    # PosixPath(path).parts[1] equivalent for absolute URL paths
+    return path.lstrip("/").split("/", 1)[0]
+
+
+def parse_batch(urls: list[str]) -> dict[str, list]:
+    """Batch classifier: list of urls → dict of columns
+    (proxy, scheme, host, base_host).  Hash/partition columns are added
+    by the stage (``darc_ray.stages.parse``) so this stays hash-agnostic.
+    """
+    n = len(urls)
+    proxy: list[str] = [""] * n
+    scheme: list[str] = [""] * n
+    host: list[str | None] = [None] * n
+    base_host: list[str] = [""] * n
+    for i, u in enumerate(urls):
+        p = parse_one(u)
+        proxy[i] = p.proxy
+        scheme[i] = p.scheme
+        host[i] = p.host
+        base_host[i] = p.base_host
+    return {"proxy": proxy, "scheme": scheme, "host": host, "base_host": base_host}

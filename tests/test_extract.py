@@ -1,0 +1,66 @@
+"""Link-extraction conformance (darc/parse.py:305-374 behavior)."""
+
+from __future__ import annotations
+
+from darc_ray.functions.extract import extract_from_html, extract_from_text, visible_text
+
+
+PAGE = "http://h1.example/dir/page.html"
+HTML = """<!DOCTYPE html><html><head>
+<link rel="stylesheet" href="/style.css">
+<script src='app.js'></script>
+<style>body { color: red; } /* http://not-a-link.example/in-style */</style>
+</head><body>
+<a href="../up.html">up</a>
+<a href="http://h2.example/abs">abs</a>
+<img src="img/cat.png">
+<a name="noref">nothing</a>
+<a href="mailto:bob@example.com">mail</a>
+<p>Visit https://plain.example/x today or email carol@example.org
+or pay 1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa now.</p>
+<script>var u = "http://script.example/should-not-extract";</script>
+</body></html>"""
+
+
+def test_tag_pass_order_and_urljoin():
+    urls = extract_from_html(PAGE, HTML)
+    # tag pass first, document order, urljoined against the page URL
+    assert urls[0] == "http://h1.example/style.css"
+    assert urls[1] == "http://h1.example/dir/app.js"
+    assert urls[2] == "http://h1.example/up.html"
+    assert urls[3] == "http://h2.example/abs"
+    assert urls[4] == "http://h1.example/dir/img/cat.png"
+    assert urls[5] == "mailto:bob@example.com"
+
+
+def test_text_pass_schemes_and_injection():
+    urls = extract_from_html(PAGE, HTML)
+    text_urls = urls[6:]
+    assert "https://plain.example/x" in text_urls
+    # automail match without scheme gets the literal 'mailto:' key prepended
+    # (reference quirk: f'{scheme}:{url}' with scheme='mailto:' → 'mailto::…')
+    assert "mailto::carol@example.org" in text_urls
+    assert "bitcoin:1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa" in text_urls
+    # script/style bodies are not visible text
+    assert not any("should-not-extract" in u for u in text_urls)
+    assert not any("not-a-link" in u for u in text_urls)
+
+
+def test_href_preferred_over_src():
+    urls = extract_from_html("http://h/", '<a href="/a" src="/b">x</a>')
+    assert urls[0] == "http://h/a"
+
+
+def test_text_www_injection():
+    urls = extract_from_text("see www.example.com/path ok")
+    assert urls == ["http:www.example.com/path"]  # schemeless http key quirk
+
+
+def test_ethereum_extraction():
+    urls = extract_from_text("addr 0x32Be343B94f860124dC4fEe278FDCBD38C102D88 ")
+    assert "ethereum:0x32Be343B94f860124dC4fEe278FDCBD38C102D88" in urls
+
+
+def test_visible_text_strips_tags():
+    txt = visible_text("<p>hello <b>world</b></p><script>nope()</script>")
+    assert "hello" in txt and "world" in txt and "nope" not in txt
