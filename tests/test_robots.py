@@ -11,8 +11,8 @@ from darc_ray.functions.sitemap import (
 )
 
 ROBOTS = """User-agent: *
-Disallow: /private/
 Allow: /private/ok.html
+Disallow: /private/
 Crawl-delay: 2
 Request-rate: 1/5
 Sitemap: http://h.example/sm.xml
