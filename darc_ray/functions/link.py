@@ -77,7 +77,8 @@ def split_url(url: str) -> tuple[str, str, str]:
     i = url.find(":")
     if i > 0:
         scheme = url[:i]
-        if scheme.replace("+", "").replace("-", "").replace(".", "").isalnum() and scheme[0].isalpha():
+        if (scheme.isascii() and scheme[0].isalpha()
+                and scheme.replace("+", "").replace("-", "").replace(".", "").isalnum()):
             rest = url[i + 1:]
             if rest.startswith("//"):
                 rest = rest[2:]
