@@ -57,6 +57,10 @@ class CrawlConfig:
     logical_clock: bool = True   # deterministic round clock for conformance
     tick: float = 1.0            # seconds a round advances the logical clock
 
+    # --- checkpointing
+    snapshot_every: int = 20     # full frontier snapshot cadence (rounds);
+                                 # deltas are written every round
+
     def fingerprint(self) -> str:
         """Stable hash of the config for checkpoint lineage manifests."""
         payload = json.dumps(asdict(self), sort_keys=True).encode()

@@ -1,0 +1,530 @@
+"""The crawl round loop — darc's worker loop re-expressed Ray-Data-first.
+
+Reference lifecycle (``/root/reference/darc/process.py:78-121``): an
+infinite round loop of ``load_requests()`` (lease ≤ MAX_POOL oldest
+eligible links) → ``crawler(link)`` each → repeat.  Here one round is::
+
+    pop (per-shard top-k, merged, (score, url_hash) order)     S2/O1/O2
+      → politeness allowance (host-state shards)               St1 + north rule
+      → lease taken rows (score = now + ttl)                   db.py:938-941
+      → new-host bootstrap (robots/sitemap/hosts.txt)          crawl.py:140-166
+      → fetch/route (Fetcher actor pool, map_batches)          F1
+      → candidate parse → groupby(url_hash) first-wins         M1 + J2/A1
+      → frontier upserts (score=0 nx / now replace)            S3
+      → requeues / drops                                       crawl.py:184-249
+      → round commit: pages/artifacts/render/pop parquet,
+        per-shard frontier deltas, host snapshots, manifest    north rule
+
+Clock: logical by default (``now = ttl + round·tick``) so runs are
+deterministic and oracle-comparable; the reference uses wall time for
+the same arithmetic (``darc/db.py:918-977``).
+
+Scale notes (10^10 design point): every per-round collection on the
+driver is bounded by the lease budget (``max_pool × workers``) — the
+same bound the reference's in-memory link pool has; the frontier
+itself lives sharded in actors and on disk (deltas + snapshots), never
+materialized on the driver.  Fetch, extraction, parsing and enqueue
+run as streaming ``map_batches`` stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from functools import partial
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from darc_ray.config import CrawlConfig
+from darc_ray.functions.filters import candidate_keep_mask
+from darc_ray.functions.hashing import host_shard_of, partition_of, sha256_hex, shard_of
+from darc_ray.functions.link import parse_batch
+from darc_ray.sources.table_io import read_table, write_table
+from darc_ray.stages.enqueue import EnqueueStage
+from darc_ray.stages.fetch import EVENT_SCHEMA, CorpusFetchFn, Fetcher
+from darc_ray.stages.parse import CANDIDATE_SCHEMA, parse_candidates, winner_rows
+from darc_ray.state.frontier import FrontierShard
+from darc_ray.state.host_state import HostShard
+
+POOL_COLS = ("url_hash", "url", "proxy", "scheme", "host", "base_host",
+             "backref", "score", "depth")
+
+PAGE_COLS = ["url_hash", "url", "host", "proxy", "round", "ts", "status", "reason",
+             "mime", "is_html", "body", "history", "backref", "backref_hash"]
+ARTIFACT_COLS = ["artifact_kind", "backref", "url", "payload", "artifact_mime",
+                 "round", "url_hash"]
+RENDER_COLS = ["url_hash", "url", "host", "proxy", "round", "ts"]
+
+
+def _filter_kind(events_ds, kinds: list[str]):
+    value_set = pa.array(kinds)
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["kind"], value_set=value_set))
+
+    return events_ds.map_batches(f, batch_format="pyarrow")
+
+
+class CrawlEngine:
+    """Driver-side round loop owning the actor fleet.
+
+    Does NOT call ``ray.init`` — the caller owns the session.
+    """
+
+    def __init__(self, corpus_path: str, out_dir: str, cfg: CrawlConfig | None = None):
+        import ray
+
+        self.cfg = cfg or CrawlConfig()
+        self.corpus_path = corpus_path
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.fetch_fn = CorpusFetchFn(corpus_path)
+        FShard = ray.remote(FrontierShard)
+        HShard = ray.remote(HostShard)
+        self.frontier = [FShard.remote(s) for s in range(self.cfg.seen_shards)]
+        self.hosts = [HShard.remote(h, self.fetch_fn) for h in range(self.cfg.host_shards)]
+        self.next_round = 0
+        self.pop_log: list[tuple[int, str]] = []   # (round, url) crawl ordering
+
+    # ------------------------------------------------------------------
+    def now_at(self, t: int) -> float:
+        return self.cfg.time_cache + t * self.cfg.tick
+
+    def seed(self, urls: list[str]) -> int:
+        """Seed links enqueue with score=0, nx (darc/__main__.py:160-161)."""
+        import ray
+
+        cols = parse_batch(urls)
+        hashes = sha256_hex(urls)
+        shards = shard_of(hashes, self.cfg.seen_shards)
+        futures = []
+        for s in range(self.cfg.seen_shards):
+            idx = [i for i in range(len(urls)) if shards[i] == s]
+            if not idx:
+                continue
+            sub = {
+                "url": [urls[i] for i in idx],
+                "url_hash": [hashes[i] for i in idx],
+                "proxy": [cols["proxy"][i] for i in idx],
+                "scheme": [cols["scheme"][i] for i in idx],
+                "host": [cols["host"][i] for i in idx],
+                "base_host": [cols["base_host"][i] for i in idx],
+                "backref": ["" for _ in idx],
+                "depth": [0 for _ in idx],
+            }
+            futures.append(self.frontier[s].upsert.remote(sub, 0.0, True))
+        return sum(ray.get(futures))
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int, stop_on_idle: bool = False) -> dict[str, Any]:
+        totals: dict[str, float] = {}
+        idle = 0
+        t = self.next_round
+        end = self.next_round + max_rounds
+        while t < end:
+            m = self.run_round(t)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0) + v
+            if stop_on_idle:
+                idle = idle + 1 if m["taken"] == 0 else 0
+                if idle >= 2:
+                    t += 1
+                    break
+            t += 1
+        self.next_round = t
+        totals["rounds"] = t
+        return totals
+
+    # ------------------------------------------------------------------
+    def run_round(self, t: int) -> dict[str, int]:
+        import ray
+        import ray.data as rd
+
+        cfg = self.cfg
+        now = self.now_at(t)
+        ttl = cfg.time_cache
+        budget = cfg.max_pool * cfg.workers
+        metrics: dict[str, int] = {k: 0 for k in (
+            "popped", "taken", "deferred", "pages", "candidates", "enqueued",
+            "requeued", "dropped", "artifacts", "robots_blocked", "render",
+            "new_hosts", "boot_candidates")}
+
+        round_dir = os.path.join(self.out_dir, "rounds", f"r{t:05d}")
+        if os.path.exists(round_dir):
+            shutil.rmtree(round_dir)       # leftover from a crashed round
+        os.makedirs(round_dir, exist_ok=True)
+
+        # ---- 1. pop: per-shard top-k, merge, global (score, url_hash) order
+        pops = ray.get([s.pop_candidates.remote(now, ttl, budget) for s in self.frontier])
+        merged: dict[str, list] = {c: [] for c in POOL_COLS}
+        for p in pops:
+            for c in POOL_COLS:
+                merged[c].extend(p[c])
+        n_pop = len(merged["url_hash"])
+        if n_pop:
+            order = np.lexsort((np.array(merged["url_hash"], dtype=object),
+                                np.array(merged["score"], dtype=np.float64)))
+            order = order[:budget]
+            merged = {c: [merged[c][i] for i in order] for c in POOL_COLS}
+            n_pop = len(merged["url_hash"])
+        metrics["popped"] = n_pop
+
+        # ---- 2. politeness allowance (fetchable rows only), in pop order
+        taken_idx: list[int] = []
+        if n_pop:
+            fetchable = [sc in ("http", "https") for sc in merged["scheme"]]
+            wants: dict[str, int] = {}
+            for i in range(n_pop):
+                if fetchable[i]:
+                    wants[merged["host"][i] or ""] = wants.get(merged["host"][i] or "", 0) + 1
+            allowed = self._take_allowance(wants, now)
+            used: dict[str, int] = {}
+            for i in range(n_pop):
+                if not fetchable[i]:
+                    taken_idx.append(i)
+                    continue
+                h = merged["host"][i] or ""
+                if used.get(h, 0) < allowed.get(h, 0):
+                    used[h] = used.get(h, 0) + 1
+                    taken_idx.append(i)
+        pool = {c: [merged[c][i] for i in taken_idx] for c in POOL_COLS}
+        n_taken = len(taken_idx)
+        metrics["taken"] = n_taken
+        metrics["deferred"] = n_pop - n_taken
+        self.pop_log.extend((t, u) for u in pool["url"])
+        pool_pop = pool           # pre-CHECK pool = the crawl-ordering artifact
+
+        boot_cand: pa.Table | None = None
+        if n_taken:
+            # ---- 3. lease taken rows (score = now + ttl, db.py:938-941)
+            self._scatter_scores(pool["url_hash"], now + ttl)
+
+            # ---- 3b. CHECK-time candidate filter (load_requests(check=True),
+            # db.py:897-898): filtered rows stay leased, uncrawled
+            if cfg.check:
+                keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
+                pool = {c: [pool[c][i] for i in range(n_taken) if keep[i]]
+                        for c in POOL_COLS}
+                n_taken = len(pool["url_hash"])
+
+            # ---- 4. new-host bootstrap (crawl.py:140-166), before any fetch
+            boot_cand, n_new = self._bootstrap_hosts(pool, now)
+            metrics["new_hosts"] = n_new
+            if boot_cand is not None:
+                metrics["boot_candidates"] = boot_cand.num_rows
+
+        events = None
+        if n_taken:
+            # ---- 5. fetch/route stage (actor pool over Arrow batches)
+            pool_table = pa.Table.from_pydict(
+                {**pool,
+                 "round": [t] * n_taken,
+                 "now": [now] * n_taken})
+            n_blocks = max(1, min((n_taken + cfg.fetch_batch_size - 1) // cfg.fetch_batch_size,
+                                  cfg.fetch_concurrency * 2))
+            ds = rd.from_arrow(pool_table).repartition(n_blocks)
+            events = ds.map_batches(
+                Fetcher,
+                fn_constructor_args=(cfg, self.fetch_fn, self.hosts),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=min(cfg.fetch_concurrency, n_blocks),
+                num_cpus=1,
+            ).materialize()
+
+        if events is not None:
+            # ---- 6. sinks: pages / artifacts / render / pop ordering
+            pages = _filter_kind(events, ["page"]).select_columns(PAGE_COLS)
+            n_pages = pages.count()
+            if n_pages:
+                pages.write_parquet(os.path.join(round_dir, "pages"))
+            metrics["pages"] = n_pages
+
+            arts = _filter_kind(events, ["artifact"])
+            n_arts = arts.count()
+            if n_arts:
+                (arts.select_columns(ARTIFACT_COLS)
+                     .rename_columns({"artifact_kind": "proxy", "backref": "src",
+                                      "artifact_mime": "mime"})
+                     .write_parquet(os.path.join(round_dir, "artifacts")))
+            metrics["artifacts"] = n_arts
+
+            render = _filter_kind(events, ["render"])
+            n_render = render.count()
+            if n_render:
+                render.select_columns(RENDER_COLS).write_parquet(
+                    os.path.join(round_dir, "render"))
+            metrics["render"] = n_render
+            metrics["robots_blocked"] = _filter_kind(events, ["robots_blocked"]).count()
+
+            # ---- 7. candidates: parse → groupby(url_hash) winner → enqueue
+            cand = _filter_kind(events, ["candidate"])
+            n_cand = cand.count()
+            metrics["candidates"] = n_cand
+            parsed = None
+            if n_cand:
+                parsed = cand.map_batches(
+                    partial(parse_candidates, num_partitions=cfg.num_partitions,
+                            num_shards=cfg.seen_shards),
+                    batch_format="pyarrow")
+            if boot_cand is not None and boot_cand.num_rows:
+                boot_ds = rd.from_arrow(boot_cand)
+                parsed = boot_ds if parsed is None else parsed.union(boot_ds)
+            if parsed is not None:
+                deduped = parsed.groupby("url_hash").map_groups(
+                    winner_rows, batch_format="pandas")
+                counts = deduped.map_batches(
+                    EnqueueStage(self.frontier, now),
+                    batch_format="pyarrow", batch_size=4096).to_pandas()
+                metrics["enqueued"] = int(counts["enqueued"].sum()) if len(counts) else 0
+
+            # ---- 8. requeues then drops (deterministic order; see parse.py)
+            req = _filter_kind(events, ["requeue"]).select_columns(["url_hash"]).take_all()
+            req_hashes = [r["url_hash"] for r in req]
+            if req_hashes:
+                self._scatter_scores(req_hashes, now)
+            metrics["requeued"] = len(req_hashes)
+
+            drops = _filter_kind(events, ["drop", "artifact"]).select_columns(
+                ["url_hash"]).take_all()
+            drop_hashes = sorted({r["url_hash"] for r in drops})
+            if drop_hashes:
+                self._scatter_drops(drop_hashes)
+            metrics["dropped"] = len(drop_hashes)
+        elif boot_cand is not None and boot_cand.num_rows:
+            counts = (rd.from_arrow(boot_cand)
+                      .groupby("url_hash").map_groups(winner_rows, batch_format="pandas")
+                      .map_batches(EnqueueStage(self.frontier, now),
+                                   batch_format="pyarrow", batch_size=4096).to_pandas())
+            metrics["enqueued"] = int(counts["enqueued"].sum()) if len(counts) else 0
+
+        # ---- 9. pop-ordering artifact for this round (pre-CHECK pool,
+        # matching load_requests' leased pool)
+        if pool_pop["url_hash"]:
+            write_table(pa.Table.from_pydict({
+                "order": list(range(len(pool_pop["url_hash"]))),
+                "url_hash": pool_pop["url_hash"],
+                "url": pool_pop["url"],
+                "score": pool_pop["score"],
+            }), os.path.join(round_dir, "pop"))
+
+        # ---- 10. commit: deltas, host snapshots, manifest
+        self._commit(t, now, round_dir, metrics)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _take_allowance(self, wants: dict[str, int], now: float) -> dict[str, int]:
+        import ray
+
+        if not wants:
+            return {}
+        hosts = sorted(wants)
+        sid = host_shard_of(hosts, len(self.hosts))
+        futures, order = [], []
+        for s in range(len(self.hosts)):
+            hs = [h for i, h in enumerate(hosts) if sid[i] == s]
+            if not hs:
+                continue
+            futures.append(self.hosts[s].take_allowance.remote(
+                hs, [wants[h] for h in hs], now, self.cfg.per_host_cap))
+            order.append(hs)
+        out: dict[str, int] = {}
+        for hs, got in zip(order, ray.get(futures)):
+            out.update(zip(hs, got))
+        return out
+
+    def _bootstrap_hosts(self, pool: dict[str, list], now: float) -> tuple[pa.Table | None, int]:
+        """have_hostname + new-host robots/sitemap/hosts.txt for the
+        round's fetchable hosts; returns candidate rows (now_replace)."""
+        import ray
+
+        reps: dict[str, tuple[str, str, int]] = {}   # host → (proxy, rep url, rep depth)
+        for i in range(len(pool["url"])):
+            if pool["scheme"][i] in ("http", "https"):
+                h = pool["host"][i] or ""
+                if h and h not in reps:
+                    reps[h] = (pool["proxy"][i], pool["url"][i], int(pool["depth"][i]))
+        if not reps:
+            return None, 0
+        hosts = sorted(reps)
+        sid = host_shard_of(hosts, len(self.hosts))
+        futures, order = [], []
+        for s in range(len(self.hosts)):
+            hs = [h for i, h in enumerate(hosts) if sid[i] == s]
+            if not hs:
+                continue
+            futures.append(self.hosts[s].have_hostnames.remote(
+                hs, [reps[h][0] for h in hs], now, self.cfg.time_cache))
+            order.append((s, hs))
+        boot_by_shard: dict[int, list[str]] = {}
+        n_new = 0
+        for (s, hs), (have, force) in zip(order, ray.get(futures)):
+            fresh = [h for h, hv, fc in zip(hs, have, force) if (not hv) or fc]
+            n_new += len(fresh)
+            if fresh:
+                boot_by_shard[s] = fresh
+        if not boot_by_shard:
+            return None, 0
+        futures = [self.hosts[s].bootstrap_hosts.remote(
+            hs, [reps[h][0] for h in hs], [reps[h][1] for h in hs], now)
+            for s, hs in sorted(boot_by_shard.items())]
+        urls: list[str] = []
+        backrefs: list[str] = []
+        depths: list[int] = []
+        for (s, hs), got in zip(sorted(boot_by_shard.items()), ray.get(futures)):
+            rep_depth = {reps[h][1]: reps[h][2] for h in hs}
+            for u, b in zip(got["url"], got["backref"]):
+                urls.append(u)
+                backrefs.append(b)
+                depths.append(rep_depth.get(b, 0) + 1)
+        if not urls:
+            return None, n_new
+        ev_like = pa.Table.from_pydict({
+            "cand_url": urls, "cand_backref": backrefs, "cand_depth": depths,
+            "cand_mode": ["now_replace"] * len(urls)})
+        return parse_candidates(ev_like, self.cfg.num_partitions, self.cfg.seen_shards), n_new
+
+    def _scatter_scores(self, hashes: list[str], score: float) -> None:
+        import ray
+
+        sid = shard_of(hashes, self.cfg.seen_shards)
+        futures = []
+        for s in range(self.cfg.seen_shards):
+            hs = [h for i, h in enumerate(hashes) if sid[i] == s]
+            if hs:
+                futures.append(self.frontier[s].set_scores.remote(hs, score))
+        ray.get(futures)
+
+    def _scatter_drops(self, hashes: list[str]) -> None:
+        import ray
+
+        sid = shard_of(hashes, self.cfg.seen_shards)
+        futures = []
+        for s in range(self.cfg.seen_shards):
+            hs = [h for i, h in enumerate(hashes) if sid[i] == s]
+            if hs:
+                futures.append(self.frontier[s].drop.remote(hs))
+        ray.get(futures)
+
+    # ------------------------------------------------------------------
+    def _commit(self, t: int, now: float, round_dir: str, metrics: dict[str, int]) -> None:
+        import ray
+
+        deltas = ray.get([s.drain_delta.remote() for s in self.frontier])
+        for s, d in enumerate(deltas):
+            if d.num_rows:
+                write_table(d, os.path.join(round_dir, "frontier_delta", f"shard_{s}"))
+        hsnaps = ray.get([h.snapshot.remote() for h in self.hosts])
+        for s, d in enumerate(hsnaps):
+            write_table(d, os.path.join(round_dir, "host_state", f"shard_{s}"))
+        snapshot = (self.cfg.snapshot_every > 0
+                    and t > 0 and t % self.cfg.snapshot_every == 0)
+        if snapshot:
+            snaps = ray.get([s.snapshot.remote() for s in self.frontier])
+            for s, d in enumerate(snaps):
+                write_table(d, os.path.join(round_dir, "frontier_snapshot", f"shard_{s}"))
+        manifest = {
+            "round": t, "now": now, "metrics": metrics, "complete": True,
+            "config_fp": self.cfg.fingerprint(), "snapshot": snapshot,
+            "corpus_path": self.corpus_path,
+            "lineage": {"input": f"rounds/r{t - 1:05d}" if t else "seed",
+                        "shards": self.cfg.seen_shards},
+        }
+        tmp = os.path.join(self.out_dir, f".manifest_r{t:05d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.out_dir, f"manifest_r{t:05d}.json"))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def resume(cls, corpus_path: str, out_dir: str, cfg: CrawlConfig | None = None
+               ) -> "CrawlEngine":
+        """Rebuild actor state from the last complete round manifest:
+        latest frontier snapshot + delta replay, host snapshots."""
+        import ray
+
+        eng = cls(corpus_path, out_dir, cfg)
+        manifests = []
+        for name in sorted(os.listdir(out_dir)):
+            if name.startswith("manifest_r") and name.endswith(".json"):
+                with open(os.path.join(out_dir, name)) as f:
+                    m = json.load(f)
+                if m.get("complete"):
+                    manifests.append(m)
+        if not manifests:
+            return eng
+        last = max(m["round"] for m in manifests)
+        snap_rounds = [m["round"] for m in manifests if m.get("snapshot")
+                       and m["round"] <= last]
+        snap_at = max(snap_rounds) if snap_rounds else -1
+
+        futures = []
+        for s in range(eng.cfg.seen_shards):
+            snap = None
+            if snap_at >= 0:
+                p = os.path.join(out_dir, "rounds", f"r{snap_at:05d}",
+                                 "frontier_snapshot", f"shard_{s}")
+                snap = read_table(p)
+            deltas = []
+            lo = snap_at + 1
+            for r in range(lo, last + 1):
+                p = os.path.join(out_dir, "rounds", f"r{r:05d}",
+                                 "frontier_delta", f"shard_{s}")
+                if os.path.exists(p) or os.path.exists(p + ".parquet"):
+                    deltas.append(read_table(p))
+            futures.append(eng.frontier[s].restore.remote(snap, deltas))
+        for h in range(eng.cfg.host_shards):
+            p = os.path.join(out_dir, "rounds", f"r{last:05d}", "host_state", f"shard_{h}")
+            futures.append(eng.hosts[h].restore.remote(read_table(p)))
+        ray.get(futures)
+        eng.next_round = last + 1
+        return eng
+
+    # ------------------------------------------------------------------
+    # conformance / inspection helpers (driver-side; test-scale use)
+    def seen_hashes(self) -> list[str]:
+        import ray
+
+        out: set[str] = set()
+        for part in ray.get([s.seen_hashes.remote() for s in self.frontier]):
+            out.update(part)
+        return sorted(out)
+
+    def counts(self) -> dict[str, int]:
+        import ray
+
+        live = ever = 0
+        for c in ray.get([s.counts.remote() for s in self.frontier]):
+            live += c["live"]
+            ever += c["ever"]
+        return {"live": live, "ever": ever}
+
+    def _gather(self, sub: str, columns: list[str] | None = None) -> pa.Table | None:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(self.out_dir, "rounds", "*", sub,
+                                              "**", "*.parquet"), recursive=True))
+        files += sorted(glob.glob(os.path.join(self.out_dir, "rounds", "*",
+                                               f"{sub}.parquet")))
+        if not files:
+            return None
+        tables = [pq.read_table(f, columns=columns) for f in files]
+        return pa.concat_tables(tables, promote_options="default")
+
+    def pages_table(self) -> pa.Table | None:
+        return self._gather("pages")
+
+    def artifacts_table(self) -> pa.Table | None:
+        return self._gather("artifacts")
+
+    def render_table(self) -> pa.Table | None:
+        return self._gather("render")
+
+    def pop_table(self) -> pa.Table | None:
+        return self._gather("pop")

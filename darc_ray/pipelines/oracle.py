@@ -1,0 +1,288 @@
+"""Reference-semantics oracle: a deliberately simple single-threaded
+simulator of the crawl loop (SURVEY §5/§7.1-7).
+
+It replays the reference's round semantics (pop ≤ budget oldest
+eligible by ``(score, url_hash)``, lease to now+ttl, crawler state
+machine per link, score arithmetic of darc/db.py) over the synthetic
+corpus using plain dicts and lists — no Ray, no actors, no batching —
+and the engine's two *documented* determinism rules (new-host robots
+resolved before the round's fetches; candidate first-wins by canonical
+``min(backref, depth)`` winner; requeues then drops applied at round
+end).  The distributed engine must reproduce this oracle's outputs
+exactly: final URL-seen set, crawl ordering, pages, edges, artifacts,
+robots blocks.
+
+Shared pure kernels (parse_one, extract_from_html, RobotsRules,
+sitemap readers, filters) are unit-tested independently; what this
+oracle checks is the *distributed orchestration* — leases, sharding,
+dedup, politeness, ordering, checkpoint replay.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Any
+
+from darc_ray.config import CrawlConfig
+from darc_ray.functions.content import HTML_MIMES, parse_data_uri
+from darc_ray.functions.extract import extract_from_html
+from darc_ray.functions.filters import keep_host_mask, keep_mime_mask, keep_proxy_mask
+from darc_ray.functions.link import parse_one, urljoin
+from darc_ray.functions.robots import RobotsRules
+from darc_ray.functions.sitemap import (
+    child_sitemaps, hosts_txt_urls, maybe_gunzip, sitemap_urls, sitemaps_from_robots,
+)
+from darc_ray.pipelines.corpus import Corpus
+from darc_ray.stages.fetch import ARTIFACT_PROXIES
+
+
+def _sha(u: str) -> str:
+    return hashlib.sha256(u.encode("utf-8", "surrogatepass")).hexdigest()
+
+
+@dataclass
+class OracleResult:
+    seen: set[str] = field(default_factory=set)                 # url_hash ever enqueued
+    pop_order: list[tuple[int, str]] = field(default_factory=list)   # (round, url)
+    pages: list[dict[str, Any]] = field(default_factory=list)
+    edges: set[tuple[str, str]] = field(default_factory=set)    # (parent_hash, child_hash)
+    artifacts: list[tuple[str, str, str]] = field(default_factory=list)  # (kind, src, url)
+    robots_blocked: list[tuple[int, str]] = field(default_factory=list)
+    render: set[str] = field(default_factory=set)               # url_hash promoted
+    frontier: dict[str, list] = field(default_factory=dict)     # live rows at end
+    metrics: list[dict[str, int]] = field(default_factory=list)
+
+
+def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
+    res = OracleResult()
+    ttl = cfg.time_cache
+    budget = cfg.max_pool * cfg.workers
+
+    # frontier: url_hash → [url, proxy, scheme, host, base_host, backref, score, depth]
+    frontier: dict[str, list] = {}
+    host_state: dict[str, dict[str, Any]] = {}
+
+    def upsert(url: str, backref: str, depth: int, score: float, nx: bool) -> None:
+        hh = _sha(url)
+        if nx and hh in frontier:
+            return
+        p = parse_one(url)
+        frontier[hh] = [url, p.proxy, p.scheme, p.host, p.base_host, backref,
+                        score, depth]
+        res.seen.add(hh)
+
+    def host_st(host: str, proxy: str, now: float) -> dict[str, Any]:
+        st = host_state.get(host)
+        if st is None:
+            st = {"proxy": proxy, "score": None, "robots": None,
+                  "tokens": 1.0, "last_now": None}
+            host_state[host] = st
+        return st
+
+    for url in corpus.seeds:
+        upsert(url, "", 0, 0.0, nx=True)
+
+    for t in range(max_rounds):
+        now = ttl + t * cfg.tick
+        max_score = now - ttl
+        metrics = {"popped": 0, "taken": 0, "pages": 0, "enqueued": 0}
+
+        # ---- pop: (score, url_hash) asc, limit budget
+        eligible = sorted(((row[6], hh) for hh, row in frontier.items()
+                           if row[6] <= max_score))
+        popped = [hh for _, hh in eligible[:budget]]
+        metrics["popped"] = len(popped)
+
+        # ---- politeness allowance (identical token-bucket rule)
+        wants: dict[str, int] = {}
+        for hh in popped:
+            row = frontier[hh]
+            if row[2] in ("http", "https"):
+                wants[row[3] or ""] = wants.get(row[3] or "", 0) + 1
+        allowed: dict[str, int] = {}
+        for host in wants:
+            st = host_state.get(host)
+            delay = 0.0
+            if st is not None and st.get("robots"):
+                delay = RobotsRules(st["robots"]).effective_delay()
+            if st is None or delay <= 0:
+                allowed[host] = min(wants[host], cfg.per_host_cap)
+                continue
+            if st["last_now"] is not None and now > st["last_now"]:
+                st["tokens"] = min(float(cfg.per_host_cap),
+                                   st["tokens"] + (now - st["last_now"]) / delay)
+            st["last_now"] = now
+            take = min(wants[host], int(st["tokens"]), cfg.per_host_cap)
+            st["tokens"] -= take
+            allowed[host] = take
+
+        used: dict[str, int] = {}
+        taken: list[str] = []
+        for hh in popped:
+            row = frontier[hh]
+            if row[2] not in ("http", "https"):
+                taken.append(hh)
+                continue
+            h = row[3] or ""
+            if used.get(h, 0) < allowed.get(h, 0):
+                used[h] = used.get(h, 0) + 1
+                taken.append(hh)
+        metrics["taken"] = len(taken)
+        res.pop_order.extend((t, frontier[hh][0]) for hh in taken)
+
+        # ---- lease
+        for hh in taken:
+            frontier[hh][6] = now + ttl
+
+        rows = {hh: list(frontier[hh]) for hh in taken}   # fetch-time view
+
+        # ---- CHECK-time filter (leased but not crawled)
+        if cfg.check:
+            keep_h = keep_host_mask([rows[hh][3] for hh in taken], cfg)
+            keep_p = keep_proxy_mask([rows[hh][1] for hh in taken], cfg)
+            taken = [hh for i, hh in enumerate(taken) if keep_h[i] and keep_p[i]]
+
+        # ---- new-host bootstrap before fetches (engine rule)
+        now_cands: list[tuple[str, str, int]] = []        # (url, backref, depth)
+        seen_hosts_this_round: set[str] = set()
+        for hh in taken:
+            url, proxy, scheme, host, base_host, backref, _, depth = rows[hh]
+            if scheme not in ("http", "https") or not host or host in seen_hosts_this_round:
+                continue
+            seen_hosts_this_round.add(host)
+            st = host_st(host, proxy, now)
+            if st["score"] is None:
+                st["score"] = now
+                is_new, force = True, False
+            else:
+                force = st["score"] < now - ttl
+                if force:
+                    st["score"] = now
+                is_new = False
+            if not (is_new or force):
+                continue
+            if proxy in ("zeronet", "freenet"):
+                continue
+            # robots fetch
+            r_status, r_mime, r_body, _ = corpus.lookup(urljoin(url, "/robots.txt"))
+            robots = (r_body.decode("utf-8", "replace")
+                      if 200 <= r_status < 300 and r_mime in ("text/plain", "text/text")
+                      else "")
+            st["robots"] = robots
+            # sitemap BFS
+            queue = list(sitemaps_from_robots(url, robots))
+            seen_sm: set[str] = set()
+            while queue:
+                sm = queue.pop(0)
+                if sm in seen_sm:
+                    continue
+                seen_sm.add(sm)
+                s_status, s_mime, s_body, _ = corpus.lookup(sm)
+                if not (200 <= s_status < 300):
+                    continue
+                if s_mime == "application/gzip":
+                    text = maybe_gunzip(s_body, s_mime)
+                elif s_mime in ("text/xml", "text/html"):
+                    text = s_body.decode("utf-8", "replace")
+                else:
+                    continue
+                queue.extend(child_sitemaps(sm, text))
+                for u in sitemap_urls(url, text):
+                    now_cands.append((u, url, depth + 1))
+            if proxy == "i2p":
+                h_status, h_mime, h_body, _ = corpus.lookup(urljoin(url, "/hosts.txt"))
+                if 200 <= h_status < 300 and h_mime in ("text/plain", "text/text"):
+                    for u in hosts_txt_urls(h_body.decode("utf-8", "replace")):
+                        now_cands.append((u, url, depth + 1))
+
+        # ---- fetch each taken row (sequential; round-batched effects)
+        nx_cands: list[tuple[str, str, int]] = []
+        requeues: list[str] = []
+        drops: list[str] = []
+        for hh in taken:
+            url, proxy, scheme, host, base_host, backref, _, depth = rows[hh]
+            if not keep_proxy_mask([proxy], cfg)[0] or not keep_host_mask([host], cfg)[0]:
+                drops.append(hh)
+                continue
+            kind = ARTIFACT_PROXIES.get(proxy)
+            if kind is not None:
+                if proxy == "data" and parse_data_uri(url) is None:
+                    drops.append(hh)
+                    continue
+                res.artifacts.append((kind, backref, url))
+                drops.append(hh)
+                continue
+            if scheme not in ("http", "https"):
+                res.artifacts.append(("invalid", backref, url))
+                drops.append(hh)
+                continue
+            if not cfg.force:
+                st = host_state.get(host or "")
+                robots = st["robots"] if st else None
+                if robots and not RobotsRules(robots).can_fetch(url):
+                    res.robots_blocked.append((t, url))
+                    continue
+            status, mime, body, history = corpus.lookup(url)
+            if status == 0:
+                requeues.append(hh)
+                continue
+            if mime not in HTML_MIMES:
+                if proxy == "i2p" and mime in ("text/plain", "text/text"):
+                    for u in hosts_txt_urls(body.decode("utf-8", "replace")):
+                        now_cands.append((u, url, depth + 1))
+                if not keep_mime_mask([mime], cfg)[0]:
+                    drops.append(hh)
+                    continue
+                res.pages.append({"url_hash": hh, "url": url, "status": status,
+                                  "mime": mime, "is_html": False,
+                                  "body_digest": _sha_bytes(body), "round": t})
+                if backref:
+                    res.edges.add((_sha(backref), hh))
+                continue
+            if not body:
+                requeues.append(hh)
+                continue
+            res.pages.append({"url_hash": hh, "url": url, "status": status,
+                              "mime": mime, "is_html": True,
+                              "body_digest": _sha_bytes(body), "round": t})
+            if backref:
+                res.edges.add((_sha(backref), hh))
+            for u in extract_from_html(url, body.decode("utf-8", "replace")):
+                nx_cands.append((u, url, depth + 1))
+            if 200 <= status < 400:
+                res.render.add(hh)
+            else:
+                requeues.append(hh)
+        metrics["pages"] = len(res.pages)
+
+        # ---- round-end frontier effects (engine order):
+        # 1. candidate upserts with canonical winner per (url, mode)
+        def dedup(cands: list[tuple[str, str, int]]) -> list[tuple[str, str, int]]:
+            best: dict[str, tuple[str, int]] = {}
+            for u, b, d in cands:
+                cur = best.get(u)
+                if cur is None or (b, d) < cur:
+                    best[u] = (b, d)
+            return [(u, b, d) for u, (b, d) in best.items()]
+
+        before = len(res.seen)
+        for u, b, d in dedup(nx_cands):
+            upsert(u, b, d, 0.0, nx=True)
+        for u, b, d in dedup(now_cands):
+            upsert(u, b, d, now, nx=False)
+        metrics["enqueued"] = len(res.seen) - before
+        # 2. requeues, 3. drops
+        for hh in requeues:
+            if hh in frontier:
+                frontier[hh][6] = now
+        for hh in drops:
+            frontier.pop(hh, None)
+        res.metrics.append(metrics)
+
+    res.frontier = frontier
+    return res
+
+
+def _sha_bytes(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()

@@ -1,0 +1,121 @@
+"""End-to-end conformance: the distributed engine must reproduce the
+single-threaded reference-semantics oracle exactly (north rule: crawl
+ordering + final URL-seen set + per-row invariants)."""
+
+from __future__ import annotations
+
+import pytest
+
+from darc_ray.config import CrawlConfig
+from darc_ray.pipelines.corpus import make_corpus
+from darc_ray.pipelines.crawl import CrawlEngine
+from darc_ray.pipelines.oracle import simulate
+
+ROUNDS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    c = make_corpus(seed=42, n_hosts=10, pages_per_host=6)
+    path = tmp_path_factory.mktemp("corpus")
+    c.save(str(path))
+    return c, str(path)
+
+
+def _cfg() -> CrawlConfig:
+    return CrawlConfig(max_pool=40, workers=1, time_cache=2.0, tick=1.0,
+                       seen_shards=4, host_shards=2, fetch_concurrency=2,
+                       fetch_batch_size=16, per_host_cap=8, snapshot_every=3)
+
+
+@pytest.fixture(scope="module")
+def engine_run(ray_session, corpus, tmp_path_factory):
+    c, cpath = corpus
+    out = str(tmp_path_factory.mktemp("out"))
+    eng = CrawlEngine(cpath, out, _cfg())
+    eng.seed(c.seeds)
+    totals = eng.run(ROUNDS)
+    return eng, totals
+
+
+@pytest.fixture(scope="module")
+def oracle_run(corpus):
+    c, _ = corpus
+    return simulate(c, _cfg(), ROUNDS)
+
+
+def test_seen_set_equal(engine_run, oracle_run):
+    eng, _ = engine_run
+    assert set(eng.seen_hashes()) == oracle_run.seen
+
+
+def test_crawl_ordering_equal(engine_run, oracle_run):
+    eng, _ = engine_run
+    assert eng.pop_log == oracle_run.pop_order
+
+
+def test_pages_equal(engine_run, oracle_run):
+    import hashlib
+
+    eng, _ = engine_run
+    pages = eng.pages_table()
+    assert pages is not None
+    got = {(r["url_hash"], r["round"]): (r["status"], r["mime"], r["is_html"],
+                                         hashlib.sha256(r["body"]).hexdigest())
+           for r in pages.to_pylist()}
+    want = {(p["url_hash"], p["round"]): (p["status"], p["mime"], p["is_html"],
+                                          p["body_digest"])
+            for p in oracle_run.pages}
+    assert got == want
+
+
+def test_edges_equal(engine_run, oracle_run):
+    eng, _ = engine_run
+    pages = eng.pages_table()
+    got = {(r["backref_hash"], r["url_hash"]) for r in pages.to_pylist()
+           if r["backref_hash"]}
+    assert got == oracle_run.edges
+
+
+def test_artifacts_equal(engine_run, oracle_run):
+    eng, _ = engine_run
+    arts = eng.artifacts_table()
+    got = sorted((r["proxy"], r["src"], r["url"]) for r in arts.to_pylist())
+    assert got == sorted(oracle_run.artifacts)
+
+
+def test_render_promotions_equal(engine_run, oracle_run):
+    eng, _ = engine_run
+    render = eng.render_table()
+    got = {r["url_hash"] for r in render.to_pylist()}
+    assert got == oracle_run.render
+
+
+def test_frontier_final_scores_equal(engine_run, oracle_run):
+    import ray
+
+    eng, _ = engine_run
+    live = {}
+    for s in eng.frontier:
+        t = ray.get(s.live_table.remote())
+        for r in t.to_pylist():
+            live[r["url_hash"]] = (r["score"], r["url"])
+    want = {hh: (row[6], row[0]) for hh, row in oracle_run.frontier.items()}
+    assert live == want
+
+
+def test_image_invariants(corpus):
+    """Per-row invariant (input_hint): decoded-pixel PSNR ≥ 40 dB for
+    lossy, bit-exact for PNG; caption equality."""
+    import numpy as np
+
+    from darc_ray.functions import image as img
+
+    c, _ = corpus
+    for r in c.images.to_pylist()[:20]:
+        pix = img.decode(r["bytes"], r["fmt"])
+        if r["fmt"] == "png":
+            assert np.array_equal(img.decode(img.encode(pix, "png"), "png"), pix)
+        else:
+            assert img.psnr(pix, img.decode(img.encode(pix, "jpeg"), "jpeg")) >= 40.0
+        assert r["caption"].startswith(r["image_id"] + ":")
