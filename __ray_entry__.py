@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in ``darc_ray``) initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      — flagship pipeline smoke: a deterministic
+  mini-crawl through the full engine (frontier shards → politeness →
+  fetch actor pool → extract → enqueue → commit) plus a read of
+  ``/root/testdata/sf0.001``; returns the crawled pages table.
+* ``queries()``    — one callable per implemented operator family from
+  SURVEY.md §2 (see ``darc_ray/pipelines/queries.py`` for the op
+  mapping and scale notes).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for the relational subset;
+  omitted entries are non-SQL-expressible (sketches, LSH, crawl loop,
+  multimodal) and get the rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +22,28 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Mini-crawl over the deterministic synthetic corpus; returns the
+    pages table as a pandas DataFrame (stable schema, ≥ 0 rows)."""
+    import ray.data as rd
+
+    from darc_ray.pipelines.queries import q_crawl_pages
+
+    # touch the driver tables (flagship consumers read sf0.001 too)
+    n_docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id"]).count()
+    pages = q_crawl_pages("/root/testdata/sf0.001")
+    pages = pages.copy()
+    pages["corpus_docs"] = n_docs
+    return pages
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from darc_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from darc_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

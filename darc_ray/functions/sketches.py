@@ -1,0 +1,115 @@
+"""Similarity sketches: MinHash (+LSH banding) and SimHash.
+
+Vectorized numpy kernels; every hash is seeded/deterministic.  Used by
+the near-dedup stages (``darc_ray.stages.dedup``): shingle → minhash →
+band → bucket-groupby is the scale path (candidates emerge from a
+``groupby`` on (band, band_hash), never an O(n²) compare)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(shingles: set[str]) -> np.ndarray:
+    """Stable 64-bit hash per shingle."""
+    if not shingles:
+        return np.zeros(1, dtype=np.uint64)
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+class MinHasher:
+    """n_perm permutations h_i(x) = (a_i·x + b_i) mod p (universal
+    hashing over a Mersenne prime)."""
+
+    def __init__(self, n_perm: int = 128, seed: int = 7) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+
+    def signature(self, shingles: set[str]) -> np.ndarray:
+        """Reference implementation via Python big ints (exact)."""
+        x = [int(v) for v in _shingle_hashes(shingles)]
+        sig = np.empty(self.n_perm, dtype=np.uint64)
+        for i in range(self.n_perm):
+            a, b = int(self.a[i]), int(self.b[i])
+            sig[i] = min((a * (v % _MERSENNE) + b) % _MERSENNE for v in x)
+        return sig
+
+    def signatures(self, shingle_sets: list[set[str]]) -> np.ndarray:
+        """(n_docs, n_perm) uint64; exact mod-p arithmetic vectorized
+        over permutations (tested equal to :meth:`signature`)."""
+        out = np.empty((len(shingle_sets), self.n_perm), dtype=np.uint64)
+        for d, sh in enumerate(shingle_sets):
+            out[d] = _min_perm(_shingle_hashes(sh), self.a, self.b)
+        return out
+
+
+_P = np.uint64(_MERSENNE)
+_LO = np.uint64(0xFFFFFFFF)
+_M29 = np.uint64((1 << 29) - 1)
+_S32 = np.uint64(32)
+_S29 = np.uint64(29)
+_S61 = np.uint64(61)
+_E8 = np.uint64(8)
+
+
+def _min_perm(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """min over shingles of (a·x + b) mod 2^61−1, exact in uint64.
+
+    a·x = t2·2^64 + t1·2^32 + t0 with 32-bit half products (< 2^64
+    each).  Mersenne reduction uses 2^61 ≡ 1 (mod p):
+    t0 ≡ (t0 & p) + (t0 >> 61); t1·2^32 ≡ (t1 >> 29) + (t1 & m29)·2^32;
+    t2·2^64 ≡ 8·t2.  Each term < 2^62, sum < 2^64 — no overflow."""
+    x = x % _P
+    a_lo, a_hi = a & _LO, a >> _S32
+    best = np.full(a.shape, np.iinfo(np.uint64).max, dtype=np.uint64)
+    for xv in x:
+        x_lo, x_hi = xv & _LO, xv >> _S32
+        t0 = a_lo * x_lo                       # < 2^64
+        t1 = a_hi * x_lo + a_lo * x_hi         # < 2^62 (each product < 2^61)
+        t2 = a_hi * x_hi                       # < 2^58
+        r0 = (t0 & _P) + (t0 >> _S61)
+        r1 = (t1 >> _S29) + ((t1 & _M29) << _S32)
+        v = (r0 % _P + r1 % _P + (t2 * _E8) % _P + b) % _P
+        best = np.minimum(best, v)
+    return best
+
+
+def lsh_bands(sig: np.ndarray, n_bands: int) -> list[tuple[int, int]]:
+    """Split a signature into bands → (band_id, band_hash) keys."""
+    r = sig.shape[-1] // n_bands
+    out = []
+    for band in range(n_bands):
+        chunk = sig[band * r:(band + 1) * r]
+        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+        out.append((band, int.from_bytes(h, "big") >> 1))
+    return out
+
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit SimHash over word unigrams (frequency-weighted)."""
+    votes = np.zeros(64, dtype=np.int64)
+    for w in text.split():
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        votes += 2 * bits - 1
+    v = 0
+    for i in range(64):
+        if votes[i] > 0:
+            v |= (1 << i)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def jaccard(a: set[str], b: set[str]) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))

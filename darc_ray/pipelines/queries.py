@@ -1,0 +1,507 @@
+"""Driver-contract queries: every operator family from SURVEY §2 as a
+callable over the driver's parquet tables, with an ANSI-SQL oracle
+where the semantics are relational (the DuckDB correctness gate).
+
+Each Ray implementation follows the scale rules: column-pruned reads,
+vectorized batch kernels, partial aggregation before shuffles,
+broadcast small sides (``ray.put``), and no full materialization of
+large inputs on the driver.
+
+Column names match the oracle SQL exactly (the driver hash-compares
+sorted-by-name columns).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from darc_ray.config import CrawlConfig
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# =====================================================================
+# Relational / crawl-shaped (DuckDB-checked)
+# =====================================================================
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: per-batch partial aggregation (combiner) before
+    the small groupby shuffle (SURVEY §2.6 A-family; ray_guide scale
+    pattern)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["charge"] = df["revenue"] * (1 + df["l_tax"])
+        df["n"] = 1
+        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+               .agg(sum_qty=("l_quantity", "sum"), sum_base=("l_extendedprice", "sum"),
+                    sum_disc=("revenue", "sum"), sum_charge=("charge", "sum"),
+                    count_order=("n", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("sum_base", alias_name="sum_base"),
+                        Sum("sum_disc", alias_name="sum_disc"),
+                        Sum("sum_charge", alias_name="sum_charge"),
+                        Sum("count_order", alias_name="count_order"))
+             .to_pandas())
+    for c in ("sum_qty", "sum_base", "sum_disc", "sum_charge"):
+        out[c] = out[c].round(2)
+    return out
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       count(*)                                                         AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    """Grouped sum → global top-k with deterministic tie-break (O1-ish)."""
+    from ray.data.aggregate import Sum
+
+    out = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="total"))
+           .sort(["total", "o_custkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    out["total"] = out["total"].round(2)
+    return out
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_custkey
+ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10
+"""
+
+
+def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
+    """J1 pattern: small side broadcast via ray.put, map-side hash join
+    — no shuffle."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    class Join:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_pylist()
+            names = [self.lookup.get(k) for k in keys]
+            mask = pa.array([n is not None for n in names])
+            out = t.append_column("c_name", pa.array(names, type=pa.string()))
+            return out.filter(mask).select(["o_orderkey", "c_name"])
+
+    return (_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+            .map_batches(Join, batch_format="pyarrow", concurrency=2)
+            .to_pandas())
+
+
+SQL_BROADCAST_JOIN = """
+SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_frontier_pop(sf_dir: str) -> pd.DataFrame:
+    """O1/O2: the frontier pop ordering — sort (score, id) asc, limit
+    (db.py:926-934/967-968 shape over the events table)."""
+    return (_read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+            .sort(["ts", "event_id"]).limit(100).to_pandas())
+
+
+SQL_FRONTIER_POP = """
+SELECT event_id, ts, user_id, event_type FROM events ORDER BY ts, event_id LIMIT 100
+"""
+
+
+def q_first_seen(sf_dir: str) -> pd.DataFrame:
+    """A1/A2: first-seen per key (min score wins / get_or_create)."""
+    from ray.data.aggregate import Min
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .groupby("user_id").aggregate(Min("ts", alias_name="first_ts"))
+            .to_pandas())
+
+
+SQL_FIRST_SEEN = "SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id"
+
+
+def q_host_alive(sf_dir: str) -> pd.DataFrame:
+    """A3: host alive = max over member rows."""
+    from ray.data.aggregate import Max
+
+    return (_read(sf_dir, "events", ["user_id", "value"])
+            .groupby("user_id").aggregate(Max("value", alias_name="max_value"))
+            .to_pandas())
+
+
+SQL_HOST_ALIVE = "SELECT user_id, max(value) AS max_value FROM events GROUP BY user_id"
+
+
+def q_host_since(sf_dir: str) -> pd.DataFrame:
+    """A4: min(since) over rows matching a predicate."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    clicks = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(["user_id", "ts"]),
+        batch_format="pyarrow")
+    return clicks.groupby("user_id").aggregate(Min("ts", alias_name="since")).to_pandas()
+
+
+SQL_HOST_SINCE = ("SELECT user_id, min(ts) AS since FROM events "
+                  "WHERE event_type = 'click' GROUP BY user_id")
+
+
+def q_distinct_edges(sf_dir: str) -> pd.DataFrame:
+    """A5: distinct (parent, child) pairs (URLThroughModel unique index)."""
+    from ray.data.aggregate import Count
+
+    out = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+           .groupby(["l_orderkey", "l_partkey"]).aggregate(Count(alias_name="n"))
+           .to_pandas())
+    return out.rename(columns={"l_orderkey": "parent", "l_partkey": "child"})[
+        ["parent", "child"]]
+
+
+SQL_DISTINCT_EDGES = ("SELECT DISTINCT l_orderkey AS parent, l_partkey AS child "
+                      "FROM lineitem")
+
+
+def q_anti_join(sf_dir: str) -> pd.DataFrame:
+    """J2: candidate anti-join against the seen set — broadcast key set,
+    map-side filter (no shuffle)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()["c_custkey"]
+    keys = set(int(k) for k in cust if k < 8)          # the "seen" side
+    ref = ray.put(np.fromiter(sorted(keys), dtype=np.int64))
+
+    def anti(t: pa.Table) -> pa.Table:
+        seen = pa.array(ray.get(ref))
+        mask = pc.invert(pc.is_in(t["user_id"], value_set=seen))
+        return t.filter(mask)
+
+    return (_read(sf_dir, "events", ["event_id", "user_id"])
+            .map_batches(anti, batch_format="pyarrow").to_pandas())
+
+
+SQL_ANTI_JOIN = ("SELECT event_id, user_id FROM events WHERE user_id NOT IN "
+                 "(SELECT c_custkey FROM customer WHERE c_custkey < 8)")
+
+
+def q_gate_filter(sf_dir: str) -> pd.DataFrame:
+    """M5-M7: black/white/fallback gate semantics, via the engine's own
+    keep mask over the event_type column."""
+    from darc_ray.functions.filters import keep_proxy_mask
+
+    cfg = CrawlConfig(proxy_black_list=["error"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        mask = keep_proxy_mask(t.column("event_type").to_pylist(), cfg)
+        return t.filter(pa.array(mask))
+
+    return (_read(sf_dir, "events", ["event_id", "event_type"])
+            .map_batches(gate, batch_format="pyarrow").to_pandas())
+
+
+SQL_GATE_FILTER = "SELECT event_id, event_type FROM events WHERE event_type <> 'error'"
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """St2/A1: exact dedup — content hash + first-wins (min id)."""
+    from darc_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+
+
+SQL_DEDUP_EXACT = ("SELECT md5(text) AS text_hash, min(doc_id) AS keeper "
+                   "FROM documents GROUP BY text")
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """§2.9 scalar hashing: per-document content fingerprint."""
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        from darc_ray.functions.text import md5_fingerprint
+
+        return pd.DataFrame({"doc_id": df["doc_id"], "fp": md5_fingerprint(df["text"])})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(fp, batch_format="pandas").to_pandas())
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Text analysis: token counting (whitespace tokens + char length)."""
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_ws_tokens": df["text"].str.split().map(len).astype("int64"),
+            "text_len": df["text"].str.len().astype("int64")})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(counts, batch_format="pandas").to_pandas())
+
+
+SQL_TOKEN_COUNTS = ("SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) "
+                    "AS n_ws_tokens, length(text) AS text_len FROM documents")
+
+
+def q_round_metrics(sf_dir: str) -> pd.DataFrame:
+    """A6: per-partition counters (grouped counts)."""
+    from ray.data.aggregate import Count
+
+    return (_read(sf_dir, "documents", ["lang", "source"])
+            .groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+            .to_pandas())
+
+
+SQL_ROUND_METRICS = ("SELECT lang, source, count(*) AS n FROM documents "
+                     "GROUP BY lang, source")
+
+
+def q_ann_brute(sf_dir: str) -> pd.DataFrame:
+    """ANN baseline: exact cosine top-10 for 5 query vectors (broadcast
+    query matrix + per-batch matmul + tiny driver reduce)."""
+    from darc_ray.stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+SQL_ANN_BRUTE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id)
+       AS rank
+FROM q, embeddings
+WHERE vec_id <> query_id
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+# =====================================================================
+# Rows-only (non-SQL-expressible; driver records row-count check)
+# =====================================================================
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    from darc_ray.functions.text import lang_id
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": lang_id(df["text"])})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pandas").to_pandas())
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    from darc_ray.functions.text import quality_features
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        feats = quality_features(df["text"])
+        feats.insert(0, "doc_id", df["doc_id"].values)
+        return feats
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pandas").to_pandas())
+
+
+def q_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from darc_ray.functions.text import rolling_fingerprint
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "rfp": rolling_fingerprint(df["text"])})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pandas").to_pandas())
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    from darc_ray.stages.dedup import add_simhash
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(add_simhash, batch_format="pyarrow")
+            .select_columns(["doc_id", "simhash"]).to_pandas())
+
+
+def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """MinHash LSH candidates verified by exact Jaccard ≥ 0.5."""
+    from darc_ray.stages.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    texts = dict(zip(*(lambda d: (d["doc_id"], d["text"]))(ds.to_pandas())))
+    pairs = minhash_candidate_pairs(ds, n_perm=64, n_bands=16).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    out = verify_pairs_jaccard(pairs[["a", "b"]], texts, threshold=0.5)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ 0.3 over a bounded slice."""
+    from darc_ray.stages.dedup import ngram_jaccard_pairs
+
+    df = (_read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+          .sort_values("doc_id").head(300))
+    return ngram_jaccard_pairs(df["doc_id"].tolist(), df["text"].tolist(),
+                               k=3, threshold=0.3)
+
+
+def q_embedding_dups(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs."""
+    from darc_ray.stages.dedup import embedding_dup_pairs
+
+    df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return embedding_dup_pairs(df["vec_id"].to_numpy(), vecs, threshold=0.6)
+
+
+def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    from darc_ray.stages.ann import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, n_planes=8)
+
+
+def q_image_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal: synth image+caption rows (input_hint schema) seeded
+    by doc ids → actor-pool decode/phash/psnr stage."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import ImageFeatureStage, synth_image_rows
+
+    ids = (_read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
+           .sort_values().head(64).tolist())
+    table = synth_image_rows(ids, ["amber", "basalt", "cedar", "dune", "ember", "fjord"])
+    return (rd.from_arrow(table)
+            .map_batches(ImageFeatureStage, batch_format="pyarrow", batch_size=16,
+                         concurrency=2)
+            .to_pandas())
+
+
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _crawl_run():
+    """One cached mini-crawl per process (flagship pipeline)."""
+    if "engine" not in _CRAWL_CACHE:
+        from darc_ray.pipelines.corpus import make_corpus
+        from darc_ray.pipelines.crawl import CrawlEngine
+
+        cdir = tempfile.mkdtemp(prefix="darc_ray_corpus_")
+        odir = tempfile.mkdtemp(prefix="darc_ray_crawl_")
+        corpus = make_corpus(seed=42, n_hosts=8, pages_per_host=5)
+        corpus.save(cdir)
+        cfg = CrawlConfig(max_pool=40, time_cache=2.0, seen_shards=4, host_shards=2,
+                          fetch_concurrency=2, fetch_batch_size=32, snapshot_every=0)
+        eng = CrawlEngine(cdir, odir, cfg)
+        eng.seed(corpus.seeds)
+        eng.run(6)
+        _CRAWL_CACHE["engine"] = eng
+    return _CRAWL_CACHE["engine"]
+
+
+def q_crawl_pages(sf_dir: str) -> pd.DataFrame:
+    eng = _crawl_run()
+    t = eng.pages_table()
+    return (t.select(["url_hash", "url", "host", "proxy", "round", "status",
+                      "mime", "is_html"]).to_pandas()
+            .sort_values(["round", "url_hash"]).reset_index(drop=True))
+
+
+def q_crawl_seen(sf_dir: str) -> pd.DataFrame:
+    eng = _crawl_run()
+    return pd.DataFrame({"url_hash": eng.seen_hashes()})
+
+
+def q_crawl_artifacts(sf_dir: str) -> pd.DataFrame:
+    eng = _crawl_run()
+    t = eng.artifacts_table()
+    if t is None:
+        return pd.DataFrame({"proxy": [], "src": [], "url": []})
+    return (t.select(["proxy", "src", "url"]).to_pandas()
+            .sort_values(["proxy", "src", "url"]).reset_index(drop=True))
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "broadcast_join": q_broadcast_join,
+    "frontier_pop": q_frontier_pop,
+    "first_seen": q_first_seen,
+    "host_alive": q_host_alive,
+    "host_since": q_host_since,
+    "distinct_edges": q_distinct_edges,
+    "anti_join": q_anti_join,
+    "gate_filter": q_gate_filter,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "token_counts": q_token_counts,
+    "round_metrics": q_round_metrics,
+    "ann_brute": q_ann_brute,
+    # rows-only
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "simhash": q_simhash,
+    "minhash_dedup": q_minhash_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_dups": q_embedding_dups,
+    "ann_lsh": q_ann_lsh,
+    "image_features": q_image_features,
+    "crawl_pages": q_crawl_pages,
+    "crawl_seen": q_crawl_seen,
+    "crawl_artifacts": q_crawl_artifacts,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    "frontier_pop": SQL_FRONTIER_POP,
+    "first_seen": SQL_FIRST_SEEN,
+    "host_alive": SQL_HOST_ALIVE,
+    "host_since": SQL_HOST_SINCE,
+    "distinct_edges": SQL_DISTINCT_EDGES,
+    "anti_join": SQL_ANTI_JOIN,
+    "gate_filter": SQL_GATE_FILTER,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "fingerprint": SQL_FINGERPRINT,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "round_metrics": SQL_ROUND_METRICS,
+    "ann_brute": SQL_ANN_BRUTE,
+}

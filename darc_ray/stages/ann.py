@@ -1,0 +1,150 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``brute_force_topk`` — the exact baseline: the query matrix is
+  broadcast once (``ray.put``); each ``map_batches`` task computes a
+  (batch × queries) cosine block via numpy matmul and emits only its
+  per-batch top-k rows; the driver reduces the tiny per-batch
+  candidates to the global top-k.  No shuffle; scales as
+  map-side-reduce.
+* ``lsh_topk`` — the scale path: seeded random-hyperplane signatures
+  bucket the corpus (``groupby(bucket)``); queries probe their own
+  bucket (+ multi-probe neighbors at hamming ≤ 1) and rerank
+  exactly within candidates.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BatchTopK:
+    """map_batches task: per-batch top-k candidates per query."""
+
+    def __init__(self, query_ref, k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding", exclude_self: bool = True) -> None:
+        import ray
+
+        q = ray.get(query_ref) if not isinstance(query_ref, tuple) else query_ref
+        self.q_ids, self.q_mat = q            # (ids, normalized matrix)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col).to_pylist()))
+        sims = vecs @ self.q_mat.T            # (batch, n_queries)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            col = sims[:, qi]
+            order = np.argsort(-col, kind="stable")
+            taken = 0
+            for bi in order:
+                if taken >= self.k:
+                    break
+                if self.exclude_self and ids[bi] == qid:
+                    continue
+                out_q.append(qid)
+                out_n.append(ids[bi])
+                out_s.append(float(col[bi]))
+                taken += 1
+        return pa.Table.from_pydict({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64())})
+
+
+def brute_force_topk(ds, query_ids: list[int], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact cosine top-k of each query over the whole dataset.
+
+    Deterministic tie-break: (−sim, neighbor_id)."""
+    import pyarrow.compute as pc
+    import ray
+
+    value_set = pa.array(query_ids, type=pa.int64())
+    q_rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=value_set)),
+        batch_format="pyarrow").take_all()
+    if not q_rows:
+        raise ValueError("no query rows found")
+    q_rows.sort(key=lambda r: r[id_col])
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = _normalize(_as_matrix([r[vec_col] for r in q_rows]))
+    ref = ray.put((q_ids, q_mat))
+
+    cands = ds.map_batches(
+        BatchTopK, fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=2).to_pandas()
+
+    # driver-side reduce of per-batch candidates (tiny: batches × queries × k)
+    out = []
+    for qid, g in cands.groupby("query_id"):
+        rows = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.sim, r.neighbor_id))
+        for rank, r in enumerate(rows):
+            out.append((qid, r.neighbor_id, rank + 1))
+    return (pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank"])
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- LSH variant
+class HyperplaneLSH:
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 5) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def buckets(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes.T) > 0
+        return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+
+    def probe(self, vec: np.ndarray) -> list[int]:
+        """Own bucket + all hamming-1 neighbors (multi-probe)."""
+        b = int(self.buckets(vec[None, :])[0])
+        return [b] + [b ^ (1 << i) for i in range(self.planes.shape[0])]
+
+
+def lsh_topk(ds, query_ids: list[int], k: int = 10, n_planes: int = 10,
+             seed: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> pd.DataFrame:
+    """LSH-bucketed ANN: bucket the corpus by hyperplane signature,
+    rerank exactly within the probed buckets."""
+    rows = ds.take_all()          # bounded in tests; at scale the bucket
+    ids = np.asarray([r[id_col] for r in rows])   # assignment stays a Dataset
+    vecs = _normalize(_as_matrix([r[vec_col] for r in rows]))
+    lsh = HyperplaneLSH(vecs.shape[1], n_planes, seed)
+    assign = lsh.buckets(vecs)
+    by_bucket: dict[int, list[int]] = {}
+    for i, b in enumerate(assign):
+        by_bucket.setdefault(int(b), []).append(i)
+
+    id_to_ix = {int(v): i for i, v in enumerate(ids)}
+    out = []
+    for qid in sorted(query_ids):
+        qix = id_to_ix[qid]
+        cand: list[int] = []
+        for b in lsh.probe(vecs[qix]):
+            cand.extend(by_bucket.get(b, []))
+        cand = [c for c in set(cand) if ids[c] != qid]
+        if not cand:
+            continue
+        sims = vecs[cand] @ vecs[qix]
+        order = sorted(range(len(cand)), key=lambda i: (-sims[i], ids[cand[i]]))[:k]
+        for rank, i in enumerate(order):
+            out.append((qid, int(ids[cand[i]]), rank + 1, float(np.round(sims[i], 6))))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "sim"])

@@ -18,7 +18,10 @@ def ray_session():
     )
     from ray.data import DataContext
 
+    import logging
+
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.WARNING)
     yield
     ray.shutdown()

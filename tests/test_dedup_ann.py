@@ -1,0 +1,108 @@
+"""Dedup + ANN stage semantics over controlled inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from darc_ray.stages.ann import HyperplaneLSH, brute_force_topk, lsh_topk
+from darc_ray.stages.dedup import (
+    embedding_dup_pairs, exact_dedup, minhash_candidate_pairs, ngram_jaccard_pairs,
+    verify_pairs_jaccard,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # dup of 1
+    (3, "the quick brown fox jumps over the lazy cat near the river bank today"),  # near-dup
+    (4, "completely unrelated text about distributed columnar query engines"),
+    (5, "another unrelated document mentioning streams shuffles and actors"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_first_wins(docs_ds):
+    out = exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 4                      # docs 1/2 collapse
+    keepers = set(out["keeper"])
+    assert 1 in keepers and 2 not in keepers
+
+
+def test_minhash_lsh_finds_near_dups(docs_ds):
+    pairs = minhash_candidate_pairs(docs_ds, n_perm=64, n_bands=32,
+                                    k_shingle=3).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (1, 2) in got                      # identical docs always collide
+    verified = verify_pairs_jaccard(pairs[["a", "b"]],
+                                    dict(DOCS), threshold=0.5)
+    vp = {(a, b) for a, b in zip(verified["a"], verified["b"])}
+    assert (1, 2) in vp
+    assert all(j >= 0.5 for j in verified["jaccard"])
+    # unrelated docs never survive verification
+    assert not any({4, 5} & {a, b} and {1, 2, 3} & {a, b} for a, b in vp)
+
+
+def test_ngram_jaccard_pairs():
+    ids = [d for d, _ in DOCS]
+    texts = [t for _, t in DOCS]
+    out = ngram_jaccard_pairs(ids, texts, k=3, threshold=0.5)
+    got = {(a, b) for a, b in zip(out["a"], out["b"])}
+    assert (1, 2) in got and (1, 3) in got
+    assert out[out["a"] == 1][out["b"] == 2]["jaccard"].iloc[0] == 1.0
+
+
+def test_embedding_dup_pairs_exact():
+    ids = np.array([10, 11, 12])
+    vecs = np.array([[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]])
+    out = embedding_dup_pairs(ids, vecs, threshold=0.95)
+    assert {(a, b) for a, b in zip(out["a"], out["b"])} == {(10, 11)}
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((80, 16))
+    df = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64),
+                       "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    ds = rd.from_pandas(df)
+    out = brute_force_topk(ds, query_ids=[0, 1], k=5)
+    # independent numpy check
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = m @ m[qid]
+        sims[qid] = -np.inf
+        want = list(np.argsort(-sims, kind="stable")[:5])
+        got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert got == want
+
+
+def test_lsh_topk_recall_vs_brute(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((60, 16))
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                       "embedding": [v.astype(np.float32).tolist() for v in base]})
+    ds = rd.from_pandas(df)
+    brute = brute_force_topk(ds, query_ids=[0], k=5)
+    approx = lsh_topk(ds, query_ids=[0], k=5, n_planes=3)
+    want = set(brute["neighbor_id"])
+    got = set(approx["neighbor_id"])
+    assert len(want & got) >= 2               # multi-probe recall on tiny corpus
+
+
+def test_hyperplane_lsh_deterministic():
+    lsh = HyperplaneLSH(8, n_planes=6, seed=5)
+    v = np.ones((3, 8))
+    assert np.array_equal(lsh.buckets(v), HyperplaneLSH(8, 6, 5).buckets(v))
+    probes = lsh.probe(np.ones(8))
+    assert len(probes) == 7 and len(set(probes)) == 7

@@ -1,0 +1,65 @@
+"""Driver-mirror: every SQL-backed query must match DuckDB exactly
+(sorted-by-name columns, order-insensitive rows) — the same comparison
+the correctness gate runs at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from darc_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_sql_backed_query_matches_duckdb(name, con, ray_session):
+    got = QUERIES[name](SF_DIR)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = con.sql(ORACLE_SQL[name]).df()
+    g, w = _normalize(got), _normalize(want)
+    assert list(g.columns) == list(w.columns), (list(g.columns), list(w.columns))
+    assert len(g) == len(w), (name, len(g), len(w))
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+ROWS_ONLY = [n for n in QUERIES if n not in ORACLE_SQL]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run_and_are_deterministic(name, ray_session):
+    got = QUERIES[name](SF_DIR)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    assert len(got) >= 0
+    if name.startswith("crawl"):
+        return                      # engine run is cached; determinism is e2e-tested
+    again = QUERIES[name](SF_DIR)
+    if not isinstance(again, pd.DataFrame):
+        again = again.to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), again.reset_index(drop=True), check_dtype=False)
