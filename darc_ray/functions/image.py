@@ -169,21 +169,18 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _mean_pool(gray: np.ndarray, out_size: int) -> np.ndarray:
-    """Deterministic area resample to (out_size, out_size)."""
+    """Deterministic area resample to (out_size, out_size), fully
+    vectorized via an integral image."""
     h, w = gray.shape
-    ys = (np.linspace(0, h, out_size + 1)).astype(np.int64)
-    xs = (np.linspace(0, w, out_size + 1)).astype(np.int64)
+    ys = np.linspace(0, h, out_size + 1).astype(np.int64)
+    xs = np.linspace(0, w, out_size + 1).astype(np.int64)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
     integral = np.zeros((h + 1, w + 1), dtype=np.float64)
     integral[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    out = np.empty((out_size, out_size), dtype=np.float64)
-    for i in range(out_size):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(out_size):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            area = (y1 - y0) * (x1 - x0)
-            out[i, j] = (integral[y1, x1] - integral[y0, x1]
-                         - integral[y1, x0] + integral[y0, x0]) / area
-    return out
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (integral[np.ix_(y1, x1)] - integral[np.ix_(y0, x1)]
+            - integral[np.ix_(y1, x0)] + integral[np.ix_(y0, x0)]) / area
 
 
 _DCT32 = None
@@ -210,10 +207,8 @@ def phash64(pixels: np.ndarray) -> int:
     d = _dct_matrix(32)
     coef = (d @ small @ d.T)[:8, :8].ravel()
     med = np.median(coef[1:])
-    bits = coef > med
-    value = 0
-    for b in bits:
-        value = (value << 1) | int(b)
+    bits = (coef > med).astype(np.uint64)
+    value = int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum(dtype=np.uint64))
     return value - (1 << 64) if value >= (1 << 63) else value  # as signed int64
 
 

@@ -32,41 +32,26 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from functools import partial
 from typing import Any
+
+from collections import Counter
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from darc_ray.config import CrawlConfig
 from darc_ray.functions.filters import candidate_keep_mask
-from darc_ray.functions.hashing import host_shard_of, partition_of, sha256_hex, shard_of
+from darc_ray.functions.hashing import (group_indices, host_shard_of, sha256_hex,
+                                        shard_of)
 from darc_ray.functions.link import parse_batch
 from darc_ray.sources.table_io import read_table, write_table
-from darc_ray.stages.enqueue import EnqueueStage
-from darc_ray.stages.fetch import EVENT_SCHEMA, CorpusFetchFn, Fetcher
-from darc_ray.stages.parse import CANDIDATE_SCHEMA, parse_candidates, winner_rows
+from darc_ray.stages.fetch import CorpusFetchFn, FetchProcessStage, fetch_process_batch
+from darc_ray.stages.parse import parse_candidates
 from darc_ray.state.frontier import FrontierShard
 from darc_ray.state.host_state import HostShard
 
 POOL_COLS = ("url_hash", "url", "proxy", "scheme", "host", "base_host",
              "backref", "score", "depth")
-
-PAGE_COLS = ["url_hash", "url", "host", "proxy", "round", "ts", "status", "reason",
-             "mime", "is_html", "body", "history", "backref", "backref_hash"]
-ARTIFACT_COLS = ["artifact_kind", "backref", "url", "payload", "artifact_mime",
-                 "round", "url_hash"]
-RENDER_COLS = ["url_hash", "url", "host", "proxy", "round", "ts"]
-
-
-def _filter_kind(events_ds, kinds: list[str]):
-    value_set = pa.array(kinds)
-
-    def f(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["kind"], value_set=value_set))
-
-    return events_ds.map_batches(f, batch_format="pyarrow")
 
 
 class CrawlEngine:
@@ -82,13 +67,24 @@ class CrawlEngine:
         self.corpus_path = corpus_path
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
-        self.fetch_fn = CorpusFetchFn(corpus_path)
+        self.fetch_fn = CorpusFetchFn.broadcast(corpus_path)
         FShard = ray.remote(FrontierShard)
         HShard = ray.remote(HostShard)
         self.frontier = [FShard.remote(s) for s in range(self.cfg.seen_shards)]
         self.hosts = [HShard.remote(h, self.fetch_fn) for h in range(self.cfg.host_shards)]
         self.next_round = 0
         self.pop_log: list[tuple[int, str]] = []   # (round, url) crawl ordering
+
+    # ------------------------------------------------------------------
+    def shutdown(self) -> None:
+        """Terminate the actor fleet (bench/CLI hygiene; tests rely on
+        handle GC)."""
+        import ray
+
+        for a in self.frontier + self.hosts:
+            ray.kill(a, no_restart=True)
+        self.frontier = []
+        self.hosts = []
 
     # ------------------------------------------------------------------
     def now_at(self, t: int) -> float:
@@ -102,9 +98,8 @@ class CrawlEngine:
         hashes = sha256_hex(urls)
         shards = shard_of(hashes, self.cfg.seen_shards)
         futures = []
-        for s in range(self.cfg.seen_shards):
-            idx = [i for i in range(len(urls)) if shards[i] == s]
-            if not idx:
+        for s, idx in enumerate(group_indices(shards, self.cfg.seen_shards)):
+            if not len(idx):
                 continue
             sub = {
                 "url": [urls[i] for i in idx],
@@ -141,8 +136,18 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def run_round(self, t: int) -> dict[str, int]:
+        import time as _time
+
         import ray
         import ray.data as rd
+
+        _t0 = _time.perf_counter()
+
+        def _mark(metrics, key):
+            nonlocal _t0
+            now_t = _time.perf_counter()
+            metrics[key] = round(metrics.get(key, 0.0) + (now_t - _t0), 4)
+            _t0 = now_t
 
         cfg = self.cfg
         now = self.now_at(t)
@@ -172,6 +177,7 @@ class CrawlEngine:
             merged = {c: [merged[c][i] for i in order] for c in POOL_COLS}
             n_pop = len(merged["url_hash"])
         metrics["popped"] = n_pop
+        _mark(metrics, "t_pop")
 
         # ---- 2. politeness allowance (fetchable rows only), in pop order
         taken_idx: list[int] = []
@@ -197,11 +203,14 @@ class CrawlEngine:
         metrics["deferred"] = n_pop - n_taken
         self.pop_log.extend((t, u) for u in pool["url"])
         pool_pop = pool           # pre-CHECK pool = the crawl-ordering artifact
+        _mark(metrics, "t_politeness")
 
         boot_cand: pa.Table | None = None
         if n_taken:
             # ---- 3. lease taken rows (score = now + ttl, db.py:938-941)
             self._scatter_scores(pool["url_hash"], now + ttl)
+
+            _mark(metrics, "t_lease")
 
             # ---- 3b. CHECK-time candidate filter (load_requests(check=True),
             # db.py:897-898): filtered rows stay leased, uncrawled
@@ -216,91 +225,94 @@ class CrawlEngine:
             metrics["new_hosts"] = n_new
             if boot_cand is not None:
                 metrics["boot_candidates"] = boot_cand.num_rows
+        _mark(metrics, "t_bootstrap")
 
-        events = None
+        req_hashes: list[str] = []
+        drop_hashes: list[str] = []
         if n_taken:
-            # ---- 5. fetch/route stage (actor pool over Arrow batches)
+            # ---- 5. fused fetch/route/write/buffer stage: ONE Dataset
+            # execution per round; bodies go straight to parquet part
+            # files and candidates to shard buffers -- only a tiny
+            # (kind, url_hash) summary reaches the driver.
             pool_table = pa.Table.from_pydict(
                 {**pool,
                  "round": [t] * n_taken,
                  "now": [now] * n_taken})
-            n_blocks = max(1, min((n_taken + cfg.fetch_batch_size - 1) // cfg.fetch_batch_size,
-                                  cfg.fetch_concurrency * 2))
-            ds = rd.from_arrow(pool_table).repartition(n_blocks)
-            events = ds.map_batches(
-                Fetcher,
-                fn_constructor_args=(cfg, self.fetch_fn, self.hosts),
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
-                concurrency=min(cfg.fetch_concurrency, n_blocks),
-                num_cpus=1,
-            ).materialize()
+            # Ray task dispatch is ~10 ms serial per task: target
+            # 2×concurrency tasks (≥32 rows each) so per-task work
+            # amortizes dispatch while all workers stay busy; split
+            # blocks zero-copy (no repartition pass).
+            n_blocks = max(1, min(cfg.fetch_concurrency * 2,
+                                  (n_taken + 31) // 32))
+            step = (n_taken + n_blocks - 1) // n_blocks
+            ds = rd.from_arrow([pool_table.slice(i, step)
+                                for i in range(0, n_taken, step)])
+            # one block = one batch = one task (batch_size > block rows
+            # would silently bundle blocks and shrink parallelism)
+            batch_size = min(cfg.fetch_batch_size, step)
+            if cfg.fetch_use_actors:
+                stage = ds.map_batches(
+                    FetchProcessStage,
+                    fn_constructor_args=(cfg, self.fetch_fn, self.hosts, self.frontier,
+                                         cfg.seen_shards, round_dir),
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    concurrency=min(cfg.fetch_concurrency, n_blocks),
+                    num_cpus=1,
+                )
+            else:
+                from functools import partial
 
-        if events is not None:
-            # ---- 6. sinks: pages / artifacts / render / pop ordering
-            pages = _filter_kind(events, ["page"]).select_columns(PAGE_COLS)
-            n_pages = pages.count()
-            if n_pages:
-                pages.write_parquet(os.path.join(round_dir, "pages"))
-            metrics["pages"] = n_pages
+                stage = ds.map_batches(
+                    partial(fetch_process_batch, cfg=cfg, fetch_fn=self.fetch_fn,
+                            host_shards=self.hosts, frontier_shards=self.frontier,
+                            num_shards=cfg.seen_shards, round_dir=round_dir),
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    # cap in-flight tasks below the core count so the
+                    # shard actors serving robots/buffer RPCs never
+                    # starve behind the fetch tasks
+                    concurrency=cfg.fetch_concurrency,
+                    num_cpus=1,
+                )
+            summary = stage.take_all()
 
-            arts = _filter_kind(events, ["artifact"])
-            n_arts = arts.count()
-            if n_arts:
-                (arts.select_columns(ARTIFACT_COLS)
-                     .rename_columns({"artifact_kind": "proxy", "backref": "src",
-                                      "artifact_mime": "mime"})
-                     .write_parquet(os.path.join(round_dir, "artifacts")))
-            metrics["artifacts"] = n_arts
+            kc = Counter(r["kind"] for r in summary)
+            metrics["pages"] = kc.get("page", 0)
+            metrics["artifacts"] = kc.get("artifact", 0)
+            metrics["render"] = kc.get("render", 0)
+            metrics["robots_blocked"] = kc.get("robots_blocked", 0)
+            metrics["candidates"] = kc.get("candidate", 0)
+            req_hashes = [r["url_hash"] for r in summary if r["kind"] == "requeue"]
+            drop_hashes = sorted({r["url_hash"] for r in summary
+                                  if r["kind"] in ("drop", "artifact")})
+        _mark(metrics, "t_fetch")
 
-            render = _filter_kind(events, ["render"])
-            n_render = render.count()
-            if n_render:
-                render.select_columns(RENDER_COLS).write_parquet(
-                    os.path.join(round_dir, "render"))
-            metrics["render"] = n_render
-            metrics["robots_blocked"] = _filter_kind(events, ["robots_blocked"]).count()
+        # ---- 6. bootstrap candidates join the same shard buffers
+        if boot_cand is not None and boot_cand.num_rows:
+            cols = boot_cand.to_pydict()
+            sid = np.asarray(cols["shard"])
+            futures = []
+            for s, idx in enumerate(group_indices(sid, cfg.seen_shards)):
+                if not len(idx):
+                    continue
+                sub = {c: [cols[c][i] for i in idx]
+                       for c in ("url_hash", "url", "proxy", "scheme", "host",
+                                 "base_host", "backref", "depth", "mode")}
+                futures.append(self.frontier[s].buffer_candidates.remote(sub))
+            ray.get(futures)
 
-            # ---- 7. candidates: parse → groupby(url_hash) winner → enqueue
-            cand = _filter_kind(events, ["candidate"])
-            n_cand = cand.count()
-            metrics["candidates"] = n_cand
-            parsed = None
-            if n_cand:
-                parsed = cand.map_batches(
-                    partial(parse_candidates, num_partitions=cfg.num_partitions,
-                            num_shards=cfg.seen_shards),
-                    batch_format="pyarrow")
-            if boot_cand is not None and boot_cand.num_rows:
-                boot_ds = rd.from_arrow(boot_cand)
-                parsed = boot_ds if parsed is None else parsed.union(boot_ds)
-            if parsed is not None:
-                deduped = parsed.groupby("url_hash").map_groups(
-                    winner_rows, batch_format="pandas")
-                counts = deduped.map_batches(
-                    EnqueueStage(self.frontier, now),
-                    batch_format="pyarrow", batch_size=4096).to_pandas()
-                metrics["enqueued"] = int(counts["enqueued"].sum()) if len(counts) else 0
-
-            # ---- 8. requeues then drops (deterministic order; see parse.py)
-            req = _filter_kind(events, ["requeue"]).select_columns(["url_hash"]).take_all()
-            req_hashes = [r["url_hash"] for r in req]
-            if req_hashes:
-                self._scatter_scores(req_hashes, now)
-            metrics["requeued"] = len(req_hashes)
-
-            drops = _filter_kind(events, ["drop", "artifact"]).select_columns(
-                ["url_hash"]).take_all()
-            drop_hashes = sorted({r["url_hash"] for r in drops})
-            if drop_hashes:
-                self._scatter_drops(drop_hashes)
-            metrics["dropped"] = len(drop_hashes)
-        elif boot_cand is not None and boot_cand.num_rows:
-            counts = (rd.from_arrow(boot_cand)
-                      .groupby("url_hash").map_groups(winner_rows, batch_format="pandas")
-                      .map_batches(EnqueueStage(self.frontier, now),
-                                   batch_format="pyarrow", batch_size=4096).to_pandas())
-            metrics["enqueued"] = int(counts["enqueued"].sum()) if len(counts) else 0
+        # ---- 7. round-end frontier effects, deterministic order:
+        # candidate flush (nx then replace) -> requeues -> drops
+        metrics["enqueued"] = sum(ray.get(
+            [s.flush_candidates.remote(now) for s in self.frontier]))
+        if req_hashes:
+            self._scatter_scores(req_hashes, now)
+        metrics["requeued"] = len(req_hashes)
+        if drop_hashes:
+            self._scatter_drops(drop_hashes)
+        metrics["dropped"] = len(drop_hashes)
+        _mark(metrics, "t_flush")
 
         # ---- 9. pop-ordering artifact for this round (pre-CHECK pool,
         # matching load_requests' leased pool)
@@ -314,6 +326,7 @@ class CrawlEngine:
 
         # ---- 10. commit: deltas, host snapshots, manifest
         self._commit(t, now, round_dir, metrics)
+        _mark(metrics, "t_commit")
         return metrics
 
     # ------------------------------------------------------------------
@@ -358,7 +371,8 @@ class CrawlEngine:
             if not hs:
                 continue
             futures.append(self.hosts[s].have_hostnames.remote(
-                hs, [reps[h][0] for h in hs], now, self.cfg.time_cache))
+                hs, [reps[h][0] for h in hs], now,
+                self.cfg.host_ttl if self.cfg.host_ttl is not None else self.cfg.time_cache))
             order.append((s, hs))
         boot_by_shard: dict[int, list[str]] = {}
         n_new = 0
@@ -392,41 +406,45 @@ class CrawlEngine:
         import ray
 
         sid = shard_of(hashes, self.cfg.seen_shards)
+        arr = np.asarray(hashes, dtype=object)
         futures = []
-        for s in range(self.cfg.seen_shards):
-            hs = [h for i, h in enumerate(hashes) if sid[i] == s]
-            if hs:
-                futures.append(self.frontier[s].set_scores.remote(hs, score))
+        for s, idx in enumerate(group_indices(sid, self.cfg.seen_shards)):
+            if len(idx):
+                futures.append(self.frontier[s].set_scores.remote(
+                    arr[idx].tolist(), score))
         ray.get(futures)
 
     def _scatter_drops(self, hashes: list[str]) -> None:
         import ray
 
         sid = shard_of(hashes, self.cfg.seen_shards)
+        arr = np.asarray(hashes, dtype=object)
         futures = []
-        for s in range(self.cfg.seen_shards):
-            hs = [h for i, h in enumerate(hashes) if sid[i] == s]
-            if hs:
-                futures.append(self.frontier[s].drop.remote(hs))
+        for s, idx in enumerate(group_indices(sid, self.cfg.seen_shards)):
+            if len(idx):
+                futures.append(self.frontier[s].drop.remote(arr[idx].tolist()))
         ray.get(futures)
 
     # ------------------------------------------------------------------
     def _commit(self, t: int, now: float, round_dir: str, metrics: dict[str, int]) -> None:
         import ray
 
-        deltas = ray.get([s.drain_delta.remote() for s in self.frontier])
-        for s, d in enumerate(deltas):
-            if d.num_rows:
-                write_table(d, os.path.join(round_dir, "frontier_delta", f"shard_{s}"))
-        hsnaps = ray.get([h.snapshot.remote() for h in self.hosts])
-        for s, d in enumerate(hsnaps):
-            write_table(d, os.path.join(round_dir, "host_state", f"shard_{s}"))
+        os.makedirs(os.path.join(round_dir, "frontier_delta"), exist_ok=True)
+        os.makedirs(os.path.join(round_dir, "host_state"), exist_ok=True)
+        futures = [s.drain_delta_to.remote(
+            os.path.join(round_dir, "frontier_delta", f"shard_{i}"))
+            for i, s in enumerate(self.frontier)]
+        futures += [h.snapshot_to.remote(
+            os.path.join(round_dir, "host_state", f"shard_{i}"))
+            for i, h in enumerate(self.hosts)]
         snapshot = (self.cfg.snapshot_every > 0
                     and t > 0 and t % self.cfg.snapshot_every == 0)
         if snapshot:
-            snaps = ray.get([s.snapshot.remote() for s in self.frontier])
-            for s, d in enumerate(snaps):
-                write_table(d, os.path.join(round_dir, "frontier_snapshot", f"shard_{s}"))
+            os.makedirs(os.path.join(round_dir, "frontier_snapshot"), exist_ok=True)
+            futures += [s.snapshot_to.remote(
+                os.path.join(round_dir, "frontier_snapshot", f"shard_{i}"))
+                for i, s in enumerate(self.frontier)]
+        ray.get(futures)
         manifest = {
             "round": t, "now": now, "metrics": metrics, "complete": True,
             "config_fp": self.cfg.fingerprint(), "snapshot": snapshot,

@@ -156,7 +156,8 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 st["score"] = now
                 is_new, force = True, False
             else:
-                force = st["score"] < now - ttl
+                host_ttl = cfg.host_ttl if cfg.host_ttl is not None else ttl
+                force = st["score"] < now - host_ttl
                 if force:
                     st["score"] = now
                 is_new = False
@@ -234,8 +235,13 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 if not keep_mime_mask([mime], cfg)[0]:
                     drops.append(hh)
                     continue
+                phash = 0
+                if mime in ("image/png", "image/jpeg") and body:
+                    from darc_ray.stages.fetch import compute_body_phash
+
+                    phash = compute_body_phash(body, mime)
                 res.pages.append({"url_hash": hh, "url": url, "status": status,
-                                  "mime": mime, "is_html": False,
+                                  "mime": mime, "is_html": False, "phash": phash,
                                   "body_digest": _sha_bytes(body), "round": t})
                 if backref:
                     res.edges.add((_sha(backref), hh))
@@ -244,7 +250,7 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 requeues.append(hh)
                 continue
             res.pages.append({"url_hash": hh, "url": url, "status": status,
-                              "mime": mime, "is_html": True,
+                              "mime": mime, "is_html": True, "phash": 0,
                               "body_digest": _sha_bytes(body), "round": t})
             if backref:
                 res.edges.add((_sha(backref), hh))

@@ -66,13 +66,14 @@ EVENT_SCHEMA = pa.schema([
     pa.field("artifact_kind", pa.string()),
     pa.field("payload", pa.large_binary()),
     pa.field("artifact_mime", pa.string()),
+    pa.field("phash", pa.int64()),          # image payloads: perceptual hash
 ])
 
 _DEFAULTS: dict[str, Any] = {
     "status": 0, "reason": "", "mime": "", "is_html": False, "body": b"",
     "history": [], "backref": "", "backref_hash": "", "cand_url": "",
     "cand_backref": "", "cand_depth": 0, "cand_mode": "", "artifact_kind": "",
-    "payload": b"", "artifact_mime": "", "host": "", "proxy": "",
+    "payload": b"", "artifact_mime": "", "host": "", "proxy": "", "phash": 0,
 }
 
 _REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
@@ -85,21 +86,92 @@ def _sha(url: str) -> str:
     return hashlib.sha256(url.encode("utf-8", "surrogatepass")).hexdigest() if url else ""
 
 
-class CorpusFetchFn:
-    """Picklable synthetic fetch fabric: lazy-loads the corpus index
-    once per process (shared by fetcher + host-shard actors)."""
+def compute_body_phash(body: bytes, mime: str) -> int:
+    """Decode an image payload and compute its 64-bit perceptual hash;
+    0 when undecodable."""
+    from darc_ray.functions import image as img
 
-    def __init__(self, corpus_path: str) -> None:
+    try:
+        return img.phash64(img.decode(body, mime.split("/", 1)[1]))
+    except Exception:
+        return 0
+
+
+_CORPUS_CACHE: dict[str, Any] = {}
+
+
+class _TableFetchIndex:
+    """Redirect-following lookup over a (url, status, mime, body,
+    redirect_to) Arrow table.  The table stays zero-copy in the object
+    store; only the url → row-index dict is per-process."""
+
+    def __init__(self, table: pa.Table) -> None:
+        self.status = table.column("status")
+        self.mime = table.column("mime")
+        self.body = table.column("body")
+        self.redirect = table.column("redirect_to")
+        self.ix = {u: i for i, u in enumerate(table.column("url").to_pylist())}
+
+    def lookup(self, url: str, max_hops: int = 5):
+        history: list[tuple[str, int]] = []
+        cur = url
+        for _ in range(max_hops):
+            i = self.ix.get(cur)
+            if i is None:
+                return 404, "text/html", b"<html><body>not found</body></html>", history
+            redirect = self.redirect[i].as_py()
+            if redirect:
+                history.append((cur, self.status[i].as_py()))
+                cur = redirect
+                continue
+            return (self.status[i].as_py(), self.mime[i].as_py(),
+                    self.body[i].as_py(), history)
+        return 508, "text/html", b"", history
+
+
+class CorpusFetchFn:
+    """Picklable synthetic fetch fabric.
+
+    The web table is broadcast ONCE via ``ray.put`` (zero-copy Arrow in
+    the object store, shared by all workers on the node); each worker
+    process builds only the light url → row index, cached in a
+    process-global so rounds and stages reuse it.  Constructing from a
+    path (no Ray session, unit tests) falls back to a direct load."""
+
+    def __init__(self, corpus_path: str, web_ref=None) -> None:
         self.corpus_path = corpus_path
-        self._corpus = None
+        self.web_ref = web_ref
+
+    @classmethod
+    def broadcast(cls, corpus_path: str) -> "CorpusFetchFn":
+        import os
+
+        import ray
+
+        from darc_ray.sources.table_io import read_table
+
+        web = read_table(os.path.join(corpus_path, "web"))
+        return cls(corpus_path, ray.put(web))
+
+    def _index(self) -> _TableFetchIndex:
+        idx = _CORPUS_CACHE.get(self.corpus_path)
+        if idx is None:
+            if self.web_ref is not None:
+                import ray
+
+                table = ray.get(self.web_ref)
+            else:
+                import os
+
+                from darc_ray.sources.table_io import read_table
+
+                table = read_table(os.path.join(self.corpus_path, "web"))
+            idx = _TableFetchIndex(table)
+            _CORPUS_CACHE[self.corpus_path] = idx
+        return idx
 
     def __call__(self, url: str) -> tuple[int, str, bytes, list[tuple[str, int]]]:
-        if self._corpus is None:
-            from darc_ray.pipelines.corpus import Corpus
-
-            self._corpus = Corpus.load(self.corpus_path)
-            self._corpus.index()
-        return self._corpus.lookup(url)
+        return self._index().lookup(url)
 
 
 class _Events:
@@ -236,10 +308,16 @@ class Fetcher:
                 if not keep_mime_mask([mime], cfg)[0]:     # crawl.py:205-207
                     ev.emit("drop", hh, url, rnd, now, host=host, proxy=proxy)
                     continue
+                # image payloads: decode + perceptual hash inline (the
+                # input_hint fetch→decode hop; engine extension — the
+                # reference stores the blob opaquely)
+                phash = 0
+                if mime in ("image/png", "image/jpeg") and body:
+                    phash = compute_body_phash(body, mime)
                 ev.emit("page", hh, url, rnd, now, host=host, proxy=proxy,
                         status=status, reason=reason, mime=mime, is_html=False,
                         body=body, history=hist, backref=backref,
-                        backref_hash=_sha(backref))
+                        backref_hash=_sha(backref), phash=phash)
                 continue
 
             if not body:                    # empty response (crawl.py:216-219)
@@ -262,3 +340,140 @@ class Fetcher:
                 ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
 
         return ev.table()
+
+
+PAGE_COLS = ["url_hash", "url", "host", "proxy", "round", "ts", "status", "reason",
+             "mime", "is_html", "body", "history", "backref", "backref_hash", "phash"]
+ARTIFACT_COLS = ["artifact_kind", "backref", "url", "payload", "artifact_mime",
+                 "round", "url_hash"]
+RENDER_COLS = ["url_hash", "url", "host", "proxy", "round", "ts"]
+
+
+class FetchProcessStage(Fetcher):
+    """Fused per-round stage: fetch/route (Fetcher) + sink writes +
+    candidate buffering, one Dataset execution per round.
+
+    Per batch: pages/artifacts/render rows are written directly as
+    parquet part files under the round directory (one file per batch —
+    the resumable per-partition layout), candidate rows are pushed to
+    the frontier shards' round buffers (acknowledged before the task
+    returns, so the driver's flush is ordered after them), and only a
+    tiny (kind, url_hash) summary flows back for counters and
+    requeue/drop application.  This keeps bodies out of the driver and
+    collapses what was six Dataset passes into one.
+    """
+
+    def __init__(self, cfg, fetch_fn, host_shards: list, frontier_shards: list,
+                 num_shards: int, round_dir: str) -> None:
+        super().__init__(cfg, fetch_fn, host_shards)
+        self.frontier_shards = frontier_shards
+        self.num_shards = num_shards
+        self.round_dir = round_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+        import time
+        import uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+
+        from darc_ray.functions.hashing import shard_of
+        from darc_ray.stages.parse import parse_candidates
+
+        _marks = [time.perf_counter()]
+        events = super().__call__(batch)
+        _marks.append(time.perf_counter())
+        kinds = events.column("kind")
+        part = uuid.uuid4().hex[:12]
+
+        for kind, cols, sub in (("page", PAGE_COLS, "pages"),
+                                ("artifact", ARTIFACT_COLS, "artifacts"),
+                                ("render", RENDER_COLS, "render")):
+            t = events.filter(pc.equal(kinds, kind))
+            if t.num_rows == 0:
+                continue
+            t = t.select(cols)
+            if kind == "artifact":
+                t = t.rename_columns(["proxy", "src", "url", "payload", "mime",
+                                      "round", "url_hash"])
+            d = os.path.join(self.round_dir, sub)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t, os.path.join(d, f"part-{part}.parquet"))
+        _marks.append(time.perf_counter())
+
+        cand = events.filter(pc.equal(kinds, "candidate"))
+        if cand.num_rows:
+            # in-task winner pre-merge: min (backref, depth) per
+            # (url, mode) is commutative with the shard-side merge, so
+            # deduping locally first shrinks parse work and RPC payload
+            # ~3x (pages repeatedly discover the same URLs)
+            best: dict = {}
+            c_urls = cand.column("cand_url").to_pylist()
+            c_backs = cand.column("cand_backref").to_pylist()
+            c_depths = cand.column("cand_depth").to_pylist()
+            c_modes = cand.column("cand_mode").to_pylist()
+            for u, b, d, mo in zip(c_urls, c_backs, c_depths, c_modes):
+                key = (u, mo)
+                cur = best.get(key)
+                if cur is None or (b, d) < cur:
+                    best[key] = (b, d)
+            merged = pa.Table.from_pydict({
+                "cand_url": [k[0] for k in best],
+                "cand_backref": [v[0] for v in best.values()],
+                "cand_depth": [v[1] for v in best.values()],
+                "cand_mode": [k[1] for k in best]})
+            parsed = parse_candidates(merged, self.cfg.num_partitions, self.num_shards)
+            cols = parsed.to_pydict()
+            from darc_ray.functions.hashing import group_indices
+
+            sid = shard_of(cols["url_hash"], self.num_shards)
+            arrs = {c: __import__("numpy").asarray(cols[c], dtype=object)
+                    for c in ("url_hash", "url", "proxy", "scheme", "host",
+                              "base_host", "backref", "depth", "mode")}
+            futures = []
+            for s, idx in enumerate(group_indices(sid, self.num_shards)):
+                if not len(idx):
+                    continue
+                sub_cols = {c: arrs[c][idx].tolist() for c in arrs}
+                method = self.frontier_shards[s].buffer_candidates
+                if hasattr(method, "remote"):
+                    futures.append(method.remote(sub_cols))
+                else:
+                    method(sub_cols)
+            if futures:
+                ray.get(futures)    # ack before return -> flush is ordered after
+        _marks.append(time.perf_counter())
+
+        log_dir = os.environ.get("DARC_RAY_TASKLOG")
+        if log_dir:
+            spans = [round(b - a, 3) for a, b in zip(_marks, _marks[1:])]
+            with open(os.path.join(log_dir, f"{os.getpid()}.det"), "a") as f:
+                f.write(f"{batch.num_rows} fetch={spans[0]} write={spans[1]} "
+                        f"cand={spans[2]}\n")
+
+        return events.select(["kind", "url_hash"])
+
+
+def fetch_process_batch(batch: pa.Table, *, cfg, fetch_fn, host_shards,
+                        frontier_shards, num_shards, round_dir) -> pa.Table:
+    """Stateless-task flavor of :class:`FetchProcessStage` — construction
+    is trivial (the corpus index lives in the worker-process-global
+    cache), so plain tasks on warm workers beat a per-round actor-pool
+    spin-up.  Real-HTTP deployments that hold sessions/proxies per
+    worker (St4/St5) use the actor-pool flavor instead
+    (``CrawlConfig.fetch_use_actors``)."""
+    import os
+    import time
+
+    t0 = time.perf_counter()
+    stage = FetchProcessStage(cfg, fetch_fn, host_shards, frontier_shards,
+                              num_shards, round_dir)
+    out = stage(batch)
+    log_dir = os.environ.get("DARC_RAY_TASKLOG")
+    if log_dir:
+        with open(os.path.join(log_dir, f"{os.getpid()}.log"), "a") as f:
+            f.write(f"{batch.num_rows} {time.perf_counter() - t0:.3f} "
+                    f"{time.time():.3f}\n")
+    return out

@@ -1,22 +1,21 @@
-"""Candidate parse + canonical first-wins dedup.
-
-``parse_candidates`` vectorizes ``parse_link`` over the round's
+"""Candidate parse: vectorizes ``parse_link`` over the round's
 candidate events (M1, darc/link.py:228-404) and adds hash / shard /
-partition columns; ``winner_rows`` reduces duplicate discoveries of the
-same URL within a round to ONE deterministic winner row.
+partition columns.
 
-The reference's first-wins is its sequential extraction order (Redis
-``SET NX`` + ``ZADD NX``, darc/db.py:644-651); with concurrent
-workers that order is racy there too.  We replace it with a canonical
-rule — winner = min ``(backref, depth)`` per ``(url_hash, mode)`` —
-applied identically by the conformance oracle, so engine runs are
+First-wins determinism: the reference's first-wins is its sequential
+extraction order (Redis ``SET NX`` + ``ZADD NX``, darc/db.py:644-651);
+with concurrent workers that order is racy there too.  This engine
+replaces it with a canonical rule — winner = min ``(backref, depth)``
+per ``(url_hash, mode)`` — applied by the frontier shards' round
+buffers (``FrontierShard.buffer_candidates``, a commutative min-merge)
+and identically by the conformance oracle, so engine runs are
 bit-reproducible at any concurrency.  Seen-set and crawl ordering are
-unaffected by the rule choice (score does not depend on the winner).
+unaffected by the rule choice (the score does not depend on the
+winner).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from darc_ray.functions.hashing import partition_of, sha256_hex, shard_of
@@ -58,9 +57,3 @@ def parse_candidates(events: pa.Table, num_partitions: int, num_shards: int) -> 
         },
         schema=CANDIDATE_SCHEMA,
     )
-
-
-def winner_rows(group: pd.DataFrame) -> pd.DataFrame:
-    """Per (url_hash, mode): keep the canonical winner row."""
-    g = group.sort_values(["mode", "backref", "depth"], kind="mergesort")
-    return g.drop_duplicates(subset=["mode"], keep="first")

@@ -64,6 +64,8 @@ class FrontierShard:
         self.ever: set[str] = set()
         self.filter = CuckooFilter(filter_capacity, seed=shard_id)
         self._delta: list[tuple[str, str, list[Any] | None]] = []
+        # round-buffered candidates: (url_hash, mode) → winner row attrs
+        self._pending: dict[tuple[str, str], list[Any]] = {}
 
     # -- mutation ----------------------------------------------------------
     def upsert(self, batch: dict[str, list], score: float, nx: bool = False,
@@ -99,6 +101,52 @@ class FrontierShard:
                     added += 1
                 self.filter.insert(hh.encode())
                 self._delta.append(("u", hh, list(row)))
+        return added
+
+    def buffer_candidates(self, batch: dict[str, list]) -> int:
+        """Round-buffer candidate rows, merging duplicates to the
+        canonical winner — min ``(backref, depth)`` per (url_hash,
+        mode).  Arrival order across concurrent fetch tasks is
+        irrelevant (min is commutative), which is what makes the round
+        deterministic at any concurrency (see stages/parse.py).
+        Applied atomically by :meth:`flush_candidates`."""
+        hashes = batch["url_hash"]
+        modes = batch["mode"]
+        for i, hh in enumerate(hashes):
+            key = (hh, modes[i])
+            row = [batch["url"][i], batch["proxy"][i], batch["scheme"][i],
+                   batch["host"][i], batch["base_host"][i], batch["backref"][i],
+                   0.0, batch["depth"][i]]
+            cur = self._pending.get(key)
+            if cur is None or (row[5], row[7]) < (cur[5], cur[7]):
+                self._pending[key] = row
+        return len(hashes)
+
+    def flush_candidates(self, now: float) -> int:
+        """Apply the round's buffered candidates: fresh discoveries as
+        ``score=0, nx`` (crawl.py:225), sitemap/hosts.txt rows as
+        ``score=now`` replace (null.py:332).  nx first, replace second —
+        the combined outcome is order-independent (tested)."""
+        added = 0
+        by_mode: dict[str, list[tuple[str, list[Any]]]] = {"zero_nx": [], "now_replace": []}
+        for (hh, mode), row in self._pending.items():
+            by_mode.setdefault(mode, []).append((hh, row))
+        self._pending = {}
+        for mode, score, nx in (("zero_nx", 0.0, True), ("now_replace", now, False)):
+            items = by_mode.get(mode, [])
+            if not items:
+                continue
+            batch = {
+                "url_hash": [hh for hh, _ in items],
+                "url": [r[0] for _, r in items],
+                "proxy": [r[1] for _, r in items],
+                "scheme": [r[2] for _, r in items],
+                "host": [r[3] for _, r in items],
+                "base_host": [r[4] for _, r in items],
+                "backref": [r[5] for _, r in items],
+                "depth": [r[7] for _, r in items],
+            }
+            added += self.upsert(batch, score, nx=nx)
         return added
 
     def set_scores(self, url_hashes: list[str], score: float) -> None:
@@ -163,10 +211,27 @@ class FrontierShard:
         self._delta = []
         return out
 
+    def drain_delta_to(self, path: str) -> int:
+        """Write this round's delta directly from the shard (parallel
+        across shards; nothing serializes through the driver)."""
+        from darc_ray.sources.table_io import write_table
+
+        t = self.drain_delta()
+        if t.num_rows:
+            write_table(t, path)
+        return t.num_rows
+
     def snapshot(self) -> pa.Table:
         ops = [("u", hh, row) for hh, row in self.rows.items()]
         ops += [("e", hh, None) for hh in self.ever if hh not in self.rows]
         return self._table(ops)
+
+    def snapshot_to(self, path: str) -> int:
+        from darc_ray.sources.table_io import write_table
+
+        t = self.snapshot()
+        write_table(t, path)
+        return t.num_rows
 
     def restore(self, snapshot: pa.Table | None, deltas: list[pa.Table]) -> None:
         self.rows.clear()

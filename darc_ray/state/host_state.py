@@ -228,6 +228,13 @@ class HostShard:
                                     else float("nan"))
         return pa.Table.from_pydict(cols, schema=HOST_STATE_SCHEMA)
 
+    def snapshot_to(self, path: str) -> int:
+        from darc_ray.sources.table_io import write_table
+
+        t = self.snapshot()
+        write_table(t, path)
+        return t.num_rows
+
     def restore(self, snapshot: pa.Table) -> None:
         self.hosts.clear()
         for row in snapshot.to_pylist():
