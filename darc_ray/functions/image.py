@@ -79,6 +79,8 @@ def png_decode(data: bytes) -> np.ndarray:
     stride = w * 3
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     filters = rows[:, 0]
+    if not filters.any():               # all filter-0 (our encoder): plain reshape
+        return np.ascontiguousarray(rows[:, 1:]).reshape(h, w, 3)
     out = np.empty((h, stride), dtype=np.uint8)
     bpp = 3
     for y in range(h):
@@ -168,19 +170,24 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def _pool_bins(n: int, out_size: int) -> tuple[np.ndarray, np.ndarray]:
+    edges = np.linspace(0, n, out_size + 1).astype(np.int64)
+    return edges[:-1], np.maximum(np.diff(edges), 1)
+
+
 def _mean_pool(gray: np.ndarray, out_size: int) -> np.ndarray:
-    """Deterministic area resample to (out_size, out_size), fully
-    vectorized via an integral image."""
+    """Deterministic area resample to (out_size, out_size) via two
+    ``add.reduceat`` passes (empty bins fall back to the single row/col
+    at the bin start, matching integral-image max(y0+1) semantics)."""
     h, w = gray.shape
-    ys = np.linspace(0, h, out_size + 1).astype(np.int64)
-    xs = np.linspace(0, w, out_size + 1).astype(np.int64)
-    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
-    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
-    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
-    integral[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
-    return (integral[np.ix_(y1, x1)] - integral[np.ix_(y0, x1)]
-            - integral[np.ix_(y1, x0)] + integral[np.ix_(y0, x0)]) / area
+    y0, cy = _pool_bins(h, out_size)
+    x0, cx = _pool_bins(w, out_size)
+    cols = np.add.reduceat(np.add.reduceat(gray, y0, axis=0), x0, axis=1)
+    return cols / (cy[:, None] * cx[None, :])
 
 
 _DCT32 = None

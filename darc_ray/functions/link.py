@@ -59,7 +59,20 @@ class ParsedLink(NamedTuple):
 
 
 def urljoin(base: str, url: str) -> str:
-    """Exception-suppressing urljoin (reference darc/link.py:60-76)."""
+    """Exception-suppressing urljoin (reference darc/link.py:60-76)
+    with fast paths for the two dominant shapes — absolute http(s)
+    targets and root-relative paths on http(s) bases — verified
+    equivalent to stdlib in tests; everything else delegates."""
+    if url.startswith(("http://", "https://")):
+        return url
+    if url.startswith("/") and not url.startswith("//") \
+            and base.startswith(("http://", "https://")):
+        scheme_end = base.find("//") + 2
+        path_start = base.find("/", scheme_end)
+        root = base if path_start < 0 else base[:path_start]
+        # stdlib collapses /./ and /../ segments; only plain paths skip that
+        if "/." not in url:
+            return root + url
     try:
         return _urljoin(base, url)
     except ValueError:

@@ -239,10 +239,10 @@ class CrawlEngine:
                  "round": [t] * n_taken,
                  "now": [now] * n_taken})
             # Ray task dispatch is ~10 ms serial per task: target
-            # 2×concurrency tasks (≥32 rows each) so per-task work
-            # amortizes dispatch while all workers stay busy; split
-            # blocks zero-copy (no repartition pass).
-            n_blocks = max(1, min(cfg.fetch_concurrency * 2,
+            # 3×concurrency tasks (≥32 rows each) so per-task work
+            # amortizes dispatch, workers stay busy, and the stage tail
+            # stays short; split blocks zero-copy (no repartition pass).
+            n_blocks = max(1, min(cfg.fetch_concurrency * 3,
                                   (n_taken + 31) // 32))
             step = (n_taken + n_blocks - 1) // n_blocks
             ds = rd.from_arrow([pool_table.slice(i, step)

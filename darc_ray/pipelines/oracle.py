@@ -235,13 +235,14 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 if not keep_mime_mask([mime], cfg)[0]:
                     drops.append(hh)
                     continue
-                phash = 0
+                phash, psnr_ok = 0, True
                 if mime in ("image/png", "image/jpeg") and body:
-                    from darc_ray.stages.fetch import compute_body_phash
+                    from darc_ray.stages.fetch import check_image_payload
 
-                    phash = compute_body_phash(body, mime)
+                    phash, psnr_ok = check_image_payload(body, mime)
                 res.pages.append({"url_hash": hh, "url": url, "status": status,
                                   "mime": mime, "is_html": False, "phash": phash,
+                                  "psnr_ok": psnr_ok,
                                   "body_digest": _sha_bytes(body), "round": t})
                 if backref:
                     res.edges.add((_sha(backref), hh))
@@ -251,6 +252,7 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 continue
             res.pages.append({"url_hash": hh, "url": url, "status": status,
                               "mime": mime, "is_html": True, "phash": 0,
+                              "psnr_ok": True,
                               "body_digest": _sha_bytes(body), "round": t})
             if backref:
                 res.edges.add((_sha(backref), hh))

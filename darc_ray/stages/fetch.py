@@ -67,6 +67,7 @@ EVENT_SCHEMA = pa.schema([
     pa.field("payload", pa.large_binary()),
     pa.field("artifact_mime", pa.string()),
     pa.field("phash", pa.int64()),          # image payloads: perceptual hash
+    pa.field("psnr_ok", pa.bool_()),        # image payloads: re-encode PSNR >= 40 dB
 ])
 
 _DEFAULTS: dict[str, Any] = {
@@ -74,6 +75,7 @@ _DEFAULTS: dict[str, Any] = {
     "history": [], "backref": "", "backref_hash": "", "cand_url": "",
     "cand_backref": "", "cand_depth": 0, "cand_mode": "", "artifact_kind": "",
     "payload": b"", "artifact_mime": "", "host": "", "proxy": "", "phash": 0,
+    "psnr_ok": True,
 }
 
 _REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
@@ -95,6 +97,24 @@ def compute_body_phash(body: bytes, mime: str) -> int:
         return img.phash64(img.decode(body, mime.split("/", 1)[1]))
     except Exception:
         return 0
+
+
+def check_image_payload(body: bytes, mime: str) -> tuple[int, bool]:
+    """The input_hint per-row invariant, enforced at fetch time:
+    decode → phash, and verify a re-encode round-trip stays within the
+    PSNR ≥ 40 dB gate (bit-exact PNG ⇒ PSNR = inf).  Returns
+    (phash, psnr_ok); undecodable payloads → (0, False)."""
+    from darc_ray.functions import image as img
+
+    try:
+        fmt = mime.split("/", 1)[1]
+        pix = img.decode(body, fmt)
+        ph = img.phash64(pix)
+        rt = img.decode(img.encode(pix, fmt), fmt)
+        p = img.psnr(pix, rt)
+        return ph, bool(p == float("inf") or p >= 40.0)
+    except Exception:
+        return 0, False
 
 
 _CORPUS_CACHE: dict[str, Any] = {}
@@ -189,6 +209,28 @@ class _Events:
         c["ts"].append(ts)
         for name, default in _DEFAULTS.items():
             c[name].append(kw.get(name, default))
+
+    def emit_candidates(self, url_hash: str, url: str, rnd: int, ts: float,
+                        cand_urls: list[str], backref: str, depth: int,
+                        mode: str) -> None:
+        """Bulk emit for the dominant event kind — column-level extends
+        instead of per-row dict traffic."""
+        m = len(cand_urls)
+        if not m:
+            return
+        c = self.cols
+        c["kind"].extend(["candidate"] * m)
+        c["url_hash"].extend([url_hash] * m)
+        c["url"].extend([url] * m)
+        c["round"].extend([rnd] * m)
+        c["ts"].extend([ts] * m)
+        c["cand_url"].extend(cand_urls)
+        c["cand_backref"].extend([backref] * m)
+        c["cand_depth"].extend([depth] * m)
+        c["cand_mode"].extend([mode] * m)
+        for name, default in _DEFAULTS.items():
+            if not name.startswith("cand_"):
+                c[name].extend([default] * m)
 
     def table(self) -> pa.Table:
         return pa.Table.from_pydict(self.cols, schema=EVENT_SCHEMA)
@@ -301,23 +343,22 @@ class Fetcher:
             if mime not in HTML_MIMES:
                 # i2p hosts.txt side-channel (crawl.py:200-203)
                 if proxy == "i2p" and mime in ("text/plain", "text/text"):
-                    for u in hosts_txt_urls(body.decode("utf-8", "replace")):
-                        ev.emit("candidate", hh, url, rnd, now, cand_url=u,
-                                cand_backref=url, cand_depth=depth + 1,
-                                cand_mode="now_replace")
+                    ev.emit_candidates(hh, url, rnd, now,
+                                       hosts_txt_urls(body.decode("utf-8", "replace")),
+                                       url, depth + 1, "now_replace")
                 if not keep_mime_mask([mime], cfg)[0]:     # crawl.py:205-207
                     ev.emit("drop", hh, url, rnd, now, host=host, proxy=proxy)
                     continue
                 # image payloads: decode + perceptual hash inline (the
                 # input_hint fetch→decode hop; engine extension — the
                 # reference stores the blob opaquely)
-                phash = 0
+                phash, psnr_ok = 0, True
                 if mime in ("image/png", "image/jpeg") and body:
-                    phash = compute_body_phash(body, mime)
+                    phash, psnr_ok = check_image_payload(body, mime)
                 ev.emit("page", hh, url, rnd, now, host=host, proxy=proxy,
                         status=status, reason=reason, mime=mime, is_html=False,
                         body=body, history=hist, backref=backref,
-                        backref_hash=_sha(backref), phash=phash)
+                        backref_hash=_sha(backref), phash=phash, psnr_ok=psnr_ok)
                 continue
 
             if not body:                    # empty response (crawl.py:216-219)
@@ -330,9 +371,8 @@ class Fetcher:
                     backref_hash=_sha(backref))
 
             html = body.decode("utf-8", "replace")
-            for u in extract_from_html(url, html):
-                ev.emit("candidate", hh, url, rnd, now, cand_url=u, cand_backref=url,
-                        cand_depth=depth + 1, cand_mode="zero_nx")
+            ev.emit_candidates(hh, url, rnd, now, extract_from_html(url, html),
+                               url, depth + 1, "zero_nx")
 
             if 200 <= status < 400:         # response.ok → promote (crawl.py:231-233)
                 ev.emit("render", hh, url, rnd, now, host=host, proxy=proxy)
@@ -343,7 +383,8 @@ class Fetcher:
 
 
 PAGE_COLS = ["url_hash", "url", "host", "proxy", "round", "ts", "status", "reason",
-             "mime", "is_html", "body", "history", "backref", "backref_hash", "phash"]
+             "mime", "is_html", "body", "history", "backref", "backref_hash",
+             "phash", "psnr_ok"]
 ARTIFACT_COLS = ["artifact_kind", "backref", "url", "payload", "artifact_mime",
                  "round", "url_hash"]
 RENDER_COLS = ["url_hash", "url", "host", "proxy", "round", "ts"]

@@ -61,12 +61,14 @@ def test_pages_equal(engine_run, oracle_run):
     pages = eng.pages_table()
     assert pages is not None
     got = {(r["url_hash"], r["round"]): (r["status"], r["mime"], r["is_html"],
-                                         r["phash"],
+                                         r["phash"], r["psnr_ok"],
                                          hashlib.sha256(r["body"]).hexdigest())
            for r in pages.to_pylist()}
     want = {(p["url_hash"], p["round"]): (p["status"], p["mime"], p["is_html"],
-                                          p["phash"], p["body_digest"])
+                                          p["phash"], p["psnr_ok"], p["body_digest"])
             for p in oracle_run.pages}
+    # every decodable image payload passed the PSNR >= 40 dB gate
+    assert all(r["psnr_ok"] for r in pages.to_pylist())
     assert got == want
 
 

@@ -117,3 +117,23 @@ def test_split_url_wellformed(scheme, netloc, path):
     url = f"{scheme}://{netloc}{path}"
     parts = urlsplit(url)
     assert split_url(url) == (parts.scheme.lower(), parts.netloc, parts.path)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.from_regex(r"https?://[a-z0-9.-]{1,15}(:[0-9]{1,4})?(/[a-zA-Z0-9._-]{0,8}){0,3}",
+                  fullmatch=True),
+    st.one_of(
+        st.from_regex(r"/[a-zA-Z0-9._/-]{0,20}", fullmatch=True),
+        st.from_regex(r"https?://[a-z0-9.-]{1,10}/[a-zA-Z0-9._-]{0,8}", fullmatch=True),
+        st.from_regex(r"[a-zA-Z0-9._-]{1,10}(\.html)?", fullmatch=True),
+        st.sampled_from(["../up", "./x", "/./x", "/../y", "//other.example/z",
+                         "mailto:a@b.c", "?q=1", "#frag", ""]),
+    ),
+)
+def test_fast_urljoin_equals_stdlib(base, url):
+    from urllib.parse import urljoin as std_urljoin
+
+    from darc_ray.functions.link import urljoin as fast_urljoin
+
+    assert fast_urljoin(base, url) == std_urljoin(base, url)
