@@ -71,20 +71,20 @@ def md5_fingerprint(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: hashlib.md5(t.encode()).hexdigest())
 
 
-_B = np.uint64(1000003)
-_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+_B = 1000003
+_MASK = (1 << 64) - 1
 
 
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
     """64-bit polynomial rolling hash over the word sequence
     (order-sensitive document fingerprint)."""
     def _one(t: str) -> int:
-        h = np.uint64(1469598103934665603)
+        h = 1469598103934665603
         for w in t.split():
-            wh = np.uint64(int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"))
+            wh = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
             h = ((h * _B) & _MASK) ^ wh
-        return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))   # keep int64-positive
+        return h & 0x7FFFFFFFFFFFFFFF                   # keep int64-positive
 
     return texts.map(_one)
 

@@ -309,6 +309,74 @@ ORDER BY query_id, rank
 """
 
 
+def q_windowed_counts(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped: tumbling 1-hour event-time windows (partial
+    aggregation per batch → small groupby; Ray Data has no watermarks,
+    the input is a bounded ordered log — ray_guide pattern)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = (df["ts"].astype("int64") // (3600 * 1_000_000)).astype("int64")
+        g = (pd.DataFrame({"event_type": df["event_type"], "window_id": win,
+                           "value": df["value"], "n": 1})
+             .groupby(["event_type", "window_id"], as_index=False)
+             .agg(n=("n", "sum"), total=("value", "sum")))
+        return g
+
+    out = (ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+             .groupby(["event_type", "window_id"])
+             .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+             .to_pandas())
+    out["total"] = out["total"].round(4)
+    return out
+
+
+SQL_WINDOWED_COUNTS = """
+SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY event_type, window_id
+"""
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join (SURVEY custom-operator class): latest order at or
+    before each event for the matching customer.  Small side broadcast
+    + per-batch ``pd.merge_asof`` (sorted within batch; the broadcast
+    side is globally sorted once)."""
+    import ray
+
+    orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).to_pandas()
+              .sort_values(["o_orderdate", "o_custkey"], kind="mergesort"))
+    ref = ray.put(orders)
+
+    class AsOf:
+        def __init__(self):
+            self.orders = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            left = df.sort_values("ts", kind="mergesort")
+            out = pd.merge_asof(left, self.orders, left_on="ts",
+                                right_on="o_orderdate", left_by="user_id",
+                                right_by="o_custkey")
+            out = out[out["o_orderdate"].notna()]
+            return out[["event_id", "o_orderdate"]].rename(
+                columns={"o_orderdate": "asof_date"})
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(AsOf, batch_format="pandas", batch_size=65536,
+                         concurrency=2)
+            .to_pandas())
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, o.o_orderdate AS asof_date
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 # =====================================================================
 # Rows-only (non-SQL-expressible; driver records row-count check)
 # =====================================================================
@@ -378,12 +446,14 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embedding_dups(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs."""
+    """Embedding-cosine near-dup pairs (threshold tuned to the driver
+    tables' similarity distribution: random-ish vectors, max pair
+    cosine ≈ 0.5)."""
     from darc_ray.stages.dedup import embedding_dup_pairs
 
     df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
     vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
-    return embedding_dup_pairs(df["vec_id"].to_numpy(), vecs, threshold=0.6)
+    return embedding_dup_pairs(df["vec_id"].to_numpy(), vecs, threshold=0.4)
 
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
@@ -473,6 +543,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_counts": q_token_counts,
     "round_metrics": q_round_metrics,
     "ann_brute": q_ann_brute,
+    "windowed_counts": q_windowed_counts,
+    "asof_join": q_asof_join,
     # rows-only
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -504,4 +576,6 @@ ORACLE_SQL: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "round_metrics": SQL_ROUND_METRICS,
     "ann_brute": SQL_ANN_BRUTE,
+    "windowed_counts": SQL_WINDOWED_COUNTS,
+    "asof_join": SQL_ASOF_JOIN,
 }

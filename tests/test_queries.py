@@ -61,5 +61,9 @@ def test_rows_only_queries_run_and_are_deterministic(name, ray_session):
     again = QUERIES[name](SF_DIR)
     if not isinstance(again, pd.DataFrame):
         again = again.to_pandas()
-    pd.testing.assert_frame_equal(
-        got.reset_index(drop=True), again.reset_index(drop=True), check_dtype=False)
+    # the driver's value-hash is order-insensitive; so is this check
+    def _sorted(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(again), check_dtype=False)
