@@ -179,7 +179,10 @@ SQL_HOST_SINCE = ("SELECT user_id, min(ts) AS since FROM events "
 
 
 def q_distinct_edges(sf_dir: str) -> pd.DataFrame:
-    """A5: distinct (parent, child) pairs (URLThroughModel unique index)."""
+    """A5: distinct (parent, child) pairs (URLThroughModel unique index).
+    A bare grouped count: measured faster than a per-batch local-dedup
+    pre-pass here because lineitem pairs are ~unique already (the
+    pre-pass shrinks nothing and costs an extra materialization)."""
     from ray.data.aggregate import Count
 
     out = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -429,6 +432,7 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     texts = dict(zip(*(lambda d: (d["doc_id"], d["text"]))(ds.to_pandas())))
     pairs = minhash_candidate_pairs(ds, n_perm=64, n_bands=16).to_pandas()
+    pairs = pairs.drop_duplicates()       # bands may repeat a pair
     if not len(pairs):
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     out = verify_pairs_jaccard(pairs[["a", "b"]], texts, threshold=0.5)

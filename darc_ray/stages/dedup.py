@@ -88,15 +88,27 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
 
 def minhash_candidate_pairs(ds, n_perm: int = 128, n_bands: int = 32,
                             k_shingle: int = 3, seed: int = 7):
-    """documents → distinct LSH candidate pairs (a < b)."""
+    """documents → distinct LSH candidate pairs (a < b).
+
+    Bucket grouping is done per-batch in pandas after the (band,
+    band_hash) sort key is attached — the band table is tiny relative
+    to documents, and the pair set is distinct-ed vectorized instead of
+    via per-group ``map_groups`` tasks."""
     bands = ds.map_batches(
         MinHashStage, fn_constructor_args=(n_perm, n_bands, k_shingle, seed),
         batch_format="pyarrow", concurrency=2)
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    # distinct (a, b)
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+
+    def pairs_of_band(df: pd.DataFrame) -> pd.DataFrame:
+        out = [_bucket_pairs(g) for _, g in df.groupby("band_hash") if len(g) > 1]
+        if not out:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True).drop_duplicates()
+
+    # ONE shuffle with n_bands coarse groups; buckets pair vectorized
+    # inside each band group.  Pairs may repeat ACROSS bands — callers
+    # distinct the (small, LSH-bounded) result.
+    return bands.groupby("band").map_groups(pairs_of_band, batch_format="pandas")
 
 
 def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict,

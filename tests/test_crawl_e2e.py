@@ -107,6 +107,17 @@ def test_frontier_final_scores_equal(engine_run, oracle_run):
     assert live == want
 
 
+def test_robots_blocked_count_equal(engine_run, oracle_run):
+    _, totals = engine_run
+    assert totals["robots_blocked"] == len(oracle_run.robots_blocked)
+    assert totals["robots_blocked"] > 0      # the corpus must exercise the gate
+
+
+def test_politeness_deferrals_exercised(engine_run):
+    _, totals = engine_run
+    assert totals["deferred"] > 0            # crawl-delay hosts defer rows
+
+
 def test_image_invariants(corpus):
     """Per-row invariant (input_hint): decoded-pixel PSNR ≥ 40 dB for
     lossy, bit-exact for PNG; caption equality."""
