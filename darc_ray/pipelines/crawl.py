@@ -88,6 +88,13 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def now_at(self, t: int) -> float:
+        """Logical round clock (deterministic, oracle-comparable); with
+        ``logical_clock=False`` the reference's wall-clock arithmetic
+        (darc/db.py:918-977) applies instead."""
+        if not self.cfg.logical_clock:
+            import time
+
+            return time.time()
         return self.cfg.time_cache + t * self.cfg.tick
 
     def seed(self, urls: list[str]) -> int:
@@ -546,3 +553,19 @@ class CrawlEngine:
 
     def pop_table(self) -> pa.Table | None:
         return self._gather("pop")
+
+    def hosts_table(self) -> pa.Table | None:
+        """The HOSTS logical table (A2-A4 source): latest host-state
+        snapshot across shards (host, proxy, discovery, last_seen,
+        alive, robots, sitemaps, …)."""
+        import glob
+
+        rounds = sorted(glob.glob(os.path.join(self.out_dir, "rounds", "r*")))
+        for rdir in reversed(rounds):
+            files = sorted(glob.glob(os.path.join(rdir, "host_state", "*.parquet")))
+            if files:
+                import pyarrow.parquet as pq
+
+                return pa.concat_tables([pq.read_table(f) for f in files],
+                                        promote_options="default")
+        return None

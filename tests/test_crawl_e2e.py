@@ -107,6 +107,27 @@ def test_frontier_final_scores_equal(engine_run, oracle_run):
     assert live == want
 
 
+def test_hosts_table_aggregates(engine_run, oracle_run):
+    """A2/A3 analogs: host discovery timestamps and liveness from the
+    latest host-state snapshot."""
+    eng, _ = engine_run
+    hosts = eng.hosts_table()
+    assert hosts is not None
+    rows = {r["host"]: r for r in hosts.to_pylist()}
+    # every fetchable host the oracle crawled is known, with its proxy class
+    crawled_hosts = {}
+    for _, url in oracle_run.pop_order:
+        from darc_ray.functions.link import parse_one
+
+        p = parse_one(url)
+        if p.scheme in ("http", "https") and p.host:
+            crawled_hosts[p.host] = p.proxy
+    for h, proxy in crawled_hosts.items():
+        assert h in rows, h
+        assert rows[h]["proxy"] == proxy
+        assert rows[h]["discovery"] <= rows[h]["last_seen"]
+
+
 def test_robots_blocked_count_equal(engine_run, oracle_run):
     _, totals = engine_run
     assert totals["robots_blocked"] == len(oracle_run.robots_blocked)

@@ -1,0 +1,57 @@
+"""Conformance across the config matrix: CHECK-time filtering, FORCE
+(robots off), tight politeness caps, filter lists, deeper recrawl
+horizon — each variant must still match the oracle exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from darc_ray.config import CrawlConfig
+from darc_ray.pipelines.corpus import make_corpus
+from darc_ray.pipelines.crawl import CrawlEngine
+from darc_ray.pipelines.oracle import simulate
+
+CONFIGS = {
+    "check_on": dict(check=True, link_black_list=[r"h00[12]\.example"],
+                     proxy_black_list=["tor2web"]),
+    "force_robots_off": dict(force=True),
+    "tight_politeness": dict(per_host_cap=2, max_pool=25),
+    "mime_filtered_deep": dict(mime_black_list=["image/.*"], time_cache=1.0),
+}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    c = make_corpus(seed=5, n_hosts=9, pages_per_host=5)
+    path = tmp_path_factory.mktemp("mcorpus")
+    c.save(str(path))
+    return c, str(path)
+
+
+@pytest.mark.parametrize("variant", sorted(CONFIGS))
+def test_variant_matches_oracle(variant, corpus, ray_session, tmp_path_factory):
+    c, cpath = corpus
+    base = dict(max_pool=40, time_cache=2.0, seen_shards=3, host_shards=2,
+                fetch_concurrency=2, fetch_batch_size=16, snapshot_every=0)
+    base.update(CONFIGS[variant])
+    cfg = CrawlConfig(**base)
+    rounds = 10 if variant == "mime_filtered_deep" else 7
+    out = str(tmp_path_factory.mktemp(variant))
+    eng = CrawlEngine(cpath, out, cfg)
+    eng.seed(c.seeds)
+    totals = eng.run(rounds)
+    want = simulate(c, cfg, rounds)
+
+    assert eng.pop_log == want.pop_order, variant
+    assert set(eng.seen_hashes()) == want.seen, variant
+    pages = eng.pages_table()
+    got_pages = {(r["url_hash"], r["round"], r["status"], r["mime"])
+                 for r in (pages.to_pylist() if pages is not None else [])}
+    want_pages = {(p["url_hash"], p["round"], p["status"], p["mime"])
+                  for p in want.pages}
+    assert got_pages == want_pages, variant
+    arts = eng.artifacts_table()
+    got_arts = sorted((r["proxy"], r["src"], r["url"])
+                      for r in (arts.to_pylist() if arts is not None else []))
+    assert got_arts == sorted(want.artifacts), variant
+    eng.shutdown()
