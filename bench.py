@@ -138,16 +138,23 @@ def run_sustained(num_cpus: int) -> dict:
     eng.seed(urls)
     _warm_workers(eng, num_cpus)
     eng.run_round(0)                     # warm round: bootstrap + first crawl
+    taken = 0
+    stage: dict = {}
+    timed_rounds = 3                     # average out single-round variance
     t0 = time.perf_counter()
-    m = eng.run_round(1)                 # timed: steady-state re-crawl round
+    for r in range(1, 1 + timed_rounds):
+        m = eng.run_round(r)             # steady-state re-crawl rounds
+        taken += m["taken"]
+        for k, v in m.items():
+            if k.startswith("t_"):
+                stage[k] = stage.get(k, 0.0) + v
     sec = time.perf_counter() - t0
     eng.shutdown()
     shutil.rmtree(out, ignore_errors=True)
-    return {"sec": round(sec, 3), "urls_taken": m["taken"], "pages": m["pages"],
-            "candidates": m["candidates"],
-            "urls_per_sec": round(m["taken"] / sec, 1) if sec > 0 else 0.0,
-            "stage_sec": {k: round(v, 2) for k, v in m.items()
-                          if k.startswith("t_")}}
+    return {"sec": round(sec, 3), "urls_taken": taken, "pages": m["pages"],
+            "candidates": m["candidates"], "timed_rounds": timed_rounds,
+            "urls_per_sec": round(taken / sec, 1) if sec > 0 else 0.0,
+            "stage_sec": {k: round(v, 2) for k, v in stage.items()}}
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
