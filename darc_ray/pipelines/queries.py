@@ -129,13 +129,17 @@ SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
 
 def q_frontier_pop(sf_dir: str) -> pd.DataFrame:
     """O1/O2: the frontier pop ordering — sort (score, id) asc, limit
-    (db.py:926-934/967-968 shape over the events table)."""
-    return (_read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-            .sort(["ts", "event_id"]).limit(100).to_pandas())
+    (db.py:926-934/967-968 shape over the events table).  Timestamps
+    surface as integer epoch-µs so the value-hash is dtype-proof."""
+    out = (_read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+           .sort(["ts", "event_id"]).limit(100).to_pandas())
+    out["ts_us"] = out.pop("ts").astype("datetime64[us]").astype("int64")
+    return out[["event_id", "ts_us", "user_id", "event_type"]]
 
 
 SQL_FRONTIER_POP = """
-SELECT event_id, ts, user_id, event_type FROM events ORDER BY ts, event_id LIMIT 100
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+FROM events ORDER BY ts, event_id LIMIT 100
 """
 
 
@@ -143,12 +147,15 @@ def q_first_seen(sf_dir: str) -> pd.DataFrame:
     """A1/A2: first-seen per key (min score wins / get_or_create)."""
     from ray.data.aggregate import Min
 
-    return (_read(sf_dir, "events", ["user_id", "ts"])
-            .groupby("user_id").aggregate(Min("ts", alias_name="first_ts"))
-            .to_pandas())
+    out = (_read(sf_dir, "events", ["user_id", "ts"])
+           .groupby("user_id").aggregate(Min("ts", alias_name="first_ts"))
+           .to_pandas())
+    out["first_ts_us"] = out.pop("first_ts").astype("datetime64[us]").astype("int64")
+    return out
 
 
-SQL_FIRST_SEEN = "SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id"
+SQL_FIRST_SEEN = ("SELECT user_id, epoch_us(min(ts)) AS first_ts_us "
+                  "FROM events GROUP BY user_id")
 
 
 def q_host_alive(sf_dir: str) -> pd.DataFrame:
@@ -171,10 +178,12 @@ def q_host_since(sf_dir: str) -> pd.DataFrame:
     clicks = ds.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "click")).select(["user_id", "ts"]),
         batch_format="pyarrow")
-    return clicks.groupby("user_id").aggregate(Min("ts", alias_name="since")).to_pandas()
+    out = clicks.groupby("user_id").aggregate(Min("ts", alias_name="since")).to_pandas()
+    out["since_us"] = out.pop("since").astype("datetime64[us]").astype("int64")
+    return out
 
 
-SQL_HOST_SINCE = ("SELECT user_id, min(ts) AS since FROM events "
+SQL_HOST_SINCE = ("SELECT user_id, epoch_us(min(ts)) AS since_us FROM events "
                   "WHERE event_type = 'click' GROUP BY user_id")
 
 
@@ -364,8 +373,9 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
                                 right_on="o_orderdate", left_by="user_id",
                                 right_by="o_custkey")
             out = out[out["o_orderdate"].notna()]
-            return out[["event_id", "o_orderdate"]].rename(
-                columns={"o_orderdate": "asof_date"})
+            return pd.DataFrame({
+                "event_id": out["event_id"],
+                "asof_us": out["o_orderdate"].astype("datetime64[us]").astype("int64")})
 
     return (_read(sf_dir, "events", ["event_id", "user_id", "ts"])
             .map_batches(AsOf, batch_format="pandas", batch_size=65536,
@@ -374,7 +384,7 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_ASOF_JOIN = """
-SELECT e.event_id, o.o_orderdate AS asof_date
+SELECT e.event_id, epoch_us(o.o_orderdate) AS asof_us
 FROM events e ASOF JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
