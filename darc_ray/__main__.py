@@ -54,7 +54,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     cfg = CrawlConfig(max_pool=args.max_pool, check=args.check, force=args.force,
-                      time_cache=args.ttl,
+                      time_cache=args.ttl, render_enabled=args.render,
                       fetch_concurrency=max(4, args.cpus * 3 // 4))
     if args.resume:
         eng = CrawlEngine.resume(args.corpus, args.out, cfg)
@@ -110,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--ttl", type=float, default=2.0)
     c.add_argument("--check", action="store_true", help="CHECK-time candidate filter")
     c.add_argument("--force", action="store_true", help="ignore robots.txt")
+    c.add_argument("--render", action="store_true",
+                   help="run the second-stage loader phase each round (-t loader)")
     c.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
     c.set_defaults(fn=cmd_crawl)
 

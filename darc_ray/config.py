@@ -57,6 +57,9 @@ class CrawlConfig:
     per_host_cap: int = 64       # max URLs taken per host per round (skew guard)
     workers: int = 1             # multiplies max_pool for the per-round lease budget
 
+    # --- second-stage (render/loader) worker (reference -t loader)
+    render_enabled: bool = False  # run the loader phase after each crawl phase
+
     # --- clock
     logical_clock: bool = True   # deterministic round clock for conformance
     tick: float = 1.0            # seconds a round advances the logical clock

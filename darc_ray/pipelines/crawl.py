@@ -72,8 +72,14 @@ class CrawlEngine:
         HShard = ray.remote(HostShard)
         self.frontier = [FShard.remote(s) for s in range(self.cfg.seen_shards)]
         self.hosts = [HShard.remote(h, self.fetch_fn) for h in range(self.cfg.host_shards)]
+        # second-stage (render/selenium) queue: a full frontier with the
+        # same score/lease semantics (darc/db.py:665-865)
+        self.render_frontier = ([FShard.remote(1000 + s)
+                                 for s in range(self.cfg.seen_shards)]
+                                if self.cfg.render_enabled else [])
         self.next_round = 0
         self.pop_log: list[tuple[int, str]] = []   # (round, url) crawl ordering
+        self.render_pop_log: list[tuple[int, str]] = []
 
     # ------------------------------------------------------------------
     def shutdown(self) -> None:
@@ -81,10 +87,11 @@ class CrawlEngine:
         handle GC)."""
         import ray
 
-        for a in self.frontier + self.hosts:
+        for a in self.frontier + self.hosts + self.render_frontier:
             ray.kill(a, no_restart=True)
         self.frontier = []
         self.hosts = []
+        self.render_frontier = []
 
     # ------------------------------------------------------------------
     def now_at(self, t: int) -> float:
@@ -261,7 +268,8 @@ class CrawlEngine:
                 stage = ds.map_batches(
                     FetchProcessStage,
                     fn_constructor_args=(cfg, self.fetch_fn, self.hosts, self.frontier,
-                                         cfg.seen_shards, round_dir),
+                                         cfg.seen_shards, round_dir,
+                                         self.render_frontier or None),
                     batch_format="pyarrow",
                     batch_size=batch_size,
                     concurrency=min(cfg.fetch_concurrency, n_blocks),
@@ -273,7 +281,8 @@ class CrawlEngine:
                 stage = ds.map_batches(
                     partial(fetch_process_batch, cfg=cfg, fetch_fn=self.fetch_fn,
                             host_shards=self.hosts, frontier_shards=self.frontier,
-                            num_shards=cfg.seen_shards, round_dir=round_dir),
+                            num_shards=cfg.seen_shards, round_dir=round_dir,
+                            render_shards=self.render_frontier or None),
                     batch_format="pyarrow",
                     batch_size=batch_size,
                     # cap in-flight tasks below the core count so the
@@ -313,6 +322,9 @@ class CrawlEngine:
         # candidate flush (nx then replace) -> requeues -> drops
         metrics["enqueued"] = sum(ray.get(
             [s.flush_candidates.remote(now) for s in self.frontier]))
+        if self.render_frontier:
+            metrics["promoted"] = sum(ray.get(
+                [s.flush_candidates.remote(now) for s in self.render_frontier]))
         if req_hashes:
             self._scatter_scores(req_hashes, now)
         metrics["requeued"] = len(req_hashes)
@@ -320,6 +332,15 @@ class CrawlEngine:
             self._scatter_drops(drop_hashes)
         metrics["dropped"] = len(drop_hashes)
         _mark(metrics, "t_flush")
+
+        # ---- 8b. render phase (loader worker, crawl.py:254-354): runs
+        # after the crawl phase within the round; extracted links join
+        # the requests frontier before the round commits
+        if self.render_frontier:
+            rmetrics = self._render_phase(t, now, round_dir)
+            for k, v in rmetrics.items():
+                metrics[f"render_{k}"] = v
+        _mark(metrics, "t_render")
 
         # ---- 9. pop-ordering artifact for this round (pre-CHECK pool,
         # matching load_requests' leased pool)
@@ -335,6 +356,101 @@ class CrawlEngine:
         self._commit(t, now, round_dir, metrics)
         _mark(metrics, "t_commit")
         return metrics
+
+    # ------------------------------------------------------------------
+    def _render_phase(self, t: int, now: float, round_dir: str) -> dict[str, int]:
+        """One loader round over the render frontier (same lease
+        arithmetic; no politeness and no robots, matching the
+        reference's loader, crawl.py:254-354)."""
+        import ray
+        import ray.data as rd
+
+        from darc_ray.stages.render import RenderProcessStage
+
+        cfg = self.cfg
+        ttl = cfg.time_cache
+        budget = cfg.max_pool * cfg.workers
+        metrics = {"popped": 0, "taken": 0, "rendered": 0, "requeued": 0,
+                   "dropped": 0, "enqueued": 0}
+
+        pops = ray.get([s.pop_candidates.remote(now, ttl, budget)
+                        for s in self.render_frontier])
+        merged: dict[str, list] = {c: [] for c in POOL_COLS}
+        for p in pops:
+            for c in POOL_COLS:
+                merged[c].extend(p[c])
+        n = len(merged["url_hash"])
+        if n:
+            order = np.lexsort((np.array(merged["url_hash"], dtype=object),
+                                np.array(merged["score"], dtype=np.float64)))
+            order = order[:budget]
+            merged = {c: [merged[c][i] for i in order] for c in POOL_COLS}
+            n = len(merged["url_hash"])
+        metrics["popped"] = metrics["taken"] = n
+        self.render_pop_log.extend((t, u) for u in merged["url"])
+        if not n:
+            return metrics
+
+        self._scatter_scores_on(self.render_frontier, merged["url_hash"], now + ttl)
+
+        pool = merged
+        if cfg.check:                      # load_selenium(check=...) db.py:1060
+            keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
+            pool = {c: [pool[c][i] for i in range(n) if keep[i]] for c in POOL_COLS}
+            n = len(pool["url_hash"])
+            if not n:
+                return metrics
+
+        pool_table = pa.Table.from_pydict(
+            {**pool, "round": [t] * n, "now": [now] * n})
+        n_blocks = max(1, min(cfg.fetch_concurrency * 3, (n + 31) // 32))
+        step = (n + n_blocks - 1) // n_blocks
+        ds = rd.from_arrow([pool_table.slice(i, step) for i in range(0, n, step)])
+        from functools import partial as _partial
+
+        def render_batch(batch, *, cfg, fetch_fn, shards, num_shards, round_dir):
+            return RenderProcessStage(cfg, fetch_fn, shards, num_shards,
+                                      round_dir)(batch)
+
+        summary = ds.map_batches(
+            _partial(render_batch, cfg=cfg, fetch_fn=self.fetch_fn,
+                     shards=self.frontier, num_shards=cfg.seen_shards,
+                     round_dir=round_dir),
+            batch_format="pyarrow", batch_size=min(cfg.fetch_batch_size, step),
+            concurrency=cfg.fetch_concurrency, num_cpus=1).take_all()
+
+        kc = Counter(r["kind"] for r in summary)
+        metrics["rendered"] = kc.get("rendered", 0)
+        req = [r["url_hash"] for r in summary if r["kind"] == "requeue"]
+        drops = sorted({r["url_hash"] for r in summary if r["kind"] == "drop"})
+
+        # render-extracted links -> requests frontier (score=0 nx, crawl.py:349)
+        metrics["enqueued"] = sum(ray.get(
+            [s.flush_candidates.remote(now) for s in self.frontier]))
+        if req:
+            self._scatter_scores_on(self.render_frontier, req, now)
+        metrics["requeued"] = len(req)
+        if drops:
+            sid = shard_of(drops, cfg.seen_shards)
+            arr = np.asarray(drops, dtype=object)
+            futures = []
+            for s, idx in enumerate(group_indices(sid, cfg.seen_shards)):
+                if len(idx):
+                    futures.append(self.render_frontier[s].drop.remote(arr[idx].tolist()))
+            ray.get(futures)
+        metrics["dropped"] = len(drops)
+        return metrics
+
+    def _scatter_scores_on(self, shards: list, hashes: list[str], score: float) -> None:
+        import ray
+
+        sid = shard_of(hashes, len(shards))
+        arr = np.asarray(hashes, dtype=object)
+        futures = []
+        for s, idx in enumerate(group_indices(sid, len(shards))):
+            if len(idx):
+                futures.append(shards[s].set_scores.remote(arr[idx].tolist(), score))
+        ray.get(futures)
 
     # ------------------------------------------------------------------
     def _take_allowance(self, wants: dict[str, int], now: float) -> dict[str, int]:
@@ -441,6 +557,11 @@ class CrawlEngine:
         futures = [s.drain_delta_to.remote(
             os.path.join(round_dir, "frontier_delta", f"shard_{i}"))
             for i, s in enumerate(self.frontier)]
+        if self.render_frontier:
+            os.makedirs(os.path.join(round_dir, "render_delta"), exist_ok=True)
+            futures += [s.drain_delta_to.remote(
+                os.path.join(round_dir, "render_delta", f"shard_{i}"))
+                for i, s in enumerate(self.render_frontier)]
         futures += [h.snapshot_to.remote(
             os.path.join(round_dir, "host_state", f"shard_{i}"))
             for i, h in enumerate(self.hosts)]
@@ -451,6 +572,11 @@ class CrawlEngine:
             futures += [s.snapshot_to.remote(
                 os.path.join(round_dir, "frontier_snapshot", f"shard_{i}"))
                 for i, s in enumerate(self.frontier)]
+            if self.render_frontier:
+                os.makedirs(os.path.join(round_dir, "render_snapshot"), exist_ok=True)
+                futures += [s.snapshot_to.remote(
+                    os.path.join(round_dir, "render_snapshot", f"shard_{i}"))
+                    for i, s in enumerate(self.render_frontier)]
         ray.get(futures)
         manifest = {
             "round": t, "now": now, "metrics": metrics, "complete": True,
@@ -502,6 +628,21 @@ class CrawlEngine:
                 if os.path.exists(p) or os.path.exists(p + ".parquet"):
                     deltas.append(read_table(p))
             futures.append(eng.frontier[s].restore.remote(snap, deltas))
+        if eng.cfg.render_enabled:
+            for s in range(eng.cfg.seen_shards):
+                snap = None
+                if snap_at >= 0:
+                    p = os.path.join(out_dir, "rounds", f"r{snap_at:05d}",
+                                     "render_snapshot", f"shard_{s}")
+                    if os.path.exists(p) or os.path.exists(p + ".parquet"):
+                        snap = read_table(p)
+                deltas = []
+                for r in range(snap_at + 1, last + 1):
+                    p = os.path.join(out_dir, "rounds", f"r{r:05d}",
+                                     "render_delta", f"shard_{s}")
+                    if os.path.exists(p) or os.path.exists(p + ".parquet"):
+                        deltas.append(read_table(p))
+                futures.append(eng.render_frontier[s].restore.remote(snap, deltas))
         for h in range(eng.cfg.host_shards):
             p = os.path.join(out_dir, "rounds", f"r{last:05d}", "host_state", f"shard_{h}")
             futures.append(eng.hosts[h].restore.remote(read_table(p)))
@@ -553,6 +694,26 @@ class CrawlEngine:
 
     def pop_table(self) -> pa.Table | None:
         return self._gather("pop")
+
+    def rendered_table(self) -> pa.Table | None:
+        return self._gather("rendered")
+
+    def render_seen(self) -> list[str]:
+        import ray
+
+        out: set[str] = set()
+        for part in ray.get([s.seen_hashes.remote() for s in self.render_frontier]):
+            out.update(part)
+        return sorted(out)
+
+    def render_live(self) -> dict[str, tuple[float, str]]:
+        import ray
+
+        live: dict[str, tuple[float, str]] = {}
+        for s in self.render_frontier:
+            for r in ray.get(s.live_table.remote()).to_pylist():
+                live[r["url_hash"]] = (r["score"], r["url"])
+        return live
 
     def hosts_table(self) -> pa.Table | None:
         """The HOSTS logical table (A2-A4 source): latest host-state

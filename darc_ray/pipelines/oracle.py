@@ -35,6 +35,7 @@ from darc_ray.functions.sitemap import (
 )
 from darc_ray.pipelines.corpus import Corpus
 from darc_ray.stages.fetch import ARTIFACT_PROXIES
+from darc_ray.stages.render import SE_EMPTY, synth_screenshot, window_height
 
 
 def _sha(u: str) -> str:
@@ -52,6 +53,11 @@ class OracleResult:
     render: set[str] = field(default_factory=set)               # url_hash promoted
     frontier: dict[str, list] = field(default_factory=dict)     # live rows at end
     metrics: list[dict[str, int]] = field(default_factory=list)
+    # second-stage (loader) outputs, when cfg.render_enabled
+    rendered: list[dict[str, Any]] = field(default_factory=list)
+    render_pop_order: list[tuple[int, str]] = field(default_factory=list)
+    render_seen: set[str] = field(default_factory=set)
+    render_frontier: dict[str, list] = field(default_factory=dict)
 
 
 def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
@@ -61,6 +67,7 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
 
     # frontier: url_hash → [url, proxy, scheme, host, base_host, backref, score, depth]
     frontier: dict[str, list] = {}
+    render_frontier: dict[str, list] = {}
     host_state: dict[str, dict[str, Any]] = {}
 
     def upsert(url: str, backref: str, depth: int, score: float, nx: bool) -> None:
@@ -71,6 +78,15 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
         frontier[hh] = [url, p.proxy, p.scheme, p.host, p.base_host, backref,
                         score, depth]
         res.seen.add(hh)
+
+    def render_upsert(url: str, backref: str, depth: int, score: float, nx: bool) -> None:
+        hh = _sha(url)
+        if nx and hh in render_frontier:
+            return
+        p = parse_one(url)
+        render_frontier[hh] = [url, p.proxy, p.scheme, p.host, p.base_host, backref,
+                               score, depth]
+        res.render_seen.add(hh)
 
     def host_st(host: str, proxy: str, now: float) -> dict[str, Any]:
         st = host_state.get(host)
@@ -201,6 +217,7 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
         nx_cands: list[tuple[str, str, int]] = []
         requeues: list[str] = []
         drops: list[str] = []
+        promotions: list[tuple[str, str, int]] = []
         for hh in taken:
             url, proxy, scheme, host, base_host, backref, _, depth = rows[hh]
             if not keep_proxy_mask([proxy], cfg)[0] or not keep_host_mask([host], cfg)[0]:
@@ -260,6 +277,7 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 nx_cands.append((u, url, depth + 1))
             if 200 <= status < 400:
                 res.render.add(hh)
+                promotions.append((url, backref, depth))
             else:
                 requeues.append(hh)
         metrics["pages"] = len(res.pages)
@@ -286,9 +304,58 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 frontier[hh][6] = now
         for hh in drops:
             frontier.pop(hh, None)
+
+        # ---- render (loader) phase: same round, after crawl effects
+        if cfg.render_enabled:
+            for u, b, d in dedup(promotions):
+                render_upsert(u, b, d, 0.0, nx=True)
+            r_eligible = sorted(((row[6], hh) for hh, row in render_frontier.items()
+                                 if row[6] <= max_score))
+            r_taken = [hh for _, hh in r_eligible[:budget]]
+            res.render_pop_order.extend((t, render_frontier[hh][0]) for hh in r_taken)
+            for hh in r_taken:
+                render_frontier[hh][6] = now + ttl
+            r_rows = {hh: list(render_frontier[hh]) for hh in r_taken}
+            if cfg.check:
+                kh = keep_host_mask([r_rows[hh][3] for hh in r_taken], cfg)
+                kp = keep_proxy_mask([r_rows[hh][1] for hh in r_taken], cfg)
+                r_taken = [hh for i, hh in enumerate(r_taken) if kh[i] and kp[i]]
+            r_cands: list[tuple[str, str, int]] = []
+            r_requeues: list[str] = []
+            r_drops: list[str] = []
+            for hh in r_taken:
+                url, proxy, scheme, host, base_host, backref, _, depth = r_rows[hh]
+                if proxy in ARTIFACT_PROXIES or scheme not in ("http", "https"):
+                    r_drops.append(hh)
+                    continue
+                status, mime, body, _h = corpus.lookup(url)
+                if status == 0:
+                    r_requeues.append(hh)
+                    continue
+                doc = body.decode("utf-8", "replace")
+                if not doc or doc == SE_EMPTY:
+                    r_requeues.append(hh)
+                    continue
+                height = window_height(doc)
+                res.rendered.append({
+                    "url_hash": hh, "url": url, "round": t,
+                    "doc_digest": _sha_bytes(doc.encode("utf-8", "replace")),
+                    "screenshot_digest": _sha_bytes(synth_screenshot(hh, height)),
+                    "width": 1024, "height": height})
+                for u in extract_from_html(url, doc):
+                    r_cands.append((u, url, depth + 1))
+            for u, b, d in dedup(r_cands):
+                upsert(u, b, d, 0.0, nx=True)
+            for hh in r_requeues:
+                if hh in render_frontier:
+                    render_frontier[hh][6] = now
+            for hh in r_drops:
+                render_frontier.pop(hh, None)
+
         res.metrics.append(metrics)
 
     res.frontier = frontier
+    res.render_frontier = render_frontier
     return res
 
 

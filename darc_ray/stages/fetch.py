@@ -375,7 +375,9 @@ class Fetcher:
                                url, depth + 1, "zero_nx")
 
             if 200 <= status < 400:         # response.ok → promote (crawl.py:231-233)
-                ev.emit("render", hh, url, rnd, now, host=host, proxy=proxy)
+                ev.emit("render", hh, url, rnd, now, host=host, proxy=proxy,
+                        backref=backref, cand_url=url, cand_backref=backref,
+                        cand_depth=depth, cand_mode="zero_nx")
             else:                           # 4xx/5xx → requeue (crawl.py:227-230)
                 ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
 
@@ -405,11 +407,13 @@ class FetchProcessStage(Fetcher):
     """
 
     def __init__(self, cfg, fetch_fn, host_shards: list, frontier_shards: list,
-                 num_shards: int, round_dir: str) -> None:
+                 num_shards: int, round_dir: str,
+                 render_shards: list | None = None) -> None:
         super().__init__(cfg, fetch_fn, host_shards)
         self.frontier_shards = frontier_shards
         self.num_shards = num_shards
         self.round_dir = round_dir
+        self.render_shards = render_shards or []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -420,7 +424,7 @@ class FetchProcessStage(Fetcher):
         import pyarrow.parquet as pq
         import ray
 
-        from darc_ray.functions.hashing import shard_of
+        from darc_ray.functions.hashing import group_indices, shard_of
         from darc_ray.stages.parse import parse_candidates
 
         _marks = [time.perf_counter()]
@@ -467,8 +471,6 @@ class FetchProcessStage(Fetcher):
                 "cand_mode": [k[1] for k in best]})
             parsed = parse_candidates(merged, self.cfg.num_partitions, self.num_shards)
             cols = parsed.to_pydict()
-            from darc_ray.functions.hashing import group_indices
-
             sid = shard_of(cols["url_hash"], self.num_shards)
             arrs = {c: __import__("numpy").asarray(cols[c], dtype=object)
                     for c in ("url_hash", "url", "proxy", "scheme", "host",
@@ -485,6 +487,32 @@ class FetchProcessStage(Fetcher):
                     method(sub_cols)
             if futures:
                 ray.get(futures)    # ack before return -> flush is ordered after
+
+        if self.render_shards:
+            # save_selenium(single, score=0, nx=True) (crawl.py:233):
+            # promotions enter the render frontier via the same
+            # commutative candidate buffers
+            ren = events.filter(pc.equal(kinds, "render"))
+            if ren.num_rows:
+                parsed = parse_candidates(ren, self.cfg.num_partitions,
+                                          len(self.render_shards))
+                rcols = parsed.to_pydict()
+                rsid = shard_of(rcols["url_hash"], len(self.render_shards))
+                rarrs = {c: __import__("numpy").asarray(rcols[c], dtype=object)
+                         for c in ("url_hash", "url", "proxy", "scheme", "host",
+                                   "base_host", "backref", "depth", "mode")}
+                futures = []
+                for s, idx in enumerate(group_indices(rsid, len(self.render_shards))):
+                    if not len(idx):
+                        continue
+                    sub_cols = {c: rarrs[c][idx].tolist() for c in rarrs}
+                    method = self.render_shards[s].buffer_candidates
+                    if hasattr(method, "remote"):
+                        futures.append(method.remote(sub_cols))
+                    else:
+                        method(sub_cols)
+                if futures:
+                    ray.get(futures)
         _marks.append(time.perf_counter())
 
         log_dir = os.environ.get("DARC_RAY_TASKLOG")
@@ -498,7 +526,8 @@ class FetchProcessStage(Fetcher):
 
 
 def fetch_process_batch(batch: pa.Table, *, cfg, fetch_fn, host_shards,
-                        frontier_shards, num_shards, round_dir) -> pa.Table:
+                        frontier_shards, num_shards, round_dir,
+                        render_shards=None) -> pa.Table:
     """Stateless-task flavor of :class:`FetchProcessStage` — construction
     is trivial (the corpus index lives in the worker-process-global
     cache), so plain tasks on warm workers beat a per-round actor-pool
@@ -510,7 +539,7 @@ def fetch_process_batch(batch: pa.Table, *, cfg, fetch_fn, host_shards,
 
     t0 = time.perf_counter()
     stage = FetchProcessStage(cfg, fetch_fn, host_shards, frontier_shards,
-                              num_shards, round_dir)
+                              num_shards, round_dir, render_shards)
     out = stage(batch)
     log_dir = os.environ.get("DARC_RAY_TASKLOG")
     if log_dir:
