@@ -86,7 +86,8 @@ def run_crawl(num_cpus: int) -> dict:
         max_pool=12000, workers=1, time_cache=2.0, tick=1.0,
         seen_shards=8, host_shards=4,
         fetch_concurrency=max(4, num_cpus - 2),
-        fetch_batch_size=2048, per_host_cap=512, snapshot_every=0)
+        fetch_batch_size=2048, per_host_cap=512, snapshot_every=0,
+        render_enabled=True)       # wave runs the full dual-queue lifecycle
     eng = CrawlEngine(cpath, out, cfg)
     eng.seed(corpus_seeds)
     _warm_workers(eng, num_cpus)
@@ -99,6 +100,7 @@ def run_crawl(num_cpus: int) -> dict:
         "urls_taken": taken,
         "pages": int(totals.get("pages", 0)),
         "candidates": int(totals.get("candidates", 0)),
+        "rendered": int(totals.get("render_rendered", 0)),
         "seen": eng.counts()["ever"],
         "urls_per_sec": round(taken / sec, 1) if sec > 0 else 0.0,
         "stage_sec": {k: round(v, 2) for k, v in totals.items()

@@ -497,7 +497,8 @@ _CRAWL_CACHE: dict[str, Any] = {}
 
 
 def _crawl_run():
-    """One cached mini-crawl per process (flagship pipeline)."""
+    """One cached mini-crawl per process (flagship pipeline), with the
+    second-stage loader enabled — the full dual-queue lifecycle."""
     if "engine" not in _CRAWL_CACHE:
         from darc_ray.pipelines.corpus import make_corpus
         from darc_ray.pipelines.crawl import CrawlEngine
@@ -507,7 +508,8 @@ def _crawl_run():
         corpus = make_corpus(seed=42, n_hosts=8, pages_per_host=5)
         corpus.save(cdir)
         cfg = CrawlConfig(max_pool=40, time_cache=2.0, seen_shards=4, host_shards=2,
-                          fetch_concurrency=2, fetch_batch_size=32, snapshot_every=0)
+                          fetch_concurrency=2, fetch_batch_size=32, snapshot_every=0,
+                          render_enabled=True)
         eng = CrawlEngine(cdir, odir, cfg)
         eng.seed(corpus.seeds)
         eng.run(6)
@@ -526,6 +528,17 @@ def q_crawl_pages(sf_dir: str) -> pd.DataFrame:
 def q_crawl_seen(sf_dir: str) -> pd.DataFrame:
     eng = _crawl_run()
     return pd.DataFrame({"url_hash": eng.seen_hashes()})
+
+
+def q_crawl_rendered(sf_dir: str) -> pd.DataFrame:
+    """Second-stage loader output: rendered docs + screenshot metadata
+    (F2; browser stubbed, queue semantics real)."""
+    eng = _crawl_run()
+    t = eng.rendered_table()
+    if t is None:
+        return pd.DataFrame({"url_hash": [], "round": [], "width": [], "height": []})
+    out = t.select(["url_hash", "round", "width", "height"]).to_pandas()
+    return out.sort_values(["round", "url_hash"]).reset_index(drop=True)
 
 
 def q_crawl_artifacts(sf_dir: str) -> pd.DataFrame:
@@ -571,6 +584,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_features": q_image_features,
     "crawl_pages": q_crawl_pages,
     "crawl_seen": q_crawl_seen,
+    "crawl_rendered": q_crawl_rendered,
     "crawl_artifacts": q_crawl_artifacts,
 }
 
