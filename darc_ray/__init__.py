@@ -11,13 +11,43 @@ for *behavior only*) re-expressed as idiomatic Ray Data pipelines:
 * ``darc_ray.state``     — stateful services as Ray actors (sharded
   URL-seen set, host-state / politeness shards, checkpoint manifests).
 * ``darc_ray.stages``    — ``Dataset.map_batches`` stage callables
-  (parse, gate, fetch, route, extract, dedup, ANN).
+  (parse, gate, fetch, render, dedup, ANN, multimodal).
 * ``darc_ray.pipelines`` — the crawl round-loop engine, the synthetic
-  deterministic web corpus, and the single-threaded reference-semantics
-  oracle used for conformance testing.
+  deterministic web corpus, the single-threaded reference-semantics
+  oracle, and the driver-contract queries.
+
+Library surface (the reference's ``from darc import darc, register_*``
+embedding, darc/__init__.py:48-52)::
+
+    from darc_ray import CrawlConfig, CrawlEngine, make_corpus
+    from darc_ray import register_url_pattern          # DARC_URL_PAT hook
 
 Nothing in this package calls ``ray.init()`` — sessions are owned by
-the caller (driver harness, ``bench.py``, or the pytest fixture).
+the caller (driver harness, ``bench.py``, CLI, or the pytest fixture).
 """
 
 __version__ = "0.1.0"
+
+from darc_ray.config import CrawlConfig                          # noqa: E402
+from darc_ray.functions.extract import register_url_pattern      # noqa: E402
+
+
+def __getattr__(name):
+    # heavier symbols resolved lazily so `import darc_ray` stays light
+    if name == "CrawlEngine":
+        from darc_ray.pipelines.crawl import CrawlEngine
+
+        return CrawlEngine
+    if name == "make_corpus":
+        from darc_ray.pipelines.corpus import make_corpus
+
+        return make_corpus
+    if name == "simulate":
+        from darc_ray.pipelines.oracle import simulate
+
+        return simulate
+    raise AttributeError(name)
+
+
+__all__ = ["CrawlConfig", "CrawlEngine", "make_corpus", "simulate",
+           "register_url_pattern", "__version__"]

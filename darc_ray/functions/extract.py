@@ -56,6 +56,29 @@ URL_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
 ]
 
 
+def register_url_pattern(scheme: str, pattern: str, flags: int = 0) -> None:
+    """User-extension hook mirroring ``DARC_URL_PAT``
+    (darc/parse.py:58-59): adds a regex extractor (must expose a
+    ``url`` named group) to the default suite."""
+    URL_PATTERNS.append((scheme, re.compile(pattern, re.RegexFlag(flags) | re.ASCII)))
+
+
+def _load_env_patterns() -> None:
+    """``DARC_URL_PAT`` env: JSON list of [scheme, pattern, flags]
+    triples, exactly the reference's format (darc/parse.py:58-59)."""
+    import json
+    import os
+
+    raw = os.getenv("DARC_URL_PAT")
+    if not raw:
+        return
+    for scheme, pattern, flags in json.loads(raw):
+        register_url_pattern(scheme, pattern, int(flags))
+
+
+_load_env_patterns()
+
+
 def extract_from_html(page_url: str, html: str,
                       extra_patterns: Iterable[tuple[str, re.Pattern[str]]] = ()) -> list[str]:
     """All candidate URLs of one HTML document, document order:

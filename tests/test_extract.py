@@ -64,3 +64,27 @@ def test_ethereum_extraction():
 def test_visible_text_strips_tags():
     txt = visible_text("<p>hello <b>world</b></p><script>nope()</script>")
     assert "hello" in txt and "world" in txt and "nope" not in txt
+
+
+def test_register_url_pattern_and_env(monkeypatch):
+    import importlib
+    import json
+
+    import darc_ray.functions.extract as ex
+
+    base_len = len(ex.URL_PATTERNS)
+    ex.register_url_pattern("onionv3", r"(?i)\b(?P<url>[a-z2-7]{56}\.onion)\b")
+    try:
+        urls = ex.extract_from_text("see " + "a" * 56 + ".onion now")
+        assert any(u.endswith(".onion") for u in urls)
+    finally:
+        ex.URL_PATTERNS[:] = ex.URL_PATTERNS[:base_len]
+
+    # env-driven registration, the reference's DARC_URL_PAT format
+    monkeypatch.setenv("DARC_URL_PAT",
+                       json.dumps([["geo", r"\b(?P<url>geo:[0-9.,-]+)\b", 0]]))
+    try:
+        ex._load_env_patterns()
+        assert ex.extract_from_text("at geo:48.2,16.3 here") == ["geo:48.2,16.3"]
+    finally:
+        ex.URL_PATTERNS[:] = ex.URL_PATTERNS[:base_len]
