@@ -390,6 +390,63 @@ FROM events e ASOF JOIN orders o
 """
 
 
+def q_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based sampling (~10 %): reproducible across
+    engines and runs, unlike RNG sampling — the scale-safe way to
+    sample a 100 TB table consistently."""
+    def sample(t: pa.Table) -> pa.Table:
+        keys = pc.multiply(pc.cast(t["doc_id"], pa.int64()), pa.scalar(2654435761))
+        keep = pc.less(pc.bit_wise_and(keys, pa.scalar(1023)), pa.scalar(102))
+        return t.filter(keep).select(["doc_id", "lang"])
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .map_batches(sample, batch_format="pyarrow").to_pandas())
+
+
+SQL_HASH_SAMPLE = ("SELECT doc_id, lang FROM documents "
+                   "WHERE (doc_id * 2654435761) & 1023 < 102")
+
+
+def q_customer_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Join chain via chained broadcasts (orders ⋈ customer ⋈ nation)
+    then grouped revenue — the multi-dimension-table pattern: every
+    dimension rides the object store once, the fact table streams."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        c2n = ray.get(cust_ref)
+        n2name = ray.get(nation_ref)
+        nk = df["o_custkey"].map(c2n)
+        df = df.assign(n_name=nk.map(n2name))
+        df = df[df["n_name"].notna()]
+        return (df.groupby("n_name", as_index=False)
+                  .agg(revenue=("o_totalprice", "sum"), n_orders=("o_orderkey", "count")))
+
+    from ray.data.aggregate import Sum
+
+    out = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+           .map_batches(tag, batch_format="pandas", batch_size=65536)
+           .groupby("n_name")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+SQL_CUSTOMER_NATION_REVENUE = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # =====================================================================
 # Rows-only (non-SQL-expressible; driver records row-count check)
 # =====================================================================
@@ -572,6 +629,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_brute": q_ann_brute,
     "windowed_counts": q_windowed_counts,
     "asof_join": q_asof_join,
+    "hash_sample": q_hash_sample,
+    "customer_nation_revenue": q_customer_nation_revenue,
     # rows-only
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -606,4 +665,6 @@ ORACLE_SQL: dict[str, str] = {
     "ann_brute": SQL_ANN_BRUTE,
     "windowed_counts": SQL_WINDOWED_COUNTS,
     "asof_join": SQL_ASOF_JOIN,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,
 }
