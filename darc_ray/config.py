@@ -44,6 +44,8 @@ class CrawlConfig:
     force: bool = False          # ignore robots.txt (FORCE)
     check: bool = False          # filter candidates before enqueue (CHECK; ref default 0 —
                                  # filters then apply at fetch time, darc/crawl.py:119-127)
+    check_ng: bool = False       # HEAD-probe content-type pre-filter (CHECK_NG,
+                                 # darc/parse.py:186-241); implies check
     max_depth: int = -1          # -1 = unbounded (engine extension; reference has none)
 
     # --- engine layout (Ray-native knobs; no reference equivalent)

@@ -227,8 +227,27 @@ class CrawlEngine:
             _mark(metrics, "t_lease")
 
             # ---- 3b. CHECK-time candidate filter (load_requests(check=True),
-            # db.py:897-898): filtered rows stay leased, uncrawled
-            if cfg.check:
+            # db.py:897-898): filtered rows stay leased, uncrawled.
+            # CHECK_NG replaces it with host/proxy + HEAD-probed mime
+            # filtering (darc/parse.py:186-241, _check_ng).
+            if cfg.check_ng:
+                keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
+                idxs = [i for i in range(n_taken) if keep[i]]
+                probes = self._probe_mime([pool["host"][i] for i in idxs],
+                                          [pool["url"][i] for i in idxs])
+                from darc_ray.functions.filters import keep_mime_mask
+
+                final = []
+                for j, i in enumerate(idxs):
+                    status, mime = probes[j]
+                    if status == 0:                  # HEAD failed, no response
+                        continue
+                    if not keep_mime_mask([mime], cfg)[0]:
+                        continue
+                    final.append(i)
+                pool = {c: [pool[c][i] for i in final] for c in POOL_COLS}
+                n_taken = len(pool["url_hash"])
+            elif cfg.check:
                 keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
                 pool = {c: [pool[c][i] for i in range(n_taken) if keep[i]]
                         for c in POOL_COLS}
@@ -440,6 +459,25 @@ class CrawlEngine:
             ray.get(futures)
         metrics["dropped"] = len(drops)
         return metrics
+
+    def _probe_mime(self, hosts: list[str], urls: list[str]) -> list[tuple[int, str]]:
+        """Batched HEAD probes via the host shards (keeps the fetch
+        fabric off the driver)."""
+        import ray
+
+        sid = host_shard_of(hosts, len(self.hosts))
+        result: list[tuple[int, str]] = [(0, "")] * len(urls)
+        futures, order = [], []
+        for s in range(len(self.hosts)):
+            idx = [i for i, v in enumerate(sid) if v == s]
+            if not idx:
+                continue
+            futures.append(self.hosts[s].probe_mime.remote([urls[i] for i in idx]))
+            order.append(idx)
+        for idx, got in zip(order, ray.get(futures)):
+            for i, val in zip(idx, got):
+                result[i] = tuple(val)
+        return result
 
     def _scatter_scores_on(self, shards: list, hashes: list[str], score: float) -> None:
         import ray

@@ -153,8 +153,21 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
 
         rows = {hh: list(frontier[hh]) for hh in taken}   # fetch-time view
 
-        # ---- CHECK-time filter (leased but not crawled)
-        if cfg.check:
+        # ---- CHECK-time filter (leased but not crawled); CHECK_NG adds
+        # the HEAD-probed mime filter (_check_ng, parse.py:186-241)
+        if cfg.check_ng:
+            keep_h = keep_host_mask([rows[hh][3] for hh in taken], cfg)
+            keep_p = keep_proxy_mask([rows[hh][1] for hh in taken], cfg)
+            kept = [hh for i, hh in enumerate(taken) if keep_h[i] and keep_p[i]]
+            taken = []
+            for hh in kept:
+                status, mime, _b, _h2 = corpus.lookup(rows[hh][0])
+                if status == 0:
+                    continue
+                if not keep_mime_mask([mime], cfg)[0]:
+                    continue
+                taken.append(hh)
+        elif cfg.check:
             keep_h = keep_host_mask([rows[hh][3] for hh in taken], cfg)
             keep_p = keep_proxy_mask([rows[hh][1] for hh in taken], cfg)
             taken = [hh for i, hh in enumerate(taken) if keep_h[i] and keep_p[i]]

@@ -185,6 +185,21 @@ class HostShard:
             out.append(_rules(text).can_fetch(url) if text else True)
         return out
 
+    # -- HEAD probe (CHECK_NG, darc/parse.py:186-241) ------------------------
+    def probe_mime(self, urls: list[str]) -> list[tuple[int, str]]:
+        """HEAD-request analog over the fetch fabric: (status, mime)
+        per url, redirects followed.  Unlike the reference we do NOT
+        rewrite the link to the redirect target (parse.py:240 does,
+        which desyncs queue accounting — documented divergence)."""
+        out = []
+        for u in urls:
+            if self.fetch_fn is None:
+                out.append((0, ""))
+                continue
+            status, mime, _body, _h = self.fetch_fn(u)
+            out.append((status, mime))
+        return out
+
     # -- politeness ---------------------------------------------------------
     def take_allowance(self, hosts: list[str], wants: list[int], now: float,
                        per_host_cap: int) -> list[int]:

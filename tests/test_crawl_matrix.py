@@ -18,6 +18,7 @@ CONFIGS = {
     "tight_politeness": dict(per_host_cap=2, max_pool=25),
     "mime_filtered_deep": dict(mime_black_list=["image/.*"], time_cache=1.0),
     "actor_pool_fetch": dict(fetch_use_actors=True),
+    "check_ng_probe": dict(check_ng=True, mime_black_list=["image/.*"]),
 }
 
 
