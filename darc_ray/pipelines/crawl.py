@@ -232,7 +232,10 @@ class CrawlEngine:
             # filtering (darc/parse.py:186-241, _check_ng).
             if cfg.check_ng:
                 keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
-                idxs = [i for i in range(n_taken) if keep[i]]
+                # non-http(s) schemes: requests' HEAD raises without a
+                # response (parse.py:224-230) → filtered like a failure
+                idxs = [i for i in range(n_taken)
+                        if keep[i] and pool["scheme"][i] in ("http", "https")]
                 probes = self._probe_mime([pool["host"][i] for i in idxs],
                                           [pool["url"][i] for i in idxs])
                 from darc_ray.functions.filters import keep_mime_mask

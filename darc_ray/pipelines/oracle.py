@@ -158,7 +158,8 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
         if cfg.check_ng:
             keep_h = keep_host_mask([rows[hh][3] for hh in taken], cfg)
             keep_p = keep_proxy_mask([rows[hh][1] for hh in taken], cfg)
-            kept = [hh for i, hh in enumerate(taken) if keep_h[i] and keep_p[i]]
+            kept = [hh for i, hh in enumerate(taken)
+                    if keep_h[i] and keep_p[i] and rows[hh][2] in ("http", "https")]
             taken = []
             for hh in kept:
                 status, mime, _b, _h2 = corpus.lookup(rows[hh][0])
