@@ -736,6 +736,26 @@ class CrawlEngine:
     def pop_table(self) -> pa.Table | None:
         return self._gather("pop")
 
+    def link_csv_table(self) -> pa.Table | None:
+        """The reference's ``data/link.csv`` (proxy,scheme,host,hash,url —
+        darc/save.py:111-133) derived from crawled pages; distinct rows,
+        no lock-append file needed."""
+        pages = self._gather("pages", columns=["proxy", "url", "host", "url_hash"])
+        if pages is None:
+            return None
+        from darc_ray.functions.link import split_url
+
+        urls = pages.column("url").to_pylist()
+        schemes = [split_url(u)[0] for u in urls]
+        t = pa.Table.from_pydict({
+            "proxy": pages.column("proxy").to_pylist(),
+            "scheme": schemes,
+            "host": pages.column("host").to_pylist(),
+            "hash": pages.column("url_hash").to_pylist(),
+            "url": urls,
+        })
+        return t.group_by(["proxy", "scheme", "host", "hash", "url"]).aggregate([])
+
     def rendered_table(self) -> pa.Table | None:
         return self._gather("rendered")
 

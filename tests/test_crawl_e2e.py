@@ -130,6 +130,17 @@ def test_hosts_table_aggregates(engine_run, oracle_run):
         assert rows[h]["discovery"] <= rows[h]["last_seen"]
 
 
+def test_link_csv_derivation(engine_run, oracle_run):
+    """S7: link.csv rows = distinct (proxy, scheme, host, hash, url) of
+    crawled pages."""
+    eng, _ = engine_run
+    t = eng.link_csv_table()
+    assert t is not None
+    rows = {(r["hash"], r["url"]) for r in t.to_pylist()}
+    want = {(p["url_hash"], p["url"]) for p in oracle_run.pages}
+    assert rows == want
+
+
 def test_robots_blocked_count_equal(engine_run, oracle_run):
     _, totals = engine_run
     assert totals["robots_blocked"] == len(oracle_run.robots_blocked)
