@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     "pricing_summary", "top_customers", "broadcast_join", "frontier_pop",
     "first_seen", "distinct_edges", "anti_join", "dedup_exact",
     "token_counts", "ann_brute", "minhash_dedup", "simhash",
-    "embedding_dups", "image_features", "quality",
+    "embedding_dups", "image_features", "quality", "windowed_counts",
+    "asof_join", "hash_sample", "customer_nation_revenue",
 ]
 
 CORPUS_SEED = 42
