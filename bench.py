@@ -1,20 +1,20 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract).
 
-Plain run: executes the headline pipeline — the crawl engine's
-sustained fetch+extract loop over the deterministic synthetic corpus
-(BASELINE.json metric: URLs/s) — plus the operator queries over
+Plain run: the headline pipeline — three timed steady-state rounds of
+the crawl engine's fetch+decode+extract loop over the deterministic
+synthetic corpus (BASELINE.json metric: URLs/s) — plus a cold-start
+wave crawl with the dual-queue loader and the operator queries over
 ``$GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``), then prints ONE
 JSON line::
 
-    {"metric": "crawl fetch+extract", "value": <headline sec>,
-     "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N,
-     "urls_per_sec": ..., "crawl": {...}}
+    {"metric": ..., "value": <sustained sec>, "unit": "sec",
+     "queries": {name: sec}, "sf": ..., "num_cpus": N,
+     "urls_per_sec": ..., "sustained": {...}, "crawl_wave": {...}}
 
-``--scaling``: runs the same job in fresh processes at
-``num_cpus=8`` and ``num_cpus=32`` (the sandbox stand-in for N vs 4N
-nodes) and reports both throughputs plus scaling efficiency
-``(t_8/t_32)/4``.
+``--scaling``: the same job in fresh CPU-affinity-caged processes at
+two N-vs-4N pairs (2→8 and 8→32) with throughputs and efficiency
+``(t_lo/t_hi)/4``; see BASELINE.md for methodology.
 
 Owns its Ray session (the only scripts allowed to: bench, CLI, tests).
 """

@@ -57,3 +57,24 @@ def test_variant_matches_oracle(variant, corpus, ray_session, tmp_path_factory):
                       for r in (arts.to_pylist() if arts is not None else []))
     assert got_arts == sorted(want.artifacts), variant
     eng.shutdown()
+
+
+def test_fixtures_scale_with_render(ray_session, tmp_path_factory):
+    """FIXTURES.md default scale (20 hosts × 25 pages) at production-like
+    shard counts, dual-queue enabled, 12 rounds — still oracle-exact."""
+    c = make_corpus(seed=42, n_hosts=20, pages_per_host=25)
+    cpath = str(tmp_path_factory.mktemp("bigcorpus"))
+    c.save(cpath)
+    cfg = CrawlConfig(max_pool=300, time_cache=2.0, seen_shards=8, host_shards=4,
+                      fetch_concurrency=3, fetch_batch_size=64, snapshot_every=5,
+                      render_enabled=True)
+    out = str(tmp_path_factory.mktemp("bigout"))
+    eng = CrawlEngine(cpath, out, cfg)
+    eng.seed(c.seeds)
+    eng.run(12)
+    want = simulate(c, cfg, 12)
+    assert eng.pop_log == want.pop_order
+    assert set(eng.seen_hashes()) == want.seen
+    assert eng.render_pop_log == want.render_pop_order
+    assert set(eng.render_seen()) == want.render_seen
+    eng.shutdown()
