@@ -132,6 +132,7 @@ class CrawlEngine:
     def run(self, max_rounds: int, stop_on_idle: bool = False) -> dict[str, Any]:
         totals: dict[str, float] = {}
         idle = 0
+        start = self.next_round
         t = self.next_round
         end = self.next_round + max_rounds
         while t < end:
@@ -145,7 +146,7 @@ class CrawlEngine:
                     break
             t += 1
         self.next_round = t
-        totals["rounds"] = t
+        totals["rounds"] = t - start       # rounds executed in THIS call
         return totals
 
     # ------------------------------------------------------------------
@@ -416,7 +417,29 @@ class CrawlEngine:
         self._scatter_scores_on(self.render_frontier, merged["url_hash"], now + ttl)
 
         pool = merged
-        if cfg.check:                      # load_selenium(check=...) db.py:1060
+        # load_selenium(check=CHECK) dispatches through _check →
+        # _check_ng when CHECK_NG is set (db.py:1060, parse.py:244-273),
+        # so the render pool gets the same host/proxy + HEAD-mime
+        # filtering as the crawl pool.
+        if cfg.check_ng:
+            keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
+            idxs = [i for i in range(n)
+                    if keep[i] and pool["scheme"][i] in ("http", "https")]
+            probes = self._probe_mime([pool["host"][i] for i in idxs],
+                                      [pool["url"][i] for i in idxs])
+            from darc_ray.functions.filters import keep_mime_mask
+
+            final = []
+            for j, i in enumerate(idxs):
+                status, mime = probes[j]
+                if status == 0 or not keep_mime_mask([mime], cfg)[0]:
+                    continue
+                final.append(i)
+            pool = {c: [pool[c][i] for i in final] for c in POOL_COLS}
+            n = len(pool["url_hash"])
+            if not n:
+                return metrics
+        elif cfg.check:                    # load_selenium(check=...) db.py:1060
             keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
             pool = {c: [pool[c][i] for i in range(n) if keep[i]] for c in POOL_COLS}
             n = len(pool["url_hash"])

@@ -330,7 +330,20 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
             for hh in r_taken:
                 render_frontier[hh][6] = now + ttl
             r_rows = {hh: list(render_frontier[hh]) for hh in r_taken}
-            if cfg.check:
+            # load_selenium(check=CHECK) → _check → _check_ng when
+            # CHECK_NG is set (db.py:1060, parse.py:244-273)
+            if cfg.check_ng:
+                kh = keep_host_mask([r_rows[hh][3] for hh in r_taken], cfg)
+                kp = keep_proxy_mask([r_rows[hh][1] for hh in r_taken], cfg)
+                kept = [hh for i, hh in enumerate(r_taken)
+                        if kh[i] and kp[i] and r_rows[hh][2] in ("http", "https")]
+                r_taken = []
+                for hh in kept:
+                    status, mime, _b, _h2 = corpus.lookup(r_rows[hh][0])
+                    if status == 0 or not keep_mime_mask([mime], cfg)[0]:
+                        continue
+                    r_taken.append(hh)
+            elif cfg.check:
                 kh = keep_host_mask([r_rows[hh][3] for hh in r_taken], cfg)
                 kp = keep_proxy_mask([r_rows[hh][1] for hh in r_taken], cfg)
                 r_taken = [hh for i, hh in enumerate(r_taken) if kh[i] and kp[i]]

@@ -282,7 +282,10 @@ def q_token_counts(sf_dir: str) -> pd.DataFrame:
             .map_batches(counts, batch_format="pandas").to_pandas())
 
 
-SQL_TOKEN_COUNTS = ("SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) "
+# CASE guard: DuckDB splits '' into [''] (len 1) where pandas
+# ''.split() gives 0 — align on 0 for empty/whitespace-only docs
+SQL_TOKEN_COUNTS = ("SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+                    "len(string_split_regex(trim(text), '\\s+')) END "
                     "AS n_ws_tokens, length(text) AS text_len FROM documents")
 
 

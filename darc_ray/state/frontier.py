@@ -60,6 +60,7 @@ class FrontierShard:
 
     def __init__(self, shard_id: int, filter_capacity: int = 1 << 20) -> None:
         self.shard_id = shard_id
+        self.filter_capacity = filter_capacity
         self.rows: dict[str, list[Any]] = {}
         self.ever: set[str] = set()
         self.filter = CuckooFilter(filter_capacity, seed=shard_id)
@@ -96,10 +97,13 @@ class FrontierShard:
                        batch["host"][i], batch["base_host"][i], batch["backref"][i],
                        score, batch["depth"][i]]
                 self.rows[hh] = row
+                # the filter mirrors `ever` exactly: one fingerprint per
+                # distinct hash, or re-added (dropped-then-rediscovered)
+                # URLs would consume cuckoo slots toward overflow
                 if hh not in self.ever:
                     self.ever.add(hh)
+                    self.filter.insert(hh.encode())
                     added += 1
-                self.filter.insert(hh.encode())
                 self._delta.append(("u", hh, list(row)))
         return added
 
@@ -237,7 +241,7 @@ class FrontierShard:
         self.rows.clear()
         self.ever.clear()
         self._delta = []
-        self.filter = CuckooFilter(self.filter.n_buckets * 4, seed=self.shard_id)
+        self.filter = CuckooFilter(self.filter_capacity, seed=self.shard_id)
         tables = ([snapshot] if snapshot is not None else []) + list(deltas)
         for t in tables:
             cols = t.to_pydict()

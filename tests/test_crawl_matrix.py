@@ -19,6 +19,12 @@ CONFIGS = {
     "mime_filtered_deep": dict(mime_black_list=["image/.*"], time_cache=1.0),
     "actor_pool_fetch": dict(fetch_use_actors=True),
     "check_ng_probe": dict(check_ng=True, mime_black_list=["image/.*"]),
+    # render queue must get the same _check_ng host/proxy/HEAD-mime
+    # filtering as the crawl queue (load_selenium(check=CHECK) →
+    # _check → _check_ng, ref darc/db.py:1060, darc/parse.py:244-273)
+    "render_check_ng": dict(render_enabled=True, check_ng=True,
+                            mime_black_list=["image/.*"],
+                            link_black_list=[r"h00[3]\.example"]),
 }
 
 
