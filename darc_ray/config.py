@@ -58,6 +58,9 @@ class CrawlConfig:
                                     # stateless tasks (synthetic fetch fabric)
     per_host_cap: int = 64       # max URLs taken per host per round (skew guard)
     workers: int = 1             # multiplies max_pool for the per-round lease budget
+    frontier_resident_rows: int = 1_000_000  # per-shard hot-row cap before the
+                                 # attr store spills to sorted parquet runs
+                                 # (the (score, url_hash) index stays in memory)
 
     # --- second-stage (render/loader) worker (reference -t loader)
     render_enabled: bool = False  # run the loader phase after each crawl phase

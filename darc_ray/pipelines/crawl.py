@@ -70,11 +70,13 @@ class CrawlEngine:
         self.fetch_fn = CorpusFetchFn.broadcast(corpus_path)
         FShard = ray.remote(FrontierShard)
         HShard = ray.remote(HostShard)
-        self.frontier = [FShard.remote(s) for s in range(self.cfg.seen_shards)]
+        resident = self.cfg.frontier_resident_rows
+        self.frontier = [FShard.remote(s, max_resident_rows=resident)
+                         for s in range(self.cfg.seen_shards)]
         self.hosts = [HShard.remote(h, self.fetch_fn) for h in range(self.cfg.host_shards)]
         # second-stage (render/selenium) queue: a full frontier with the
         # same score/lease semantics (darc/db.py:665-865)
-        self.render_frontier = ([FShard.remote(1000 + s)
+        self.render_frontier = ([FShard.remote(1000 + s, max_resident_rows=resident)
                                  for s in range(self.cfg.seen_shards)]
                                 if self.cfg.render_enabled else [])
         self.next_round = 0
@@ -314,17 +316,24 @@ class CrawlEngine:
                     concurrency=cfg.fetch_concurrency,
                     num_cpus=1,
                 )
+            # O(pool) summary: count rows per kind + detail rows only for
+            # requeue/drop/artifact (see stages.fetch.summarize_events)
             summary = stage.take_all()
 
-            kc = Counter(r["kind"] for r in summary)
+            kc: Counter = Counter()
+            drop_set: set[str] = set()
+            for r in summary:
+                kc[r["kind"]] += r["n"]
+                if r["kind"] == "requeue":
+                    req_hashes.append(r["url_hash"])
+                elif r["kind"] in ("drop", "artifact"):
+                    drop_set.add(r["url_hash"])
             metrics["pages"] = kc.get("page", 0)
             metrics["artifacts"] = kc.get("artifact", 0)
             metrics["render"] = kc.get("render", 0)
             metrics["robots_blocked"] = kc.get("robots_blocked", 0)
             metrics["candidates"] = kc.get("candidate", 0)
-            req_hashes = [r["url_hash"] for r in summary if r["kind"] == "requeue"]
-            drop_hashes = sorted({r["url_hash"] for r in summary
-                                  if r["kind"] in ("drop", "artifact")})
+            drop_hashes = sorted(drop_set)
         _mark(metrics, "t_fetch")
 
         # ---- 6. bootstrap candidates join the same shard buffers

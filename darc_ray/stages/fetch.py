@@ -391,6 +391,31 @@ ARTIFACT_COLS = ["artifact_kind", "backref", "url", "payload", "artifact_mime",
                  "round", "url_hash"]
 RENDER_COLS = ["url_hash", "url", "host", "proxy", "round", "ts"]
 
+# per-round driver summary: detail rows only for kinds whose url_hash
+# the driver must act on (requeue → score=now, drop/artifact → drop);
+# everything else returns as one (kind, n) count row per task, so
+# driver traffic is O(pool), not O(extraction fan-out)
+SUMMARY_SCHEMA = pa.schema([
+    pa.field("kind", pa.string()),
+    pa.field("url_hash", pa.string()),
+    pa.field("n", pa.int64()),
+])
+_DETAIL_KINDS = ("requeue", "drop", "artifact")
+
+
+def summarize_events(events: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    kinds = events.column("kind")
+    detail_mask = pc.is_in(kinds, value_set=pa.array(_DETAIL_KINDS))
+    detail = events.filter(detail_mask)
+    vc = pc.value_counts(kinds.filter(pc.invert(detail_mask)))
+    out_kind = detail.column("kind").to_pylist() + [v["values"] for v in vc.to_pylist()]
+    out_hash = detail.column("url_hash").to_pylist() + [""] * len(vc)
+    out_n = [1] * detail.num_rows + [v["counts"] for v in vc.to_pylist()]
+    return pa.Table.from_pydict(
+        {"kind": out_kind, "url_hash": out_hash, "n": out_n}, schema=SUMMARY_SCHEMA)
+
 
 class FetchProcessStage(Fetcher):
     """Fused per-round stage: fetch/route (Fetcher) + sink writes +
@@ -522,7 +547,7 @@ class FetchProcessStage(Fetcher):
                 f.write(f"{batch.num_rows} fetch={spans[0]} write={spans[1]} "
                         f"cand={spans[2]}\n")
 
-        return events.select(["kind", "url_hash"])
+        return summarize_events(events)
 
 
 def fetch_process_batch(batch: pa.Table, *, cfg, fetch_fn, host_shards,

@@ -25,6 +25,9 @@ CONFIGS = {
     "render_check_ng": dict(render_enabled=True, check_ng=True,
                             mime_black_list=["image/.*"],
                             link_black_list=[r"h00[3]\.example"]),
+    # forced attr-store spilling: 16-row hot cap per shard pushes most
+    # frontier attrs to parquet runs — cold-path pops must stay exact
+    "spilled_frontier": dict(frontier_resident_rows=16, render_enabled=True),
 }
 
 

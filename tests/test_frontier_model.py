@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from darc_ray.state.frontier import FrontierShard
@@ -46,13 +47,19 @@ op = st.one_of(
               st.sampled_from(["", "http://p1/", "http://p2/"]),
               st.integers(0, 3)),
     st.tuples(st.just("flush"), st.floats(0, 100)),
+    st.tuples(st.just("pop"), st.floats(0, 100), st.integers(1, 6)),
 )
 
 
+# resident=2 forces the attr store to spill to parquet runs on nearly
+# every put — the cold path must be op-for-op identical to all-hot
+@pytest.mark.parametrize("resident", [1_000_000, 2])
 @settings(max_examples=150, deadline=None)
 @given(st.lists(op, min_size=1, max_size=25))
-def test_shard_matches_dict_model_and_delta_replay(ops):
-    shard = FrontierShard(0, filter_capacity=256)
+def test_shard_matches_dict_model_and_delta_replay(resident, tmp_path_factory, ops):
+    spill = str(tmp_path_factory.mktemp("spill"))
+    shard = FrontierShard(0, filter_capacity=256, max_resident_rows=resident,
+                          spill_dir=spill)
     model: dict[str, tuple[float, str, int]] = {}   # hash → (score, backref, depth)
     ever: set[str] = set()
     pending: dict[tuple[str, str], tuple[str, int]] = {}
@@ -99,6 +106,13 @@ def test_shard_matches_dict_model_and_delta_replay(ops):
                 cur = pending.get(key)
                 if cur is None or (backref, depth) < cur:
                     pending[key] = (backref, depth)
+        elif kind == "pop":
+            _, now, k = o
+            got = shard.pop_candidates(now, 0.0, k)
+            want = sorted((s, hh) for hh, (s, _b, _d) in model.items()
+                          if s <= now)[:k]
+            assert got["url_hash"] == [hh for _, hh in want]
+            assert got["score"] == [s for s, _ in want]
         elif kind == "flush":
             _, now = o
             shard.flush_candidates(now)
@@ -124,7 +138,8 @@ def test_shard_matches_dict_model_and_delta_replay(ops):
     # delta replay reproduces live rows exactly (pending buffers are
     # round-scoped and not durable until flushed — by design)
     deltas.append(shard.drain_delta())
-    restored = FrontierShard(0, filter_capacity=256)
+    restored = FrontierShard(0, filter_capacity=256, max_resident_rows=resident,
+                             spill_dir=str(tmp_path_factory.mktemp("rspill")))
     restored.restore(None, deltas)
     assert restored.rows.keys() == shard.rows.keys()
     for hh in shard.rows:
