@@ -68,11 +68,17 @@ def _min_perm(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     a·x = t2·2^64 + t1·2^32 + t0 with 32-bit half products (< 2^64
     each).  Mersenne reduction uses 2^61 ≡ 1 (mod p):
     t0 ≡ (t0 & p) + (t0 >> 61); t1·2^32 ≡ (t1 >> 29) + (t1 & m29)·2^32;
-    t2·2^64 ≡ 8·t2.  Each term < 2^62, sum < 2^64 — no overflow."""
+    t2·2^64 ≡ 8·t2.  Each term < 2^62, sum < 2^64 — no overflow.
+
+    Vectorized as (shingles × perms) broadcast tiles, chunked so a tile
+    stays ~2M lanes; one numpy pass per chunk instead of one per
+    shingle."""
     x = x % _P
     a_lo, a_hi = a & _LO, a >> _S32
     best = np.full(a.shape, np.iinfo(np.uint64).max, dtype=np.uint64)
-    for xv in x:
+    chunk = max(1, 2_000_000 // max(1, a.shape[0]))
+    for s0 in range(0, x.shape[0], chunk):
+        xv = x[s0:s0 + chunk, None]            # (S, 1) vs (P,) → (S, P)
         x_lo, x_hi = xv & _LO, xv >> _S32
         t0 = a_lo * x_lo                       # < 2^64
         t1 = a_hi * x_lo + a_lo * x_hi         # < 2^62 (each product < 2^61)
@@ -80,7 +86,7 @@ def _min_perm(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         r0 = (t0 & _P) + (t0 >> _S61)
         r1 = (t1 >> _S29) + ((t1 & _M29) << _S32)
         v = (r0 % _P + r1 % _P + (t2 * _E8) % _P + b) % _P
-        best = np.minimum(best, v)
+        best = np.minimum(best, v.min(axis=0))
     return best
 
 

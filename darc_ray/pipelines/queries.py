@@ -496,16 +496,18 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
 
 
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
-    """MinHash LSH candidates verified by exact Jaccard ≥ 0.5."""
-    from darc_ray.stages.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+    """MinHash LSH candidates verified by exact Jaccard ≥ 0.5.
+
+    Scale shape: ONE shuffle keyed by hash(band, band_hash) buckets
+    (parallelism = n_buckets, no whole-band groups); verification
+    fetches texts only for candidate ids (LSH-bounded) and runs as a
+    map_batches stage — the documents table is never materialized."""
+    from darc_ray.stages.dedup import minhash_candidate_pairs, verify_pairs_distributed
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    texts = dict(zip(*(lambda d: (d["doc_id"], d["text"]))(ds.to_pandas())))
     pairs = minhash_candidate_pairs(ds, n_perm=64, n_bands=16).to_pandas()
     pairs = pairs.drop_duplicates()       # bands may repeat a pair
-    if not len(pairs):
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    out = verify_pairs_jaccard(pairs[["a", "b"]], texts, threshold=0.5)
+    out = verify_pairs_distributed(ds, pairs, threshold=0.5)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -522,12 +524,12 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 def q_embedding_dups(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the driver
     tables' similarity distribution: random-ish vectors, max pair
-    cosine ≈ 0.5)."""
-    from darc_ray.stages.dedup import embedding_dup_pairs
+    cosine ≈ 0.5).  Distributed block-pair tiles — vectors stay in the
+    object store; the driver sees only refs and result pairs."""
+    from darc_ray.stages.dedup import embedding_dup_pairs_blocked
 
-    df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
-    vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
-    return embedding_dup_pairs(df["vec_id"].to_numpy(), vecs, threshold=0.4)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs_blocked(ds, threshold=0.4, block_rows=1024)
 
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:

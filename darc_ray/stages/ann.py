@@ -119,32 +119,88 @@ class HyperplaneLSH:
         return [b] + [b ^ (1 << i) for i in range(self.planes.shape[0])]
 
 
+class LshProbeTopK:
+    """map_batches task: bucket each corpus row by hyperplane signature,
+    keep only rows landing in some query's probe set, emit per-batch
+    exact top-k within those candidates.  The corpus never leaves the
+    object store; per-batch output is ≤ queries × k rows."""
+
+    def __init__(self, query_ref, k: int, n_planes: int, seed: int,
+                 id_col: str, vec_col: str) -> None:
+        import ray
+
+        self.q_ids, self.q_mat, self.probe_sets = ray.get(query_ref)
+        self.lsh = HyperplaneLSH(self.q_mat.shape[1], n_planes, seed)
+        self.all_probes = set().union(*self.probe_sets) if self.probe_sets else set()
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col).to_pylist()))
+        buckets = self.lsh.buckets(vecs)
+        keep = np.fromiter((int(b) in self.all_probes for b in buckets),
+                           dtype=bool, count=len(buckets))
+        out_q, out_n, out_s = [], [], []
+        if keep.any():
+            ids_k, vecs_k, bk = ids[keep], vecs[keep], buckets[keep]
+            for qi, qid in enumerate(self.q_ids):
+                probes = self.probe_sets[qi]
+                cand = np.fromiter((int(b) in probes for b in bk),
+                                   dtype=bool, count=len(bk))
+                cand &= ids_k != qid
+                if not cand.any():
+                    continue
+                c_ids = ids_k[cand]
+                sims = vecs_k[cand] @ self.q_mat[qi]
+                order = sorted(range(len(c_ids)),
+                               key=lambda i: (-sims[i], c_ids[i]))[:self.k]
+                for i in order:
+                    out_q.append(qid)
+                    out_n.append(int(c_ids[i]))
+                    out_s.append(float(sims[i]))
+        return pa.Table.from_pydict({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64())})
+
+
 def lsh_topk(ds, query_ids: list[int], k: int = 10, n_planes: int = 10,
              seed: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding") -> pd.DataFrame:
-    """LSH-bucketed ANN: bucket the corpus by hyperplane signature,
-    rerank exactly within the probed buckets."""
-    rows = ds.take_all()          # bounded in tests; at scale the bucket
-    ids = np.asarray([r[id_col] for r in rows])   # assignment stays a Dataset
-    vecs = _normalize(_as_matrix([r[vec_col] for r in rows]))
-    lsh = HyperplaneLSH(vecs.shape[1], n_planes, seed)
-    assign = lsh.buckets(vecs)
-    by_bucket: dict[int, list[int]] = {}
-    for i, b in enumerate(assign):
-        by_bucket.setdefault(int(b), []).append(i)
+    """LSH-bucketed ANN, Dataset-native: fetch only the query rows,
+    broadcast (query matrix, per-query multi-probe bucket sets) once,
+    then a single ``map_batches`` pass buckets each corpus block and
+    emits per-batch top-k candidates; the driver reduces the tiny
+    per-batch results.  No corpus materialization anywhere."""
+    import heapq as _heapq
 
-    id_to_ix = {int(v): i for i, v in enumerate(ids)}
+    import pyarrow.compute as pc
+    import ray
+
+    value_set = pa.array(sorted(query_ids))
+    q_rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=value_set)),
+        batch_format="pyarrow").take_all()
+    if not q_rows:
+        raise ValueError("no query rows found")
+    q_rows.sort(key=lambda r: r[id_col])
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = _normalize(_as_matrix([r[vec_col] for r in q_rows]))
+    lsh = HyperplaneLSH(q_mat.shape[1], n_planes, seed)
+    probe_sets = [set(lsh.probe(q_mat[i])) for i in range(len(q_ids))]
+    ref = ray.put((q_ids, q_mat, probe_sets))
+
+    cands = ds.map_batches(
+        LshProbeTopK, fn_constructor_args=(ref, k, n_planes, seed, id_col, vec_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=2).to_pandas()
+
     out = []
-    for qid in sorted(query_ids):
-        qix = id_to_ix[qid]
-        cand: list[int] = []
-        for b in lsh.probe(vecs[qix]):
-            cand.extend(by_bucket.get(b, []))
-        cand = [c for c in set(cand) if ids[c] != qid]
-        if not cand:
-            continue
-        sims = vecs[cand] @ vecs[qix]
-        order = sorted(range(len(cand)), key=lambda i: (-sims[i], ids[cand[i]]))[:k]
-        for rank, i in enumerate(order):
-            out.append((qid, int(ids[cand[i]]), rank + 1, float(np.round(sims[i], 6))))
+    for qid in q_ids:
+        g = cands[cands["query_id"] == qid]
+        rows = _heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.sim, r.neighbor_id))
+        for rank, r in enumerate(rows):
+            out.append((qid, r.neighbor_id, rank + 1, float(np.round(r.sim, 6))))
     return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "sim"])

@@ -29,6 +29,9 @@ import pyarrow as pa
 from darc_ray.functions.sketches import MinHasher, jaccard, lsh_bands, simhash64
 from darc_ray.functions.text import word_shingles
 
+# per-worker-process stage cache for stateless map_batches closures
+_STAGE_CACHE: dict = {}
+
 
 # ---------------------------------------------------------------- exact
 def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -86,35 +89,64 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": a, "b": b})
 
 
+def _pairs_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+    out = [_bucket_pairs(g)
+           for _, g in df.groupby(["band", "band_hash"]) if len(g) > 1]
+    if not out:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.concat(out, ignore_index=True).drop_duplicates()
+
+
 def minhash_candidate_pairs(ds, n_perm: int = 128, n_bands: int = 32,
-                            k_shingle: int = 3, seed: int = 7):
-    """documents → distinct LSH candidate pairs (a < b).
+                            k_shingle: int = 3, seed: int = 7,
+                            n_buckets: int | None = None):
+    """documents → LSH candidate pairs (a < b).
 
-    Bucket grouping is done per-batch in pandas after the (band,
-    band_hash) sort key is attached — the band table is tiny relative
-    to documents, and the pair set is distinct-ed vectorized instead of
-    via per-group ``map_groups`` tasks."""
-    bands = ds.map_batches(
-        MinHashStage, fn_constructor_args=(n_perm, n_bands, k_shingle, seed),
-        batch_format="pyarrow", concurrency=2)
+    ONE hash-repartition keyed by ``(band, band_hash)`` — every true
+    LSH bucket lands whole in exactly one of ``n_buckets`` partitions,
+    parallelism is n_buckets-wide, and no partition ever receives a
+    whole band's rows (the round-1 coarse ``groupby("band")`` failure
+    mode).  Pairing is a per-partition pandas groupby; no sort shuffle.
+    Pairs may repeat ACROSS bands — callers distinct the (small,
+    LSH-bounded) result.
 
-    def pairs_of_band(df: pd.DataFrame) -> pd.DataFrame:
-        out = [_bucket_pairs(g) for _, g in df.groupby("band_hash") if len(g) > 1]
-        if not out:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        return pd.concat(out, ignore_index=True).drop_duplicates()
+    ``n_buckets`` defaults to ~1 partition per 50k band rows (each
+    shuffle partition has fixed actor overhead; at cluster scale pass
+    an explicit width sized to the fleet)."""
+    if n_buckets is None:
+        n_buckets = max(8, min(256, (ds.count() * n_bands) // 50_000))
+    # stateless explode on split blocks: scales with block count, no
+    # actor-pool spin-up per invocation (MinHasher init is trivial)
+    stage_args = (n_perm, n_bands, k_shingle, seed)
 
-    # ONE shuffle with n_bands coarse groups; buckets pair vectorized
-    # inside each band group.  Pairs may repeat ACROSS bands — callers
-    # distinct the (small, LSH-bounded) result.
-    return bands.groupby("band").map_groups(pairs_of_band, batch_format="pandas")
+    def explode(t: pa.Table) -> pa.Table:
+        key = ("minhash", stage_args)
+        stage = _STAGE_CACHE.get(key)
+        if stage is None:
+            stage = _STAGE_CACHE[key] = MinHashStage(*stage_args)
+        return stage(t)
+
+    bands = (ds.repartition(target_num_rows_per_block=512)
+             .map_batches(explode, batch_format="pyarrow"))
+    from ray.data.context import ShuffleStrategy
+
+    parts = bands.repartition(num_blocks=n_buckets,
+                              keys=["band", "band_hash"], sort=False)
+    # key-based repartition requires the hash-shuffle operator; scope
+    # the switch to this dataset's captured context, not the session
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # batch_size=None: one batch = one whole hash partition, so a
+    # bucket is never split across pairing calls
+    return parts.map_batches(_pairs_of_partition, batch_format="pandas",
+                             batch_size=None)
 
 
 def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict,
                          k_shingle: int = 3, threshold: float = 0.6) -> pd.DataFrame:
-    """Exact-Jaccard verification of candidate pairs.  ``texts_by_id``
-    is a broadcast small-side lookup (``ray.put`` at scale per bucket)."""
+    """Exact-Jaccard verification of candidate pairs against an
+    in-memory id → text lookup (unit-test / per-bucket kernel; the
+    distributed path is :func:`verify_pairs_distributed`)."""
     cache: dict = {}
 
     def sh(i):
@@ -127,6 +159,50 @@ def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict,
     out = pairs_df.copy()
     out["jaccard"] = sims
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
+def verify_pairs_distributed(ds, pairs_df: pd.DataFrame, k_shingle: int = 3,
+                             threshold: float = 0.6, id_col: str = "doc_id",
+                             text_col: str = "text") -> pd.DataFrame:
+    """Exact-Jaccard verification without materializing the documents
+    table: texts are fetched only for candidate ids (bounded by the LSH
+    output, not the corpus), broadcast once via ``ray.put``, and pairs
+    verify in a ``map_batches`` stage over the pairs Dataset.  At a
+    scale where even the candidate set outgrows one object, the same
+    stage runs per hash-partition of (pairs ⋈ texts) — the kernel
+    (:func:`verify_pairs_jaccard`) is unchanged."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if not len(pairs_df):
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    cand_ids = sorted(set(pairs_df["a"]) | set(pairs_df["b"]))
+    value_set = pa.array(cand_ids)
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=value_set))
+                   .select([id_col, text_col]),
+        batch_format="pyarrow").take_all()
+    texts = {r[id_col]: r[text_col] for r in rows}
+    if len(pairs_df) <= 100_000:
+        # pair set is already driver-resident (it IS the function input);
+        # below this size one in-process pass beats a dataset execution
+        return (verify_pairs_jaccard(pairs_df[["a", "b"]], texts,
+                                     k_shingle, threshold)
+                .reset_index(drop=True))
+    ref = ray.put(texts)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # ray.get of the broadcast dict is zero-copy-per-node and cheap
+        # per batch; stateless tasks skip actor-pool spin-up
+        return verify_pairs_jaccard(df, ray.get(ref), k_shingle, threshold)
+
+    out = (rd.from_pandas(pairs_df[["a", "b"]])
+           .map_batches(verify, batch_format="pandas", batch_size=8192)
+           .to_pandas())
+    return out.reset_index(drop=True)
 
 
 # ---------------------------------------------------------------- simhash
@@ -167,7 +243,9 @@ def ngram_jaccard_pairs(ids: list, texts: list[str], k: int = 3,
 # ---------------------------------------------------------------- embedding cosine
 def embedding_dup_pairs(ids: np.ndarray, vecs: np.ndarray,
                         threshold: float = 0.95) -> pd.DataFrame:
-    """Near-dup pairs by cosine ≥ threshold (normalized matmul)."""
+    """Near-dup pairs by cosine ≥ threshold (normalized matmul) — the
+    in-memory tile kernel used per block pair by
+    :func:`embedding_dup_pairs_blocked`."""
     norms = np.linalg.norm(vecs, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     u = vecs / norms
@@ -178,3 +256,62 @@ def embedding_dup_pairs(ids: np.ndarray, vecs: np.ndarray,
         "a": ids[iu[0][mask]],
         "b": ids[iu[1][mask]],
         "cosine": np.round(sim[iu][mask].astype(np.float64), 6)})
+
+
+def _normalized_block(t: pa.Table, id_col: str, vec_col: str):
+    ids = np.asarray(t.column(id_col).to_pylist())
+    m = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in t.column(vec_col).to_pylist()])
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return ids, m / n
+
+
+def embedding_dup_pairs_blocked(ds, threshold: float = 0.95,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                block_rows: int = 4096) -> pd.DataFrame:
+    """Exact all-pairs cosine ≥ threshold as distributed block-pair
+    tiles: the Dataset's Arrow blocks stay in the object store; one Ray
+    task per (i ≤ j) block pair computes its cosine tile and returns
+    only the above-threshold pairs.  The driver holds block *refs* and
+    the result — never the vectors.  (Exact all-pairs is inherently
+    O(n²) compute; this distributes it across blocks² tasks.  For
+    high thresholds prefer LSH bucketing — ``stages.ann.lsh_topk`` —
+    which prunes tiles instead of scanning them.)"""
+    import ray
+
+    n = ds.count()
+    want_blocks = max(1, -(-n // block_rows))
+    mat = ds.repartition(want_blocks).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def tile(t1: pa.Table, t2: pa.Table, same: bool) -> pd.DataFrame:
+        ids1, m1 = _normalized_block(t1, id_col, vec_col)
+        ids2, m2 = _normalized_block(t2, id_col, vec_col)
+        sim = m1 @ m2.T
+        if same:
+            ii, jj = np.triu_indices(len(ids1), k=1)
+        else:
+            ii, jj = np.meshgrid(np.arange(len(ids1)), np.arange(len(ids2)),
+                                 indexing="ij")
+            ii, jj = ii.ravel(), jj.ravel()
+        vals = sim[ii, jj]
+        mask = vals >= threshold
+        a = ids1[ii[mask]]
+        b = ids2[jj[mask]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi,
+                             "cosine": np.round(vals[mask].astype(np.float64), 6)})
+
+    futures = [tile.remote(refs[i], refs[j], i == j)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = [p for p in ray.get(futures) if len(p)]
+    if not parts:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values(["a", "b"]).reset_index(drop=True))

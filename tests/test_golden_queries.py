@@ -1,0 +1,46 @@
+"""Pinned golden outputs for the deterministic rows-only queries
+(no DuckDB oracle exists for them — VERDICT r1 item 9).  Hashes are of
+the sorted, float-rounded CSV of the full sf0.01 result, so any
+regression in kernels (sketches, LSH keying, lang-ID heuristics,
+embedding tiling) is caught even though the driver only row-counts
+these queries."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+GOLDEN = {
+    "minhash_dedup": (25, "c270d513580fd635"),
+    "ngram_jaccard": (7, "30306ea5b0250dd5"),
+    "embedding_dups": (59, "bf528653c3d470f9"),
+    "ann_lsh": (50, "405a4a868e718d10"),
+    "lang_id": (500, "f56b46de02032a35"),
+    "quality": (500, "18069e47cb934544"),
+    "rolling_fingerprint": (500, "04b3152e048a0428"),
+    "simhash": (500, "4a509d24cbaa042b"),
+}
+
+
+def _golden(df) -> str:
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="driver testdata absent")
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden(name, ray_session):
+    from darc_ray.pipelines.queries import QUERIES
+
+    out = QUERIES[name](SF_DIR)
+    rows, digest = GOLDEN[name]
+    assert len(out) == rows, f"{name}: {len(out)} rows, pinned {rows}"
+    assert _golden(out) == digest, f"{name}: output drifted from pinned golden"
