@@ -30,6 +30,10 @@ __version__ = "0.1.0"
 
 from darc_ray.config import CrawlConfig                          # noqa: E402
 from darc_ray.functions.extract import register_url_pattern      # noqa: E402
+from darc_ray.hooks import (                                     # noqa: E402
+    BaseSite, LinkNoReturn, WorkerBreak, register_hooks, register_proxy,
+    register_sites,
+)
 
 
 def __getattr__(name):
@@ -50,4 +54,5 @@ def __getattr__(name):
 
 
 __all__ = ["CrawlConfig", "CrawlEngine", "make_corpus", "simulate",
-           "register_url_pattern", "__version__"]
+           "register_url_pattern", "BaseSite", "LinkNoReturn", "WorkerBreak",
+           "register_sites", "register_proxy", "register_hooks", "__version__"]

@@ -54,6 +54,13 @@ POOL_COLS = ("url_hash", "url", "proxy", "scheme", "host", "base_host",
              "backref", "score", "depth")
 
 
+def _pool_rows(pool: dict[str, list]) -> list[dict]:
+    """Column pool → row dicts for round hooks (the reference passes the
+    round's Link pool, darc/process.py:100-111); budget-bounded."""
+    n = len(pool.get("url", []))
+    return [{c: pool[c][i] for c in POOL_COLS} for i in range(n)]
+
+
 class CrawlEngine:
     """Driver-side round loop owning the actor fleet.
 
@@ -82,6 +89,16 @@ class CrawlEngine:
         self.next_round = 0
         self.pop_log: list[tuple[int, str]] = []   # (round, url) crawl ordering
         self.render_pop_log: list[tuple[int, str]] = []
+        # snapshot the module registries (SURVEY §2.10): hooks registered
+        # on the driver before engine construction reach every worker —
+        # cloudpickle ships the classes with the stage constructors
+        from darc_ray import hooks as _hooks
+
+        self.site_map = dict(_hooks.SITE_REGISTRY)
+        self.proxy_map = dict(_hooks.PROXY_REGISTRY)
+        self.round_hooks = list(_hooks.HOOK_REGISTRY)
+        self._last_pool: dict[str, list] = {c: [] for c in POOL_COLS}
+        self._last_render_pool: dict[str, list] = {c: [] for c in POOL_COLS}
 
     # ------------------------------------------------------------------
     def shutdown(self) -> None:
@@ -131,7 +148,15 @@ class CrawlEngine:
         return sum(ray.get(futures))
 
     # ------------------------------------------------------------------
-    def run(self, max_rounds: int, stop_on_idle: bool = False) -> dict[str, Any]:
+    def run(self, max_rounds: int, stop_on_idle: bool = False,
+            hooks: list | None = None) -> dict[str, Any]:
+        """Round loop with between-round hooks (ref darc/process.py:
+        78-121): each round, registered + per-call hooks fire as
+        ``fn("crawler", pool)`` (and ``fn("loader", render_pool)`` when
+        the dual queue runs); WorkerBreak stops after the round."""
+        from darc_ray.hooks import run_hooks
+
+        all_hooks = self.round_hooks + list(hooks or [])
         totals: dict[str, float] = {}
         idle = 0
         start = self.next_round
@@ -141,12 +166,18 @@ class CrawlEngine:
             m = self.run_round(t)
             for k, v in m.items():
                 totals[k] = totals.get(k, 0) + v
+            t += 1
+            if all_hooks:
+                brk = run_hooks(all_hooks, "crawler", _pool_rows(self._last_pool))
+                if self.render_frontier:
+                    brk |= run_hooks(all_hooks, "loader",
+                                     _pool_rows(self._last_render_pool))
+                if brk:
+                    break
             if stop_on_idle:
                 idle = idle + 1 if m["taken"] == 0 else 0
                 if idle >= 2:
-                    t += 1
                     break
-            t += 1
         self.next_round = t
         totals["rounds"] = t - start       # rounds executed in THIS call
         return totals
@@ -173,7 +204,7 @@ class CrawlEngine:
         metrics: dict[str, int] = {k: 0 for k in (
             "popped", "taken", "deferred", "pages", "candidates", "enqueued",
             "requeued", "dropped", "artifacts", "robots_blocked", "render",
-            "new_hosts", "boot_candidates")}
+            "new_hosts", "boot_candidates", "skipped")}
 
         round_dir = os.path.join(self.out_dir, "rounds", f"r{t:05d}")
         if os.path.exists(round_dir):
@@ -220,6 +251,7 @@ class CrawlEngine:
         metrics["deferred"] = n_pop - n_taken
         self.pop_log.extend((t, u) for u in pool["url"])
         pool_pop = pool           # pre-CHECK pool = the crawl-ordering artifact
+        self._last_pool = pool
         _mark(metrics, "t_politeness")
 
         boot_cand: pa.Table | None = None
@@ -294,7 +326,8 @@ class CrawlEngine:
                     FetchProcessStage,
                     fn_constructor_args=(cfg, self.fetch_fn, self.hosts, self.frontier,
                                          cfg.seen_shards, round_dir,
-                                         self.render_frontier or None),
+                                         self.render_frontier or None,
+                                         self.site_map, self.proxy_map),
                     batch_format="pyarrow",
                     batch_size=batch_size,
                     concurrency=min(cfg.fetch_concurrency, n_blocks),
@@ -307,7 +340,8 @@ class CrawlEngine:
                     partial(fetch_process_batch, cfg=cfg, fetch_fn=self.fetch_fn,
                             host_shards=self.hosts, frontier_shards=self.frontier,
                             num_shards=cfg.seen_shards, round_dir=round_dir,
-                            render_shards=self.render_frontier or None),
+                            render_shards=self.render_frontier or None,
+                            site_map=self.site_map, proxy_map=self.proxy_map),
                     batch_format="pyarrow",
                     batch_size=batch_size,
                     # cap in-flight tasks below the core count so the
@@ -333,6 +367,7 @@ class CrawlEngine:
             metrics["render"] = kc.get("render", 0)
             metrics["robots_blocked"] = kc.get("robots_blocked", 0)
             metrics["candidates"] = kc.get("candidate", 0)
+            metrics["skipped"] = kc.get("skipped", 0)   # LinkNoReturn(drop=False)
             drop_hashes = sorted(drop_set)
         _mark(metrics, "t_fetch")
 
@@ -420,6 +455,7 @@ class CrawlEngine:
             n = len(merged["url_hash"])
         metrics["popped"] = metrics["taken"] = n
         self.render_pop_log.extend((t, u) for u in merged["url"])
+        self._last_render_pool = merged
         if not n:
             return metrics
 
@@ -462,14 +498,16 @@ class CrawlEngine:
         ds = rd.from_arrow([pool_table.slice(i, step) for i in range(0, n, step)])
         from functools import partial as _partial
 
-        def render_batch(batch, *, cfg, fetch_fn, shards, num_shards, round_dir):
+        def render_batch(batch, *, cfg, fetch_fn, shards, num_shards, round_dir,
+                         site_map, proxy_map):
             return RenderProcessStage(cfg, fetch_fn, shards, num_shards,
-                                      round_dir)(batch)
+                                      round_dir, site_map, proxy_map)(batch)
 
         summary = ds.map_batches(
             _partial(render_batch, cfg=cfg, fetch_fn=self.fetch_fn,
                      shards=self.frontier, num_shards=cfg.seen_shards,
-                     round_dir=round_dir),
+                     round_dir=round_dir, site_map=self.site_map,
+                     proxy_map=self.proxy_map),
             batch_format="pyarrow", batch_size=min(cfg.fetch_batch_size, step),
             concurrency=cfg.fetch_concurrency, num_cpus=1).take_all()
 

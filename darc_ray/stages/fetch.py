@@ -33,6 +33,7 @@ from darc_ray.functions.extract import extract_from_html
 from darc_ray.functions.filters import keep_host_mask, keep_proxy_mask, keep_mime_mask
 from darc_ray.functions.hashing import host_shard_of
 from darc_ray.functions.sitemap import hosts_txt_urls
+from darc_ray.hooks import LinkNoReturn, site_for
 
 # proxy classes routed straight to artifact sinks via site hooks
 # (darc/sites/__init__.py:46-57); wss shares the ws sink.
@@ -237,12 +238,34 @@ class _Events:
 
 
 class Fetcher:
-    """``map_batches`` actor: fetch + route one pool batch."""
+    """``map_batches`` actor: fetch + route one pool batch.
 
-    def __init__(self, cfg: CrawlConfig, fetch_fn, host_shards: list) -> None:
+    Site/proxy customisations (SURVEY §2.10) resolve here: ``site_map``
+    is the engine's snapshot of :data:`darc_ray.hooks.SITE_REGISTRY`
+    (per-hostname crawler hooks, ref darc/sites/__init__.py:124-144);
+    ``proxy_map`` snapshots :data:`~darc_ray.hooks.PROXY_REGISTRY` —
+    each proxy type's session factory runs once per worker (St4, ref
+    darc/proxy/__init__.py:29-50) and is the bootstrap point for proxy
+    daemons (St5) in live deployments."""
+
+    def __init__(self, cfg: CrawlConfig, fetch_fn, host_shards: list,
+                 site_map: dict | None = None,
+                 proxy_map: dict | None = None) -> None:
         self.cfg = cfg
         self.fetch_fn = fetch_fn
         self.host_shards = host_shards     # ray actor handles (or local HostShards in tests)
+        self.site_map = site_map or {}
+        self.proxy_map = proxy_map or {}
+        self._sessions: dict[str, Any] = {}
+
+    def _session_for(self, proxy: str):
+        """Per-proxy session, built once per worker (St4)."""
+        s = self._sessions.get(proxy)
+        if s is None:
+            factory = self.proxy_map.get(proxy, (None, None))[0]
+            s = factory(self.fetch_fn) if factory is not None else self.fetch_fn
+            self._sessions[proxy] = s
+        return s
 
     # -- robots gate: one batched call per involved shard ------------------
     def _robots_allowed(self, hosts: list[str], urls: list[str]) -> list[bool]:
@@ -332,7 +355,26 @@ class Fetcher:
                 ev.emit("robots_blocked", hh, url, rnd, now, host=host, proxy=proxy)
                 continue
 
-            status, mime, body, history = self.fetch_fn(url)
+            # site-hook dispatch (crawl.py:172-190): custom crawler per
+            # hostname; LinkNoReturn drops (drop=True) or leaves leased
+            # (drop=False → "skipped"); other hook errors requeue like
+            # the reference's catch-all (crawl.py:234-249)
+            site = site_for(host, self.site_map)
+            session = self._session_for(proxy)
+            if site is None:
+                status, mime, body, history = session(url)
+            else:
+                row = {"url": url, "url_hash": hh, "host": host, "proxy": proxy,
+                       "scheme": scheme, "backref": backref, "depth": depth}
+                try:
+                    status, mime, body, history = site.crawler(now, session, row)
+                except LinkNoReturn as e:
+                    ev.emit("drop" if e.drop else "skipped", hh, url, rnd, now,
+                            host=host, proxy=proxy)
+                    continue
+                except Exception:
+                    ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
+                    continue
             if status == 0:                 # RequestException (crawl.py:182-184)
                 ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
                 continue
@@ -433,8 +475,10 @@ class FetchProcessStage(Fetcher):
 
     def __init__(self, cfg, fetch_fn, host_shards: list, frontier_shards: list,
                  num_shards: int, round_dir: str,
-                 render_shards: list | None = None) -> None:
-        super().__init__(cfg, fetch_fn, host_shards)
+                 render_shards: list | None = None,
+                 site_map: dict | None = None,
+                 proxy_map: dict | None = None) -> None:
+        super().__init__(cfg, fetch_fn, host_shards, site_map, proxy_map)
         self.frontier_shards = frontier_shards
         self.num_shards = num_shards
         self.round_dir = round_dir
@@ -552,7 +596,8 @@ class FetchProcessStage(Fetcher):
 
 def fetch_process_batch(batch: pa.Table, *, cfg, fetch_fn, host_shards,
                         frontier_shards, num_shards, round_dir,
-                        render_shards=None) -> pa.Table:
+                        render_shards=None, site_map=None,
+                        proxy_map=None) -> pa.Table:
     """Stateless-task flavor of :class:`FetchProcessStage` — construction
     is trivial (the corpus index lives in the worker-process-global
     cache), so plain tasks on warm workers beat a per-round actor-pool
@@ -564,7 +609,8 @@ def fetch_process_batch(batch: pa.Table, *, cfg, fetch_fn, host_shards,
 
     t0 = time.perf_counter()
     stage = FetchProcessStage(cfg, fetch_fn, host_shards, frontier_shards,
-                              num_shards, round_dir, render_shards)
+                              num_shards, round_dir, render_shards,
+                              site_map, proxy_map)
     out = stage(batch)
     log_dir = os.environ.get("DARC_RAY_TASKLOG")
     if log_dir:

@@ -29,6 +29,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from darc_ray.hooks import LinkNoReturn, site_for
+
 SE_EMPTY = "<html><head></head><body></body></html>"   # darc/const.py:149-150
 
 RENDERED_COLS = ["url_hash", "url", "host", "proxy", "round", "ts", "doc",
@@ -64,15 +66,33 @@ def window_height(doc: str) -> int:
 
 class RenderProcessStage:
     """Fused render round stage: render + write + candidate buffering,
-    mirroring :class:`~darc_ray.stages.fetch.FetchProcessStage`."""
+    mirroring :class:`~darc_ray.stages.fetch.FetchProcessStage`.
+
+    Loader-side site hooks dispatch per hostname from ``site_map``
+    (ref darc/crawl.py:306, loader_hook); ``proxy_map`` driver
+    factories resolve once per worker — the seam where a real
+    ``selenium.Chrome`` with proxy capabilities plugs in (ref
+    darc/selenium.py:47-240; the browser itself is stubbed here)."""
 
     def __init__(self, cfg, fetch_fn, requests_shards: list, num_shards: int,
-                 round_dir: str) -> None:
+                 round_dir: str, site_map: dict | None = None,
+                 proxy_map: dict | None = None) -> None:
         self.cfg = cfg
         self.fetch_fn = fetch_fn
         self.requests_shards = requests_shards
         self.num_shards = num_shards
         self.round_dir = round_dir
+        self.site_map = site_map or {}
+        self.proxy_map = proxy_map or {}
+        self._drivers: dict = {}
+
+    def _driver_for(self, proxy: str):
+        d = self._drivers.get(proxy)
+        if d is None:
+            factory = self.proxy_map.get(proxy, (None, None))[1]
+            d = factory(self.fetch_fn) if factory is not None else self.fetch_fn
+            self._drivers[proxy] = d
+        return d
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -109,12 +129,30 @@ class RenderProcessStage:
                 out_hash.append(hh)
                 continue
 
-            status, mime, body, _ = self.fetch_fn(url)
-            if status == 0:                       # WebDriverException analog
+            # loader-side site hook (crawl.py:306): custom loader per
+            # hostname; LinkNoReturn drops/keeps; other errors requeue
+            # (WebDriverException analog, crawl.py:311-321)
+            site = site_for(cols["host"][i], self.site_map)
+            driver = self._driver_for(proxy)
+            try:
+                if site is None:
+                    status, _mime, body, _h = driver(url)
+                    if status == 0:
+                        raise ConnectionError(url)
+                    doc = body.decode("utf-8", "replace")
+                else:
+                    row = {"url": url, "url_hash": hh, "host": cols["host"][i],
+                           "proxy": proxy, "scheme": cols["scheme"][i],
+                           "backref": cols["backref"][i], "depth": depth}
+                    doc = site.loader(now, driver, row)
+            except LinkNoReturn as e:
+                out_kind.append("drop" if e.drop else "skipped")
+                out_hash.append(hh)
+                continue
+            except Exception:
                 out_kind.append("requeue")
                 out_hash.append(hh)
                 continue
-            doc = body.decode("utf-8", "replace")
             if not doc or doc == SE_EMPTY:        # SE_EMPTY check (crawl.py:327-330)
                 out_kind.append("requeue")
                 out_hash.append(hh)

@@ -1,0 +1,222 @@
+"""User-extension surface e2e (SURVEY §2.10): per-hostname site hooks
+with LinkNoReturn routing, per-proxy session factories, and
+between-round hooks with WorkerBreak — mirroring the reference's
+``demo/docs/mysite.py`` and ``demo/docs/hooks.py``."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from darc_ray.config import CrawlConfig
+from darc_ray.hooks import (
+    BaseSite, LinkNoReturn, WorkerBreak, clear_registries, register_hooks,
+    register_proxy, register_sites,
+)
+from darc_ray.pipelines.corpus import make_corpus
+from darc_ray.pipelines.crawl import CrawlEngine
+
+
+@pytest.fixture()
+def registries():
+    clear_registries()
+    yield
+    clear_registries()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    c = make_corpus(seed=5, n_hosts=9, pages_per_host=5)
+    path = tmp_path_factory.mktemp("hcorpus")
+    c.save(str(path))
+    return c, str(path)
+
+
+def _cfg(**kw):
+    base = dict(max_pool=60, time_cache=2.0, seen_shards=3, host_shards=2,
+                fetch_concurrency=2, fetch_batch_size=16, snapshot_every=0)
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def _make_mysite():
+    """Mirror of demo/docs/mysite.py: custom fetch for one hostname —
+    injects a synthetic status and drops image URLs.  Defined inside a
+    function so cloudpickle ships it by value; a real deployment makes
+    its sites module importable on the workers instead (the same
+    requirement the reference's per-process module imports have)."""
+
+    class MySite(BaseSite):
+        hostname = ["h000.example"]
+
+        @staticmethod
+        def crawler(timestamp, session, row):
+            if "/img/" in row["url"]:
+                raise LinkNoReturn(row)          # drop=True default
+            status, mime, body, history = session(row["url"])
+            if status == 200:
+                status = 299                     # visible customisation marker
+            return status, mime, body, history
+
+    return MySite
+
+
+def _make_keepsite():
+    class KeepSite(BaseSite):
+        """LinkNoReturn(drop=False): link stays leased (retried later)."""
+
+        hostname = ["h006.example"]
+
+        @staticmethod
+        def crawler(timestamp, session, row):
+            raise LinkNoReturn(row, drop=False)
+
+    return KeepSite
+
+
+def test_site_hooks_e2e(corpus, registries, ray_session, tmp_path_factory):
+    c, cpath = corpus
+    register_sites(_make_mysite())
+    register_sites(_make_keepsite())
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("siteout")), _cfg())
+    eng.seed(c.seeds)
+    totals = eng.run(6)
+    pages = eng.pages_table().to_pylist()
+    h1 = [p for p in pages if p["host"] == "h000.example"]
+    assert h1, "custom site fetched pages"
+    # every 200 is rewritten to 299 by the hook (non-200s pass through)
+    assert any(p["status"] == 299 for p in h1), "crawler hook rewrote status"
+    assert not any(p["status"] == 200 for p in h1)
+    assert not any("/img/" in p["url"] for p in h1), "img URLs dropped by hook"
+    # h002: every fetch raises LinkNoReturn(drop=False) → no pages, rows
+    # stay live in the frontier (leased, not dropped)
+    assert not any(p["host"] == "h006.example" for p in pages)
+    assert totals["skipped"] > 0
+    live = {r["url_hash"]: r["url"] for s in eng.frontier
+            for r in __import__("ray").get(s.live_table.remote()).to_pylist()}
+    assert any("h006.example" in u for u in live.values())
+    eng.shutdown()
+
+
+def test_site_hooks_ship_to_actor_pool(corpus, registries, ray_session,
+                                       tmp_path_factory):
+    """Same hook behavior through the actor-pool fetch flavor — the
+    registry snapshot must serialize into actor constructors."""
+    c, cpath = corpus
+    register_sites(_make_mysite())
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("siteact")),
+                      _cfg(fetch_use_actors=True))
+    eng.seed(c.seeds)
+    eng.run(4)
+    pages = eng.pages_table().to_pylist()
+    h1 = [p for p in pages if p["host"] == "h000.example"]
+    assert h1 and any(p["status"] == 299 for p in h1)
+    assert not any(p["status"] == 200 for p in h1)
+    eng.shutdown()
+
+
+def _make_rendersite():
+    class RenderSite(BaseSite):
+        hostname = ["h000.example"]
+
+        @staticmethod
+        def crawler(timestamp, session, row):
+            return session(row["url"])
+
+        @staticmethod
+        def loader(timestamp, driver, row):
+            status, _m, body, _h = driver(row["url"])
+            if status == 0:
+                raise ConnectionError(row["url"])
+            return "<html><body>rendered-by-hook</body></html>"
+
+    return RenderSite
+
+
+def test_loader_hook_e2e(corpus, registries, ray_session, tmp_path_factory):
+    c, cpath = corpus
+    register_sites(_make_rendersite())
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("loadout")),
+                      _cfg(render_enabled=True))
+    eng.seed(c.seeds)
+    eng.run(6)
+    rt = eng.rendered_table()
+    assert rt is not None
+    docs = {r["url"]: r["doc"] for r in rt.to_pylist()}
+    hook_docs = [d for u, d in docs.items() if "h000.example" in u]
+    other_docs = [d for u, d in docs.items() if "h000.example" not in u]
+    assert hook_docs and all(d == "<html><body>rendered-by-hook</body></html>"
+                             for d in hook_docs)
+    assert other_docs and not any("rendered-by-hook" in d for d in other_docs)
+    eng.shutdown()
+
+
+def test_proxy_session_factory(corpus, registries, ray_session, tmp_path_factory):
+    """register_proxy: the tor session factory wraps the fabric — every
+    tor fetch flows through it (St4 seam, ref darc/proxy/__init__.py)."""
+    c, cpath = corpus
+
+    def tor_session(fetch_fn):
+        def fetch(url):
+            status, mime, body, history = fetch_fn(url)
+            if status == 200:
+                status = 298                     # marker: went through tor session
+            return status, mime, body, history
+        return fetch
+
+    register_proxy("tor", tor_session)
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("proxyout")), _cfg())
+    eng.seed(c.seeds)
+    eng.run(6)
+    pages = eng.pages_table().to_pylist()
+    tor = [p for p in pages if p["proxy"] == "tor" and p["status"] in (200, 298)]
+    rest = [p for p in pages if p["proxy"] != "tor"]
+    assert tor and all(p["status"] == 298 for p in tor)
+    assert rest and not any(p["status"] == 298 for p in rest)
+    eng.shutdown()
+
+
+def test_round_hooks_worker_break(corpus, registries, ray_session,
+                                  tmp_path_factory):
+    """Mirror of demo/docs/hooks.py: hooks see each round's pool; a
+    WorkerBreak stops after the current round."""
+    c, cpath = corpus
+    seen_rounds: list[tuple[str, int]] = []
+
+    def spy(worker_type, pool):
+        seen_rounds.append((worker_type, len(pool)))
+
+    calls = {"n": 0}
+
+    def breaker(worker_type, pool):
+        if worker_type != "crawler":
+            return
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise WorkerBreak
+
+    register_hooks(spy)
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("hookout")), _cfg())
+    eng.seed(c.seeds)
+    totals = eng.run(10, hooks=[breaker])
+    assert totals["rounds"] == 3                 # broke after round 3 of 10
+    crawler_calls = [n for w, n in seen_rounds if w == "crawler"]
+    assert len(crawler_calls) == 3
+    assert crawler_calls[0] == len(c.seeds)      # round 0 pool = the seeds
+    eng.shutdown()
+
+
+def test_failing_hook_warns_and_continues(corpus, registries, ray_session,
+                                          tmp_path_factory):
+    c, cpath = corpus
+
+    def bad_hook(worker_type, pool):
+        raise RuntimeError("boom")
+
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("badhook")), _cfg())
+    eng.seed(c.seeds)
+    with pytest.warns(Warning, match="hook execution failed"):
+        totals = eng.run(2, hooks=[bad_hook])
+    assert totals["rounds"] == 2
+    eng.shutdown()
