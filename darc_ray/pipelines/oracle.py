@@ -34,7 +34,7 @@ from darc_ray.functions.sitemap import (
     child_sitemaps, hosts_txt_urls, maybe_gunzip, sitemap_urls, sitemaps_from_robots,
 )
 from darc_ray.pipelines.corpus import Corpus
-from darc_ray.stages.fetch import ARTIFACT_PROXIES
+from darc_ray.stages.fetch import ARTIFACT_PROXIES, request_meta
 from darc_ray.stages.render import SE_EMPTY, synth_screenshot, window_height
 
 
@@ -274,7 +274,8 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 res.pages.append({"url_hash": hh, "url": url, "status": status,
                                   "mime": mime, "is_html": False, "phash": phash,
                                   "psnr_ok": psnr_ok,
-                                  "body_digest": _sha_bytes(body), "round": t})
+                                  "body_digest": _sha_bytes(body), "round": t,
+                                  **request_meta(mime, body, history, url)})
                 if backref:
                     res.edges.add((_sha(backref), hh))
                 continue
@@ -284,7 +285,8 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
             res.pages.append({"url_hash": hh, "url": url, "status": status,
                               "mime": mime, "is_html": True, "phash": 0,
                               "psnr_ok": True,
-                              "body_digest": _sha_bytes(body), "round": t})
+                              "body_digest": _sha_bytes(body), "round": t,
+                              **request_meta(mime, body, history, url)})
             if backref:
                 res.edges.add((_sha(backref), hh))
             for u in extract_from_html(url, body.decode("utf-8", "replace")):

@@ -56,8 +56,18 @@ EVENT_SCHEMA = pa.schema([
     pa.field("mime", pa.string()),
     pa.field("is_html", pa.bool_()),
     pa.field("body", pa.large_binary()),
+    # requests metadata (ref darc/submit.py:415-482, darc/model/web/
+    # requests.py:36-103): method, response/session cookies, request/
+    # response headers; history carries per-hop reason + headers
+    pa.field("method", pa.string()),
+    pa.field("request_headers", pa.map_(pa.string(), pa.string())),
+    pa.field("response_headers", pa.map_(pa.string(), pa.string())),
+    pa.field("cookies", pa.map_(pa.string(), pa.string())),
+    pa.field("session_cookies", pa.map_(pa.string(), pa.string())),
     pa.field("history", pa.list_(pa.struct([
-        pa.field("url", pa.string()), pa.field("status", pa.int32())]))),
+        pa.field("url", pa.string()), pa.field("status", pa.int32()),
+        pa.field("reason", pa.string()),
+        pa.field("headers", pa.map_(pa.string(), pa.string()))]))),
     pa.field("backref", pa.string()),
     pa.field("backref_hash", pa.string()),
     pa.field("cand_url", pa.string()),
@@ -73,6 +83,8 @@ EVENT_SCHEMA = pa.schema([
 
 _DEFAULTS: dict[str, Any] = {
     "status": 0, "reason": "", "mime": "", "is_html": False, "body": b"",
+    "method": "", "request_headers": [], "response_headers": [],
+    "cookies": [], "session_cookies": [],
     "history": [], "backref": "", "backref_hash": "", "cand_url": "",
     "cand_backref": "", "cand_depth": 0, "cand_mode": "", "artifact_kind": "",
     "payload": b"", "artifact_mime": "", "host": "", "proxy": "", "phash": 0,
@@ -81,6 +93,38 @@ _DEFAULTS: dict[str, Any] = {
 
 _REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
             500: "Internal Server Error", 0: "Connection Error"}
+
+
+def request_meta(mime: str, body: bytes, history: list, final_url: str,
+                 extras: dict | None = None) -> dict[str, Any]:
+    """Deterministic requests metadata (ref darc/submit.py:415-482):
+    method, request/response headers, response/session cookies, and the
+    per-hop redirect history with each hop's defining headers.  The
+    synthetic fabric carries no cookie state, so cookie maps default
+    empty; a site/proxy hook may return a 5th ``extras`` dict to
+    override any field (mirroring demo/docs/mysite.py's
+    ``session.cookies.set``)."""
+    from darc_ray.functions.robots import USER_AGENT
+
+    extras = extras or {}
+    chain = [hu for hu, _ in history] + [final_url]
+    hops = [{"url": hu, "status": hs, "reason": _REASONS.get(hs, ""),
+             "headers": [("Location", chain[i + 1])]}
+            for i, (hu, hs) in enumerate(history)]
+    meta: dict[str, Any] = {
+        "method": "GET",
+        "request_headers": [("User-Agent", USER_AGENT), ("Accept", "*/*")],
+        "response_headers": [("Content-Type", mime),
+                             ("Content-Length", str(len(body)))],
+        "cookies": [],
+        "session_cookies": [],
+        "history": hops,
+    }
+    for k in list(meta):
+        if k in extras:
+            v = extras[k]
+            meta[k] = sorted(v.items()) if isinstance(v, dict) else v
+    return meta
 
 
 def _sha(url: str) -> str:
@@ -361,13 +405,14 @@ class Fetcher:
             # the reference's catch-all (crawl.py:234-249)
             site = site_for(host, self.site_map)
             session = self._session_for(proxy)
+            extras: dict[str, Any] = {}
             if site is None:
-                status, mime, body, history = session(url)
+                result = session(url)
             else:
                 row = {"url": url, "url_hash": hh, "host": host, "proxy": proxy,
                        "scheme": scheme, "backref": backref, "depth": depth}
                 try:
-                    status, mime, body, history = site.crawler(now, session, row)
+                    result = site.crawler(now, session, row)
                 except LinkNoReturn as e:
                     ev.emit("drop" if e.drop else "skipped", hh, url, rnd, now,
                             host=host, proxy=proxy)
@@ -375,12 +420,18 @@ class Fetcher:
                 except Exception:
                     ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
                     continue
+            # hooks may return (status, mime, body, history, extras)
+            # where extras overrides requests metadata fields
+            if len(result) == 5:
+                status, mime, body, history, extras = result
+            else:
+                status, mime, body, history = result
             if status == 0:                 # RequestException (crawl.py:182-184)
                 ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
                 continue
 
             reason = _REASONS.get(status, "")
-            hist = [{"url": hu, "status": hs} for hu, hs in history]
+            meta = request_meta(mime, body, history, url, extras)
 
             if mime not in HTML_MIMES:
                 # i2p hosts.txt side-channel (crawl.py:200-203)
@@ -399,8 +450,9 @@ class Fetcher:
                     phash, psnr_ok = check_image_payload(body, mime)
                 ev.emit("page", hh, url, rnd, now, host=host, proxy=proxy,
                         status=status, reason=reason, mime=mime, is_html=False,
-                        body=body, history=hist, backref=backref,
-                        backref_hash=_sha(backref), phash=phash, psnr_ok=psnr_ok)
+                        body=body, backref=backref,
+                        backref_hash=_sha(backref), phash=phash, psnr_ok=psnr_ok,
+                        **meta)
                 continue
 
             if not body:                    # empty response (crawl.py:216-219)
@@ -409,8 +461,8 @@ class Fetcher:
 
             ev.emit("page", hh, url, rnd, now, host=host, proxy=proxy,
                     status=status, reason=reason, mime=mime, is_html=True,
-                    body=body, history=hist, backref=backref,
-                    backref_hash=_sha(backref))
+                    body=body, backref=backref,
+                    backref_hash=_sha(backref), **meta)
 
             html = body.decode("utf-8", "replace")
             ev.emit_candidates(hh, url, rnd, now, extract_from_html(url, html),
@@ -427,8 +479,9 @@ class Fetcher:
 
 
 PAGE_COLS = ["url_hash", "url", "host", "proxy", "round", "ts", "status", "reason",
-             "mime", "is_html", "body", "history", "backref", "backref_hash",
-             "phash", "psnr_ok"]
+             "mime", "is_html", "body", "method", "request_headers",
+             "response_headers", "cookies", "session_cookies", "history",
+             "backref", "backref_hash", "phash", "psnr_ok"]
 ARTIFACT_COLS = ["artifact_kind", "backref", "url", "payload", "artifact_mime",
                  "round", "url_hash"]
 RENDER_COLS = ["url_hash", "url", "host", "proxy", "round", "ts"]

@@ -72,6 +72,60 @@ def test_pages_equal(engine_run, oracle_run):
     assert got == want
 
 
+def test_requests_metadata_equal(engine_run, oracle_run):
+    """Requests metadata columns (ref darc/submit.py:415-482): method,
+    request/response headers, cookies and per-hop history (url, status,
+    reason, headers) must match the oracle exactly."""
+    eng, _ = engine_run
+    pages = eng.pages_table()
+
+    def norm_map(m):
+        # parquet map columns read back as list of (k, v) tuples
+        return tuple(sorted(tuple(kv) for kv in (m or [])))
+
+    def norm_hist(h):
+        return tuple((d["url"], d["status"], d["reason"],
+                      norm_map(d["headers"])) for d in (h or []))
+
+    got = {(r["url_hash"], r["round"]):
+           (r["method"], norm_map(r["request_headers"]),
+            norm_map(r["response_headers"]), norm_map(r["cookies"]),
+            norm_map(r["session_cookies"]), norm_hist(r["history"]))
+           for r in pages.to_pylist()}
+    want = {(p["url_hash"], p["round"]):
+            (p["method"], norm_map(p["request_headers"]),
+             norm_map(p["response_headers"]), norm_map(p["cookies"]),
+             norm_map(p["session_cookies"]), norm_hist(p["history"]))
+            for p in oracle_run.pages}
+    assert got == want
+    # when a crawled URL redirected, per-hop Location headers must be
+    # present (hop coverage itself is unit-tested in test_request_meta)
+    with_hops = [v[5] for v in got.values() if v[5]]
+    assert all(any(k == "Location" for k, _ in hop[3])
+               for hops in with_hops for hop in hops)
+
+
+def test_request_meta_hops():
+    """Unit: redirect chains synthesize per-hop reason + Location
+    headers pointing at the next hop (ref RequestsHistoryModel,
+    darc/model/web/requests.py:74-103)."""
+    from darc_ray.stages.fetch import request_meta
+
+    meta = request_meta("text/html", b"<html/>",
+                        [("http://a/1", 301), ("http://a/2", 301)],
+                        "http://a/final")
+    assert meta["method"] == "GET"
+    assert [h["url"] for h in meta["history"]] == ["http://a/1", "http://a/2"]
+    assert [dict(h["headers"])["Location"] for h in meta["history"]] == \
+        ["http://a/2", "http://a/final"]
+    assert all(h["reason"] == "Moved Permanently" for h in meta["history"])
+    assert dict(meta["response_headers"])["Content-Type"] == "text/html"
+    # extras override (site-hook cookie injection, demo mysite.py)
+    meta2 = request_meta("text/html", b"", [], "http://a/",
+                         {"session_cookies": {"SessionID": "fake"}})
+    assert dict(meta2["session_cookies"]) == {"SessionID": "fake"}
+
+
 def test_edges_equal(engine_run, oracle_run):
     eng, _ = engine_run
     pages = eng.pages_table()

@@ -177,6 +177,40 @@ def test_proxy_session_factory(corpus, registries, ray_session, tmp_path_factory
     eng.shutdown()
 
 
+def test_cookie_injecting_site(corpus, registries, ray_session,
+                               tmp_path_factory):
+    """demo/docs/mysite.py cookie injection: the hook returns a 5-tuple
+    with extras; cookies land in the pages table's metadata columns."""
+    c, cpath = corpus
+
+    def make_site():
+        class CookieSite(BaseSite):
+            hostname = ["h000.example"]
+
+            @staticmethod
+            def crawler(timestamp, session, row):
+                status, mime, body, history = session(row["url"])
+                return status, mime, body, history, {
+                    "session_cookies": {"SessionID": "fake-session-id-value"},
+                    "cookies": {"served-by": "hook"}}
+
+        return CookieSite
+
+    register_sites(make_site())
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("cookieout")), _cfg())
+    eng.seed(c.seeds)
+    eng.run(4)
+    pages = eng.pages_table().to_pylist()
+    h0 = [p for p in pages if p["host"] == "h000.example"]
+    rest = [p for p in pages if p["host"] != "h000.example"]
+    assert h0 and all(dict(p["session_cookies"]) ==
+                      {"SessionID": "fake-session-id-value"} for p in h0)
+    assert all(dict(p["cookies"]) == {"served-by": "hook"} for p in h0)
+    assert rest and all(not p["cookies"] and not p["session_cookies"]
+                        for p in rest)
+    eng.shutdown()
+
+
 def test_round_hooks_worker_break(corpus, registries, ray_session,
                                   tmp_path_factory):
     """Mirror of demo/docs/hooks.py: hooks see each round's pool; a
