@@ -46,6 +46,11 @@ class CrawlConfig:
                                  # filters then apply at fetch time, darc/crawl.py:119-127)
     check_ng: bool = False       # HEAD-probe content-type pre-filter (CHECK_NG,
                                  # darc/parse.py:186-241); implies check
+    check_ng_rewrite: bool = False  # replace a probed candidate by the HEAD
+                                 # probe's final (post-redirect) URL, ref
+                                 # darc/parse.py:240 parse_link(response.
+                                 # request.url); queue accounting: old hash
+                                 # dropped, final URL enqueued leased
     max_depth: int = -1          # -1 = unbounded (engine extension; reference has none)
 
     # --- engine layout (Ray-native knobs; no reference equivalent)

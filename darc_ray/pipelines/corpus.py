@@ -98,6 +98,18 @@ class Corpus:
             return status, mime, body, history
         return 508, "text/html", b"", history  # redirect loop guard
 
+    def resolve(self, url: str, max_hops: int = 5) -> str:
+        """Final URL after following redirects (the HEAD probe's
+        ``response.request.url``, ref darc/parse.py:240)."""
+        idx = self.index()
+        cur = url
+        for _ in range(max_hops):
+            row = idx.get(cur)
+            if row is None or not row[3]:
+                return cur
+            cur = row[3]
+        return cur
+
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)

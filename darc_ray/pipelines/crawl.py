@@ -276,14 +276,21 @@ class CrawlEngine:
                 from darc_ray.functions.filters import keep_mime_mask
 
                 final = []
+                rewrite_map: dict[int, str] = {}
                 for j, i in enumerate(idxs):
-                    status, mime = probes[j]
+                    status, mime, final_url = probes[j]
                     if status == 0:                  # HEAD failed, no response
                         continue
                     if not keep_mime_mask([mime], cfg)[0]:
                         continue
+                    if cfg.check_ng_rewrite and final_url != pool["url"][i]:
+                        rewrite_map[i] = final_url
                     final.append(i)
-                pool = {c: [pool[c][i] for i in final] for c in POOL_COLS}
+                if rewrite_map:
+                    pool = self._apply_rewrites(pool, final, rewrite_map,
+                                                now + ttl, self.frontier)
+                else:
+                    pool = {c: [pool[c][i] for i in final] for c in POOL_COLS}
                 n_taken = len(pool["url_hash"])
             elif cfg.check:
                 keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
@@ -475,12 +482,19 @@ class CrawlEngine:
             from darc_ray.functions.filters import keep_mime_mask
 
             final = []
+            rewrite_map: dict[int, str] = {}
             for j, i in enumerate(idxs):
-                status, mime = probes[j]
+                status, mime, final_url = probes[j]
                 if status == 0 or not keep_mime_mask([mime], cfg)[0]:
                     continue
+                if cfg.check_ng_rewrite and final_url != pool["url"][i]:
+                    rewrite_map[i] = final_url
                 final.append(i)
-            pool = {c: [pool[c][i] for i in final] for c in POOL_COLS}
+            if rewrite_map:
+                pool = self._apply_rewrites(pool, final, rewrite_map,
+                                            now + ttl, self.render_frontier)
+            else:
+                pool = {c: [pool[c][i] for i in final] for c in POOL_COLS}
             n = len(pool["url_hash"])
             if not n:
                 return metrics
@@ -533,13 +547,14 @@ class CrawlEngine:
         metrics["dropped"] = len(drops)
         return metrics
 
-    def _probe_mime(self, hosts: list[str], urls: list[str]) -> list[tuple[int, str]]:
+    def _probe_mime(self, hosts: list[str], urls: list[str]
+                    ) -> list[tuple[int, str, str]]:
         """Batched HEAD probes via the host shards (keeps the fetch
-        fabric off the driver)."""
+        fabric off the driver); returns (status, mime, final_url)."""
         import ray
 
         sid = host_shard_of(hosts, len(self.hosts))
-        result: list[tuple[int, str]] = [(0, "")] * len(urls)
+        result: list[tuple[int, str, str]] = [(0, "", u) for u in urls]
         futures, order = [], []
         for s in range(len(self.hosts)):
             idx = [i for i, v in enumerate(sid) if v == s]
@@ -551,6 +566,69 @@ class CrawlEngine:
             for i, val in zip(idx, got):
                 result[i] = tuple(val)
         return result
+
+    def _apply_rewrites(self, pool: dict[str, list], final: list[int],
+                        rewrite_map: dict[int, str], lease_score: float,
+                        shards: list) -> dict[str, list]:
+        """CHECK_NG redirect rewrite (ref darc/parse.py:236-241): the
+        probed candidate is replaced by the probe's final URL
+        (``parse_link(response.request.url)``).  Queue accounting (the
+        part the reference leaves implicit): the OLD hash is dropped
+        from the frontier and the final URL is enqueued leased
+        (score=now+ttl), so the frontier tracks what is actually being
+        crawled.  Pool rows deduplicate by new hash, first (pop-order)
+        wins.  Returns the filtered+rewritten pool."""
+        import ray
+
+        pool = {c: [pool[c][i] for i in final] for c in POOL_COLS}
+        pos = [p for p, i in enumerate(final) if i in rewrite_map]
+        new_urls = [rewrite_map[final[p]] for p in pos]
+        cols = parse_batch(new_urls)
+        hashes = sha256_hex(new_urls)
+        old_hashes = sorted({pool["url_hash"][p] for p in pos})
+        for k, p in enumerate(pos):
+            pool["url"][p] = new_urls[k]
+            pool["url_hash"][p] = hashes[k]
+            pool["proxy"][p] = cols["proxy"][k]
+            pool["scheme"][p] = cols["scheme"][k]
+            pool["host"][p] = cols["host"][k]
+            pool["base_host"][p] = cols["base_host"][k]
+            # backref / depth / score inherited from the original row
+        # dedupe (a rewrite target may collide with another pool row)
+        seen: set[str] = set()
+        keep_rows = []
+        for p in range(len(pool["url_hash"])):
+            hh = pool["url_hash"][p]
+            if hh not in seen:
+                seen.add(hh)
+                keep_rows.append(p)
+        if len(keep_rows) != len(pool["url_hash"]):
+            pool = {c: [pool[c][p] for p in keep_rows] for c in POOL_COLS}
+        # frontier accounting: drop old hashes, enqueue finals leased
+        sid = shard_of(old_hashes, len(shards))
+        futures = []
+        for s, idx in enumerate(group_indices(sid, len(shards))):
+            if len(idx):
+                futures.append(shards[s].drop.remote(
+                    [old_hashes[i] for i in idx]))
+        by_hash = {pool["url_hash"][p]: p for p in range(len(pool["url_hash"]))}
+        sub = {"url_hash": hashes, "url": new_urls,
+               "proxy": list(cols["proxy"]), "scheme": list(cols["scheme"]),
+               "host": list(cols["host"]), "base_host": list(cols["base_host"]),
+               "backref": [pool["backref"][by_hash[h]] if h in by_hash else ""
+                           for h in hashes],
+               "depth": [pool["depth"][by_hash[h]] if h in by_hash else 0
+                         for h in hashes]}
+        nsid = shard_of(hashes, len(shards))
+        for s, idx in enumerate(group_indices(nsid, len(shards))):
+            if len(idx):
+                futures.append(shards[s].upsert.remote(
+                    {c: [sub[c][i] for i in idx] for c in
+                     ("url_hash", "url", "proxy", "scheme", "host",
+                      "base_host", "backref", "depth")},
+                    lease_score, False))
+        ray.get(futures)
+        return pool
 
     def _scatter_scores_on(self, shards: list, hashes: list[str], score: float) -> None:
         import ray

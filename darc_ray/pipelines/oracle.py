@@ -161,12 +161,32 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
             kept = [hh for i, hh in enumerate(taken)
                     if keep_h[i] and keep_p[i] and rows[hh][2] in ("http", "https")]
             taken = []
+            taken_set: set[str] = set()
             for hh in kept:
                 status, mime, _b, _h2 = corpus.lookup(rows[hh][0])
                 if status == 0:
                     continue
                 if not keep_mime_mask([mime], cfg)[0]:
                     continue
+                # CHECK_NG redirect rewrite (parse.py:236-241): replace
+                # the candidate by the probe's final URL; drop old hash,
+                # enqueue final leased
+                if cfg.check_ng_rewrite:
+                    final_url = corpus.resolve(rows[hh][0])
+                    if final_url != rows[hh][0]:
+                        old = rows[hh]
+                        new_hh = _sha(final_url)
+                        frontier.pop(hh, None)
+                        p = parse_one(final_url)
+                        frontier[new_hh] = [final_url, p.proxy, p.scheme,
+                                            p.host, p.base_host, old[5],
+                                            now + ttl, old[7]]
+                        res.seen.add(new_hh)
+                        rows[new_hh] = list(frontier[new_hh])
+                        hh = new_hh
+                if hh in taken_set:          # rewrite collisions: first wins
+                    continue
+                taken_set.add(hh)
                 taken.append(hh)
         elif cfg.check:
             keep_h = keep_host_mask([rows[hh][3] for hh in taken], cfg)
@@ -340,10 +360,28 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 kept = [hh for i, hh in enumerate(r_taken)
                         if kh[i] and kp[i] and r_rows[hh][2] in ("http", "https")]
                 r_taken = []
+                r_taken_set: set[str] = set()
                 for hh in kept:
                     status, mime, _b, _h2 = corpus.lookup(r_rows[hh][0])
                     if status == 0 or not keep_mime_mask([mime], cfg)[0]:
                         continue
+                    if cfg.check_ng_rewrite:
+                        final_url = corpus.resolve(r_rows[hh][0])
+                        if final_url != r_rows[hh][0]:
+                            old = r_rows[hh]
+                            new_hh = _sha(final_url)
+                            render_frontier.pop(hh, None)
+                            p = parse_one(final_url)
+                            render_frontier[new_hh] = [final_url, p.proxy,
+                                                       p.scheme, p.host,
+                                                       p.base_host, old[5],
+                                                       now + ttl, old[7]]
+                            res.render_seen.add(new_hh)
+                            r_rows[new_hh] = list(render_frontier[new_hh])
+                            hh = new_hh
+                    if hh in r_taken_set:
+                        continue
+                    r_taken_set.add(hh)
                     r_taken.append(hh)
             elif cfg.check:
                 kh = keep_host_mask([r_rows[hh][3] for hh in r_taken], cfg)

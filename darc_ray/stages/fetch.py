@@ -238,6 +238,21 @@ class CorpusFetchFn:
     def __call__(self, url: str) -> tuple[int, str, bytes, list[tuple[str, int]]]:
         return self._index().lookup(url)
 
+    def resolve(self, url: str, max_hops: int = 5) -> str:
+        """Final URL after following the fabric's redirect chain — the
+        HEAD probe's ``response.request.url`` (ref darc/parse.py:240)."""
+        idx = self._index()
+        cur = url
+        for _ in range(max_hops):
+            i = idx.ix.get(cur)
+            if i is None:
+                return cur
+            nxt = idx.redirect[i].as_py()
+            if not nxt:
+                return cur
+            cur = nxt
+        return cur
+
 
 class _Events:
     """Column accumulator for EVENT_SCHEMA rows."""

@@ -186,18 +186,23 @@ class HostShard:
         return out
 
     # -- HEAD probe (CHECK_NG, darc/parse.py:186-241) ------------------------
-    def probe_mime(self, urls: list[str]) -> list[tuple[int, str]]:
-        """HEAD-request analog over the fetch fabric: (status, mime)
-        per url, redirects followed.  Unlike the reference we do NOT
-        rewrite the link to the redirect target (parse.py:240 does,
-        which desyncs queue accounting — documented divergence)."""
+    def probe_mime(self, urls: list[str]) -> list[tuple[int, str, str]]:
+        """HEAD-request analog over the fetch fabric: (status, mime,
+        final_url) per url, redirects followed.  ``final_url`` is the
+        probe's post-redirect URL; the engine rewrites the candidate to
+        it only when ``check_ng_rewrite`` is set (ref darc/parse.py:240
+        — queue accounting resolved by drop-old/enqueue-new)."""
         out = []
         for u in urls:
             if self.fetch_fn is None:
-                out.append((0, ""))
+                out.append((0, "", u))
                 continue
             status, mime, _body, _h = self.fetch_fn(u)
-            out.append((status, mime))
+            final = u
+            resolve = getattr(self.fetch_fn, "resolve", None)
+            if resolve is not None:
+                final = resolve(u)
+            out.append((status, mime, final))
         return out
 
     # -- politeness ---------------------------------------------------------

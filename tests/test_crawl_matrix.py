@@ -28,6 +28,11 @@ CONFIGS = {
     # forced attr-store spilling: 16-row hot cap per shard pushes most
     # frontier attrs to parquet runs — cold-path pops must stay exact
     "spilled_frontier": dict(frontier_resident_rows=16, render_enabled=True),
+    # CHECK_NG redirect rewrite (ref darc/parse.py:236-241): probed
+    # candidates are replaced by the probe's final URL; old hash
+    # dropped, final enqueued leased — engine and oracle must agree
+    "check_ng_redirect_rewrite": dict(check_ng=True, check_ng_rewrite=True,
+                                      render_enabled=True),
 }
 
 
@@ -46,7 +51,8 @@ def test_variant_matches_oracle(variant, corpus, ray_session, tmp_path_factory):
                 fetch_concurrency=2, fetch_batch_size=16, snapshot_every=0)
     base.update(CONFIGS[variant])
     cfg = CrawlConfig(**base)
-    rounds = 10 if variant == "mime_filtered_deep" else 7
+    rounds = 10 if variant in ("mime_filtered_deep",
+                               "check_ng_redirect_rewrite") else 7
     out = str(tmp_path_factory.mktemp(variant))
     eng = CrawlEngine(cpath, out, cfg)
     eng.seed(c.seeds)
@@ -65,6 +71,39 @@ def test_variant_matches_oracle(variant, corpus, ray_session, tmp_path_factory):
     got_arts = sorted((r["proxy"], r["src"], r["url"])
                       for r in (arts.to_pylist() if arts is not None else []))
     assert got_arts == sorted(want.artifacts), variant
+    eng.shutdown()
+
+
+def test_check_ng_rewrite_replaces_candidate(corpus, ray_session,
+                                             tmp_path_factory):
+    """The redirecting candidate is actually rewritten: its hash enters
+    the seen set but is dropped from the live frontier, and no page is
+    ever fetched under the pre-redirect URL (parse.py:240)."""
+    import hashlib
+
+    import ray
+
+    c, cpath = corpus
+    src = "http://t001oooooooooooooooooooooooooooooooooooooooooooooooo.onion/p001.html"
+    dst = c.resolve(src)
+    assert dst != src, "corpus must contain a redirect for this test"
+    cfg = CrawlConfig(max_pool=40, time_cache=2.0, seen_shards=3, host_shards=2,
+                      fetch_concurrency=2, fetch_batch_size=16, snapshot_every=0,
+                      check_ng=True, check_ng_rewrite=True)
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("rw")), cfg)
+    eng.seed(c.seeds)
+    eng.run(10)
+    src_hash = hashlib.sha256(src.encode()).hexdigest()
+    seen = set(eng.seen_hashes())
+    assert src_hash in seen          # it was discovered and enqueued
+    # the pre-redirect URL is never fetched — every pop of it is
+    # rewritten to the final URL before the crawl (the old hash may
+    # legitimately re-enter the frontier via later re-extraction, as in
+    # the reference's nx re-add after drop)
+    pages = eng.pages_table()
+    urls = {r["url"] for r in pages.to_pylist()}
+    assert src not in urls and dst in urls
+    assert any(u == src for _, u in eng.pop_log)  # popped, then rewritten
     eng.shutdown()
 
 
