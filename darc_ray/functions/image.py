@@ -9,11 +9,13 @@ No image libraries exist in this environment, so:
 * **PNG** is a real, self-contained codec over ``zlib`` (8-bit RGB,
   non-interlaced; decoder handles scanline filters 0-4, encoder emits
   filter 0).  Bit-exact round-trip, tested.
-* **JPEG is a STUB**: a clearly-marked deterministic fake lossy codec
-  (``FJPG`` container, 6-bit/channel quantization + zlib).  It stands
-  in for a real JPEG codec in the Ray-side plumbing — schema, batch
-  shapes, PSNR gates are real; bytes are not JPEG.  Feeding real JPEG
-  bytes (``FF D8``) raises ``NotImplementedError``.
+* **JPEG (real)**: ``FF D8`` payloads route to the self-contained
+  baseline codec in :mod:`darc_ray.functions.jpeg` (T.81 SOF0 Huffman
+  decode incl. 4:2:0/4:2:2 sampling and restart markers; 4:4:4
+  encoder) — validated against libjpeg-produced files.
+* **FJPG stub**: the deterministic fake lossy codec (6-bit/channel
+  quantization + zlib) remains the synthetic-corpus format so corpus
+  bytes stay reproducible byte-for-byte across numpy versions.
 
 All kernels are numpy-vectorized per image and run inside
 ``map_batches`` actor-pool stages (decode once per row, amortized
@@ -128,10 +130,6 @@ def fake_jpeg_encode(pixels: np.ndarray) -> bytes:
 
 
 def fake_jpeg_decode(data: bytes) -> np.ndarray:
-    if data.startswith(_JPEG_REAL_MAGIC):
-        raise NotImplementedError(
-            "real JPEG decode needs an image library not present in this "
-            "environment; the FJPG stub stands in (see module docstring)")
     if not data.startswith(FAKE_JPEG_MAGIC):
         raise ValueError("not an FJPG payload")
     w, h = struct.unpack_from(">II", data, 4)
@@ -144,6 +142,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":
+        if data.startswith(b"\xff\xd8"):       # real JPEG payload
+            from darc_ray.functions.jpeg import jpeg_decode
+
+            return jpeg_decode(data)
         return fake_jpeg_decode(data)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
@@ -152,8 +154,22 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(pixels)
     if fmt == "jpeg":
-        return fake_jpeg_encode(pixels)
+        return fake_jpeg_encode(pixels)        # synthetic-corpus default
+    if fmt == "jpeg_real":
+        from darc_ray.functions.jpeg import jpeg_encode
+
+        return jpeg_encode(pixels)
     raise ValueError(f"unknown image fmt {fmt!r}")
+
+
+def lossy_roundtrip(pixels: np.ndarray, data: bytes, fmt: str) -> np.ndarray:
+    """Re-encode/decode with the codec family the payload actually
+    used (the fetch-time PSNR-gate round trip, input_hint invariant)."""
+    if fmt == "jpeg" and data.startswith(b"\xff\xd8"):
+        from darc_ray.functions.jpeg import jpeg_decode, jpeg_encode
+
+        return jpeg_decode(jpeg_encode(pixels, quality=95))
+    return decode(encode(pixels, fmt), fmt)
 
 
 # --------------------------------------------------------------------------

@@ -155,7 +155,7 @@ def check_image_payload(body: bytes, mime: str) -> tuple[int, bool]:
         fmt = mime.split("/", 1)[1]
         pix = img.decode(body, fmt)
         ph = img.phash64(pix)
-        rt = img.decode(img.encode(pix, fmt), fmt)
+        rt = img.lossy_roundtrip(pix, body, fmt)
         p = img.psnr(pix, rt)
         return ph, bool(p == float("inf") or p >= 40.0)
     except Exception:

@@ -68,8 +68,12 @@ def test_fake_jpeg_psnr_above_gate():
     assert psnr(img, out) >= 40.0
 
 
-def test_real_jpeg_raises_not_implemented():
-    with pytest.raises(NotImplementedError):
+def test_corrupt_payloads_raise():
+    # real-magic-but-truncated data fails loudly in the real decoder
+    with pytest.raises(ValueError):
+        decode(b"\xff\xd8\xff\xe0junk", "jpeg")
+    # the FJPG stub only accepts its own container
+    with pytest.raises(ValueError):
         fake_jpeg_decode(b"\xff\xd8\xff\xe0junk")
 
 
@@ -103,3 +107,77 @@ def test_phash_int64_range():
     img = _image(5)
     v = phash64(img)
     assert -(1 << 63) <= v < (1 << 63)
+
+
+# -------------------------------------------------------------- real JPEG
+def _smooth_image(h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        128 + 100 * np.sin(2 * np.pi * xx / w),
+        128 + 100 * np.cos(2 * np.pi * yy / h),
+        (xx * 255 // w).astype(float)], axis=-1).clip(0, 255).astype(np.uint8)
+
+
+def test_real_jpeg_roundtrip_psnr():
+    """Baseline T.81 codec: encode→decode stays above the 40 dB gate
+    for natural-shaped images (VERDICT r1 missing #8)."""
+    from darc_ray.functions.jpeg import jpeg_decode, jpeg_encode
+
+    img = _smooth_image()
+    data = jpeg_encode(img, quality=92)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = jpeg_decode(data)
+    assert out.shape == img.shape
+    assert psnr(img, out) >= 40.0
+
+
+def test_real_jpeg_odd_dims_and_flat():
+    from darc_ray.functions.jpeg import jpeg_decode, jpeg_encode
+
+    flat = np.full((17, 23, 3), 77, dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(flat, quality=85))
+    assert out.shape == (17, 23, 3)
+    assert psnr(flat, out) == float("inf")
+
+
+def test_decode_dispatches_real_jpeg():
+    """image.decode routes FF D8 payloads to the real codec and FJPG
+    payloads to the stub."""
+    from darc_ray.functions.jpeg import jpeg_encode
+
+    img = _smooth_image(24, 24)
+    real = decode(jpeg_encode(img, quality=92), "jpeg")
+    assert psnr(img, real) >= 40.0
+    stub = decode(encode(img, "jpeg"), "jpeg")
+    assert psnr(img, stub) >= 40.0
+
+
+def test_check_image_payload_real_jpeg_body():
+    """Fetch-time invariant on a real JPEG body: decodes, hashes, and
+    passes the PSNR >= 40 dB re-encode gate."""
+    from darc_ray.functions.jpeg import jpeg_encode
+    from darc_ray.stages.fetch import check_image_payload
+
+    img = _smooth_image()
+    body = jpeg_encode(img, quality=92)
+    ph, ok = check_image_payload(body, "image/jpeg")
+    assert ok and ph != 0
+    # note: no phash-proximity assertion — pure-sinusoid test images
+    # have sparse DCTs where near-median coefficients flip freely
+
+
+def test_decode_external_libjpeg_file():
+    """Interop: a libjpeg-produced file from the CPython test corpus
+    decodes (4:2:0 sampling path)."""
+    import os
+
+    path = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/imghdrdata/python.jpg")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("external fixture not present")
+    with open(path, "rb") as f:
+        img = decode(f.read(), "jpeg")
+    assert img.shape == (16, 16, 3)
+    assert img.std() > 10            # real content, not a flat artifact
