@@ -61,6 +61,24 @@ def _pool_rows(pool: dict[str, list]) -> list[dict]:
     return [{c: pool[c][i] for c in POOL_COLS} for i in range(n)]
 
 
+def _merge_pops(pops: list[dict[str, list]], budget: int) -> dict[str, list]:
+    """Merge per-shard pops into the global top-budget pool in
+    (score, url_hash) order.  Vectorized lexsort beats a pure-Python
+    k-way heap merge here: one C sort + one reindex pass instead of
+    per-row tuple traffic (measured)."""
+    merged: dict[str, list] = {c: [] for c in POOL_COLS}
+    for p in pops:
+        for c in POOL_COLS:
+            merged[c].extend(p[c])
+    n = len(merged["url_hash"])
+    if n:
+        order = np.lexsort((np.array(merged["url_hash"], dtype=object),
+                            np.array(merged["score"], dtype=np.float64)))
+        order = order[:budget]
+        merged = {c: [merged[c][i] for i in order] for c in POOL_COLS}
+    return merged
+
+
 class CrawlEngine:
     """Driver-side round loop owning the actor fleet.
 
@@ -213,17 +231,8 @@ class CrawlEngine:
 
         # ---- 1. pop: per-shard top-k, merge, global (score, url_hash) order
         pops = ray.get([s.pop_candidates.remote(now, ttl, budget) for s in self.frontier])
-        merged: dict[str, list] = {c: [] for c in POOL_COLS}
-        for p in pops:
-            for c in POOL_COLS:
-                merged[c].extend(p[c])
+        merged = _merge_pops(pops, budget)
         n_pop = len(merged["url_hash"])
-        if n_pop:
-            order = np.lexsort((np.array(merged["url_hash"], dtype=object),
-                                np.array(merged["score"], dtype=np.float64)))
-            order = order[:budget]
-            merged = {c: [merged[c][i] for i in order] for c in POOL_COLS}
-            n_pop = len(merged["url_hash"])
         metrics["popped"] = n_pop
         _mark(metrics, "t_pop")
 
@@ -449,17 +458,8 @@ class CrawlEngine:
 
         pops = ray.get([s.pop_candidates.remote(now, ttl, budget)
                         for s in self.render_frontier])
-        merged: dict[str, list] = {c: [] for c in POOL_COLS}
-        for p in pops:
-            for c in POOL_COLS:
-                merged[c].extend(p[c])
+        merged = _merge_pops(pops, budget)
         n = len(merged["url_hash"])
-        if n:
-            order = np.lexsort((np.array(merged["url_hash"], dtype=object),
-                                np.array(merged["score"], dtype=np.float64)))
-            order = order[:budget]
-            merged = {c: [merged[c][i] for i in order] for c in POOL_COLS}
-            n = len(merged["url_hash"])
         metrics["popped"] = metrics["taken"] = n
         self.render_pop_log.extend((t, u) for u in merged["url"])
         self._last_render_pool = merged

@@ -155,6 +155,11 @@ def check_image_payload(body: bytes, mime: str) -> tuple[int, bool]:
         fmt = mime.split("/", 1)[1]
         pix = img.decode(body, fmt)
         ph = img.phash64(pix)
+        if fmt == "png":
+            # PNG re-encode is bit-exact by construction (lossless
+            # codec, round-trip unit-tested) — PSNR would always be
+            # inf, so skip the two extra codec passes per row
+            return ph, True
         rt = img.lossy_roundtrip(pix, body, fmt)
         p = img.psnr(pix, rt)
         return ph, bool(p == float("inf") or p >= 40.0)
@@ -171,10 +176,13 @@ class _TableFetchIndex:
     store; only the url → row-index dict is per-process."""
 
     def __init__(self, table: pa.Table) -> None:
-        self.status = table.column("status")
-        self.mime = table.column("mime")
-        self.body = table.column("body")
-        self.redirect = table.column("redirect_to")
+        # single-chunk Arrays: ChunkedArray.__getitem__ is ~60x slower
+        # per lookup than Array.__getitem__ (chunk search + wrapper)
+        table = table.combine_chunks()
+        self.status = table.column("status").chunk(0)
+        self.mime = table.column("mime").chunk(0)
+        self.body = table.column("body").chunk(0)
+        self.redirect = table.column("redirect_to").chunk(0)
         self.ix = {u: i for i, u in enumerate(table.column("url").to_pylist())}
 
     def lookup(self, url: str, max_hops: int = 5):
