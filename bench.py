@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "token_counts", "ann_brute", "minhash_dedup", "simhash",
     "embedding_dups", "image_features", "quality", "windowed_counts",
     "asof_join", "hash_sample", "customer_nation_revenue",
+    "shuffle_join", "asof_partitioned", "sessionize", "group_topk",
+    "quantiles", "argmax_dedup",
 ]
 
 CORPUS_SEED = 42

@@ -450,6 +450,215 @@ GROUP BY n_name
 """
 
 
+def q_shuffle_join(sf_dir: str) -> pd.DataFrame:
+    """Large × large hash join (``Dataset.join``, hash-partitioned on
+    both sides): lineitem ⋈ orders on orderkey, rolled up to monthly
+    revenue.  The path broadcast joins can't take — neither side fits
+    one object — every block moves once, keyed by the join column."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = li.join(orders, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["o_orderdate"].dt.strftime("%Y-%m")
+        # integer-cent revenue: float summation order differs between
+        # engines at cent precision; integer sums are exact on both.
+        # floor(x+0.5) (not .round()) — numpy rounds half-to-even,
+        # DuckDB half-away; floor matches bit-for-bit
+        rev_c = np.floor(df["l_extendedprice"] * (1 - df["l_discount"]) * 100
+                         + 0.5).astype("int64")
+        g = (pd.DataFrame({"month": month, "revenue_c": rev_c, "n": 1})
+             .groupby("month", as_index=False).agg(revenue_c=("revenue_c", "sum"),
+                                                   n=("n", "sum")))
+        return g
+
+    out = (j.map_batches(partial, batch_format="pandas", batch_size=65536)
+           .groupby("month")
+           .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    out["revenue"] = (out.pop("revenue_c") / 100.0).round(2)
+    return out[["month", "revenue", "n"]]
+
+
+SQL_SHUFFLE_JOIN = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) / 100.0, 2) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY month
+"""
+
+
+def q_asof_partitioned(sf_dir: str) -> pd.DataFrame:
+    """Range-partitioned as-of join — the scale path for when the
+    orders side stops being broadcastable (VERDICT r1): both sides are
+    tagged and unioned, ONE hash shuffle co-locates each key's rows,
+    and a per-group ``merge_asof`` runs inside ``map_groups``.  Output
+    is identical to the broadcast flavor (same SQL oracle)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["user_id"], "t": df["ts"], "event_id": df["event_id"],
+            "side": 0}),
+        batch_format="pandas")
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["o_custkey"], "t": df["o_orderdate"],
+            "event_id": -1, "side": 1}),
+        batch_format="pandas")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        left = (df[df["side"] == 0][["event_id", "t"]]
+                .sort_values("t", kind="mergesort"))
+        right = (df[df["side"] == 1][["t"]]
+                 .sort_values("t", kind="mergesort")
+                 .rename(columns={"t": "asof"}))
+        if not len(left) or not len(right):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "asof_us": pd.Series(dtype="int64")})
+        m = pd.merge_asof(left, right, left_on="t", right_on="asof")
+        m = m[m["asof"].notna()]
+        return pd.DataFrame({
+            "event_id": m["event_id"],
+            "asof_us": m["asof"].astype("datetime64[us]").astype("int64")})
+
+    return (ev.union(od).groupby("key")
+            .map_groups(per_key, batch_format="pandas")
+            .to_pandas())
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Sessionization (30-min inactivity gap) — the classic streaming
+    window op: hash shuffle by user, per-group sort + vectorized gap
+    cumsum, aggregated to (session_start, n_events) rows."""
+    gap_us = 30 * 60 * 1_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="mergesort")
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new_s = np.ones(len(t), dtype=np.int64)
+        new_s[1:] = (t[1:] - t[:-1]) > gap_us
+        sid = np.cumsum(new_s)
+        g = (pd.DataFrame({"user_id": df["user_id"].to_numpy(), "sid": sid,
+                           "ts_us": t})
+             .groupby(["user_id", "sid"], as_index=False)
+             .agg(session_start_us=("ts_us", "min"), n_events=("ts_us", "size")))
+        return g[["user_id", "session_start_us", "n_events"]]
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas")
+            .to_pandas())
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_group_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-3 longest documents per lang — grouped top-k with a
+    per-batch partial top-k combiner BEFORE the shuffle, so only
+    ≤ 3×langs rows per batch move (the scale pattern for any
+    top-k-per-key at 100 TB)."""
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"lang": df["lang"], "doc_id": df["doc_id"],
+                          "text_len": df["text"].str.len().astype("int64")})
+        d = d.sort_values(["lang", "text_len", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return d.groupby("lang", as_index=False).head(3)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["text_len", "doc_id"], ascending=[False, True],
+                           kind="mergesort")
+        return d.head(3)
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
+            .map_batches(partial_topk, batch_format="pandas", batch_size=32768)
+            .groupby("lang").map_groups(final_topk, batch_format="pandas")
+            .to_pandas())
+
+
+SQL_GROUP_TOPK = """
+SELECT lang, doc_id, text_len FROM (
+  SELECT lang, doc_id, length(text) AS text_len,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY length(text) DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3
+"""
+
+
+def q_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact quantiles (p50/p90/p99, linear interpolation —
+    DuckDB ``quantile_cont`` semantics).  Groups are few (event types),
+    values co-shuffle once; at larger cardinality the same stage runs
+    over a t-digest partial instead."""
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        q = np.quantile(v, [0.5, 0.9, 0.99])
+        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
+                             "p50": [round(q[0], 6)], "p90": [round(q[1], 6)],
+                             "p99": [round(q[2], 6)]})
+
+    return (_read(sf_dir, "events", ["event_type", "value"])
+            .groupby("event_type").map_groups(per_type, batch_format="pandas")
+            .to_pandas())
+
+
+SQL_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_argmax_dedup(sf_dir: str) -> pd.DataFrame:
+    """Keep-newest dedup (argmax row per key): per-batch partial
+    lexicographic max of (ts, event_id) per user — O(users/batch) rows
+    shuffle — then the same max across batches."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"user_id": df["user_id"],
+                          "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                          "event_id": df["event_id"]})
+        d = d.sort_values(["ts_us", "event_id"], kind="mergesort")
+        return d.groupby("user_id", as_index=False).last()
+
+    out = (_read(sf_dir, "events", ["event_id", "user_id", "ts"])
+           .map_batches(partial, batch_format="pandas", batch_size=65536)
+           .groupby("user_id").map_groups(
+               lambda df: df.sort_values(["ts_us", "event_id"],
+                                         kind="mergesort").tail(1),
+               batch_format="pandas")
+           .to_pandas())
+    return out.rename(columns={"ts_us": "last_ts_us"})
+
+
+SQL_ARGMAX_DEDUP = """
+SELECT e.user_id, epoch_us(e.ts) AS last_ts_us, max(e.event_id) AS event_id
+FROM events e JOIN (SELECT user_id, max(ts) AS mt FROM events GROUP BY user_id) m
+  ON e.user_id = m.user_id AND e.ts = m.mt
+GROUP BY e.user_id, e.ts
+"""
+
+
 # =====================================================================
 # Rows-only (non-SQL-expressible; driver records row-count check)
 # =====================================================================
@@ -636,6 +845,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_join": q_asof_join,
     "hash_sample": q_hash_sample,
     "customer_nation_revenue": q_customer_nation_revenue,
+    "shuffle_join": q_shuffle_join,
+    "asof_partitioned": q_asof_partitioned,
+    "sessionize": q_sessionize,
+    "group_topk": q_group_topk,
+    "quantiles": q_quantiles,
+    "argmax_dedup": q_argmax_dedup,
     # rows-only
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -672,4 +887,10 @@ ORACLE_SQL: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "hash_sample": SQL_HASH_SAMPLE,
     "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,
+    "shuffle_join": SQL_SHUFFLE_JOIN,
+    "asof_partitioned": SQL_ASOF_JOIN,       # same contract as the broadcast flavor
+    "sessionize": SQL_SESSIONIZE,
+    "group_topk": SQL_GROUP_TOPK,
+    "quantiles": SQL_QUANTILES,
+    "argmax_dedup": SQL_ARGMAX_DEDUP,
 }
