@@ -764,6 +764,41 @@ def q_image_features(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal audio: synth WAV clips (real PCM16 codec) seeded by
+    doc ids → actor-pool decode/feature stage (RMS, ZCR, spectral
+    centroid)."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import AudioFeatureStage, synth_audio_rows
+
+    ids = (_read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
+           .sort_values().head(64).tolist())
+    table = synth_audio_rows(ids)
+    return (rd.from_arrow(table)
+            .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=16, concurrency=2)
+            .to_pandas())
+
+
+def q_video_frames(sf_dir: str) -> pd.DataFrame:
+    """Multimodal video: synth FVID clips (real PNG frames) seeded by
+    doc ids → actor-pool frame-sample stage (every-2nd frame, ≤ 4 per
+    clip, per-frame phash); one clip row explodes into frame rows."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import VideoFrameStage, synth_video_rows
+
+    ids = (_read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
+           .sort_values().head(48).tolist())
+    table = synth_video_rows(ids)
+    out = (rd.from_arrow(table)
+           .map_batches(VideoFrameStage, fn_constructor_args=(2, 4),
+                        batch_format="pyarrow", batch_size=8, concurrency=2)
+           .to_pandas())
+    return out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+
+
 _CRAWL_CACHE: dict[str, Any] = {}
 
 
@@ -861,6 +896,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dups": q_embedding_dups,
     "ann_lsh": q_ann_lsh,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "crawl_pages": q_crawl_pages,
     "crawl_seen": q_crawl_seen,
     "crawl_rendered": q_crawl_rendered,

@@ -51,6 +51,130 @@ class ImageFeatureStage:
             "psnr_ok": pa.array(psnr_ok)})
 
 
+class AudioFeatureStage:
+    """Actor stage over opaque audio ``binary`` columns: WAV decode →
+    (duration, RMS, zero-crossing rate, spectral centroid).  The WAV
+    codec is real (functions/audio.py); decode happens once per row,
+    features are numpy-vectorized per clip.  Small batches — wide
+    binary rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from darc_ray.functions import audio as aud
+
+        ids = batch.column("audio_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        dur, level, zcr, cent, srs = [], [], [], [], []
+        for payload in payloads:
+            samples, sr = aud.wav_decode(payload)
+            srs.append(sr)
+            dur.append(round(samples.shape[0] / sr, 6))
+            level.append(round(aud.rms(samples), 6))
+            zcr.append(round(aud.zero_crossing_rate(samples), 6))
+            cent.append(round(aud.spectral_centroid(samples, sr), 2))
+        return pa.Table.from_pydict({
+            "audio_id": pa.array(ids),
+            "sample_rate": pa.array(srs, type=pa.int32()),
+            "duration_s": pa.array(dur, type=pa.float64()),
+            "rms": pa.array(level, type=pa.float64()),
+            "zcr": pa.array(zcr, type=pa.float64()),
+            "spectral_centroid_hz": pa.array(cent, type=pa.float64())})
+
+
+class VideoFrameStage:
+    """Actor stage over opaque video ``binary`` columns: container
+    index → sample every Nth frame (unsampled frames never
+    decompressed) → per-frame phash.  One input row explodes to
+    ≤ max_frames output rows (flat_map shape)."""
+
+    def __init__(self, every_n: int = 2, max_frames: int = 4) -> None:
+        from darc_ray.functions.image import _dct_matrix
+
+        _dct_matrix(32)
+        self.every_n = every_n
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from darc_ray.functions import video as vid
+
+        ids = batch.column("video_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        out_id, out_idx, out_ph, out_w, out_h = [], [], [], [], []
+        for vid_id, payload in zip(ids, payloads):
+            for idx, pix in vid.sample_frames(payload, self.every_n,
+                                              self.max_frames):
+                out_id.append(vid_id)
+                out_idx.append(idx)
+                out_ph.append(img.phash64(pix))
+                out_h.append(pix.shape[0])
+                out_w.append(pix.shape[1])
+        return pa.Table.from_pydict({
+            "video_id": pa.array(out_id),
+            "frame_idx": pa.array(out_idx, type=pa.int32()),
+            "w": pa.array(out_w, type=pa.int32()),
+            "h": pa.array(out_h, type=pa.int32()),
+            "phash": pa.array(out_ph, type=pa.int64())})
+
+
+def synth_audio_rows(seed_ids: list[int], sample_rate: int = 8000) -> pa.Table:
+    """Deterministic audio+caption rows: seeded sine mixtures + noise,
+    real PCM16 WAV bytes."""
+    from darc_ray.functions import audio as aud
+
+    rows: dict[str, list] = {"audio_id": [], "bytes": [], "sample_rate": [],
+                             "n_samples": [], "caption": []}
+    for sid in seed_ids:
+        rng = np.random.default_rng(int(sid) + 11)
+        n = int(rng.integers(sample_rate // 4, sample_rate))
+        t = np.arange(n) / sample_rate
+        f0 = float(rng.uniform(100, 1500))
+        x = (0.5 * np.sin(2 * np.pi * f0 * t)
+             + 0.2 * np.sin(2 * np.pi * 2.5 * f0 * t)
+             + 0.05 * rng.standard_normal(n))
+        samples = np.clip(x * 20000, -32768, 32767).astype(np.int16)
+        rows["audio_id"].append(f"aud-{sid}")
+        rows["bytes"].append(aud.wav_encode(samples, sample_rate))
+        rows["sample_rate"].append(sample_rate)
+        rows["n_samples"].append(n)
+        rows["caption"].append(f"aud-{sid}: tone {int(f0)} Hz")
+    return pa.Table.from_pydict({
+        "audio_id": pa.array(rows["audio_id"]),
+        "bytes": pa.array(rows["bytes"], type=pa.large_binary()),
+        "sample_rate": pa.array(rows["sample_rate"], type=pa.int32()),
+        "n_samples": pa.array(rows["n_samples"], type=pa.int32()),
+        "caption": pa.array(rows["caption"])})
+
+
+def synth_video_rows(seed_ids: list[int], fps: int = 8) -> pa.Table:
+    """Deterministic video+caption rows: seeded moving-gradient frames
+    in the FVID container (real PNG frames)."""
+    from darc_ray.functions import video as vid
+
+    rows: dict[str, list] = {"video_id": [], "bytes": [], "fps": [],
+                             "n_frames": [], "caption": []}
+    for sid in seed_ids:
+        rng = np.random.default_rng(int(sid) + 23)
+        n_frames = int(rng.integers(4, 9))
+        hh, ww = int(rng.integers(16, 33)), int(rng.integers(16, 33))
+        frames = []
+        for f in range(n_frames):
+            yy, xx = np.mgrid[0:hh, 0:ww]
+            base = 128 + 90 * np.sin(2 * np.pi * (xx + 3 * f + int(sid)) / ww)
+            frames.append(np.clip(base[..., None]
+                                  + rng.integers(-8, 9, (hh, ww, 3)),
+                                  0, 255).astype(np.uint8))
+        rows["video_id"].append(f"vid-{sid}")
+        rows["bytes"].append(vid.video_encode(frames, fps))
+        rows["fps"].append(fps)
+        rows["n_frames"].append(n_frames)
+        rows["caption"].append(f"vid-{sid}: {n_frames} frames")
+    return pa.Table.from_pydict({
+        "video_id": pa.array(rows["video_id"]),
+        "bytes": pa.array(rows["bytes"], type=pa.large_binary()),
+        "fps": pa.array(rows["fps"], type=pa.int32()),
+        "n_frames": pa.array(rows["n_frames"], type=pa.int32()),
+        "caption": pa.array(rows["caption"])})
+
+
 def synth_image_rows(seed_ids: list[int], caption_words: list[str],
                      fmt_cycle: tuple[str, ...] = ("png", "jpeg")) -> pa.Table:
     """Deterministic image+caption rows in the input_hint schema, one
