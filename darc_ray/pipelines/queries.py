@@ -750,6 +750,15 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     return lsh_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, n_planes=8)
 
 
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN: hash-sampled k-means centroids, nprobe cells per
+    query, per-batch exact rerank within probed cells."""
+    from darc_ray.stages.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, n_cells=16, nprobe=4)
+
+
 def q_image_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal: synth image+caption rows (input_hint schema) seeded
     by doc ids → actor-pool decode/phash/psnr stage."""
@@ -897,6 +906,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_dups": q_embedding_dups,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,

@@ -103,6 +103,121 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10,
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+# ---------------------------------------------------------------- IVF variant
+def _kmeans(sample: np.ndarray, k: int, seed: int, iters: int = 8) -> np.ndarray:
+    """Deterministic small k-means (k-means++-free: seeded random init
+    from the sample, fixed iteration count) → (k, d) normalized
+    centroids.  Runs on a bounded sample, never the corpus."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T                  # cosine on normalized rows
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class IvfProbeTopK:
+    """map_batches task: assign each corpus row to its nearest
+    centroid, keep rows in some query's probed cells, exact top-k
+    within; same reduce contract as :class:`LshProbeTopK`."""
+
+    def __init__(self, ref, k: int, id_col: str, vec_col: str) -> None:
+        import ray
+
+        self.q_ids, self.q_mat, self.centroids, self.probe_sets = ray.get(ref)
+        self.all_probes = set().union(*self.probe_sets) if self.probe_sets else set()
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col).to_pylist()))
+        cells = np.argmax(vecs @ self.centroids.T, axis=1)
+        keep = np.fromiter((int(c) in self.all_probes for c in cells),
+                           dtype=bool, count=len(cells))
+        out_q, out_n, out_s = [], [], []
+        if keep.any():
+            ids_k, vecs_k, ck = ids[keep], vecs[keep], cells[keep]
+            for qi, qid in enumerate(self.q_ids):
+                probes = self.probe_sets[qi]
+                cand = np.fromiter((int(c) in probes for c in ck),
+                                   dtype=bool, count=len(ck))
+                cand &= ids_k != qid
+                if not cand.any():
+                    continue
+                c_ids = ids_k[cand]
+                sims = vecs_k[cand] @ self.q_mat[qi]
+                order = sorted(range(len(c_ids)),
+                               key=lambda i: (-sims[i], c_ids[i]))[:self.k]
+                for i in order:
+                    out_q.append(qid)
+                    out_n.append(int(c_ids[i]))
+                    out_s.append(float(sims[i]))
+        return pa.Table.from_pydict({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64())})
+
+
+def ivf_topk(ds, query_ids: list[int], k: int = 10, n_cells: int = 16,
+             nprobe: int = 4, seed: int = 5, sample_rows: int = 4096,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF ANN, Dataset-native: train centroids on a deterministic
+    hash-sample (one bounded take), broadcast (queries, centroids,
+    per-query nprobe cell sets), then a single ``map_batches`` pass
+    assigns cells and emits per-batch exact top-k within probed cells.
+    Corpus never materializes; training data is the sample only."""
+    import heapq as _heapq
+
+    import pyarrow.compute as pc
+    import ray
+
+    # deterministic hash-sample for training (engine-reproducible)
+    def sample_batch(t: pa.Table) -> pa.Table:
+        keys = pc.multiply(pc.cast(t[id_col], pa.int64()), pa.scalar(2654435761))
+        keep = pc.less(pc.bit_wise_and(keys, pa.scalar(1023)), pa.scalar(512))
+        return t.filter(keep).select([id_col, vec_col])
+
+    rows = (ds.map_batches(sample_batch, batch_format="pyarrow")
+            .limit(sample_rows).take_all())
+    train = _normalize(_as_matrix([r[vec_col] for r in rows]))
+    centroids = _kmeans(train, n_cells, seed)
+
+    value_set = pa.array(sorted(query_ids))
+    q_rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=value_set)),
+        batch_format="pyarrow").take_all()
+    if not q_rows:
+        raise ValueError("no query rows found")
+    q_rows.sort(key=lambda r: r[id_col])
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = _normalize(_as_matrix([r[vec_col] for r in q_rows]))
+    sims = q_mat @ centroids.T
+    probe_sets = [set(int(c) for c in np.argsort(-sims[i])[:nprobe])
+                  for i in range(len(q_ids))]
+    ref = ray.put((q_ids, q_mat, centroids, probe_sets))
+
+    cands = ds.map_batches(
+        IvfProbeTopK, fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=2).to_pandas()
+
+    out = []
+    for qid in q_ids:
+        g = cands[cands["query_id"] == qid]
+        top = _heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.sim, r.neighbor_id))
+        for rank, r in enumerate(top):
+            out.append((qid, r.neighbor_id, rank + 1, float(np.round(r.sim, 6))))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "sim"])
+
+
 # ---------------------------------------------------------------- LSH variant
 class HyperplaneLSH:
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 5) -> None:

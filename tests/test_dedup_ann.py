@@ -106,3 +106,24 @@ def test_hyperplane_lsh_deterministic():
     assert np.array_equal(lsh.buckets(v), HyperplaneLSH(8, 6, 5).buckets(v))
     probes = lsh.probe(np.ones(8))
     assert len(probes) == 7 and len(set(probes)) == 7
+
+
+def test_ivf_topk_recall_vs_brute(ray_session):
+    import ray.data as rd
+
+    from darc_ray.stages.ann import ivf_topk
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": [v.astype(np.float32).tolist() for v in base]})
+    ds = rd.from_pandas(df)
+    brute = brute_force_topk(ds, query_ids=[0, 1], k=5)
+    approx = ivf_topk(ds, query_ids=[0, 1], k=5, n_cells=8, nprobe=4)
+    for qid in (0, 1):
+        want = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        assert len(want & got) >= 3       # nprobe=4 of 8 cells on 200 vecs
+    # determinism: same seed, same result
+    again = ivf_topk(ds, query_ids=[0, 1], k=5, n_cells=8, nprobe=4)
+    pd.testing.assert_frame_equal(approx, again)
