@@ -187,6 +187,9 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_cells: int = 16,
 
     rows = (ds.map_batches(sample_batch, batch_format="pyarrow")
             .limit(sample_rows).take_all())
+    # streaming limit delivers blocks in completion order — sort the
+    # (bounded) sample by id so k-means init is run-deterministic
+    rows.sort(key=lambda r: r[id_col])
     train = _normalize(_as_matrix([r[vec_col] for r in rows]))
     centroids = _kmeans(train, n_cells, seed)
 
