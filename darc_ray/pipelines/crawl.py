@@ -236,24 +236,26 @@ class CrawlEngine:
         metrics["popped"] = n_pop
         _mark(metrics, "t_pop")
 
-        # ---- 2. politeness allowance (fetchable rows only), in pop order
+        # ---- 2. politeness allowance (fetchable rows only), in pop
+        # order — vectorized: per-host first-k selection is a grouped
+        # cumcount against the allowance (cumcount follows pop order,
+        # preserving the reference's first-come-per-host semantics)
         taken_idx: list[int] = []
         if n_pop:
-            fetchable = [sc in ("http", "https") for sc in merged["scheme"]]
-            wants: dict[str, int] = {}
-            for i in range(n_pop):
-                if fetchable[i]:
-                    wants[merged["host"][i] or ""] = wants.get(merged["host"][i] or "", 0) + 1
+            import pandas as _pd
+
+            scheme = _pd.Series(merged["scheme"])
+            hosts = _pd.Series(merged["host"]).fillna("")
+            fetchable = scheme.isin(("http", "https")).to_numpy()
+            fh = hosts[fetchable]
+            wants = fh.value_counts().to_dict()
             allowed = self._take_allowance(wants, now)
-            used: dict[str, int] = {}
-            for i in range(n_pop):
-                if not fetchable[i]:
-                    taken_idx.append(i)
-                    continue
-                h = merged["host"][i] or ""
-                if used.get(h, 0) < allowed.get(h, 0):
-                    used[h] = used.get(h, 0) + 1
-                    taken_idx.append(i)
+            cc = fh.groupby(fh).cumcount().to_numpy()
+            cap = fh.map(allowed).fillna(0).to_numpy()
+            take_mask = np.zeros(n_pop, dtype=bool)
+            take_mask[~fetchable] = True            # non-http rows always pass
+            take_mask[fh.index.to_numpy()[cc < cap]] = True
+            taken_idx = np.nonzero(take_mask)[0].tolist()
         pool = {c: [merged[c][i] for i in taken_idx] for c in POOL_COLS}
         n_taken = len(taken_idx)
         metrics["taken"] = n_taken
