@@ -75,6 +75,49 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run one operator query (optionally against its DuckDB oracle)."""
+    import ray
+
+    from darc_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    if args.name == "list":
+        for name in sorted(QUERIES):
+            print(f"{name}\t{'sql-oracle' if name in ORACLE_SQL else 'rows-only'}")
+        return 0
+    if args.name not in QUERIES:
+        print(json.dumps({"error": f"unknown query {args.name!r}"}))
+        return 2
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import time as _time
+
+    t0 = _time.perf_counter()
+    out = QUERIES[args.name](args.sf_dir)
+    if not hasattr(out, "columns"):
+        out = out.to_pandas()
+    sec = round(_time.perf_counter() - t0, 3)
+    result = {"query": args.name, "rows": len(out),
+              "columns": list(out.columns), "sec": sec}
+    if args.check and args.name in ORACLE_SQL:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{args.sf_dir}/{t}.parquet')")
+        want = con.sql(ORACLE_SQL[args.name]).df()
+        result["oracle_rows"] = len(want)
+        result["rows_match"] = len(out) == len(want)
+    ray.shutdown()
+    print(json.dumps(result))
+    if args.head:
+        print(out.head(args.head).to_string(index=False))
+    return 0
+
+
 def cmd_status(args: argparse.Namespace) -> int:
     manifests = sorted(n for n in os.listdir(args.out)
                        if n.startswith("manifest_r") and n.endswith(".json"))
@@ -114,6 +157,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="run the second-stage loader phase each round (-t loader)")
     c.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
     c.set_defaults(fn=cmd_crawl)
+
+    q = sub.add_parser("query", help="run one operator query ('list' to enumerate)")
+    q.add_argument("name", help="query name from the registry, or 'list'")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
+    q.add_argument("--check", action="store_true",
+                   help="also run the DuckDB oracle and compare row counts")
+    q.add_argument("--head", type=int, default=0, help="print the first N rows")
+    q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("status", help="checkpoint status of an output dir")
     s.add_argument("--out", required=True)

@@ -189,14 +189,20 @@ SQL_HOST_SINCE = ("SELECT user_id, epoch_us(min(ts)) AS since_us FROM events "
 
 def q_distinct_edges(sf_dir: str) -> pd.DataFrame:
     """A5: distinct (parent, child) pairs (URLThroughModel unique index).
-    A bare grouped count: measured faster than a per-batch local-dedup
-    pre-pass here because lineitem pairs are ~unique already (the
-    pre-pass shrinks nothing and costs an extra materialization)."""
-    from ray.data.aggregate import Count
+    Hash-repartition by the pair key + per-partition vectorized
+    drop_duplicates — the semantically-required all-to-all without the
+    sort-based groupby's per-group overhead (measured ~2× faster; each
+    partition holds every copy of its pairs, so local dedup is exact)."""
+    from ray.data.context import ShuffleStrategy
 
-    out = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-           .groupby(["l_orderkey", "l_partkey"]).aggregate(Count(alias_name="n"))
-           .to_pandas())
+    parts = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+             .repartition(num_blocks=16, keys=["l_orderkey", "l_partkey"],
+                          sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    out = (parts.map_batches(
+        lambda df: df.drop_duplicates(["l_orderkey", "l_partkey"]),
+        batch_format="pandas", batch_size=None)
+        .to_pandas())
     return out.rename(columns={"l_orderkey": "parent", "l_partkey": "child"})[
         ["parent", "child"]]
 
