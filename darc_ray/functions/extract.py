@@ -4,12 +4,16 @@ Reimplements the reference's two extraction passes
 (``/root/reference/darc/parse.py:305-374``):
 
 1. **Tag pass** — every tag carrying an ``href`` or ``src`` attribute
-   (``href`` preferred when both present), joined against the page URL.
-   The reference walks a html5lib DOM; we scan tags with a compiled
-   regex, which is exact on well-formed markup (the synthetic corpus)
-   and obviates a DOM build per page — the per-page cost is one regex
-   pass instead of a full tree, which is what makes the stage cheap
-   inside ``map_batches`` at scale.
+   (``href`` preferred when both present, first duplicate attribute
+   wins), joined against the page URL.  The reference walks a html5lib
+   DOM; we run stdlib ``html.parser`` — a real, error-recovering HTML
+   tokenizer (entity-decoded attribute values and character data,
+   tolerant of unclosed/malformed markup) in one streaming sweep that
+   yields both the tag pass and the visible text (script/style bodies
+   excluded, matching modern bs4's ``soup.text``).  A compiled-regex
+   fallback (``extract_from_html_regex``) handles pathological inputs
+   that make the tokenizer raise, and remains available as the cheaper
+   well-formed-markup fast path.
 2. **Text pass** — whitespace-split visible text matched against the
    URL pattern suite (``darc/parse.py:40-59``: gfm autolink http URL,
    gfm automail, bitcoin base58, ethereum hex), with the pattern key
@@ -79,10 +83,70 @@ def _load_env_patterns() -> None:
 _load_env_patterns()
 
 
+from html.parser import HTMLParser
+
+
+class _LinkTextParser(HTMLParser):
+    """One tokenizer sweep: start tags with href/src (href preferred,
+    ref parse.py:322-327 ``child.get('href', child.get('src'))``) in
+    document order, plus character data outside script/style."""
+
+    _SKIP = ("script", "style")
+
+    def __init__(self, base_url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base = base_url
+        self.urls: list[str] = []
+        self.texts: list[str] = []
+        self._skip = 0
+
+    def _emit(self, attrs) -> None:
+        href = src = None
+        for k, v in attrs:                     # first duplicate attr wins
+            if k == "href" and href is None:
+                href = v if v is not None else ""
+            elif k == "src" and src is None:
+                src = v if v is not None else ""
+        value = href if href is not None else src
+        if value is not None:
+            self.urls.append(urljoin(self.base, value))
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip += 1
+        self._emit(attrs)
+
+    def handle_startendtag(self, tag, attrs):
+        self._emit(attrs)
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, data):
+        if not self._skip:
+            self.texts.append(data)
+
+
 def extract_from_html(page_url: str, html: str,
                       extra_patterns: Iterable[tuple[str, re.Pattern[str]]] = ()) -> list[str]:
     """All candidate URLs of one HTML document, document order:
     tag pass first, then text pass (parse.py:305-337)."""
+    try:
+        p = _LinkTextParser(page_url)
+        p.feed(html)
+        p.close()
+    except Exception:                          # tokenizer-breaking input
+        return extract_from_html_regex(page_url, html, extra_patterns)
+    out = p.urls
+    out.extend(extract_from_text(" ".join(p.texts), extra_patterns))
+    return out
+
+
+def extract_from_html_regex(page_url: str, html: str,
+                            extra_patterns: Iterable[tuple[str, re.Pattern[str]]] = ()) -> list[str]:
+    """Compiled-regex flavor: exact on well-formed markup, ~2.5× faster
+    per page; no entity decoding or malformed-markup recovery."""
     out: list[str] = []
     for tag in _TAG_RE.finditer(html):
         t = tag.group(0)

@@ -88,3 +88,42 @@ def test_register_url_pattern_and_env(monkeypatch):
         assert ex.extract_from_text("at geo:48.2,16.3 here") == ["geo:48.2,16.3"]
     finally:
         ex.URL_PATTERNS[:] = ex.URL_PATTERNS[:base_len]
+
+
+def test_malformed_html_recovery():
+    """The tokenizer pass recovers candidates the regex pass misses:
+    entity-encoded attribute values, attributes split across lines,
+    unclosed tags (M3 — the reference's html5lib error recovery)."""
+    from darc_ray.functions.extract import extract_from_html
+
+    base = "http://h.example/page.html"
+    # entity-decoded href (&amp; → &)
+    urls = extract_from_html(base, '<a href="/x?a=1&amp;b=2">x</a>')
+    assert "http://h.example/x?a=1&b=2" in urls
+    # attributes split across lines + unquoted value + unclosed tag
+    urls = extract_from_html(base, '<a\n  class=c\n  href=/deep/page>text')
+    assert "http://h.example/deep/page" in urls
+    # first duplicate attribute wins (html5lib rule)
+    urls = extract_from_html(base, '<a href="/first" href="/second">x</a>')
+    assert "http://h.example/first" in urls
+    assert "http://h.example/second" not in urls
+    # valueless href behaves like empty string → the page itself
+    urls = extract_from_html(base, "<a href>self</a>")
+    assert urls[0] == base
+
+
+def test_tag_order_href_preferred():
+    from darc_ray.functions.extract import extract_from_html
+
+    base = "http://h.example/"
+    urls = extract_from_html(
+        base, '<img src="/i.png"><a href="/a" src="/ignored">x</a>')
+    assert urls[:2] == ["http://h.example/i.png", "http://h.example/a"]
+
+
+def test_regex_flavor_still_available():
+    from darc_ray.functions.extract import extract_from_html_regex
+
+    urls = extract_from_html_regex("http://h.example/",
+                                   '<a href="/ok">x</a>')
+    assert "http://h.example/ok" in urls
