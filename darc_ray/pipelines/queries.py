@@ -679,6 +679,33 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
             .map_batches(f, batch_format="pandas").to_pandas())
 
 
+# the stopword-argmax heuristic is SQL-expressible: distinct lowered
+# tokens ∩ per-language stopword lists, argmax with first-wins ties
+# (en > de > fr > es iteration order of functions/text.py lang_id)
+SQL_LANG_ID = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_matches(substring(text, 1, 400), '[一-鿿]') AS cjk,
+         list_distinct(string_split_regex(lower(text), '\\s+')) AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, cjk,
+    len(list_intersect(words, ['the','a','and','of','to','in','is','that','it','for'])) AS n_en,
+    len(list_intersect(words, ['der','die','das','und','ist','nicht','ein','zu','mit','ich'])) AS n_de,
+    len(list_intersect(words, ['le','la','les','et','est','un','une','des','que','pour'])) AS n_fr,
+    len(list_intersect(words, ['el','la','los','las','es','un','una','que','por','para'])) AS n_es
+  FROM w
+)
+SELECT doc_id, CASE
+  WHEN cjk THEN 'zh'
+  WHEN n_es > n_en AND n_es > n_de AND n_es > n_fr THEN 'es'
+  WHEN n_fr > n_en AND n_fr > n_de THEN 'fr'
+  WHEN n_de > n_en THEN 'de'
+  ELSE 'en' END AS pred_lang
+FROM c
+"""
+
+
 def q_quality(sf_dir: str) -> pd.DataFrame:
     from darc_ray.functions.text import quality_features
 
@@ -948,4 +975,5 @@ ORACLE_SQL: dict[str, str] = {
     "group_topk": SQL_GROUP_TOPK,
     "quantiles": SQL_QUANTILES,
     "argmax_dedup": SQL_ARGMAX_DEDUP,
+    "lang_id": SQL_LANG_ID,
 }

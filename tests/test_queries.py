@@ -67,3 +67,39 @@ def test_rows_only_queries_run_and_are_deterministic(name, ray_session):
         return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
     pd.testing.assert_frame_equal(_sorted(got), _sorted(again), check_dtype=False)
+
+
+def test_lang_id_oracle_on_mixed_languages(tmp_path, ray_session):
+    """The lang_id SQL oracle agrees with the Python heuristic on every
+    branch (the driver corpus is all-en, so exercise de/fr/es/zh/tie
+    paths explicitly)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from darc_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    docs = [
+        (1, "the cat and the dog of it all for now"),          # en
+        (2, "der hund und die katze ist nicht ein problem"),   # de
+        (3, "le chat et la souris est une des merveilles"),    # fr
+        (4, "el perro y los gatos es una de las cosas"),       # es
+        (5, "这是一个中文文档 with some english the and of"),      # zh (CJK wins)
+        (6, "xyzzy plugh qwerty"),                             # no hits → en
+        (7, "the der le el"),                                  # 1-each tie → en
+        (8, "der und ist the a"),                              # de 3 > en 2 → de
+        (9, ""),                                               # empty → en
+        (10, "LE CHAT ET LA EST UNE"),                         # casefolding → fr
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({"doc_id": [d for d, _ in docs],
+                             "text": [t for _, t in docs]}),
+                   f"{sf}/documents.parquet")
+    got = QUERIES["lang_id"](sf).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.sql(ORACLE_SQL["lang_id"]).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["pred_lang"].tolist() == want["pred_lang"].tolist()
+    assert got["pred_lang"].tolist() == \
+        ["en", "de", "fr", "es", "zh", "en", "en", "de", "en", "fr"]
