@@ -33,6 +33,10 @@ CONFIGS = {
     # dropped, final enqueued leased — engine and oracle must agree
     "check_ng_redirect_rewrite": dict(check_ng=True, check_ng_rewrite=True,
                                       render_enabled=True),
+    # multi-worker budget (DARC_CPU analog): workers multiplies the
+    # per-round lease budget (max_pool × workers, darc/process.py
+    # worker fan-out each popping MAX_POOL)
+    "multi_worker_budget": dict(workers=4, max_pool=12),
 }
 
 
@@ -71,6 +75,29 @@ def test_variant_matches_oracle(variant, corpus, ray_session, tmp_path_factory):
     got_arts = sorted((r["proxy"], r["src"], r["url"])
                       for r in (arts.to_pylist() if arts is not None else []))
     assert got_arts == sorted(want.artifacts), variant
+    eng.shutdown()
+
+
+def test_wall_clock_mode_smoke(corpus, ray_session, tmp_path_factory):
+    """logical_clock=False runs the reference's wall-time lease
+    arithmetic (darc/db.py:918-977).  Not oracle-comparable (time is
+    real), but the loop must make progress and stay consistent."""
+    c, cpath = corpus
+    cfg = CrawlConfig(max_pool=40, time_cache=0.05, seen_shards=3, host_shards=2,
+                      fetch_concurrency=2, fetch_batch_size=16, snapshot_every=0,
+                      logical_clock=False)
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("wall")), cfg)
+    eng.seed(c.seeds)
+    totals = eng.run(4)
+    assert totals["taken"] > 0 and totals["pages"] > 0
+    counts = eng.counts()
+    assert counts["ever"] >= len(c.seeds)
+    # wall-clock leases expire after time_cache: a later run re-takes
+    import time as _t
+
+    _t.sleep(0.1)
+    totals2 = eng.run(2)
+    assert totals2["taken"] > 0
     eng.shutdown()
 
 
