@@ -255,6 +255,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
         elif marker == 0xC2:
             raise ValueError("progressive JPEG not supported (baseline only)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{marker - 0xC0} (hierarchical/differential/lossless) "
+                "not supported (baseline only)")
+        elif marker in (0xC9, 0xCA, 0xCC):
+            raise ValueError("arithmetic-coded JPEG not supported (baseline only)")
         elif marker == 0xC4:                    # DHT
             p = 0
             while p < len(seg):
@@ -267,11 +273,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xDD:                    # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:                    # SOS
+            if not comps:
+                raise ValueError("JPEG scan before a supported SOF frame")
             ns = seg[0]
             scan_comps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
+                comp = next((x for x in comps if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"JPEG scan references unknown component {cs}")
                 comp["dc"] = tt >> 4
                 comp["ac"] = tt & 15
                 scan_comps.append(comp)

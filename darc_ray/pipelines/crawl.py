@@ -276,38 +276,8 @@ class CrawlEngine:
             # db.py:897-898): filtered rows stay leased, uncrawled.
             # CHECK_NG replaces it with host/proxy + HEAD-probed mime
             # filtering (darc/parse.py:186-241, _check_ng).
-            if cfg.check_ng:
-                keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
-                # non-http(s) schemes: requests' HEAD raises without a
-                # response (parse.py:224-230) → filtered like a failure
-                idxs = [i for i in range(n_taken)
-                        if keep[i] and pool["scheme"][i] in ("http", "https")]
-                probes = self._probe_mime([pool["host"][i] for i in idxs],
-                                          [pool["url"][i] for i in idxs])
-                from darc_ray.functions.filters import keep_mime_mask
-
-                final = []
-                rewrite_map: dict[int, str] = {}
-                for j, i in enumerate(idxs):
-                    status, mime, final_url = probes[j]
-                    if status == 0:                  # HEAD failed, no response
-                        continue
-                    if not keep_mime_mask([mime], cfg)[0]:
-                        continue
-                    if cfg.check_ng_rewrite and final_url != pool["url"][i]:
-                        rewrite_map[i] = final_url
-                    final.append(i)
-                if rewrite_map:
-                    pool = self._apply_rewrites(pool, final, rewrite_map,
-                                                now + ttl, self.frontier)
-                else:
-                    pool = {c: [pool[c][i] for i in final] for c in POOL_COLS}
-                n_taken = len(pool["url_hash"])
-            elif cfg.check:
-                keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
-                pool = {c: [pool[c][i] for i in range(n_taken) if keep[i]]
-                        for c in POOL_COLS}
-                n_taken = len(pool["url_hash"])
+            pool = self._check_pool(pool, n_taken, now, ttl, self.frontier)
+            n_taken = len(pool["url_hash"])
 
             # ---- 4. new-host bootstrap (crawl.py:140-166), before any fetch
             boot_cand, n_new = self._bootstrap_hosts(pool, now)
@@ -470,42 +440,14 @@ class CrawlEngine:
 
         self._scatter_scores_on(self.render_frontier, merged["url_hash"], now + ttl)
 
-        pool = merged
         # load_selenium(check=CHECK) dispatches through _check →
         # _check_ng when CHECK_NG is set (db.py:1060, parse.py:244-273),
         # so the render pool gets the same host/proxy + HEAD-mime
-        # filtering as the crawl pool.
-        if cfg.check_ng:
-            keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
-            idxs = [i for i in range(n)
-                    if keep[i] and pool["scheme"][i] in ("http", "https")]
-            probes = self._probe_mime([pool["host"][i] for i in idxs],
-                                      [pool["url"][i] for i in idxs])
-            from darc_ray.functions.filters import keep_mime_mask
-
-            final = []
-            rewrite_map: dict[int, str] = {}
-            for j, i in enumerate(idxs):
-                status, mime, final_url = probes[j]
-                if status == 0 or not keep_mime_mask([mime], cfg)[0]:
-                    continue
-                if cfg.check_ng_rewrite and final_url != pool["url"][i]:
-                    rewrite_map[i] = final_url
-                final.append(i)
-            if rewrite_map:
-                pool = self._apply_rewrites(pool, final, rewrite_map,
-                                            now + ttl, self.render_frontier)
-            else:
-                pool = {c: [pool[c][i] for i in final] for c in POOL_COLS}
-            n = len(pool["url_hash"])
-            if not n:
-                return metrics
-        elif cfg.check:                    # load_selenium(check=...) db.py:1060
-            keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
-            pool = {c: [pool[c][i] for i in range(n) if keep[i]] for c in POOL_COLS}
-            n = len(pool["url_hash"])
-            if not n:
-                return metrics
+        # filtering (and redirect rewrite) as the crawl pool.
+        pool = self._check_pool(merged, n, now, ttl, self.render_frontier)
+        n = len(pool["url_hash"])
+        if not n:
+            return metrics
 
         pool_table = pa.Table.from_pydict(
             {**pool, "round": [t] * n, "now": [now] * n})
@@ -568,6 +510,46 @@ class CrawlEngine:
             for i, val in zip(idx, got):
                 result[i] = tuple(val)
         return result
+
+    def _check_pool(self, pool: dict[str, list], n: int, now: float, ttl: float,
+                    shards: list) -> dict[str, list]:
+        """The CHECK-time pool filter shared by the crawl and render
+        queues (load_requests/load_selenium(check=CHECK) → _check →
+        _check_ng, ref darc/db.py:897-898, :1060, darc/parse.py:
+        244-273): plain CHECK = host/proxy masks; CHECK_NG = masks +
+        HEAD-probed mime filter (+ optional redirect rewrite against
+        ``shards``).  Filtered rows stay leased, uncrawled."""
+        cfg = self.cfg
+        if cfg.check_ng:
+            keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
+            # non-http(s) schemes: requests' HEAD raises without a
+            # response (parse.py:224-230) → filtered like a failure
+            idxs = [i for i in range(n)
+                    if keep[i] and pool["scheme"][i] in ("http", "https")]
+            probes = self._probe_mime([pool["host"][i] for i in idxs],
+                                      [pool["url"][i] for i in idxs])
+            from darc_ray.functions.filters import keep_mime_mask
+
+            final = []
+            rewrite_map: dict[int, str] = {}
+            for j, i in enumerate(idxs):
+                status, mime, final_url = probes[j]
+                if status == 0:                  # HEAD failed, no response
+                    continue
+                if not keep_mime_mask([mime], cfg)[0]:
+                    continue
+                if cfg.check_ng_rewrite and final_url != pool["url"][i]:
+                    rewrite_map[i] = final_url
+                final.append(i)
+            if rewrite_map:
+                return self._apply_rewrites(pool, final, rewrite_map,
+                                            now + ttl, shards)
+            return {c: [pool[c][i] for i in final] for c in POOL_COLS}
+        if cfg.check:
+            keep = candidate_keep_mask(pool["host"], pool["proxy"], cfg)
+            return {c: [pool[c][i] for i in range(n) if keep[i]]
+                    for c in POOL_COLS}
+        return pool
 
     def _apply_rewrites(self, pool: dict[str, list], final: list[int],
                         rewrite_map: dict[int, str], lease_score: float,

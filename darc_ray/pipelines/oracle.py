@@ -177,12 +177,16 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                         old = rows[hh]
                         new_hh = _sha(final_url)
                         frontier.pop(hh, None)
-                        p = parse_one(final_url)
-                        frontier[new_hh] = [final_url, p.proxy, p.scheme,
-                                            p.host, p.base_host, old[5],
-                                            now + ttl, old[7]]
-                        res.seen.add(new_hh)
-                        rows[new_hh] = list(frontier[new_hh])
+                        # first pool occurrence wins the rewritten row's
+                        # attrs (engine _apply_rewrites dedupe): never
+                        # overwrite a target already taken this round
+                        if new_hh not in taken_set:
+                            p = parse_one(final_url)
+                            frontier[new_hh] = [final_url, p.proxy, p.scheme,
+                                                p.host, p.base_host, old[5],
+                                                now + ttl, old[7]]
+                            res.seen.add(new_hh)
+                            rows[new_hh] = list(frontier[new_hh])
                         hh = new_hh
                 if hh in taken_set:          # rewrite collisions: first wins
                     continue
@@ -295,7 +299,9 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                                   "mime": mime, "is_html": False, "phash": phash,
                                   "psnr_ok": psnr_ok,
                                   "body_digest": _sha_bytes(body), "round": t,
-                                  **request_meta(mime, body, history, url)})
+                                  **request_meta(mime, body, history,
+                                                 corpus.resolve(url) if history
+                                                 else url)})
                 if backref:
                     res.edges.add((_sha(backref), hh))
                 continue
@@ -306,7 +312,9 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                               "mime": mime, "is_html": True, "phash": 0,
                               "psnr_ok": True,
                               "body_digest": _sha_bytes(body), "round": t,
-                              **request_meta(mime, body, history, url)})
+                              **request_meta(mime, body, history,
+                                             corpus.resolve(url) if history
+                                             else url)})
             if backref:
                 res.edges.add((_sha(backref), hh))
             for u in extract_from_html(url, body.decode("utf-8", "replace")):
@@ -371,13 +379,14 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                             old = r_rows[hh]
                             new_hh = _sha(final_url)
                             render_frontier.pop(hh, None)
-                            p = parse_one(final_url)
-                            render_frontier[new_hh] = [final_url, p.proxy,
-                                                       p.scheme, p.host,
-                                                       p.base_host, old[5],
-                                                       now + ttl, old[7]]
-                            res.render_seen.add(new_hh)
-                            r_rows[new_hh] = list(render_frontier[new_hh])
+                            if new_hh not in r_taken_set:   # first wins
+                                p = parse_one(final_url)
+                                render_frontier[new_hh] = [final_url, p.proxy,
+                                                           p.scheme, p.host,
+                                                           p.base_host, old[5],
+                                                           now + ttl, old[7]]
+                                res.render_seen.add(new_hh)
+                                r_rows[new_hh] = list(render_frontier[new_hh])
                             hh = new_hh
                     if hh in r_taken_set:
                         continue

@@ -31,6 +31,41 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _fetch_query_rows(ds, query_ids: list[int], id_col: str, vec_col: str
+                      ) -> tuple[list, np.ndarray]:
+    """(sorted query ids, normalized query matrix) via a filtered scan."""
+    import pyarrow.compute as pc
+
+    value_set = pa.array(sorted(query_ids))
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=value_set)),
+        batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("no query rows found")
+    rows.sort(key=lambda r: r[id_col])
+    return ([r[id_col] for r in rows],
+            _normalize(_as_matrix([r[vec_col] for r in rows])))
+
+
+def _reduce_topk(cands: pd.DataFrame, q_ids: list, k: int,
+                 with_sim: bool) -> pd.DataFrame:
+    """Driver-side reduce of per-batch top-k candidates (tiny:
+    batches × queries × k rows); tie-break (−sim, neighbor_id)."""
+    out = []
+    for qid in q_ids:
+        g = cands[cands["query_id"] == qid]
+        top = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.sim, r.neighbor_id))
+        for rank, r in enumerate(top):
+            if with_sim:
+                out.append((qid, r.neighbor_id, rank + 1,
+                            float(np.round(r.sim, 6))))
+            else:
+                out.append((qid, r.neighbor_id, rank + 1))
+    cols = ["query_id", "neighbor_id", "rank"] + (["sim"] if with_sim else [])
+    return pd.DataFrame(out, columns=cols)
+
+
 class BatchTopK:
     """map_batches task: per-batch top-k candidates per query."""
 
@@ -74,32 +109,15 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10,
     """Exact cosine top-k of each query over the whole dataset.
 
     Deterministic tie-break: (−sim, neighbor_id)."""
-    import pyarrow.compute as pc
     import ray
 
-    value_set = pa.array(query_ids, type=pa.int64())
-    q_rows = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=value_set)),
-        batch_format="pyarrow").take_all()
-    if not q_rows:
-        raise ValueError("no query rows found")
-    q_rows.sort(key=lambda r: r[id_col])
-    q_ids = [r[id_col] for r in q_rows]
-    q_mat = _normalize(_as_matrix([r[vec_col] for r in q_rows]))
+    q_ids, q_mat = _fetch_query_rows(ds, query_ids, id_col, vec_col)
     ref = ray.put((q_ids, q_mat))
 
     cands = ds.map_batches(
         BatchTopK, fn_constructor_args=(ref, k, id_col, vec_col),
         batch_format="pyarrow", batch_size=4096, concurrency=2).to_pandas()
-
-    # driver-side reduce of per-batch candidates (tiny: batches × queries × k)
-    out = []
-    for qid, g in cands.groupby("query_id"):
-        rows = heapq.nsmallest(
-            k, g.itertuples(index=False), key=lambda r: (-r.sim, r.neighbor_id))
-        for rank, r in enumerate(rows):
-            out.append((qid, r.neighbor_id, rank + 1))
-    return (pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank"])
+    return (_reduce_topk(cands, q_ids, k, with_sim=False)
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
@@ -179,29 +197,26 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_cells: int = 16,
     import pyarrow.compute as pc
     import ray
 
-    # deterministic hash-sample for training (engine-reproducible)
+    # deterministic hash-sample for training: the filter RATE adapts to
+    # the corpus size so membership is a pure function of ids (a
+    # streaming limit() would take a completion-order-dependent SUBSET
+    # when more rows pass than sample_rows); the take is bounded to
+    # ~2×sample_rows in expectation, then truncated sorted-by-id
+    n = ds.count()
+    rate = min(1024, max(1, (2 * sample_rows * 1024) // max(1, n)))
+
     def sample_batch(t: pa.Table) -> pa.Table:
         keys = pc.multiply(pc.cast(t[id_col], pa.int64()), pa.scalar(2654435761))
-        keep = pc.less(pc.bit_wise_and(keys, pa.scalar(1023)), pa.scalar(512))
+        keep = pc.less(pc.bit_wise_and(keys, pa.scalar(1023)), pa.scalar(rate))
         return t.filter(keep).select([id_col, vec_col])
 
-    rows = (ds.map_batches(sample_batch, batch_format="pyarrow")
-            .limit(sample_rows).take_all())
-    # streaming limit delivers blocks in completion order — sort the
-    # (bounded) sample by id so k-means init is run-deterministic
+    rows = ds.map_batches(sample_batch, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: r[id_col])
+    rows = rows[:sample_rows]
     train = _normalize(_as_matrix([r[vec_col] for r in rows]))
     centroids = _kmeans(train, n_cells, seed)
 
-    value_set = pa.array(sorted(query_ids))
-    q_rows = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=value_set)),
-        batch_format="pyarrow").take_all()
-    if not q_rows:
-        raise ValueError("no query rows found")
-    q_rows.sort(key=lambda r: r[id_col])
-    q_ids = [r[id_col] for r in q_rows]
-    q_mat = _normalize(_as_matrix([r[vec_col] for r in q_rows]))
+    q_ids, q_mat = _fetch_query_rows(ds, query_ids, id_col, vec_col)
     sims = q_mat @ centroids.T
     probe_sets = [set(int(c) for c in np.argsort(-sims[i])[:nprobe])
                   for i in range(len(q_ids))]
@@ -210,15 +225,7 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_cells: int = 16,
     cands = ds.map_batches(
         IvfProbeTopK, fn_constructor_args=(ref, k, id_col, vec_col),
         batch_format="pyarrow", batch_size=4096, concurrency=2).to_pandas()
-
-    out = []
-    for qid in q_ids:
-        g = cands[cands["query_id"] == qid]
-        top = _heapq.nsmallest(
-            k, g.itertuples(index=False), key=lambda r: (-r.sim, r.neighbor_id))
-        for rank, r in enumerate(top):
-            out.append((qid, r.neighbor_id, rank + 1, float(np.round(r.sim, 6))))
-    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "sim"])
+    return _reduce_topk(cands, q_ids, k, with_sim=True)
 
 
 # ---------------------------------------------------------------- LSH variant
@@ -292,20 +299,9 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, n_planes: int = 10,
     then a single ``map_batches`` pass buckets each corpus block and
     emits per-batch top-k candidates; the driver reduces the tiny
     per-batch results.  No corpus materialization anywhere."""
-    import heapq as _heapq
-
-    import pyarrow.compute as pc
     import ray
 
-    value_set = pa.array(sorted(query_ids))
-    q_rows = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=value_set)),
-        batch_format="pyarrow").take_all()
-    if not q_rows:
-        raise ValueError("no query rows found")
-    q_rows.sort(key=lambda r: r[id_col])
-    q_ids = [r[id_col] for r in q_rows]
-    q_mat = _normalize(_as_matrix([r[vec_col] for r in q_rows]))
+    q_ids, q_mat = _fetch_query_rows(ds, query_ids, id_col, vec_col)
     lsh = HyperplaneLSH(q_mat.shape[1], n_planes, seed)
     probe_sets = [set(lsh.probe(q_mat[i])) for i in range(len(q_ids))]
     ref = ray.put((q_ids, q_mat, probe_sets))
@@ -313,12 +309,4 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, n_planes: int = 10,
     cands = ds.map_batches(
         LshProbeTopK, fn_constructor_args=(ref, k, n_planes, seed, id_col, vec_col),
         batch_format="pyarrow", batch_size=4096, concurrency=2).to_pandas()
-
-    out = []
-    for qid in q_ids:
-        g = cands[cands["query_id"] == qid]
-        rows = _heapq.nsmallest(
-            k, g.itertuples(index=False), key=lambda r: (-r.sim, r.neighbor_id))
-        for rank, r in enumerate(rows):
-            out.append((qid, r.neighbor_id, rank + 1, float(np.round(r.sim, 6))))
-    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "sim"])
+    return _reduce_topk(cands, q_ids, k, with_sim=True)

@@ -429,20 +429,24 @@ class Fetcher:
             site = site_for(host, self.site_map)
             session = self._session_for(proxy)
             extras: dict[str, Any] = {}
-            if site is None:
-                result = session(url)
-            else:
-                row = {"url": url, "url_hash": hh, "host": host, "proxy": proxy,
-                       "scheme": scheme, "backref": backref, "depth": depth}
-                try:
+            try:
+                if site is None:
+                    # default GET; a register_proxy session may raise
+                    # (requests errors in live deployments) — requeue
+                    # the link, never the whole task (crawl.py:182-184)
+                    result = session(url)
+                else:
+                    row = {"url": url, "url_hash": hh, "host": host,
+                           "proxy": proxy, "scheme": scheme,
+                           "backref": backref, "depth": depth}
                     result = site.crawler(now, session, row)
-                except LinkNoReturn as e:
-                    ev.emit("drop" if e.drop else "skipped", hh, url, rnd, now,
-                            host=host, proxy=proxy)
-                    continue
-                except Exception:
-                    ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
-                    continue
+            except LinkNoReturn as e:
+                ev.emit("drop" if e.drop else "skipped", hh, url, rnd, now,
+                        host=host, proxy=proxy)
+                continue
+            except Exception:
+                ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
+                continue
             # hooks may return (status, mime, body, history, extras)
             # where extras overrides requests metadata fields
             if len(result) == 5:
@@ -454,7 +458,16 @@ class Fetcher:
                 continue
 
             reason = _REASONS.get(status, "")
-            meta = request_meta(mime, body, history, url, extras)
+            # the redirect chain's terminal URL (response.url): resolve
+            # through the session when it followed redirects, so the
+            # last hop's Location header points at the real target
+            final_url = url
+            if history:
+                resolve = getattr(session, "resolve", None) or \
+                    getattr(self.fetch_fn, "resolve", None)
+                if resolve is not None:
+                    final_url = resolve(url)
+            meta = request_meta(mime, body, history, final_url, extras)
 
             if mime not in HTML_MIMES:
                 # i2p hosts.txt side-channel (crawl.py:200-203)

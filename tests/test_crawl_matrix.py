@@ -78,6 +78,32 @@ def test_variant_matches_oracle(variant, corpus, ray_session, tmp_path_factory):
     eng.shutdown()
 
 
+def test_redirect_history_location_points_at_target(corpus, ray_session,
+                                                    tmp_path_factory):
+    """Absolute check (not oracle-relative): a crawled URL that
+    redirected carries a history hop whose Location header is the TRUE
+    redirect target from the corpus, not the original URL."""
+    c, cpath = corpus
+    src = "http://t001oooooooooooooooooooooooooooooooooooooooooooooooo.onion/p001.html"
+    dst = c.resolve(src)
+    assert dst != src
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("redir")),
+                      CrawlConfig(max_pool=40, time_cache=2.0, seen_shards=3,
+                                  host_shards=2, fetch_concurrency=2,
+                                  fetch_batch_size=16, snapshot_every=0))
+    eng.seed(c.seeds)
+    eng.run(10)
+    pages = eng.pages_table().to_pylist()
+    hop_pages = [p for p in pages if p["history"]]
+    assert hop_pages, "the redirecting URL was crawled"
+    redirected = [p for p in hop_pages if p["url"] == src]
+    assert redirected
+    hop = redirected[0]["history"][-1]
+    assert dict(hop["headers"])["Location"] == dst
+    assert hop["url"] == src and hop["status"] == 301
+    eng.shutdown()
+
+
 def test_wall_clock_mode_smoke(corpus, ray_session, tmp_path_factory):
     """logical_clock=False runs the reference's wall-time lease
     arithmetic (darc/db.py:918-977).  Not oracle-comparable (time is

@@ -19,7 +19,7 @@ GOLDEN = {
     "ngram_jaccard": (25, "c270d513580fd635"),  # full-table join (r1: head-300 baseline found 7)
     "embedding_dups": (59, "bf528653c3d470f9"),
     "ann_lsh": (50, "405a4a868e718d10"),
-    "ann_ivf": (50, "d6559b2726a7ecc9"),
+    "ann_ivf": (50, "b9442830d4f71fd6"),
     "lang_id": (500, "f56b46de02032a35"),
     "quality": (500, "18069e47cb934544"),
     "rolling_fingerprint": (500, "04b3152e048a0428"),

@@ -254,3 +254,30 @@ def test_failing_hook_warns_and_continues(corpus, registries, ray_session,
         totals = eng.run(2, hooks=[bad_hook])
     assert totals["rounds"] == 2
     eng.shutdown()
+
+
+def test_raising_session_requeues_not_crashes(corpus, registries, ray_session,
+                                              tmp_path_factory):
+    """A register_proxy session that raises (live requests errors) must
+    requeue the single link, never kill the fetch task (the default
+    no-site-hook path, ref darc/crawl.py:182-184)."""
+    c, cpath = corpus
+
+    def flaky_session(fetch_fn):
+        def fetch(url):
+            if url.endswith("/p001.html"):
+                raise ConnectionError(url)
+            return fetch_fn(url)
+        return fetch
+
+    register_proxy("null", flaky_session)
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("flaky")), _cfg())
+    eng.seed(c.seeds)
+    totals = eng.run(6)                       # must not raise
+    assert totals["pages"] > 0
+    pages = eng.pages_table().to_pylist()
+    null_p001 = [p for p in pages
+                 if p["proxy"] == "null" and p["url"].endswith("/p001.html")]
+    assert not null_p001                      # the raising URL never yields a page
+    assert totals["requeued"] > 0
+    eng.shutdown()
