@@ -20,6 +20,9 @@ Library surface (the reference's ``from darc import darc, register_*``
 embedding, darc/__init__.py:48-52)::
 
     from darc_ray import CrawlConfig, CrawlEngine, make_corpus
+    from darc_ray import BaseSite, register_sites      # per-hostname hooks
+    from darc_ray import register_proxy                # session/driver factories
+    from darc_ray import register_hooks, WorkerBreak   # between-round hooks
     from darc_ray import register_url_pattern          # DARC_URL_PAT hook
 
 Nothing in this package calls ``ray.init()`` — sessions are owned by
