@@ -737,6 +737,15 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
             .select_columns(["doc_id", "simhash"]).to_pandas())
 
 
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via banded-prefix blocking
+    — exact recall at the radius, one hash shuffle."""
+    from darc_ray.stages.dedup import simhash_near_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_pairs(ds, max_hamming=3)
+
+
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash LSH candidates verified by exact Jaccard ≥ 0.5.
 
@@ -935,6 +944,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality": q_quality,
     "rolling_fingerprint": q_rolling_fingerprint,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_dups": q_embedding_dups,

@@ -212,6 +212,68 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(vals, type=pa.int64()))
 
 
+def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_buckets: int = 16) -> pd.DataFrame:
+    """SimHash near-dup pairs by banded prefix blocking: split each
+    64-bit simhash into ``max_hamming + 1`` bands — two hashes within
+    the radius must agree on ≥ 1 band exactly (pigeonhole), so ONE
+    hash-repartition keyed (band, band_bits) co-locates every candidate
+    pair; verify exact hamming within partitions.  Same shuffle shape
+    as the MinHash path; exact recall at the radius."""
+    from ray.data.context import ShuffleStrategy
+
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        hashes = [simhash64(x) for x in t.column(text_col).to_pylist()]
+        out_id, out_band, out_bits, out_sh = [], [], [], []
+        for d, h in zip(ids, hashes):
+            u = h & ((1 << 64) - 1)
+            for b in range(n_bands):
+                out_id.append(d)
+                out_band.append(b)
+                out_bits.append((u >> (b * width)) & ((1 << width) - 1))
+                out_sh.append(h)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out_id),
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_bits": pa.array(out_bits, type=pa.int64()),
+            "simhash": pa.array(out_sh, type=pa.int64())})
+
+    parts = (ds.repartition(target_num_rows_per_block=2048)
+             .map_batches(explode, batch_format="pyarrow")
+             .repartition(num_blocks=n_buckets, keys=["band", "band_bits"],
+                          sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def pairs_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby(["band", "band_bits"]):
+            if len(g) < 2:
+                continue
+            items = sorted(set(zip(g["doc_id"], g["simhash"])))
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    (a, ha), (b, hb) = items[i], items[j]
+                    d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                    if d <= max_hamming:
+                        rows.append((a, b, d))
+        if not rows:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    out = (parts.map_batches(pairs_of_partition, batch_format="pandas",
+                             batch_size=None).to_pandas())
+    # a pair may collide on several bands → distinct
+    return (out.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- n-gram jaccard
 def ngram_jaccard_pairs(ids: list, texts: list[str], k: int = 3,
                         threshold: float = 0.5) -> pd.DataFrame:

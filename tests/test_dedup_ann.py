@@ -127,3 +127,29 @@ def test_ivf_topk_recall_vs_brute(ray_session):
     # determinism: same seed, same result
     again = ivf_topk(ds, query_ids=[0, 1], k=5, n_cells=8, nprobe=4)
     pd.testing.assert_frame_equal(approx, again)
+
+
+def test_simhash_near_pairs_exact_recall(ray_session):
+    """Banded blocking finds exactly the pairs an O(n²) hamming scan
+    finds (pigeonhole guarantees recall at the radius)."""
+    import ray.data as rd
+
+    from darc_ray.functions.sketches import simhash64
+    from darc_ray.stages.dedup import simhash_near_pairs
+
+    docs = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog near the river",
+        "the quick brown fox jumps over the lazy dog near the rivers",
+        "the quick brown fox jumped over the lazy dog near the river",
+        "completely different text about distributed query engines",
+        "another unrelated document mentioning streams and shuffles",
+        "the quick brown fox jumps over the lazy dog near the river",  # exact dup
+    ])]
+    ds = rd.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = simhash_near_pairs(ds, max_hamming=3)
+    got_pairs = {(a, b) for a, b in zip(got["a"], got["b"])}
+    hashes = {i: simhash64(t) for i, t in docs}
+    want = {(a, b) for a in hashes for b in hashes if a < b
+            and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3}
+    assert got_pairs == want
+    assert (0, 5) in got_pairs          # exact dup pair at hamming 0

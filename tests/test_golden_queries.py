@@ -24,6 +24,7 @@ GOLDEN = {
     "quality": (500, "18069e47cb934544"),
     "rolling_fingerprint": (500, "04b3152e048a0428"),
     "simhash": (500, "4a509d24cbaa042b"),
+    "simhash_pairs": (24, "8f68eee0c4adcb5c"),
     "image_features": (64, "4a47f3205b086d9f"),
     "audio_features": (64, "b6e745d9e0642b05"),
     "video_frames": (147, "52ad18452ef4e65d"),
