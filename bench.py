@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "embedding_dups", "image_features", "quality", "windowed_counts",
     "asof_join", "hash_sample", "customer_nation_revenue",
     "shuffle_join", "asof_partitioned", "sessionize", "group_topk",
-    "quantiles", "argmax_dedup",
+    "quantiles", "argmax_dedup", "simhash_pairs", "ngram_jaccard",
+    "ann_ivf", "audio_features", "video_frames", "lang_id",
 ]
 
 
