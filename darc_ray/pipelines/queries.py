@@ -517,23 +517,29 @@ def q_asof_partitioned(sf_dir: str) -> pd.DataFrame:
             "event_id": -1, "side": 1}),
         batch_format="pandas")
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        left = (df[df["side"] == 0][["event_id", "t"]]
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # a hash partition holds every row of its keys; merge_asof with
+        # by= handles all keys in the partition in one vectorized call
+        left = (df[df["side"] == 0][["key", "event_id", "t"]]
                 .sort_values("t", kind="mergesort"))
-        right = (df[df["side"] == 1][["t"]]
+        right = (df[df["side"] == 1][["key", "t"]]
                  .sort_values("t", kind="mergesort")
                  .rename(columns={"t": "asof"}))
         if not len(left) or not len(right):
             return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                                  "asof_us": pd.Series(dtype="int64")})
-        m = pd.merge_asof(left, right, left_on="t", right_on="asof")
+        m = pd.merge_asof(left, right, left_on="t", right_on="asof", by="key")
         m = m[m["asof"].notna()]
         return pd.DataFrame({
             "event_id": m["event_id"],
             "asof_us": m["asof"].astype("datetime64[us]").astype("int64")})
 
-    return (ev.union(od).groupby("key")
-            .map_groups(per_key, batch_format="pandas")
+    from ray.data.context import ShuffleStrategy
+
+    parts = ev.union(od).repartition(num_blocks=16, keys=["key"], sort=False)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return (parts.map_batches(per_partition, batch_format="pandas",
+                              batch_size=None)
             .to_pandas())
 
 
