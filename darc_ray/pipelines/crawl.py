@@ -420,7 +420,7 @@ class CrawlEngine:
         import ray
         import ray.data as rd
 
-        from darc_ray.stages.render import RenderProcessStage
+        from darc_ray.stages.render import RenderProcessStage, render_process_batch
 
         cfg = self.cfg
         ttl = cfg.time_cache
@@ -454,20 +454,31 @@ class CrawlEngine:
         n_blocks = max(1, min(cfg.fetch_concurrency * 3, (n + 31) // 32))
         step = (n + n_blocks - 1) // n_blocks
         ds = rd.from_arrow([pool_table.slice(i, step) for i in range(0, n, step)])
-        from functools import partial as _partial
+        batch_size = min(cfg.fetch_batch_size, step)
+        if cfg.fetch_use_actors:
+            # actor-pool flavor (live-browser deployments): _drivers
+            # survives the whole round in each actor — the seam where a
+            # real Chrome driver plugs in without per-batch relaunch
+            stage = ds.map_batches(
+                RenderProcessStage,
+                fn_constructor_args=(cfg, self.fetch_fn, self.frontier,
+                                     cfg.seen_shards, round_dir,
+                                     self.site_map, self.proxy_map),
+                batch_format="pyarrow", batch_size=batch_size,
+                concurrency=min(cfg.fetch_concurrency, n_blocks), num_cpus=1)
+        else:
+            # stateless tasks on warm workers; per-proxy drivers persist
+            # in the worker-global proxy-state cache across batches
+            from functools import partial as _partial
 
-        def render_batch(batch, *, cfg, fetch_fn, shards, num_shards, round_dir,
-                         site_map, proxy_map):
-            return RenderProcessStage(cfg, fetch_fn, shards, num_shards,
-                                      round_dir, site_map, proxy_map)(batch)
-
-        summary = ds.map_batches(
-            _partial(render_batch, cfg=cfg, fetch_fn=self.fetch_fn,
-                     shards=self.frontier, num_shards=cfg.seen_shards,
-                     round_dir=round_dir, site_map=self.site_map,
-                     proxy_map=self.proxy_map),
-            batch_format="pyarrow", batch_size=min(cfg.fetch_batch_size, step),
-            concurrency=cfg.fetch_concurrency, num_cpus=1).take_all()
+            stage = ds.map_batches(
+                _partial(render_process_batch, cfg=cfg, fetch_fn=self.fetch_fn,
+                         requests_shards=self.frontier, num_shards=cfg.seen_shards,
+                         round_dir=round_dir, site_map=self.site_map,
+                         proxy_map=self.proxy_map),
+                batch_format="pyarrow", batch_size=batch_size,
+                concurrency=cfg.fetch_concurrency, num_cpus=1)
+        summary = stage.take_all()
 
         kc = Counter(r["kind"] for r in summary)
         metrics["rendered"] = kc.get("rendered", 0)

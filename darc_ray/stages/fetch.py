@@ -169,6 +169,43 @@ def check_image_payload(body: bytes, mime: str) -> tuple[int, bool]:
 
 _CORPUS_CACHE: dict[str, Any] = {}
 
+# Worker-process-global per-proxy state (St4/St5 bootstrap seam): the
+# stateless task flavor constructs a fresh stage per batch, so sessions/
+# drivers built by register_proxy factories live HERE, keyed by
+# (kind, proxy, factory fingerprint) — an expensive factory (tor daemon
+# bootstrap, Chrome launch) runs once per worker process, never once per
+# batch (ref darc/proxy/__init__.py:29-50, darc/proxy/tor.py:82-174).
+_PROXY_STATE_CACHE: dict[tuple, Any] = {}
+
+
+def proxy_state_for(kind: str, proxy: str, factory, base):
+    """Resolve a per-proxy session/driver once per worker process.
+
+    The factory arrives freshly unpickled in every stateless task, so
+    identity can't key the cache; a content fingerprint (cloudpickle
+    bytes, stable across unpicklings of the same driver-side snapshot)
+    can.  ``factory is None`` short-circuits to the base fetch fabric
+    (itself cached via ``_CORPUS_CACHE``)."""
+    if factory is None:
+        return base
+    tok = getattr(factory, "_darc_ray_token", None)
+    if tok is None:
+        import hashlib
+
+        from ray import cloudpickle
+
+        tok = hashlib.sha256(cloudpickle.dumps(factory)).hexdigest()[:16]
+        try:
+            factory._darc_ray_token = tok
+        except (AttributeError, TypeError):
+            pass                       # partials etc.: recompute per batch (cheap)
+    key = (kind, proxy, tok)
+    s = _PROXY_STATE_CACHE.get(key)
+    if s is None:
+        s = factory(base)
+        _PROXY_STATE_CACHE[key] = s
+    return s
+
 
 class _TableFetchIndex:
     """Redirect-following lookup over a (url, status, mime, body,
@@ -326,11 +363,15 @@ class Fetcher:
         self._sessions: dict[str, Any] = {}
 
     def _session_for(self, proxy: str):
-        """Per-proxy session, built once per worker (St4)."""
+        """Per-proxy session, built once per worker PROCESS (St4): the
+        factory result lands in the worker-global
+        :data:`_PROXY_STATE_CACHE`, so both the actor-pool flavor and
+        the stateless-task flavor (fresh stage per batch) bootstrap
+        expensive sessions/daemons exactly once per worker."""
         s = self._sessions.get(proxy)
         if s is None:
             factory = self.proxy_map.get(proxy, (None, None))[0]
-            s = factory(self.fetch_fn) if factory is not None else self.fetch_fn
+            s = proxy_state_for("session", proxy, factory, self.fetch_fn)
             self._sessions[proxy] = s
         return s
 
@@ -440,6 +481,15 @@ class Fetcher:
                            "proxy": proxy, "scheme": scheme,
                            "backref": backref, "depth": depth}
                     result = site.crawler(now, session, row)
+                # hooks may return (status, mime, body, history, extras)
+                # where extras overrides requests metadata fields;
+                # unpacking stays INSIDE the try so a hook returning a
+                # malformed value (None, wrong arity) requeues that one
+                # link instead of killing the whole batch
+                if len(result) == 5:
+                    status, mime, body, history, extras = result
+                else:
+                    status, mime, body, history = result
             except LinkNoReturn as e:
                 ev.emit("drop" if e.drop else "skipped", hh, url, rnd, now,
                         host=host, proxy=proxy)
@@ -447,12 +497,6 @@ class Fetcher:
             except Exception:
                 ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
                 continue
-            # hooks may return (status, mime, body, history, extras)
-            # where extras overrides requests metadata fields
-            if len(result) == 5:
-                status, mime, body, history, extras = result
-            else:
-                status, mime, body, history = result
             if status == 0:                 # RequestException (crawl.py:182-184)
                 ev.emit("requeue", hh, url, rnd, now, host=host, proxy=proxy)
                 continue

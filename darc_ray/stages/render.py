@@ -87,10 +87,18 @@ class RenderProcessStage:
         self._drivers: dict = {}
 
     def _driver_for(self, proxy: str):
+        """Per-proxy driver, built once per worker PROCESS: resolved
+        through the worker-global proxy-state cache (shared with the
+        fetch stage), so a real ``register_proxy`` driver factory
+        (Chrome launch, ref darc/selenium.py:47-69) runs once per
+        worker even in the stateless-task flavor where this stage is
+        constructed per batch."""
+        from darc_ray.stages.fetch import proxy_state_for
+
         d = self._drivers.get(proxy)
         if d is None:
             factory = self.proxy_map.get(proxy, (None, None))[1]
-            d = factory(self.fetch_fn) if factory is not None else self.fetch_fn
+            d = proxy_state_for("driver", proxy, factory, self.fetch_fn)
             self._drivers[proxy] = d
         return d
 
@@ -227,3 +235,16 @@ class RenderProcessStage:
 
         return pa.Table.from_pydict({"kind": out_kind, "url_hash": out_hash},
                                     schema=RENDER_SUMMARY_SCHEMA)
+
+
+def render_process_batch(batch: pa.Table, *, cfg, fetch_fn, requests_shards,
+                         num_shards, round_dir, site_map=None,
+                         proxy_map=None) -> pa.Table:
+    """Stateless-task flavor of :class:`RenderProcessStage` — stage
+    construction is trivial because all per-proxy driver state resolves
+    through the worker-global cache (``fetch.proxy_state_for``); live
+    browser deployments use the actor-pool flavor
+    (``CrawlConfig.fetch_use_actors``) instead, mirroring the fetch
+    stage's two flavors."""
+    return RenderProcessStage(cfg, fetch_fn, requests_shards, num_shards,
+                              round_dir, site_map, proxy_map)(batch)
