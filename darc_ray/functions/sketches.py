@@ -102,16 +102,20 @@ def lsh_bands(sig: np.ndarray, n_bands: int) -> list[tuple[int, int]]:
 
 
 def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over word unigrams (frequency-weighted)."""
-    votes = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        votes += 2 * bits - 1
-    v = 0
-    for i in range(64):
-        if votes[i] > 0:
-            v |= (1 << i)
+    """Classic 64-bit SimHash over word unigrams (frequency-weighted).
+
+    Word hash = first 8 bytes of md5 (not blake2b) so the DuckDB SQL
+    oracle can reproduce the value bit-for-bit (DuckDB ships md5 but no
+    blake2b); bit votes are one vectorized numpy pass per document."""
+    words = text.split()
+    if not words:
+        return 0
+    hs = np.array([int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+                   for w in words], dtype=np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    v = int(((votes > 0).astype(np.uint64)
+             << np.arange(64, dtype=np.uint64)).sum())
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

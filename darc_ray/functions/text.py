@@ -77,12 +77,13 @@ _MASK = (1 << 64) - 1
 
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
     """64-bit polynomial rolling hash over the word sequence
-    (order-sensitive document fingerprint)."""
+    (order-sensitive document fingerprint).  Word hash = first 8 bytes
+    of md5 so the DuckDB oracle reproduces it exactly (list_reduce over
+    the word list with the same multiply-mask-xor step)."""
     def _one(t: str) -> int:
         h = 1469598103934665603
         for w in t.split():
-            wh = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            wh = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
             h = ((h * _B) & _MASK) ^ wh
         return h & 0x7FFFFFFFFFFFFFFF                   # keep int64-positive
 

@@ -780,6 +780,53 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
             .select_columns(["doc_id", "simhash"]).to_pandas())
 
 
+# the SimHash kernel is SQL-expressible bit-for-bit: md5-prefix word
+# hashes, per-bit frequency votes, sign-fold to int64 (the same
+# arithmetic as functions/sketches.py simhash64)
+SQL_SIMHASH = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), wh AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words
+), votes AS (
+  SELECT doc_id, r.i,
+         sum(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM wh CROSS JOIN range(0, 64) r(i)
+  GROUP BY doc_id, r.i
+), agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::UBIGINT << i)::HUGEINT
+                  ELSE 0::HUGEINT END) AS v
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(a.v, 0) >= 9223372036854775808
+                 THEN coalesce(a.v, 0) - 18446744073709551616
+                 ELSE coalesce(a.v, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+# the rolling fingerprint is a left fold over the word sequence:
+# list_reduce with the seed prepended, HUGEINT intermediate for the
+# 64x20-bit multiply, mask via mod 2^64, final top-bit clear
+SQL_ROLLING_FINGERPRINT = """
+SELECT doc_id,
+  CAST(
+    CASE WHEN trim(text) = '' THEN 1469598103934665603::UBIGINT
+    ELSE list_reduce(
+      list_prepend(1469598103934665603::UBIGINT,
+        list_transform(string_split_regex(trim(text), '\\s+'),
+                       w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT)),
+      (acc, x) -> xor(((acc::HUGEINT * 1000003) % 18446744073709551616)::UBIGINT, x))
+    END & 9223372036854775807::UBIGINT
+  AS BIGINT) AS rfp
+FROM documents
+"""
+
+
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) via banded-prefix blocking
     — exact recall at the radius, one hash shuffle."""
@@ -820,12 +867,47 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 def q_embedding_dups(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the driver
     tables' similarity distribution: random-ish vectors, max pair
-    cosine ≈ 0.5).  Distributed block-pair tiles — vectors stay in the
-    object store; the driver sees only refs and result pairs."""
-    from darc_ray.stages.dedup import embedding_dup_pairs_blocked
+    cosine ≈ 0.5).  Routed through the threshold dispatcher: 0.4 is a
+    broad-similarity threshold → exact block-pair tiles (vectors stay
+    in the object store); true near-dup thresholds (≥ 0.7) take the
+    LSH-bucketed path instead — see ``q_embedding_dups_lsh``."""
+    from darc_ray.stages.dedup import embedding_dup_pairs_auto
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dup_pairs_blocked(ds, threshold=0.4, block_rows=1024)
+    return embedding_dup_pairs_auto(ds, threshold=0.4, block_rows=1024)
+
+
+def q_embedding_dups_lsh(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH near-dup path (the 100 TB default at real
+    near-dup thresholds): the embeddings table augmented with planted
+    exact duplicates (vec_id + 1e6), LSH-bucketed, verified by exact
+    cosine inside buckets.  Exact copies collide in every table —
+    recall 1 by construction — so the DuckDB all-pairs oracle matches
+    bit-for-bit."""
+    from darc_ray.stages.dedup import embedding_dup_pairs_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["vec_id"], pa.scalar(50)))
+        return pa.table({"vec_id": pc.add(sub["vec_id"], pa.scalar(1_000_000)),
+                         "embedding": sub["embedding"]})
+
+    aug = ds.union(ds.map_batches(planted, batch_format="pyarrow"))
+    return embedding_dup_pairs_lsh(aug, threshold=0.95)
+
+
+SQL_EMBEDDING_DUPS_LSH = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.embedding, y.embedding), 6) AS cosine
+FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+"""
 
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
@@ -991,6 +1073,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_dups": q_embedding_dups,
+    "embedding_dups_lsh": q_embedding_dups_lsh,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "image_features": q_image_features,
@@ -1029,4 +1112,7 @@ ORACLE_SQL: dict[str, str] = {
     "quantiles": SQL_QUANTILES,
     "argmax_dedup": SQL_ARGMAX_DEDUP,
     "lang_id": SQL_LANG_ID,
+    "simhash": SQL_SIMHASH,
+    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "embedding_dups_lsh": SQL_EMBEDDING_DUPS_LSH,
 }

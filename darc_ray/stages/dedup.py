@@ -305,7 +305,8 @@ def ngram_jaccard_pairs(ids: list, texts: list[str], k: int = 3,
 
 def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
                        id_col: str = "doc_id", text_col: str = "text",
-                       n_buckets: int | None = None) -> pd.DataFrame:
+                       n_buckets: int | None = None,
+                       max_df: int = 100_000) -> pd.DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold over the FULL table —
     the inverted-index similarity join:
 
@@ -315,11 +316,18 @@ def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
     3. ``groupby(a, b).sum`` → exact intersection sizes
     4. jaccard = inter / (|a| + |b| − inter), filter ≥ threshold
 
-    No O(n²) scan and no driver materialization of texts; hot shingles
-    are the skew point (a shingle shared by m docs emits m² pairs) —
-    the candidates are exactly the pairs sharing ≥ 1 shingle, which is
-    what exactness requires.  Doc sizes ride as a broadcast int map
-    (4 B/doc; co-shuffle instead beyond ~10^8 docs)."""
+    No O(n²) scan and no driver materialization of texts.  Hot shingles
+    are the skew point: a shingle shared by m docs would self-merge to
+    m² rows inside ONE partition (at web scale a stop-word-ish shingle
+    guarantees it), so shingles with document frequency > ``max_df``
+    are dropped before the quadratic step — LOUDLY (a warning with the
+    drop count; df is exact because the shuffle co-locates all of a
+    shingle's rows).  Exactness caveat: a pair sharing ONLY dropped
+    shingles is missed and surviving pairs' intersection counts omit
+    dropped shingles (jaccard under-, never over-estimates) — the
+    standard prefix-filter trade; ``max_df=None`` restores the exact
+    join.  Doc sizes ride as a broadcast int map (4 B/doc; co-shuffle
+    instead beyond ~10^8 docs)."""
     import ray
     from ray.data.context import ShuffleStrategy
 
@@ -361,8 +369,21 @@ def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
         # a dense shingle shared by m docs emits its m² merge rows
         # here, never crossing the wire unaggregated
         g = df.drop_duplicates(["sh", "doc_id"])
-        # drop singleton shingles before the quadratic self-merge
+        # drop singleton shingles before the quadratic self-merge;
+        # cap document frequency (skew guard — see docstring)
         vc = g["sh"].value_counts()
+        if max_df is not None:
+            hot = vc.index[vc > max_df]
+            if len(hot):
+                import logging
+
+                logging.getLogger("darc_ray.dedup").warning(
+                    "ngram_jaccard_join: dropping %d hot shingle(s) with "
+                    "df > %d (max observed df %d) — pairs sharing only "
+                    "dropped shingles are missed", len(hot), max_df,
+                    int(vc.max()))
+                g = g[~g["sh"].isin(hot)]
+                vc = vc[vc <= max_df]
         g = g[g["sh"].isin(vc.index[vc >= 2])]
         if not len(g):
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
@@ -480,3 +501,104 @@ def embedding_dup_pairs_blocked(ds, threshold: float = 0.95,
                              "cosine": pd.Series(dtype="float64")})
     return (pd.concat(parts, ignore_index=True)
             .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def embedding_dup_pairs_lsh(ds, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_planes: int = 6, n_tables: int = 8,
+                            seed: int = 13,
+                            n_buckets: int = 32) -> pd.DataFrame:
+    """Near-dup pairs by cosine ≥ threshold via hyperplane-LSH
+    bucketing — the 100 TB default for true near-dup thresholds.
+
+    Each vector gets ``n_tables`` signatures of ``n_planes`` sign bits
+    (random hyperplanes, seeded); candidate pairs must share a
+    (table, bucket), so ONE hash shuffle keyed (table, bucket)
+    co-locates them and the exact cosine kernel verifies inside each
+    bucket.  Compute is O(sum over buckets of m²) instead of the
+    all-pairs O(n²); vectors ride the shuffle n_tables times (explode
+    factor = n_tables, documented).
+
+    Recall: exact duplicates collide in every table; a pair at angle θ
+    survives with p = 1 − (1 − (1 − θ/π)^n_planes)^n_tables (≈ 0.9998
+    at cosine 0.95 with the defaults).  For LOW thresholds (broad
+    similarity, where LSH recall decays) use the exact
+    :func:`embedding_dup_pairs_blocked` tiles —
+    :func:`embedding_dup_pairs_auto` routes on the threshold."""
+    from ray.data.context import ShuffleStrategy
+
+    rng = np.random.default_rng(seed)
+    dim = len(ds.take(1)[0][vec_col])
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    pw = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, u = _normalized_block(t, id_col, vec_col)
+        out = {"table_id": [], "bucket": [], "vid": [], "vec": []}
+        for ti in range(n_tables):
+            bits = (u @ planes[ti].T) > 0                   # (n, n_planes)
+            buckets = bits.astype(np.int64) @ pw
+            out["table_id"].append(np.full(len(ids), ti, dtype=np.int32))
+            out["bucket"].append(buckets)
+            out["vid"].append(ids)
+            out["vec"].append(u)
+        vecs = np.concatenate(out["vec"])
+        return pa.Table.from_pydict({
+            "table_id": pa.array(np.concatenate(out["table_id"])),
+            "bucket": pa.array(np.concatenate(out["bucket"])),
+            "vid": pa.array(np.concatenate(out["vid"])),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), type=pa.float64()), vecs.shape[1])})
+
+    parts = (ds.map_batches(explode, batch_format="pyarrow")
+             .repartition(num_blocks=n_buckets, keys=["table_id", "bucket"],
+                          sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby(["table_id", "bucket"]):
+            if len(g) < 2:
+                continue
+            # first occurrence per vid within the bucket (exact dups
+            # appear once per (table, bucket))
+            g = g.drop_duplicates("vid")
+            if len(g) < 2:
+                continue
+            ids = g["vid"].to_numpy()
+            m = np.stack(g["vec"].to_numpy())
+            sim = m @ m.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            vals = sim[ii, jj]
+            mask = vals >= threshold
+            if mask.any():
+                a, b = ids[ii[mask]], ids[jj[mask]]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                rows.append(pd.DataFrame({
+                    "a": lo, "b": hi,
+                    "cosine": np.round(vals[mask].astype(np.float64), 6)}))
+        if not rows:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(rows, ignore_index=True)
+
+    out = (parts.map_batches(bucket_pairs, batch_format="pandas",
+                             batch_size=None).to_pandas())
+    # a pair may collide in several tables → distinct
+    return (out.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def embedding_dup_pairs_auto(ds, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             **kw) -> pd.DataFrame:
+    """Threshold-routed embedding near-dup (VERDICT r2 item 4): true
+    near-dup thresholds (≥ 0.7) take the LSH-bucketed path (no O(n²)
+    tile pass); broad-similarity thresholds below that need exact
+    recall LSH can't give and fall back to the block-tile kernel."""
+    if threshold >= 0.7:
+        return embedding_dup_pairs_lsh(ds, threshold, id_col, vec_col, **kw)
+    return embedding_dup_pairs_blocked(ds, threshold, id_col, vec_col, **kw)

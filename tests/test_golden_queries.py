@@ -22,9 +22,11 @@ GOLDEN = {
     "ann_ivf": (50, "b9442830d4f71fd6"),
     "lang_id": (500, "f56b46de02032a35"),
     "quality": (500, "18069e47cb934544"),
-    "rolling_fingerprint": (500, "04b3152e048a0428"),
-    "simhash": (500, "4a509d24cbaa042b"),
-    "simhash_pairs": (24, "8f68eee0c4adcb5c"),
+    # simhash / rfp word hashes switched to md5-prefix in round 3 so the
+    # DuckDB oracles reproduce them bit-for-bit (values re-pinned)
+    "rolling_fingerprint": (500, "306e0a75b385a048"),
+    "simhash": (500, "aa16694404586fb5"),
+    "simhash_pairs": (12, "8d90042fcd3103d8"),
     "image_features": (64, "4a47f3205b086d9f"),
     "audio_features": (64, "b6e745d9e0642b05"),
     "video_frames": (147, "52ad18452ef4e65d"),

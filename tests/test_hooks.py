@@ -281,3 +281,71 @@ def test_raising_session_requeues_not_crashes(corpus, registries, ray_session,
     assert not null_p001                      # the raising URL never yields a page
     assert totals["requeued"] > 0
     eng.shutdown()
+
+
+def test_malformed_hook_result_requeues_single_link(corpus, registries,
+                                                    ray_session,
+                                                    tmp_path_factory):
+    """A site hook returning a malformed value (None / wrong arity)
+    must requeue that ONE link like other hook errors — never kill the
+    whole fetch batch (ADVICE r2: unpack runs inside the per-link try)."""
+    c, cpath = corpus
+
+    def make_site():
+        class BrokenSite(BaseSite):
+            hostname = ["h000.example"]
+
+            @staticmethod
+            def crawler(timestamp, session, row):
+                if row["url"].endswith("/p001.html"):
+                    return None                  # malformed: not a tuple
+                if row["url"].endswith("/p002.html"):
+                    return (200,)                # malformed: wrong arity
+                return session(row["url"])
+
+        return BrokenSite
+
+    register_sites(make_site())
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("brokenhook")), _cfg())
+    eng.seed(c.seeds)
+    totals = eng.run(6)                          # must not raise
+    pages = eng.pages_table().to_pylist()
+    h0 = [p for p in pages if p["host"] == "h000.example"]
+    assert h0                                    # the rest of the host crawled
+    assert not any(p["url"].endswith(("/p001.html", "/p002.html")) for p in h0)
+    assert totals["requeued"] > 0
+    eng.shutdown()
+
+
+def test_proxy_factory_bootstraps_once_per_worker(corpus, registries,
+                                                  ray_session,
+                                                  tmp_path_factory):
+    """St4/St5 bootstrap cost model: a register_proxy session factory
+    runs ONCE per worker process — not once per batch — even in the
+    default stateless-task fetch flavor (worker-global proxy-state
+    cache, VERDICT r2 item 1 / ADVICE r2 item 1).  The factory logs its
+    pid on every invocation; after a multi-round crawl each worker pid
+    must appear exactly once."""
+    import os
+
+    c, cpath = corpus
+    log = str(tmp_path_factory.mktemp("bootlog") / "factory_calls.log")
+
+    def logging_session(fetch_fn):
+        with open(log, "a") as f:
+            f.write(f"{os.getpid()}\n")
+        return fetch_fn
+
+    register_proxy("null", logging_session)
+    # small batches -> many batches per worker per round; 6 rounds
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("bootout")),
+                      _cfg(fetch_batch_size=4))
+    eng.seed(c.seeds)
+    totals = eng.run(6)
+    assert totals["pages"] > 0
+    with open(log) as f:
+        pids = [line.strip() for line in f if line.strip()]
+    assert pids                                  # factory ran somewhere
+    assert len(pids) == len(set(pids)), (
+        f"factory re-ran inside a worker: {sorted(pids)}")
+    eng.shutdown()
