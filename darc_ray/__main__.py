@@ -88,7 +88,8 @@ def cmd_query(args: argparse.Namespace) -> int:
     if args.name not in QUERIES:
         print(json.dumps({"error": f"unknown query {args.name!r}"}))
         return 2
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     import time as _time
@@ -111,7 +112,8 @@ def cmd_query(args: argparse.Namespace) -> int:
         want = con.sql(ORACLE_SQL[args.name]).df()
         result["oracle_rows"] = len(want)
         result["rows_match"] = len(out) == len(want)
-    ray.shutdown()
+    if owns_ray:           # never tear down a programmatic caller's session
+        ray.shutdown()
     print(json.dumps(result))
     if args.head:
         print(out.head(args.head).to_string(index=False))

@@ -289,6 +289,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             break
     if scan_pos is None or not comps:
         raise ValueError("truncated JPEG (no scan)")
+    # a malformed stream whose SOS precedes its DHT/DQT segments must
+    # fail like the other corrupt-payload paths (ValueError), not leak
+    # a KeyError from the MCU loop's table lookups
+    for c in comps:
+        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+            raise ValueError("truncated/invalid JPEG: missing Huffman table "
+                             f"for component {c['id']}")
+        if c["tq"] not in qt:
+            raise ValueError("truncated/invalid JPEG: missing quantization "
+                             f"table {c['tq']}")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -91,6 +91,30 @@ class DefaultSite(BaseSite):
 SITE_REGISTRY: dict[str, type[BaseSite]] = {}
 PROXY_REGISTRY: dict[str, tuple[Callable | None, Callable | None]] = {}
 HOOK_REGISTRY: list[Callable[[str, list[dict]], None]] = []
+SIGNAL_REGISTRY: dict[int, Callable] = {}
+
+# graceful-stop flag (ref darc/process.py:114-115: the round loop
+# checks the signal-set stop condition between rounds); set by the
+# default register_signal handler or request_stop(), checked by
+# CrawlEngine.run after every round — a stopped run resumes exactly
+# from its checkpoints (CrawlEngine.resume)
+import threading as _threading
+
+STOP_EVENT = _threading.Event()
+
+
+def request_stop() -> None:
+    """Ask every engine round loop in this process to stop after the
+    current round (the ``ray job stop`` graceful analog)."""
+    STOP_EVENT.set()
+
+
+def stop_requested() -> bool:
+    return STOP_EVENT.is_set()
+
+
+def clear_stop() -> None:
+    STOP_EVENT.clear()
 
 
 def register_sites(site: type[BaseSite], *hostnames: str) -> None:
@@ -122,11 +146,40 @@ def register_hooks(hook: Callable[[str, list[dict]], None], *,
         HOOK_REGISTRY.insert(_index, hook)
 
 
+def register_signal(signum: int, handler: Callable | None = None) -> Callable:
+    """Register a signal handler on the DRIVER process; mirrors ref
+    ``darc.signal.register`` (signal.py:35-63).  The reference installs
+    handlers at worker-process start; here all control flow lives on
+    the Ray driver (workers are stateless tasks/actors), so the handler
+    installs immediately.  ``handler=None`` installs the graceful-stop
+    handler: the signal sets :data:`STOP_EVENT`, and every running
+    ``CrawlEngine.run`` loop exits after its current round with
+    checkpoints intact (ref darc/process.py:114-115 stop handling;
+    the ``ray job stop`` analog for driver-owned runs)."""
+    import signal as _signal
+
+    if handler is None:
+        def handler(_signum, _frame):            # noqa: ANN001
+            request_stop()
+    SIGNAL_REGISTRY[signum] = handler
+    _signal.signal(signum, handler)
+    return handler
+
+
 def clear_registries() -> None:
     """Reset all registries (test hygiene)."""
+    import signal as _signal
+
     SITE_REGISTRY.clear()
     PROXY_REGISTRY.clear()
     HOOK_REGISTRY.clear()
+    for signum in list(SIGNAL_REGISTRY):
+        try:
+            _signal.signal(signum, _signal.SIG_DFL)
+        except (ValueError, OSError):
+            pass                                  # non-main thread / exotic signum
+    SIGNAL_REGISTRY.clear()
+    clear_stop()
 
 
 def site_for(host: str | None, site_map: dict[str, type[BaseSite]]

@@ -117,6 +117,16 @@ class CrawlEngine:
         self.round_hooks = list(_hooks.HOOK_REGISTRY)
         self._last_pool: dict[str, list] = {c: [] for c in POOL_COLS}
         self._last_render_pool: dict[str, list] = {c: [] for c in POOL_COLS}
+        self._stop_requested = False
+
+    # ------------------------------------------------------------------
+    def request_stop(self) -> None:
+        """Graceful stop: the round loop exits after the current round
+        (ref darc/process.py:114-115 signal-driven stop); checkpoints
+        are already committed per round, so :meth:`resume` continues
+        exactly.  Also set process-wide by ``hooks.register_signal``'s
+        default handler."""
+        self._stop_requested = True
 
     # ------------------------------------------------------------------
     def shutdown(self) -> None:
@@ -171,8 +181,10 @@ class CrawlEngine:
         """Round loop with between-round hooks (ref darc/process.py:
         78-121): each round, registered + per-call hooks fire as
         ``fn("crawler", pool)`` (and ``fn("loader", render_pool)`` when
-        the dual queue runs); WorkerBreak stops after the round."""
-        from darc_ray.hooks import run_hooks
+        the dual queue runs); WorkerBreak stops after the round, as do
+        :meth:`request_stop` and the hooks-module stop event (signal
+        handlers installed via ``register_signal``)."""
+        from darc_ray.hooks import run_hooks, stop_requested
 
         all_hooks = self.round_hooks + list(hooks or [])
         totals: dict[str, float] = {}
@@ -192,6 +204,8 @@ class CrawlEngine:
                                      _pool_rows(self._last_render_pool))
                 if brk:
                     break
+            if self._stop_requested or stop_requested():
+                break
             if stop_on_idle:
                 idle = idle + 1 if m["taken"] == 0 else 0
                 if idle >= 2:
@@ -222,7 +236,7 @@ class CrawlEngine:
         metrics: dict[str, int] = {k: 0 for k in (
             "popped", "taken", "deferred", "pages", "candidates", "enqueued",
             "requeued", "dropped", "artifacts", "robots_blocked", "render",
-            "new_hosts", "boot_candidates", "skipped")}
+            "new_hosts", "boot_candidates", "boot_partial", "skipped")}
 
         round_dir = os.path.join(self.out_dir, "rounds", f"r{t:05d}")
         if os.path.exists(round_dir):
@@ -280,8 +294,9 @@ class CrawlEngine:
             n_taken = len(pool["url_hash"])
 
             # ---- 4. new-host bootstrap (crawl.py:140-166), before any fetch
-            boot_cand, n_new = self._bootstrap_hosts(pool, now)
+            boot_cand, n_new, n_partial = self._bootstrap_hosts(pool, now)
             metrics["new_hosts"] = n_new
+            metrics["boot_partial"] = n_partial
             if boot_cand is not None:
                 metrics["boot_candidates"] = boot_cand.num_rows
         _mark(metrics, "t_bootstrap")
@@ -657,9 +672,12 @@ class CrawlEngine:
             out.update(zip(hs, got))
         return out
 
-    def _bootstrap_hosts(self, pool: dict[str, list], now: float) -> tuple[pa.Table | None, int]:
+    def _bootstrap_hosts(self, pool: dict[str, list], now: float
+                         ) -> tuple[pa.Table | None, int, int]:
         """have_hostname + new-host robots/sitemap/hosts.txt for the
-        round's fetchable hosts; returns candidate rows (now_replace)."""
+        round's fetchable hosts; returns (candidate rows (now_replace),
+        new-host count, partial-failure count — partial hostnames are
+        dropped shard-side for retry, ref darc/crawl.py:158-166)."""
         import ray
 
         reps: dict[str, tuple[str, str, int]] = {}   # host → (proxy, rep url, rep depth)
@@ -669,7 +687,7 @@ class CrawlEngine:
                 if h and h not in reps:
                     reps[h] = (pool["proxy"][i], pool["url"][i], int(pool["depth"][i]))
         if not reps:
-            return None, 0
+            return None, 0, 0
         hosts = sorted(reps)
         sid = host_shard_of(hosts, len(self.hosts))
         futures, order = [], []
@@ -689,25 +707,28 @@ class CrawlEngine:
             if fresh:
                 boot_by_shard[s] = fresh
         if not boot_by_shard:
-            return None, 0
+            return None, 0, 0
         futures = [self.hosts[s].bootstrap_hosts.remote(
             hs, [reps[h][0] for h in hs], [reps[h][1] for h in hs], now)
             for s, hs in sorted(boot_by_shard.items())]
         urls: list[str] = []
         backrefs: list[str] = []
         depths: list[int] = []
+        n_partial = 0
         for (s, hs), got in zip(sorted(boot_by_shard.items()), ray.get(futures)):
             rep_depth = {reps[h][1]: reps[h][2] for h in hs}
+            n_partial += len(got.get("partial", []))
             for u, b in zip(got["url"], got["backref"]):
                 urls.append(u)
                 backrefs.append(b)
                 depths.append(rep_depth.get(b, 0) + 1)
         if not urls:
-            return None, n_new
+            return None, n_new, n_partial
         ev_like = pa.Table.from_pydict({
             "cand_url": urls, "cand_backref": backrefs, "cand_depth": depths,
             "cand_mode": ["now_replace"] * len(urls)})
-        return parse_candidates(ev_like, self.cfg.num_partitions, self.cfg.seen_shards), n_new
+        return (parse_candidates(ev_like, self.cfg.num_partitions,
+                                 self.cfg.seen_shards), n_new, n_partial)
 
     def _scatter_scores(self, hashes: list[str], score: float) -> None:
         import ray

@@ -60,10 +60,16 @@ class OracleResult:
     render_frontier: dict[str, list] = field(default_factory=dict)
 
 
-def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
+def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int,
+             bootstrap_fetch=None) -> OracleResult:
+    """``bootstrap_fetch`` overrides the fabric for the new-host
+    bootstrap fetches only (robots/sitemap/hosts.txt) — used to mirror
+    engine-side fetch-failure injection for the partial-failure-retry
+    conformance test (ref darc/crawl.py:158-166)."""
     res = OracleResult()
     ttl = cfg.time_cache
     budget = cfg.max_pool * cfg.workers
+    boot_lookup = bootstrap_fetch if bootstrap_fetch is not None else corpus.lookup
 
     # frontier: url_hash → [url, proxy, scheme, host, base_host, backref, score, depth]
     frontier: dict[str, list] = {}
@@ -219,37 +225,50 @@ def simulate(corpus: Corpus, cfg: CrawlConfig, max_rounds: int) -> OracleResult:
                 continue
             if proxy in ("zeronet", "freenet"):
                 continue
-            # robots fetch
-            r_status, r_mime, r_body, _ = corpus.lookup(urljoin(url, "/robots.txt"))
-            robots = (r_body.decode("utf-8", "replace")
-                      if 200 <= r_status < 300 and r_mime in ("text/plain", "text/text")
-                      else "")
-            st["robots"] = robots
-            # sitemap BFS
-            queue = list(sitemaps_from_robots(url, robots))
-            seen_sm: set[str] = set()
-            while queue:
-                sm = queue.pop(0)
-                if sm in seen_sm:
-                    continue
-                seen_sm.add(sm)
-                s_status, s_mime, s_body, _ = corpus.lookup(sm)
-                if not (200 <= s_status < 300):
-                    continue
-                if s_mime == "application/gzip":
-                    text = maybe_gunzip(s_body, s_mime)
-                elif s_mime in ("text/xml", "text/html"):
-                    text = s_body.decode("utf-8", "replace")
-                else:
-                    continue
-                queue.extend(child_sitemaps(sm, text))
-                for u in sitemap_urls(url, text):
-                    now_cands.append((u, url, depth + 1))
-            if proxy == "i2p":
-                h_status, h_mime, h_body, _ = corpus.lookup(urljoin(url, "/hosts.txt"))
-                if 200 <= h_status < 300 and h_mime in ("text/plain", "text/text"):
-                    for u in hosts_txt_urls(h_body.decode("utf-8", "replace")):
+            # partial-failure retry (ref crawl.py:158-166): an exception
+            # escaping the bootstrap fetches drops the hostname from the
+            # seen set so the next encounter retries; candidates
+            # gathered before the failure still enqueue
+            partial = False
+            try:
+                # robots fetch
+                r_status, r_mime, r_body, _ = boot_lookup(urljoin(url, "/robots.txt"))
+                robots = (r_body.decode("utf-8", "replace")
+                          if 200 <= r_status < 300 and r_mime in ("text/plain", "text/text")
+                          else "")
+                st["robots"] = robots
+                # sitemap BFS
+                queue = list(sitemaps_from_robots(url, robots))
+                seen_sm: set[str] = set()
+                while queue:
+                    sm = queue.pop(0)
+                    if sm in seen_sm:
+                        continue
+                    seen_sm.add(sm)
+                    s_status, s_mime, s_body, _ = boot_lookup(sm)
+                    if not (200 <= s_status < 300):
+                        continue
+                    if s_mime == "application/gzip":
+                        text = maybe_gunzip(s_body, s_mime)
+                    elif s_mime in ("text/xml", "text/html"):
+                        text = s_body.decode("utf-8", "replace")
+                    else:
+                        continue
+                    queue.extend(child_sitemaps(sm, text))
+                    for u in sitemap_urls(url, text):
                         now_cands.append((u, url, depth + 1))
+            except Exception:
+                partial = True
+            if proxy == "i2p":
+                try:
+                    h_status, h_mime, h_body, _ = boot_lookup(urljoin(url, "/hosts.txt"))
+                    if 200 <= h_status < 300 and h_mime in ("text/plain", "text/text"):
+                        for u in hosts_txt_urls(h_body.decode("utf-8", "replace")):
+                            now_cands.append((u, url, depth + 1))
+                except Exception:
+                    partial = True
+            if partial:
+                st["score"] = None          # drop_hostname analog → retry
 
         # ---- fetch each taken row (sequential; round-batched effects)
         nx_cands: list[tuple[str, str, int]] = []

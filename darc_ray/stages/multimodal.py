@@ -1,11 +1,13 @@
 """Multimodal column stages: opaque binary payloads + typed metadata,
 processed by actor-pool ``map_batches`` stages.
 
-The decode kernels are the engine's own codecs
-(``darc_ray.functions.image``): PNG is real; JPEG is the documented
-deterministic stub (no image libraries in this environment) — the
-Ray-side plumbing (schema, batch sizing, actor signature, output
-layout) is real and tested either way.
+The decode kernels are the engine's own codecs: PNG is a real codec
+(``darc_ray.functions.image``), and JPEG is a real baseline ITU-T T.81
+decoder/encoder (``darc_ray.functions.jpeg`` — ``FF D8`` payloads
+route through it via ``image.decode``; validated against
+libjpeg-encoded files; progressive SOF2 is rejected with a clear
+error).  Audio is a real RIFF/WAVE PCM16 codec; video is the FVID
+frame container with real PNG frames.
 """
 
 from __future__ import annotations
@@ -39,7 +41,9 @@ class ImageFeatureStage:
             phash.append(img.phash64(pix))
             h.append(pix.shape[0])
             w.append(pix.shape[1])
-            rt = img.decode(img.encode(pix, fmt), fmt)
+            # re-encode with the codec family the payload actually used
+            # (FF D8 → the real T.81 codec) — the input_hint PSNR gate
+            rt = img.lossy_roundtrip(pix, payload, fmt)
             p = img.psnr(pix, rt)
             psnr_ok.append(bool(p == float("inf") or p >= 40.0))
         return pa.Table.from_pydict({

@@ -111,38 +111,63 @@ class HostShard:
                         root_urls: list[str], now: float) -> dict[str, list]:
         """Run robots+sitemap(+i2p hosts.txt) for hosts claimed new or
         force-refetch.  Returns candidate URL columns (url, backref)
-        to enqueue with score=now replace semantics."""
+        to enqueue with score=now replace semantics, plus the hosts
+        whose bootstrap PARTIALLY failed.
+
+        Partial-failure retry (ref darc/crawl.py:158-166 +
+        submit.py:273 ``$PARTIAL$``): an exception escaping the
+        sitemap/hosts fetch marks the bootstrap partial — the hostname
+        is dropped from the seen set (``drop_hostname`` analog:
+        score=None) so the next encounter retries it.  Candidates
+        gathered before the failure still enqueue (the reference's
+        ``save_requests`` runs per sitemap inside the loop).  The
+        fabric's status-0/non-ok responses map to the reference's
+        *caught* ``RequestException`` paths (robots → empty rules,
+        sitemap → skip) and are NOT partial; only raised exceptions
+        (the reference's uncaught/unexpected errors) are."""
         out_urls: list[str] = []
         out_backrefs: list[str] = []
+        out_partial: list[str] = []
         for host, proxy, root in zip(hosts, proxies, root_urls):
             st = self._state(host, proxy, now)
             if proxy in ("zeronet", "freenet"):
                 continue  # crawl.py:147: no sitemap branch
-            robots_text = self._fetch_robots(root)
-            st["robots"] = robots_text
-            # sitemap BFS (cycle-guarded; reference has no guard but no cycles either)
-            sitemaps = list(sitemaps_from_robots(root, robots_text or ""))
-            seen_sm: set[str] = set()
-            st_sitemaps: list[str] = []
-            while sitemaps:
-                sm_url = sitemaps.pop(0)
-                if sm_url in seen_sm:
-                    continue
-                seen_sm.add(sm_url)
-                text = self._fetch_sitemap(sm_url)
-                if text is None:
-                    continue
-                st_sitemaps.append(sm_url)
-                sitemaps.extend(child_sitemaps(sm_url, text))
-                for u in sitemap_urls(root, text):
-                    out_urls.append(u)
-                    out_backrefs.append(root)
-            st["sitemaps"] = st_sitemaps
+            partial = False
+            try:
+                robots_text = self._fetch_robots(root)
+                st["robots"] = robots_text
+                # sitemap BFS (cycle-guarded; reference has no guard but no cycles either)
+                sitemaps = list(sitemaps_from_robots(root, robots_text or ""))
+                seen_sm: set[str] = set()
+                st_sitemaps: list[str] = []
+                while sitemaps:
+                    sm_url = sitemaps.pop(0)
+                    if sm_url in seen_sm:
+                        continue
+                    seen_sm.add(sm_url)
+                    text = self._fetch_sitemap(sm_url)
+                    if text is None:
+                        continue
+                    st_sitemaps.append(sm_url)
+                    sitemaps.extend(child_sitemaps(sm_url, text))
+                    for u in sitemap_urls(root, text):
+                        out_urls.append(u)
+                        out_backrefs.append(root)
+                st["sitemaps"] = st_sitemaps
+            except Exception:
+                partial = True
             if proxy == "i2p":
-                for u in self._fetch_hosts_txt(root):
-                    out_urls.append(u)
-                    out_backrefs.append(root)
-        return {"url": out_urls, "backref": out_backrefs}
+                try:
+                    for u in self._fetch_hosts_txt(root):
+                        out_urls.append(u)
+                        out_backrefs.append(root)
+                except Exception:
+                    partial = True
+            if partial:
+                st["score"] = None          # drop for retry next encounter
+                out_partial.append(host)
+        return {"url": out_urls, "backref": out_backrefs,
+                "partial": out_partial}
 
     def _fetch_robots(self, root_url: str) -> str:
         if self.fetch_fn is None:

@@ -179,3 +179,66 @@ def test_fixtures_scale_with_render(ray_session, tmp_path_factory):
     assert eng.render_pop_log == want.render_pop_order
     assert set(eng.render_seen()) == want.render_seen
     eng.shutdown()
+
+
+def test_partial_bootstrap_failure_retries(corpus, ray_session,
+                                           tmp_path_factory):
+    """new_host partial-failure retry (ref darc/crawl.py:158-166 +
+    submit.py $PARTIAL$): a sitemap fetch that RAISES marks the host's
+    bootstrap partial, the hostname is dropped from the seen set, and
+    the next encounter retries the bootstrap — engine and oracle run
+    the same injected failure and must agree exactly."""
+    import hashlib
+
+    import ray
+
+    from darc_ray.pipelines.oracle import simulate as _simulate
+
+    c, cpath = corpus
+    target = "http://h006.example/sitemap.xml"
+
+    class FlakyOnce:
+        """Raises on the first fetch of ``target``, then delegates."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.fired = False
+
+        def __call__(self, url):
+            if url == target and not self.fired:
+                self.fired = True
+                raise ConnectionError(url)
+            return self.inner(url)
+
+        def resolve(self, url):
+            r = getattr(self.inner, "resolve", None)
+            return r(url) if r else url
+
+    # host_ttl huge: force-refetch must NOT mask the drop-for-retry path
+    cfg = CrawlConfig(max_pool=40, time_cache=2.0, host_ttl=1e9,
+                      seen_shards=3, host_shards=2, fetch_concurrency=2,
+                      fetch_batch_size=16, snapshot_every=0)
+    rounds = 8
+    eng = CrawlEngine(cpath, str(tmp_path_factory.mktemp("partial")), cfg)
+    ray.get([h.set_fetch_fn.remote(FlakyOnce(eng.fetch_fn))
+             for h in eng.hosts])
+    eng.seed(c.seeds)
+    totals = eng.run(rounds)
+    assert totals["boot_partial"] >= 1           # the injected failure fired
+
+    want = _simulate(c, cfg, rounds, bootstrap_fetch=FlakyOnce(c.lookup))
+    assert eng.pop_log == want.pop_order
+    assert set(eng.seen_hashes()) == want.seen
+    pages = eng.pages_table()
+    got_pages = {(r["url_hash"], r["round"], r["status"], r["mime"])
+                 for r in (pages.to_pylist() if pages is not None else [])}
+    want_pages = {(p["url_hash"], p["round"], p["status"], p["mime"])
+                  for p in want.pages}
+    assert got_pages == want_pages
+
+    # the retry actually recovered the sitemap: a sitemap-only page of
+    # h006 was discovered despite the round-0 failure
+    sm_only = "http://h006.example/sm_only_0.html"
+    hh = hashlib.sha256(sm_only.encode()).hexdigest()
+    assert hh in set(eng.seen_hashes())
+    eng.shutdown()

@@ -112,3 +112,63 @@ def test_video_stage_explodes_frames(ray_session):
         assert len(g) == want
         assert list(g["frame_idx"]) == [2 * i for i in range(want)]
     assert (out["phash"] != 0).any()
+
+
+def test_image_stage_real_jpeg_row(ray_session):
+    """A real baseline-JPEG payload (FF D8, T.81 codec) flows through
+    ImageFeatureStage end-to-end: decode via jpeg_decode, PSNR gate via
+    the real-codec roundtrip (VERDICT r2 item 8)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from darc_ray.functions import image as img
+    from darc_ray.functions.jpeg import jpeg_decode, jpeg_encode
+    from darc_ray.schemas import IMAGES
+    from darc_ray.stages.multimodal import ImageFeatureStage
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:40, 0:48]
+    pix = np.clip(128 + 80 * np.sin(2 * np.pi * xx / 24)[..., None]
+                  + rng.integers(-8, 9, (40, 48, 3)), 0, 255).astype(np.uint8)
+    body = jpeg_encode(pix, quality=92)
+    assert body.startswith(b"\xff\xd8")
+    decoded = jpeg_decode(body)
+    table = pa.Table.from_pydict({
+        "image_id": ["jpeg-row"], "bytes": [body],
+        "w": [48], "h": [40], "fmt": ["jpeg"],
+        "caption": ["a real baseline jpeg"],
+        "phash": [img.phash64(decoded)]}, schema=IMAGES)
+    out = (rd.from_arrow(table)
+           .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                        batch_size=4, concurrency=1)
+           .to_pandas())
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["w"], row["h"]) == (48, 40)
+    assert bool(row["psnr_ok"])                   # real-codec roundtrip >= 40 dB
+    assert int(row["phash"]) == img.phash64(decoded)
+
+
+def test_jpeg_sos_before_tables_raises_valueerror():
+    """A stream whose SOS precedes its DHT/DQT must raise ValueError
+    (the corrupt-payload contract), not KeyError (ADVICE r2)."""
+    import pytest as _pytest
+
+    from darc_ray.functions.jpeg import jpeg_decode, jpeg_encode
+    import numpy as np
+
+    data = bytearray(jpeg_encode(
+        np.full((16, 16, 3), 90, dtype=np.uint8), quality=85))
+    # strip every DHT (FF C4) and DQT (FF DB) segment
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] in (0xC4, 0xDB):
+            seglen = (data[i + 2] << 8) | data[i + 3]
+            i += 2 + seglen
+            continue
+        out.append(data[i])
+        i += 1
+    with _pytest.raises(ValueError):
+        jpeg_decode(bytes(out))
