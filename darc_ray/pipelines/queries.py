@@ -205,6 +205,11 @@ def q_distinct_edges(sf_dir: str) -> pd.DataFrame:
     from ray.data.context import ShuffleStrategy
 
     parts = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+             # combiner: local dedup BEFORE the all-to-all so only
+             # per-batch-distinct pairs ride the shuffle
+             .map_batches(lambda df: df.drop_duplicates(["l_orderkey",
+                                                         "l_partkey"]),
+                          batch_format="pandas", batch_size=65536)
              .repartition(num_blocks=16, keys=["l_orderkey", "l_partkey"],
                           sort=False))
     parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
@@ -582,7 +587,10 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     from ray.data.context import ShuffleStrategy
 
     parts = (_read(sf_dir, "events", ["user_id", "ts"])
-             .repartition(num_blocks=16, keys=["user_id"], sort=False))
+             # 8 partitions: each hash-shuffle partition carries fixed
+             # actor overhead (measured: 8 beats 16 at this scale; size
+             # to the fleet at cluster scale)
+             .repartition(num_blocks=8, keys=["user_id"], sort=False))
     parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     return (parts.map_batches(per_partition, batch_format="pandas",
                               batch_size=None)
@@ -619,22 +627,19 @@ def q_group_topk(sf_dir: str) -> pd.DataFrame:
                           ascending=[True, False, True], kind="mergesort")
         return d.groupby("lang", as_index=False).head(3)
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        # per PARTITION (not per group): one sort + grouped head(3)
-        # covers every lang co-located by the hash shuffle
-        d = df.sort_values(["lang", "text_len", "doc_id"],
-                           ascending=[True, False, True], kind="mergesort")
-        return d.groupby("lang", as_index=False).head(3)
-
-    from ray.data.context import ShuffleStrategy
-
-    parts = (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
-             .map_batches(partial_topk, batch_format="pandas", batch_size=32768)
-             .repartition(num_blocks=8, keys=["lang"], sort=False))
-    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    return (parts.map_batches(final_topk, batch_format="pandas",
-                              batch_size=None)
-            .to_pandas())
+    # the combiner bounds output to ≤ 3 rows per lang per batch, so the
+    # final is ONE vectorized pandas pass over a tiny collected frame
+    # (no shuffle at all); at extreme batch counts (≫10^6) the same
+    # final runs per hash-partition of lang instead (the q_sessionize
+    # shape) — lang cardinality is bounded, the data after the combiner
+    # is not the scale problem
+    combined = (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
+                .map_batches(partial_topk, batch_format="pandas",
+                             batch_size=32768)
+                .to_pandas())
+    d = combined.sort_values(["lang", "text_len", "doc_id"],
+                             ascending=[True, False, True], kind="mergesort")
+    return d.groupby("lang", as_index=False).head(3).reset_index(drop=True)
 
 
 SQL_GROUP_TOPK = """

@@ -349,3 +349,60 @@ def test_proxy_factory_bootstraps_once_per_worker(corpus, registries,
     assert len(pids) == len(set(pids)), (
         f"factory re-ran inside a worker: {sorted(pids)}")
     eng.shutdown()
+
+
+def test_proxy_daemon_subprocess_bootstrap(corpus, registries, ray_session,
+                                           tmp_path_factory):
+    """St5 daemon lifecycle (ref darc/proxy/tor.py:82-174): a
+    register_proxy session factory that BOOTSTRAPS a real subprocess
+    daemon — the tor/i2p analog this sandbox can actually run — once
+    per worker process, with every fetch routed through the live
+    daemon (pipe RPC).  Proves the factory seam supports daemon
+    spawn + per-worker reuse, not just session wrapping."""
+    import os
+
+    log = str(tmp_path_factory.mktemp("daemonlog") / "spawns.log")
+
+    def tor_daemon_session(fetch_fn):
+        import os as _os
+        import subprocess
+        import sys as _sys
+
+        # the "tor daemon": a live child process spoken to over pipes
+        proc = subprocess.Popen(
+            [_sys.executable, "-u", "-c",
+             "import sys\n"
+             "for line in sys.stdin:\n"
+             "    sys.stdout.write('[tor-daemon] ' + line)\n"
+             "    sys.stdout.flush()\n"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
+        with open(log, "a") as f:
+            f.write(f"{_os.getpid()} {proc.pid}\n")
+
+        def fetch(url):
+            status, mime, body, history = fetch_fn(url)
+            proc.stdin.write(url + "\n")
+            proc.stdin.flush()
+            tagged = proc.stdout.readline()
+            if status == 200 and tagged.startswith("[tor-daemon] "):
+                status = 297                 # daemon-routed marker
+            return status, mime, body, history
+
+        return fetch
+
+    register_proxy("tor", tor_daemon_session)
+    eng = CrawlEngine(cpath := corpus[1],
+                      str(tmp_path_factory.mktemp("daemonout")),
+                      _cfg(fetch_batch_size=8))
+    eng.seed(corpus[0].seeds)
+    totals = eng.run(6)
+    assert totals["pages"] > 0
+    pages = eng.pages_table().to_pylist()
+    tor = [p for p in pages if p["proxy"] == "tor"]
+    assert tor and all(p["status"] == 297 for p in tor
+                       if p["status"] in (200, 297))
+    # daemon bootstrapped once per worker process, never per batch
+    with open(log) as f:
+        spawns = [line.split()[0] for line in f if line.strip()]
+    assert spawns and len(spawns) == len(set(spawns))
+    eng.shutdown()
