@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "shuffle_join", "asof_partitioned", "sessionize", "group_topk",
     "quantiles", "argmax_dedup", "simhash_pairs", "ngram_jaccard",
     "ann_ivf", "audio_features", "video_frames", "lang_id",
-    "embedding_dups_lsh",
+    "embedding_dups_lsh", "range_join", "stratified_sample",
 ]
 
 

@@ -559,6 +559,108 @@ def q_asof_partitioned(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Interval (range) join — the custom-operator class Ray Data
+    lacks: every (view, click) event pair of the same user where the
+    click falls within 1 hour after the view (the attribution-window
+    shape).  Shape: ONE hash shuffle by user, then a per-partition
+    vectorized interval probe — the click side sorted by a (key, time)
+    composite int and each view's window resolved with two
+    ``searchsorted`` calls (no per-row loop, no per-key loop).
+    Partitioning assumption: a hash partition holds every row of its
+    keys (same as the as-of join)."""
+    win_us = 3600 * 1_000_000
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+               ).map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"],
+                                    value_set=pa.array(["view", "click"]))),
+        batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        is_view = (df["event_type"] == "view").to_numpy()
+        ids = df["event_id"].to_numpy()
+        v_ids, v_t, v_key = ids[is_view], t_us[is_view], df["user_id"].to_numpy()[is_view]
+        c_ids, c_t, c_key = ids[~is_view], t_us[~is_view], df["user_id"].to_numpy()[~is_view]
+        if not len(v_ids) or not len(c_ids):
+            return pd.DataFrame({"view_id": pd.Series(dtype="int64"),
+                                 "click_id": pd.Series(dtype="int64")})
+        # composite (key, time) int: times normalized to the partition
+        # min fit far below 2^45, keys factorized — one sorted array
+        # serves every key's window probe
+        t_min = int(t_us.min())
+        codes, _ = pd.factorize(np.concatenate([c_key, v_key]), sort=True)
+        cc, vc = codes[:len(c_key)], codes[len(c_key):]
+        off = np.int64(1) << np.int64(50)
+        c_comp = cc.astype(np.int64) * off + (c_t - t_min)
+        order = np.argsort(c_comp, kind="stable")
+        c_comp, c_ids = c_comp[order], c_ids[order]
+        v_base = vc.astype(np.int64) * off
+        v_norm = v_t - t_min
+        # click qualifies iff ts >= view.ts and ts < view.ts + 1h
+        lo = np.searchsorted(c_comp, v_base + v_norm, side="left")
+        hi = np.searchsorted(c_comp, v_base + v_norm + win_us - 1, side="right")
+        counts = hi - lo
+        out_view = np.repeat(v_ids, counts)
+        starts = np.repeat(lo, counts)
+        offs = np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts,
+                                                   counts)
+        return pd.DataFrame({"view_id": out_view,
+                             "click_id": c_ids[starts + offs]})
+
+    from ray.data.context import ShuffleStrategy
+
+    parts = ev.repartition(num_blocks=8, keys=["user_id"], sort=False)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return (parts.map_batches(per_partition, batch_format="pandas",
+                              batch_size=None)
+            .to_pandas())
+
+
+SQL_RANGE_JOIN = """
+SELECT v.event_id AS view_id, c.event_id AS click_id
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 HOUR
+"""
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling: k smallest Knuth-hash values
+    per stratum (lang) — reproducible across engines and runs, the
+    per-group counterpart of ``q_hash_sample``.  A per-batch top-k
+    combiner bounds what leaves each batch to k rows per stratum; the
+    final is one pandas pass over the tiny combined frame (stratum
+    cardinality is bounded; see q_group_topk for the high-cardinality
+    routing)."""
+    k = 5
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].astype("int64") * 2654435761) & 0xFFFFFFFF
+        d = pd.DataFrame({"lang": df["lang"], "doc_id": df["doc_id"], "h": h})
+        d = d.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return d.groupby("lang", as_index=False).head(k)
+
+    combined = (_read(sf_dir, "documents", ["doc_id", "lang"])
+                .map_batches(partial, batch_format="pandas", batch_size=32768)
+                .to_pandas())
+    d = combined.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+    out = d.groupby("lang", as_index=False).head(k)
+    return out[["lang", "doc_id"]].reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * 2654435761) & 4294967295,
+                                     doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+"""
+
+
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
     """Sessionization (30-min inactivity gap) — the classic streaming
     window op: ONE hash shuffle by user, then a per-PARTITION
@@ -1187,6 +1289,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_nation_revenue": q_customer_nation_revenue,
     "shuffle_join": q_shuffle_join,
     "asof_partitioned": q_asof_partitioned,
+    "range_join": q_range_join,
+    "stratified_sample": q_stratified_sample,
     "sessionize": q_sessionize,
     "group_topk": q_group_topk,
     "quantiles": q_quantiles,
@@ -1234,6 +1338,8 @@ ORACLE_SQL: dict[str, str] = {
     "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,
     "shuffle_join": SQL_SHUFFLE_JOIN,
     "asof_partitioned": SQL_ASOF_JOIN,       # same contract as the broadcast flavor
+    "range_join": SQL_RANGE_JOIN,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "sessionize": SQL_SESSIONIZE,
     "group_topk": SQL_GROUP_TOPK,
     "quantiles": SQL_QUANTILES,
