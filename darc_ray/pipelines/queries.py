@@ -1254,6 +1254,24 @@ def q_crawl_rendered(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["round", "url_hash"]).reset_index(drop=True)
 
 
+def q_crawl_metrics(sf_dir: str) -> pd.DataFrame:
+    """A6 engine-side: the per-round metrics recorded in the commit
+    manifests (lineage + counters) of the cached mini-crawl."""
+    import glob
+    import json as _json
+    import os as _os
+
+    eng = _crawl_run()
+    rows = []
+    for p in sorted(glob.glob(_os.path.join(eng.out_dir, "manifest_r*.json"))):
+        with open(p) as f:
+            m = _json.load(f)
+        rows.append({"round": m["round"],
+                     **{k: int(v) for k, v in m["metrics"].items()
+                        if not k.startswith("t_")}})
+    return pd.DataFrame(rows).fillna(0).astype("int64")
+
+
 def q_crawl_artifacts(sf_dir: str) -> pd.DataFrame:
     eng = _crawl_run()
     t = eng.artifacts_table()
@@ -1314,6 +1332,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "crawl_seen": q_crawl_seen,
     "crawl_rendered": q_crawl_rendered,
     "crawl_artifacts": q_crawl_artifacts,
+    "crawl_metrics": q_crawl_metrics,
 }
 
 ORACLE_SQL: dict[str, str] = {

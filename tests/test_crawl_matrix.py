@@ -18,6 +18,9 @@ CONFIGS = {
     "tight_politeness": dict(per_host_cap=2, max_pool=25),
     "mime_filtered_deep": dict(mime_black_list=["image/.*"], time_cache=1.0),
     "actor_pool_fetch": dict(fetch_use_actors=True),
+    # the render stage's actor-pool flavor (fetch_use_actors gates both
+    # stages): per-proxy drivers live for the round in each actor
+    "render_actor_pool": dict(render_enabled=True, fetch_use_actors=True),
     "check_ng_probe": dict(check_ng=True, mime_black_list=["image/.*"]),
     # render queue must get the same _check_ng host/proxy/HEAD-mime
     # filtering as the crawl queue (load_selenium(check=CHECK) →
