@@ -213,3 +213,26 @@ def test_embedding_lsh_matches_exact_on_near_dups(ray_session):
     # threshold routing: >= 0.7 -> LSH (no O(n^2) tiles), below -> exact
     auto_hi = embedding_dup_pairs_auto(ds, threshold=0.95)
     pd.testing.assert_frame_equal(auto_hi, lsh)
+
+
+def test_verify_coshuffled_equals_broadcast(ray_session):
+    """The no-broadcast verify rung (two hash joins shipping each pair
+    its texts) returns exactly what the broadcast flavor returns."""
+    import ray.data as rd
+
+    from darc_ray.stages.dedup import (minhash_candidate_pairs,
+                                       verify_pairs_coshuffled,
+                                       verify_pairs_distributed)
+
+    docs = list(DOCS) + [
+        (6, "the quick brown fox jumps over the lazy dog near the river bank now"),
+        (7, "streams shuffles actors and columnar batches all the way down"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    pairs = (minhash_candidate_pairs(ds, n_perm=64, n_bands=32, k_shingle=3)
+             .to_pandas().drop_duplicates())
+    want = (verify_pairs_distributed(ds, pairs, threshold=0.5)
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    got = verify_pairs_coshuffled(ds, pairs, threshold=0.5)
+    pd.testing.assert_frame_equal(got, want)
+    assert {(1, 2)} <= {(a, b) for a, b in zip(got["a"], got["b"])}
