@@ -2,12 +2,14 @@
 processed by actor-pool ``map_batches`` stages.
 
 The decode kernels are the engine's own codecs: PNG is a real codec
-(``darc_ray.functions.image``), and JPEG is a real baseline ITU-T T.81
+(``darc_ray.functions.image``), and JPEG is a real ITU-T T.81
 decoder/encoder (``darc_ray.functions.jpeg`` — ``FF D8`` payloads
-route through it via ``image.decode``; validated against
-libjpeg-encoded files; progressive SOF2 is rejected with a clear
-error).  Audio is a real RIFF/WAVE PCM16 codec; video is the FVID
-frame container with real PNG frames.
+route through it via ``image.decode``; baseline validated against
+libjpeg-encoded files, progressive SOF2 decoded with spectral
+selection + successive approximation and validated against a
+real-world progressive file + a baseline-equal round trip).  Audio is
+a real RIFF/WAVE PCM16 codec; video is the FVID frame container with
+real PNG frames.
 """
 
 from __future__ import annotations
