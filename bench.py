@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "quantiles", "argmax_dedup", "simhash_pairs", "ngram_jaccard",
     "ann_ivf", "audio_features", "video_frames", "lang_id",
     "embedding_dups_lsh", "range_join", "stratified_sample",
+    "quantiles_sketch",
 ]
 
 

@@ -779,6 +779,82 @@ FROM events GROUP BY event_type
 """
 
 
+def q_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-group quantiles via a MERGEABLE fixed-grid
+    histogram sketch — the scale path `q_quantiles` documents: exact
+    per-group quantiles need all of a group's values co-located (one
+    shuffle of every value), while the sketch moves only
+    O(groups × bins) numbers: pass 1 aggregates per-group min/max
+    (tiny), pass 2 sums per-batch histogram partials, and quantiles
+    interpolate within the owning bin.  Error ≲ two bin widths
+    (2·(max−min)/n_bins — the exact quantile interpolates between two
+    order statistics, each located to within one bin); deterministic,
+    and bounded against the exact kernel in `tests/test_queries.py`."""
+    n_bins = 4096
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ranges = (ds.groupby("event_type")
+              .aggregate(Min("value", alias_name="lo"),
+                         Max("value", alias_name="hi")).to_pandas())
+    lo = dict(zip(ranges["event_type"], ranges["lo"]))
+    hi = dict(zip(ranges["event_type"], ranges["hi"]))
+    import ray
+
+    rng_ref = ray.put((lo, hi))
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = ray.get(rng_ref)
+        out = []
+        for et, g in df.groupby("event_type"):
+            l, h = lo_m[et], hi_m[et]
+            width = (h - l) or 1.0
+            idx = np.minimum((np.asarray(g["value"], dtype=np.float64) - l)
+                             / width * n_bins, n_bins - 1).astype(np.int64)
+            counts = np.bincount(idx, minlength=n_bins)
+            nz = np.nonzero(counts)[0]
+            out.append(pd.DataFrame({"event_type": et, "bin": nz,
+                                     "n": counts[nz]}))
+        return (pd.concat(out, ignore_index=True) if out else
+                pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                              "bin": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")}))
+
+    hist = (ds.map_batches(partial_hist, batch_format="pandas",
+                           batch_size=65536)
+            .groupby(["event_type", "bin"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("bin")
+        counts = np.zeros(n_bins, dtype=np.int64)
+        counts[g["bin"].to_numpy()] = g["n"].to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        l, h = lo[et], hi[et]
+        width = ((h - l) or 1.0) / n_bins
+
+        def rank_value(k: int) -> float:
+            # estimated value of the (k+1)-th smallest element: its
+            # bin's left edge + linear position within the bin
+            b = int(np.searchsorted(cum, k + 1, side="left"))
+            prev = int(cum[b - 1]) if b else 0
+            frac = (k + 1 - prev) / counts[b] if counts[b] else 0.0
+            return l + (b + frac) * width
+
+        qs = {}
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            # quantile_cont rank semantics: interpolate between the
+            # order statistics straddling (n-1)·q
+            r = (total - 1) * q
+            k0, k1 = int(np.floor(r)), int(np.ceil(r))
+            g = r - k0
+            qs[name] = round((1 - g) * rank_value(k0) + g * rank_value(k1), 6)
+        rows.append({"event_type": et, **qs})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
 def q_argmax_dedup(sf_dir: str) -> pd.DataFrame:
     """Keep-newest dedup (argmax row per key): per-batch partial
     lexicographic max of (ts, event_id) per user — O(users/batch) rows
@@ -1312,6 +1388,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sessionize": q_sessionize,
     "group_topk": q_group_topk,
     "quantiles": q_quantiles,
+    "quantiles_sketch": q_quantiles_sketch,
     "argmax_dedup": q_argmax_dedup,
     # rows-only
     "lang_id": q_lang_id,

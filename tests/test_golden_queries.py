@@ -19,6 +19,7 @@ GOLDEN = {
     "ngram_jaccard": (25, "c270d513580fd635"),  # full-table join (r1: head-300 baseline found 7)
     "embedding_dups": (59, "bf528653c3d470f9"),
     "embedding_dups_lsh": (50, "96652957ee09524f"),
+    "quantiles_sketch": (5, "569ef1a0979009de"),
     "ann_lsh": (50, "405a4a868e718d10"),
     "ann_ivf": (50, "b9442830d4f71fd6"),
     "lang_id": (500, "f56b46de02032a35"),

@@ -103,3 +103,22 @@ def test_lang_id_oracle_on_mixed_languages(tmp_path, ray_session):
     assert got["pred_lang"].tolist() == want["pred_lang"].tolist()
     assert got["pred_lang"].tolist() == \
         ["en", "de", "fr", "es", "zh", "en", "en", "de", "en", "fr"]
+
+
+def test_quantiles_sketch_within_bin_error(ray_session):
+    """The mergeable histogram sketch's quantiles stay within two bin
+    widths of the exact per-group quantiles (quantile_cont interpolates
+    between two order statistics, each located to within one bin)."""
+    from darc_ray.pipelines.queries import q_quantiles, q_quantiles_sketch
+
+    sf = "/root/testdata/sf0.01"
+    approx = q_quantiles_sketch(sf).set_index("event_type")
+    exact = q_quantiles(sf).set_index("event_type")
+    import duckdb as _d
+    lohi = _d.sql(f"SELECT event_type, min(value) lo, max(value) hi FROM "
+                  f"'{sf}/events.parquet' GROUP BY 1").df().set_index("event_type")
+    for et in exact.index:
+        tol = 2 * (lohi.loc[et, "hi"] - lohi.loc[et, "lo"]) / 4096 + 1e-9
+        for p in ("p50", "p90", "p99"):
+            err = abs(float(approx.loc[et, p]) - float(exact.loc[et, p]))
+            assert err <= tol, (et, p, err, tol)
