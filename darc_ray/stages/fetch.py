@@ -732,11 +732,12 @@ def fetch_process_batch(batch: pa.Table, *, cfg, fetch_fn, host_shards,
                         render_shards=None, site_map=None,
                         proxy_map=None) -> pa.Table:
     """Stateless-task flavor of :class:`FetchProcessStage` — construction
-    is trivial (the corpus index lives in the worker-process-global
-    cache), so plain tasks on warm workers beat a per-round actor-pool
-    spin-up.  Real-HTTP deployments that hold sessions/proxies per
-    worker (St4/St5) use the actor-pool flavor instead
-    (``CrawlConfig.fetch_use_actors``)."""
+    is trivial (the corpus index AND per-proxy sessions live in
+    worker-process-global caches, so St4/St5 state survives across
+    batches here too), and plain tasks on warm workers beat a per-round
+    actor-pool spin-up.  Deployments that want sessions owned by
+    long-lived actors (explicit lifecycle, per-actor teardown) use the
+    actor-pool flavor instead (``CrawlConfig.fetch_use_actors``)."""
     import os
     import time
 
