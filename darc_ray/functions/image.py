@@ -237,3 +237,73 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# --------------------------------------------------------------------------
+# Geometric transforms + per-image statistics (training-data prep ops)
+# --------------------------------------------------------------------------
+
+def rgb_to_gray(pixels: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma as float64 (the phash weighting)."""
+    return (0.299 * pixels[..., 0] + 0.587 * pixels[..., 1]
+            + 0.114 * pixels[..., 2]).astype(np.float64)
+
+
+def center_crop(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Center crop to (out_h, out_w); dimensions are clamped to the
+    input (no padding — callers resize afterwards)."""
+    h, w = pixels.shape[:2]
+    out_h, out_w = min(out_h, h), min(out_w, w)
+    y0 = (h - out_h) // 2
+    x0 = (w - out_w) // 2
+    return np.ascontiguousarray(pixels[y0:y0 + out_h, x0:x0 + out_w])
+
+
+def resize_bilinear(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resample of an (h, w, c) or (h, w) uint8
+    array — half-pixel-center sampling (the OpenCV/Pillow convention),
+    edges clamped.  Pure fancy-indexing + two lerps; no Python loops."""
+    h, w = pixels.shape[:2]
+    if h == out_h and w == out_w:
+        return pixels.copy()
+    # source coordinate of each output pixel center
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)
+    wx = np.clip(xs - x0, 0.0, 1.0)
+    p = pixels.astype(np.float64)
+    if p.ndim == 2:
+        p = p[..., None]
+    top = p[y0][:, x0] * (1 - wx)[None, :, None] + p[y0][:, x1] * wx[None, :, None]
+    bot = p[y1][:, x0] * (1 - wx)[None, :, None] + p[y1][:, x1] * wx[None, :, None]
+    out = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[..., 0] if pixels.ndim == 2 else out
+
+
+def thumbnail(pixels: np.ndarray, size: int) -> np.ndarray:
+    """Square thumbnail: center-crop to the short side, then bilinear
+    resize to (size, size) — the standard vision-training prep."""
+    h, w = pixels.shape[:2]
+    side = min(h, w)
+    return resize_bilinear(center_crop(pixels, side, side), size, size)
+
+
+def channel_stats(pixels: np.ndarray) -> dict:
+    """Quality-gate statistics: per-image brightness (mean luma),
+    contrast (luma std), saturation proxy (mean channel spread), and
+    near-solid flag — the LAION-style image filters, computed in one
+    vectorized pass."""
+    gray = rgb_to_gray(pixels)
+    f = pixels.astype(np.float64)
+    spread = f.max(axis=-1) - f.min(axis=-1)
+    return {
+        "brightness": float(gray.mean()),
+        "contrast": float(gray.std()),
+        "saturation": float(spread.mean()),
+        "near_solid": bool(gray.std() < 2.0),
+    }

@@ -1247,6 +1247,67 @@ def q_image_features(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+def _image_variant_table(sf_dir: str, n: int = 64):
+    """Shared deterministic image corpus (near-dups + quality-fail rows
+    planted) for the image transform/dedup/quality families."""
+    from darc_ray.stages.multimodal import synth_image_variants
+
+    ids = (_read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
+           .sort_values().head(n).tolist())
+    return synth_image_variants(
+        ids, ["amber", "basalt", "cedar", "dune", "ember", "fjord"])
+
+
+def q_image_thumbnails(sf_dir: str) -> pd.DataFrame:
+    """Image transform: decode → center-crop square → bilinear resize →
+    PNG re-encode, as an actor-pool stage (the vision-training thumbnail
+    prep).  Returns dims + thumbnail phash (payload bytes summarized as
+    sha256 so the result frame stays hashable/pinnable)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import ImageTransformStage
+
+    out = (rd.from_arrow(_image_variant_table(sf_dir))
+           .map_batches(ImageTransformStage, fn_constructor_kwargs={"size": 32},
+                        batch_format="pyarrow", batch_size=16, concurrency=2)
+           .to_pandas())
+    out["thumb_sha256"] = out.pop("thumb_bytes").map(
+        lambda b: hashlib.sha256(b).hexdigest())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def q_image_quality(sf_dir: str) -> pd.DataFrame:
+    """Image quality gate: decode → brightness/contrast/saturation/dims
+    → LAION-style keep predicate; the planted bad rows (near-solid,
+    tiny, extreme-aspect) must be the only rejects."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import ImageQualityStage
+
+    out = (rd.from_arrow(_image_variant_table(sf_dir))
+           .map_batches(ImageQualityStage, batch_format="pyarrow",
+                        batch_size=16, concurrency=2)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def q_image_dedup(sf_dir: str) -> pd.DataFrame:
+    """Image near-dup pairs: banded-prefix blocking over the stored
+    64-bit phash (exact recall at hamming ≤ 6, ONE hash shuffle — the
+    simhash machinery generalized to any hash column).  Finds exactly
+    the planted ``-dup`` siblings."""
+    import ray.data as rd
+
+    from darc_ray.stages.dedup import hash_near_pairs
+
+    ds = rd.from_arrow(_image_variant_table(sf_dir)).select_columns(
+        ["image_id", "phash"])
+    return hash_near_pairs(ds, max_hamming=6, id_col="image_id",
+                           hash_col="phash")
+
+
 def q_audio_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal audio: synth WAV clips (real PCM16 codec) seeded by
     doc ids → actor-pool decode/feature stage (RMS, ZCR, spectral
@@ -1403,6 +1464,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "image_features": q_image_features,
+    "image_thumbnails": q_image_thumbnails,
+    "image_quality": q_image_quality,
+    "image_dedup": q_image_dedup,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "crawl_pages": q_crawl_pages,

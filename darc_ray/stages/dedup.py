@@ -265,12 +265,13 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(vals, type=pa.int64()))
 
 
-def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
-                       text_col: str = "text",
-                       n_buckets: int = 16) -> pd.DataFrame:
-    """SimHash near-dup pairs by banded prefix blocking: split each
-    64-bit simhash into ``max_hamming + 1`` bands — two hashes within
-    the radius must agree on ≥ 1 band exactly (pigeonhole), so ONE
+def hash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                    hash_col: str = "simhash",
+                    n_buckets: int = 16) -> pd.DataFrame:
+    """Near-dup pairs over ANY precomputed signed-int64 hash column
+    (simhash, image phash, …) by banded prefix blocking: split each
+    64-bit hash into ``max_hamming + 1`` bands — two hashes within the
+    radius must agree on ≥ 1 band exactly (pigeonhole), so ONE
     hash-repartition keyed (band, band_bits) co-locates every candidate
     pair; verify exact hamming within partitions.  Same shuffle shape
     as the MinHash path; exact recall at the radius."""
@@ -281,7 +282,7 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
-        hashes = [simhash64(x) for x in t.column(text_col).to_pylist()]
+        hashes = t.column(hash_col).to_pylist()
         out_id, out_band, out_bits, out_sh = [], [], [], []
         for d, h in zip(ids, hashes):
             u = h & ((1 << 64) - 1)
@@ -291,10 +292,10 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
                 out_bits.append((u >> (b * width)) & ((1 << width) - 1))
                 out_sh.append(h)
         return pa.Table.from_pydict({
-            "doc_id": pa.array(out_id),
+            "doc_id": pa.array(out_id, type=t.schema.field(id_col).type),
             "band": pa.array(out_band, type=pa.int32()),
             "band_bits": pa.array(out_bits, type=pa.int64()),
-            "simhash": pa.array(out_sh, type=pa.int64())})
+            "hash64": pa.array(out_sh, type=pa.int64())})
 
     parts = (ds.repartition(target_num_rows_per_block=2048)
              .map_batches(explode, batch_format="pyarrow")
@@ -302,29 +303,49 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
                           sort=False))
     parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
-    def pairs_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of_partition(df: pd.DataFrame) -> pa.Table:
         rows = []
         for _, g in df.groupby(["band", "band_bits"]):
             if len(g) < 2:
                 continue
-            items = sorted(set(zip(g["doc_id"], g["simhash"])))
+            items = sorted(set(zip(g["doc_id"], g["hash64"])))
             for i in range(len(items)):
                 for j in range(i + 1, len(items)):
                     (a, ha), (b, hb) = items[i], items[j]
                     d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
                     if d <= max_hamming:
                         rows.append((a, b, d))
-        if not rows:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+        # typed Arrow output so empty partitions keep a stable schema
+        id_type = (pa.int64() if pd.api.types.is_integer_dtype(df["doc_id"])
+                   else pa.string())
+        a_col, b_col, h_col = zip(*rows) if rows else ((), (), ())
+        return pa.Table.from_pydict({
+            "a": pa.array(list(a_col), type=id_type),
+            "b": pa.array(list(b_col), type=id_type),
+            "hamming": pa.array(list(h_col), type=pa.int64())})
 
     out = (parts.map_batches(pairs_of_partition, batch_format="pandas",
                              batch_size=None).to_pandas())
     # a pair may collide on several bands → distinct
     return (out.drop_duplicates(["a", "b"])
             .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_buckets: int = 16) -> pd.DataFrame:
+    """SimHash near-dup pairs: compute the 64-bit simhash column in a
+    vectorized map_batches pass, then run the generic banded-prefix
+    blocking (:func:`hash_near_pairs`)."""
+    def add_simhash(t: pa.Table) -> pa.Table:
+        hashes = [simhash64(x) for x in t.column(text_col).to_pylist()]
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            "simhash": pa.array(hashes, type=pa.int64())})
+
+    hashed = ds.map_batches(add_simhash, batch_format="pyarrow")
+    return hash_near_pairs(hashed, max_hamming=max_hamming, id_col=id_col,
+                           hash_col="simhash", n_buckets=n_buckets)
 
 
 # ---------------------------------------------------------------- n-gram jaccard

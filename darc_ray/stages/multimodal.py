@@ -57,6 +57,84 @@ class ImageFeatureStage:
             "psnr_ok": pa.array(psnr_ok)})
 
 
+class ImageTransformStage:
+    """Actor stage: decode → center-crop to the short side → bilinear
+    resize to ``size``×``size`` → re-encode PNG (lossless sink) — the
+    standard vision-training thumbnail prep.  Output rows carry the
+    thumbnail payload plus its phash so downstream dedup never
+    re-decodes.  DCT basis warms once per actor; resample/resize are
+    fully vectorized numpy."""
+
+    def __init__(self, size: int = 32) -> None:
+        from darc_ray.functions.image import _dct_matrix
+
+        _dct_matrix(32)
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        out_bytes, out_ph, src_w, src_h = [], [], [], []
+        for payload, fmt in zip(payloads, fmts):
+            pix = img.decode(payload, fmt)
+            src_h.append(pix.shape[0])
+            src_w.append(pix.shape[1])
+            thumb = img.thumbnail(pix, self.size)
+            out_bytes.append(img.png_encode(thumb))
+            out_ph.append(img.phash64(thumb))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids),
+            "src_w": pa.array(src_w, type=pa.int32()),
+            "src_h": pa.array(src_h, type=pa.int32()),
+            "thumb_w": pa.array([self.size] * len(ids), type=pa.int32()),
+            "thumb_bytes": pa.array(out_bytes, type=pa.large_binary()),
+            "thumb_phash": pa.array(out_ph, type=pa.int64())})
+
+
+class ImageQualityStage:
+    """Actor stage: decode → LAION-style quality gate columns — min-dim
+    / aspect-ratio bounds, brightness window, near-solid (contrast)
+    detection — plus the raw statistics, so the filter itself is a
+    cheap vectorized predicate over this stage's output."""
+
+    def __init__(self, min_dim: int = 16, max_aspect: float = 2.5,
+                 min_brightness: float = 20.0, max_brightness: float = 235.0) -> None:
+        self.min_dim = min_dim
+        self.max_aspect = max_aspect
+        self.lo = min_brightness
+        self.hi = max_brightness
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        w, h, bright, contrast, sat, keep = [], [], [], [], [], []
+        for payload, fmt in zip(payloads, fmts):
+            pix = img.decode(payload, fmt)
+            stats = img.channel_stats(pix)
+            hh, ww = pix.shape[:2]
+            h.append(hh)
+            w.append(ww)
+            bright.append(round(stats["brightness"], 4))
+            contrast.append(round(stats["contrast"], 4))
+            sat.append(round(stats["saturation"], 4))
+            aspect = max(hh, ww) / max(1, min(hh, ww))
+            keep.append(bool(
+                min(hh, ww) >= self.min_dim
+                and aspect <= self.max_aspect
+                and self.lo <= stats["brightness"] <= self.hi
+                and not stats["near_solid"]))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids),
+            "w": pa.array(w, type=pa.int32()),
+            "h": pa.array(h, type=pa.int32()),
+            "brightness": pa.array(bright, type=pa.float64()),
+            "contrast": pa.array(contrast, type=pa.float64()),
+            "saturation": pa.array(sat, type=pa.float64()),
+            "keep": pa.array(keep)})
+
+
 class AudioFeatureStage:
     """Actor stage over opaque audio ``binary`` columns: WAV decode →
     (duration, RMS, zero-crossing rate, spectral centroid).  The WAV
@@ -119,6 +197,45 @@ class VideoFrameStage:
             "w": pa.array(out_w, type=pa.int32()),
             "h": pa.array(out_h, type=pa.int32()),
             "phash": pa.array(out_ph, type=pa.int64())})
+
+
+def synth_image_variants(seed_ids: list[int], caption_words: list[str],
+                         dup_every: int = 5, bad_every: int = 7) -> pa.Table:
+    """Deterministic image corpus with planted NEAR-DUPLICATES (every
+    ``dup_every``-th row gets a pixel-perturbed re-encoded copy, id
+    suffixed ``-dup``) and QUALITY-FAIL rows (every ``bad_every``-th
+    row also gets a near-solid / tiny / extreme-aspect sibling, id
+    suffixed ``-bad``) — the fixture for image dedup + quality-gate
+    operators."""
+    base = synth_image_rows(seed_ids, caption_words)
+    rows = base.to_pylist()
+    extra = []
+    for i, (sid, row) in enumerate(zip(seed_ids, rows)):
+        rng = np.random.default_rng(int(sid) + 7001)
+        if dup_every and i % dup_every == 0:
+            pix = img.decode(row["bytes"], row["fmt"])
+            noisy = np.clip(pix.astype(np.int16)
+                            + rng.integers(-1, 2, pix.shape), 0, 255).astype(np.uint8)
+            data = img.encode(noisy, row["fmt"])
+            extra.append({**row, "image_id": row["image_id"] + "-dup",
+                          "bytes": data,
+                          "phash": img.phash64(img.decode(data, row["fmt"]))})
+        if bad_every and i % bad_every == 0:
+            kind = i // bad_every % 3
+            if kind == 0:       # near-solid
+                pix = np.full((40, 40, 3), int(rng.integers(0, 256)), np.uint8)
+            elif kind == 1:     # tiny
+                pix = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+            else:               # extreme aspect
+                pix = rng.integers(0, 256, (10, 64, 3)).astype(np.uint8)
+            data = img.encode(pix, "png")
+            extra.append({"image_id": row["image_id"] + "-bad", "bytes": data,
+                          "w": pix.shape[1], "h": pix.shape[0], "fmt": "png",
+                          "caption": row["caption"] + " (bad)",
+                          "phash": img.phash64(pix)})
+    from darc_ray.schemas import IMAGES
+
+    return pa.concat_tables([base, pa.Table.from_pylist(extra, schema=IMAGES)])
 
 
 def synth_audio_rows(seed_ids: list[int], sample_rate: int = 8000) -> pa.Table:

@@ -31,6 +31,9 @@ GOLDEN = {
     "simhash": (500, "aa16694404586fb5"),
     "simhash_pairs": (12, "8d90042fcd3103d8"),
     "image_features": (64, "4a47f3205b086d9f"),
+    "image_thumbnails": (87, "d310a80ede681502"),
+    "image_quality": (87, "6f7dfa974c3db7e6"),
+    "image_dedup": (14, "0385f1d36ecc6069"),
     "audio_features": (64, "b6e745d9e0642b05"),
     "video_frames": (147, "52ad18452ef4e65d"),
 }

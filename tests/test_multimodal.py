@@ -172,3 +172,99 @@ def test_jpeg_sos_before_tables_raises_valueerror():
         i += 1
     with _pytest.raises(ValueError):
         jpeg_decode(bytes(out))
+
+
+# ---------------------------------------------------------------- image ops
+
+def test_resize_bilinear_properties():
+    import numpy as np
+
+    from darc_ray.functions.image import center_crop, resize_bilinear, thumbnail
+
+    rng = np.random.default_rng(3)
+    pix = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    assert np.array_equal(resize_bilinear(pix, 37, 53), pix)  # identity
+    const = np.full((5, 7, 3), 100, np.uint8)                 # constant preserved
+    assert np.array_equal(resize_bilinear(const, 21, 31),
+                          np.full((21, 31, 3), 100, np.uint8))
+    # downscale of a horizontal gradient stays monotone
+    grad = np.tile(np.arange(0, 256, 4, dtype=np.uint8)[None, :, None], (8, 1, 3))
+    dn = resize_bilinear(grad, 4, 16)
+    assert (np.diff(dn[0, :, 0].astype(int)) > 0).all()
+    assert center_crop(pix, 20, 24).shape == (20, 24, 3)
+    assert thumbnail(pix, 16).shape == (16, 16, 3)
+
+
+def test_thumbnail_phash_stable_under_noise():
+    """The planted near-dup perturbation (±1 on random pixels) must stay
+    within the hamming radius the dedup query uses."""
+    import numpy as np
+
+    from darc_ray.functions.image import hamming64, phash64, thumbnail
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:48, 0:48]
+    pix = np.clip(128 + 80 * np.sin(2 * np.pi * xx / 48)[..., None]
+                  + rng.integers(-10, 11, (48, 48, 3)), 0, 255).astype(np.uint8)
+    noisy = np.clip(pix.astype(np.int16)
+                    + rng.integers(-1, 2, pix.shape), 0, 255).astype(np.uint8)
+    assert hamming64(phash64(pix), phash64(noisy)) <= 6
+    assert hamming64(phash64(thumbnail(pix, 32)), phash64(thumbnail(noisy, 32))) <= 6
+
+
+def test_image_quality_gate_rejects_planted_bad_rows(ray_session):
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import ImageQualityStage, synth_image_variants
+
+    t = synth_image_variants(list(range(1, 31)), ["amber", "basalt", "cedar"])
+    out = (rd.from_arrow(t)
+           .map_batches(ImageQualityStage, batch_format="pyarrow",
+                        batch_size=8, concurrency=2).to_pandas())
+    rejected = set(out[~out["keep"]]["image_id"])
+    assert rejected == {i for i in out["image_id"] if i.endswith("-bad")}
+
+
+def test_image_dedup_exact_recall_vs_bruteforce(ray_session):
+    """Banded blocking over the phash column must equal the all-pairs
+    hamming scan (pigeonhole-exactness on the image corpus)."""
+    import ray.data as rd
+
+    from darc_ray.functions.image import hamming64
+    from darc_ray.stages.dedup import hash_near_pairs
+    from darc_ray.stages.multimodal import synth_image_variants
+
+    t = synth_image_variants(list(range(1, 41)), ["amber", "basalt", "cedar"])
+    ids = t.column("image_id").to_pylist()
+    hashes = t.column("phash").to_pylist()
+    brute = sorted((min(a, b), max(a, b))
+                   for i, (a, ha) in enumerate(zip(ids, hashes))
+                   for b, hb in list(zip(ids, hashes))[i + 1:]
+                   if hamming64(ha, hb) <= 6)
+    got = hash_near_pairs(rd.from_arrow(t.select(["image_id", "phash"])),
+                          max_hamming=6, id_col="image_id", hash_col="phash")
+    assert sorted(zip(got["a"], got["b"])) == brute
+    assert any(a.rstrip("-dup") == b.rstrip("-dup") for a, b in brute)
+
+
+def test_image_transform_stage_roundtrip(ray_session):
+    """Thumbnails decode back bit-exactly (PNG sink) at the declared
+    size, and phash matches a driver-side recompute."""
+    import ray.data as rd
+
+    from darc_ray.functions.image import decode, phash64, png_decode, thumbnail
+    from darc_ray.stages.multimodal import ImageTransformStage, synth_image_rows
+
+    t = synth_image_rows(list(range(1, 9)), ["amber", "basalt", "cedar"])
+    out = (rd.from_arrow(t)
+           .map_batches(ImageTransformStage, fn_constructor_kwargs={"size": 24},
+                        batch_format="pyarrow", batch_size=4, concurrency=2)
+           .to_pandas().set_index("image_id"))
+    src = {r["image_id"]: (r["bytes"], r["fmt"]) for r in t.to_pylist()}
+    for image_id, row in out.iterrows():
+        pix = png_decode(row["thumb_bytes"])
+        assert pix.shape == (24, 24, 3)
+        data, fmt = src[image_id]
+        expect = thumbnail(decode(data, fmt), 24)
+        assert (pix == expect).all()
+        assert phash64(pix) == row["thumb_phash"]
