@@ -40,7 +40,9 @@ BENCH_QUERIES = [
     "quantiles", "argmax_dedup", "simhash_pairs", "ngram_jaccard",
     "ann_ivf", "audio_features", "video_frames", "lang_id",
     "embedding_dups_lsh", "range_join", "stratified_sample",
-    "quantiles_sketch",
+    "quantiles_sketch", "window_delta", "top_terms", "bloom_semijoin",
+    "tfidf", "revenue_rollup", "image_thumbnails", "image_quality",
+    "image_dedup",
 ]
 
 

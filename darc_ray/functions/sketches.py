@@ -123,3 +123,41 @@ def jaccard(a: set[str], b: set[str]) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / max(1, len(a | b))
+
+
+class BloomFilter64:
+    """Vectorized Bloom filter over int64 keys for broadcast semi-join
+    prefiltering: build once from the small side (``ray.put`` the
+    object), test whole numpy arrays per batch.  ``k`` multiply-shift
+    hashes (odd 64-bit constants) into an ``m``-bit table (power of
+    two).  False positives only — callers that need exactness verify
+    survivors against the exact key set."""
+
+    _MULS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+             0x27D4EB2F165667C5, 0x85EBCA6B27D4EB4F)
+
+    def __init__(self, keys: np.ndarray, bits_per_key: int = 12, k: int = 4) -> None:
+        if k > len(self._MULS):
+            raise ValueError(f"k <= {len(self._MULS)}")
+        m = 1 << max(6, int(np.ceil(np.log2(max(1, len(keys)) * bits_per_key))))
+        self.m = m
+        self.k = k
+        self.table = np.zeros(m // 64, dtype=np.uint64)
+        for pos in self._positions(np.asarray(keys, dtype=np.int64)):
+            np.bitwise_or.at(self.table, pos >> 6,
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+    def _positions(self, keys: np.ndarray):
+        u = keys.view(np.uint64)
+        shift = np.uint64(64 - int(np.log2(self.m)))
+        for i in range(self.k):
+            yield (u * np.uint64(self._MULS[i])) >> shift
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership mask (no false negatives)."""
+        keys = np.asarray(keys, dtype=np.int64)
+        mask = np.ones(len(keys), dtype=bool)
+        for pos in self._positions(keys):
+            bit = (self.table[pos >> 6] >> (pos & np.uint64(63))) & np.uint64(1)
+            mask &= bit.astype(bool)
+        return mask

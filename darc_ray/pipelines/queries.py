@@ -912,6 +912,247 @@ GROUP BY e.user_id, e.ts
 """
 
 
+def q_window_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-key window functions (lag delta + 3-row moving average) —
+    ONE hash shuffle by user, then per-partition vectorized pandas
+    (grouped shift; the sum is accumulated oldest→newest to match the
+    SQL window-frame order bit-for-bit, then floor-rounded)."""
+    from ray.data.context import ShuffleStrategy
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "value": df["value"]})
+        d = d.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = d.groupby("user_id")["value"]
+        s1 = g.shift(1)
+        s2 = g.shift(2)
+        delta = (d["value"] - s1).fillna(0.0)
+        n = 1 + s1.notna().astype("int64") + s2.notna().astype("int64")
+        mavg3 = (s2.fillna(0.0) + s1.fillna(0.0) + d["value"]) / n
+        return pd.DataFrame({
+            "event_id": d["event_id"],
+            "user_id": d["user_id"],
+            "delta": delta,
+            "mavg3": np.floor(mavg3.to_numpy() * 1e6 + 0.5) / 1e6})
+
+    parts = (_read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+             .repartition(num_blocks=8, keys=["user_id"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return (parts.map_batches(finish, batch_format="pandas", batch_size=None)
+            .to_pandas())
+
+
+SQL_WINDOW_DELTA = """
+SELECT event_id, user_id,
+       coalesce(value - lag(value) OVER w, 0.0) AS delta,
+       floor(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             * 1e6 + 0.5) / 1e6 AS mavg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide heavy hitters: per-batch token-count partials
+    (vocab-bounded rows — the combiner) → ONE hash shuffle by token →
+    per-partition sums + per-partition top-k (each partition owns ALL
+    counts of its tokens, so local top-k is globally sound) → tiny
+    driver merge.  Never ships raw token streams through a shuffle."""
+    from ray.data.context import ShuffleStrategy
+
+    k = 20
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip()
+        toks = toks[toks != ""].str.split().explode()
+        vc = toks.value_counts()
+        return pd.DataFrame({"term": vc.index.astype(str), "n": vc.to_numpy()})
+
+    def topk_partition(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("term", as_index=False)["n"].sum()
+        return (s.sort_values(["n", "term"], ascending=[False, True],
+                              kind="mergesort").head(k))
+
+    parts = (_read(sf_dir, "documents", ["text"])
+             .map_batches(partial, batch_format="pandas", batch_size=4096)
+             .repartition(num_blocks=8, keys=["term"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    out = (parts.map_batches(topk_partition, batch_format="pandas",
+                             batch_size=None).to_pandas())
+    return (out.sort_values(["n", "term"], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True))
+
+
+SQL_TOP_TERMS = """
+SELECT w AS term, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> '')
+GROUP BY w ORDER BY n DESC, term ASC LIMIT 20
+"""
+
+
+def q_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
+    """Exact semi-join without shuffling the big side: Bloom filter of
+    the small side's keys broadcast via ``ray.put`` (bits, not keys),
+    vectorized prefilter per lineitem batch, survivors verified against
+    the exact key set — false positives never escape, the fact table
+    never moves.  Revenue summed as integer cents (order-independent
+    exactness)."""
+    import ray
+
+    from darc_ray.functions.sketches import BloomFilter64
+
+    keys = (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .map_batches(lambda t: t.filter(
+                pc.greater(t.column("o_totalprice"), 450000.0))
+                .select(["o_orderkey"]), batch_format="pyarrow")
+            .to_pandas()["o_orderkey"].to_numpy())
+    bloom_ref = ray.put(BloomFilter64(keys))
+    exact_ref = ray.put(np.sort(keys))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bloom = ray.get(bloom_ref)
+        ok = df[bloom.contains(df["l_orderkey"].to_numpy())]
+        exact = ray.get(exact_ref)      # verify rung: kill false positives
+        idx = np.searchsorted(exact, ok["l_orderkey"].to_numpy())
+        idx = np.minimum(idx, len(exact) - 1)
+        ok = ok[exact[idx] == ok["l_orderkey"].to_numpy()]
+        qty_units = np.floor(ok["l_quantity"].to_numpy() + 0.5).astype("int64")
+        g = pd.DataFrame({"l_returnflag": ok["l_returnflag"],
+                          "qty_units": qty_units})
+        agg = g.groupby("l_returnflag", as_index=False).agg(
+            n_items=("qty_units", "size"), sum_qty=("qty_units", "sum"))
+        return agg
+
+    out = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
+           .map_batches(partial, batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    return (out.groupby("l_returnflag", as_index=False)
+            .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+SQL_BLOOM_SEMIJOIN = """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Top TF-IDF term per document: document-frequency map built with
+    the partial-count pattern (vocab-bounded) and broadcast via
+    ``ray.put``; per-batch term-frequency argmax is a vectorized
+    explode + grouped idxmax.  Scores floor-rounded to 6 decimals
+    BEFORE ranking on both sides, so ln() ulp differences can't flip a
+    tie."""
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip()
+        toks = toks[toks != ""].str.split().map(set)
+        vc = toks.explode().value_counts()
+        return pd.DataFrame({"term": vc.index.astype(str), "df": vc.to_numpy()})
+
+    df_counts = (ds.map_batches(df_partial, batch_format="pandas",
+                                batch_size=4096).to_pandas()
+                 .groupby("term")["df"].sum())
+    n_docs = ds.count()
+    idf = {t: math.log(n_docs / d) for t, d in df_counts.items()}
+    idf_ref = ray.put(idf)
+
+    def best_term(df: pd.DataFrame) -> pd.DataFrame:
+        idf_m = ray.get(idf_ref)
+        toks = df.set_index("doc_id")["text"].str.strip()
+        toks = toks[toks != ""].str.split().explode()
+        tf = (toks.groupby([toks.index, toks.values]).size()
+              .rename_axis(["doc_id", "term"]).reset_index(name="tf"))
+        score = tf["tf"].to_numpy() * np.array([idf_m[t] for t in tf["term"]])
+        tf["score"] = np.floor(score * 1e6 + 0.5) / 1e6
+        tf = tf.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        best = tf.groupby("doc_id", as_index=False).first()
+        return best[["doc_id", "term", "score"]].rename(
+            columns={"term": "top_term"})
+
+    return (ds.map_batches(best_term, batch_format="pandas", batch_size=4096)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor(tf.tf * ln(n.n_docs / df.df) * 1e6 + 0.5) / 1e6 AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rn
+      FROM scored)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP / grouping-sets aggregate: ONE per-batch partial pass at
+    the finest grain (returnflag, linestatus) in integer cents; the
+    coarser levels are derived by re-summing the tiny finest-level
+    frame on the driver — no second scan, no extra shuffle."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1 - df["l_discount"].to_numpy()) * 100 + 0.5
+                         ).astype("int64")
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "l_linestatus": df["l_linestatus"],
+                          "cents": cents})
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            "cents"].sum()
+
+    fine = (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(partial, batch_format="pandas", batch_size=65536)
+            .to_pandas()
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                "cents"].sum())
+    mid = fine.groupby("l_returnflag", as_index=False)["cents"].sum()
+    mid["l_linestatus"] = "ALL"
+    total = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                          "cents": [fine["cents"].sum()]})
+    out = pd.concat([fine, mid, total], ignore_index=True)
+    out["revenue_cents"] = out.pop("cents").astype("int64")
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # =====================================================================
 # Rows-only (non-SQL-expressible; driver records row-count check)
 # =====================================================================
@@ -1472,6 +1713,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "argmax_dedup": q_argmax_dedup,
+    "window_delta": q_window_delta,
+    "top_terms": q_top_terms,
+    "bloom_semijoin": q_bloom_semijoin,
+    "tfidf": q_tfidf,
+    "revenue_rollup": q_revenue_rollup,
     # rows-only
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -1525,6 +1771,11 @@ ORACLE_SQL: dict[str, str] = {
     "group_topk": SQL_GROUP_TOPK,
     "quantiles": SQL_QUANTILES,
     "argmax_dedup": SQL_ARGMAX_DEDUP,
+    "window_delta": SQL_WINDOW_DELTA,
+    "top_terms": SQL_TOP_TERMS,
+    "bloom_semijoin": SQL_BLOOM_SEMIJOIN,
+    "tfidf": SQL_TFIDF,
+    "revenue_rollup": SQL_REVENUE_ROLLUP,
     "lang_id": SQL_LANG_ID,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
