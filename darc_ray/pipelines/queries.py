@@ -1323,9 +1323,9 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 # banded blocking is pigeonhole-exact at the radius, so the all-pairs
-# hamming scan over the SQL-computed simhashes is an exact oracle
-SQL_SIMHASH_PAIRS = """
-WITH words AS (
+# hamming scan over the SQL-computed simhashes is an exact oracle.
+# The CTE body is shared with the dedup-clusters oracle below.
+_SQL_SIMHASH_CTE = """words AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(text), '\\s+')) AS w
   FROM documents WHERE trim(text) <> ''
@@ -1347,12 +1347,65 @@ WITH words AS (
                    THEN coalesce(a.v, 0) - 18446744073709551616
                    ELSE coalesce(a.v, 0) END AS BIGINT) AS simhash
   FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-)
+)"""
+
+SQL_SIMHASH_PAIRS = f"""
+WITH {_SQL_SIMHASH_CTE}
 SELECT x.doc_id AS a, y.doc_id AS b,
        bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
 FROM sims x JOIN sims y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 ORDER BY a, b
+"""
+
+
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTERING: connected components over the simhash
+    near-pair graph (distributed min-label propagation,
+    :func:`darc_ray.stages.dedup.connected_components`), then every
+    document labeled with its component's min doc_id — the keep-one-
+    per-cluster step of a dedup pipeline.  The component map is
+    LSH-bounded small, so the final assignment broadcasts it
+    (``ray.put``) into one vectorized map over the corpus."""
+    import ray
+
+    from darc_ray.stages.dedup import connected_components, simhash_near_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_near_pairs(ds, max_hamming=3)
+    labels = connected_components(pairs)
+    ref = ray.put(labels)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        ids = df["doc_id"]
+        return pd.DataFrame({
+            "doc_id": ids,
+            "cluster_id": ids.map(m).fillna(ids).astype("int64")})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(assign, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SIMHASH_CTE},
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+ORDER BY doc_id
 """
 
 
@@ -1718,6 +1771,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_semijoin": q_bloom_semijoin,
     "tfidf": q_tfidf,
     "revenue_rollup": q_revenue_rollup,
+    "dedup_clusters": q_dedup_clusters,
     # rows-only
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -1776,6 +1830,7 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_semijoin": SQL_BLOOM_SEMIJOIN,
     "tfidf": SQL_TFIDF,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "lang_id": SQL_LANG_ID,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

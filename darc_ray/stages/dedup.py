@@ -331,6 +331,86 @@ def hash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
+def connected_components(pairs: pd.DataFrame) -> dict:
+    """Connected components over a near-dup pair list (the dedup
+    CLUSTERING step): path-compressed union-find with min-root labels.
+
+    The pair list is LSH-bounded (candidate pairs only, not the
+    corpus), so it is driver-resident by construction and union-find
+    is the right algorithm — O(pairs · α).  When a pipeline produces
+    pair lists too large for one process, use
+    :func:`connected_components_distributed` on the pairs Dataset
+    instead (equality-tested against this kernel).
+
+    Returns ``{node: component_min}`` for every node appearing in a
+    pair (singletons are the caller's identity mapping)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:            # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(a, find(a))
+        parent.setdefault(b, find(b))
+    return {x: find(x) for x in parent}
+
+
+def connected_components_distributed(pairs: pd.DataFrame, n_blocks: int = 8,
+                                     max_iters: int = 64) -> dict:
+    """Dataset-native variant of :func:`connected_components` for pair
+    lists beyond driver memory: distributed min-label propagation — per
+    iteration, ship each node's current label across its edges
+    (``Dataset.join`` hash shuffle), then hash-partition by node and
+    take the per-partition vectorized min.  Labels are monotone
+    non-increasing integers, so an unchanged label SUM is an exact
+    convergence proof (one tiny aggregate per round, no diff join).
+    Converges in ≤ graph-diameter iterations."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ray.data.context import ShuffleStrategy
+
+    if pairs.empty:
+        return {}
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    edges_df = pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+    nodes = np.unique(edges_df["src"].to_numpy())
+    edges = rd.from_pandas(edges_df)
+    labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["label"].min()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = (edges.join(labels, join_type="inner", num_partitions=n_blocks,
+                           on=("src",), right_on=("node",))
+                .select_columns(["dst", "label"])
+                .rename_columns({"dst": "node"}))
+        cand = labels.union(prop).repartition(num_blocks=n_blocks,
+                                              keys=["node"], sort=False)
+        cand.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        labels = cand.map_batches(min_label, batch_format="pandas",
+                                  batch_size=None).materialize()
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    out = labels.to_pandas()
+    return dict(zip(out["node"], out["label"]))
+
+
 def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
                        text_col: str = "text",
                        n_buckets: int = 16) -> pd.DataFrame:

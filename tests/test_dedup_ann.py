@@ -236,3 +236,23 @@ def test_verify_coshuffled_equals_broadcast(ray_session):
     got = verify_pairs_coshuffled(ds, pairs, threshold=0.5)
     pd.testing.assert_frame_equal(got, want)
     assert {(1, 2)} <= {(a, b) for a, b in zip(got["a"], got["b"])}
+
+
+def test_connected_components_variants_agree(ray_session):
+    """Driver union-find and the Dataset min-label propagation must
+    produce identical component labels (chains, cliques, singletons)."""
+    import pandas as pd
+
+    from darc_ray.stages.dedup import (connected_components,
+                                       connected_components_distributed)
+
+    pairs = pd.DataFrame({
+        "a": [1, 2, 5, 9, 9, 20, 30, 31, 32, 100],
+        "b": [2, 3, 6, 10, 11, 21, 31, 32, 30, 1]})
+    uf = connected_components(pairs)
+    lp = connected_components_distributed(pairs)
+    assert uf == lp
+    # chain 1-2-3 merged with 100 via (100,1): all label 1
+    assert uf[3] == 1 and uf[100] == 1
+    assert uf[30] == uf[32] == 30
+    assert connected_components(pairs.iloc[0:0]) == {}
