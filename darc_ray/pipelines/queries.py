@@ -1110,6 +1110,46 @@ WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_json_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column with a vectorized regex fast path (pandas ``str.extract``,
+    C-speed) and a stdlib-json fallback for rows the pattern misses —
+    never a per-row parse loop in the common case — then integer
+    partial aggregates per event_type."""
+    import json
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        miss = k.isna() & df["props"].notna()
+        if miss.any():                       # escaped/nested shapes
+            k.loc[miss] = df["props"][miss].map(
+                lambda s: json.loads(s).get("k"))
+        g = pd.DataFrame({"event_type": df["event_type"],
+                          "k": pd.to_numeric(k)})
+        return g.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"))
+
+    out = (_read(sf_dir, "events", ["event_type", "props"])
+           .map_batches(partial, batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    return (out.groupby("event_type", as_index=False)
+            .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
+                 min_k=("min_k", "min"), max_k=("max_k", "max"))
+            .astype({"n": "int64", "sum_k": "int64",
+                     "min_k": "int64", "max_k": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     """ROLLUP / grouping-sets aggregate: ONE per-batch partial pass at
     the finest grain (returnflag, linestatus) in integer cents; the
@@ -1772,6 +1812,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf": q_tfidf,
     "revenue_rollup": q_revenue_rollup,
     "dedup_clusters": q_dedup_clusters,
+    "json_extract": q_json_extract,
     # rows-only
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -1831,6 +1872,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf": SQL_TFIDF,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "json_extract": SQL_JSON_EXTRACT,
     "lang_id": SQL_LANG_ID,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
