@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "embedding_dups_lsh", "range_join", "stratified_sample",
     "quantiles_sketch", "window_delta", "top_terms", "bloom_semijoin",
     "tfidf", "revenue_rollup", "image_thumbnails", "image_quality",
-    "image_dedup", "dedup_clusters", "json_extract",
+    "image_dedup", "dedup_clusters", "json_extract", "image_transcode",
 ]
 
 

@@ -1663,6 +1663,21 @@ def q_image_dedup(sf_dir: str) -> pd.DataFrame:
                            hash_col="phash")
 
 
+def q_image_transcode(sf_dir: str) -> pd.DataFrame:
+    """Image transcode: every payload re-encoded with the real T.81
+    baseline JPEG encoder (q=85) in an actor-pool stage; output is the
+    storage-tiering report (compressed size, ratio, round-trip PSNR)."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import ImageTranscodeStage
+
+    out = (rd.from_arrow(_image_variant_table(sf_dir, n=48))
+           .map_batches(ImageTranscodeStage, fn_constructor_kwargs={"quality": 85},
+                        batch_format="pyarrow", batch_size=16, concurrency=2)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def q_audio_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal audio: synth WAV clips (real PCM16 codec) seeded by
     doc ids → actor-pool decode/feature stage (RMS, ZCR, spectral
@@ -1829,6 +1844,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_thumbnails": q_image_thumbnails,
     "image_quality": q_image_quality,
     "image_dedup": q_image_dedup,
+    "image_transcode": q_image_transcode,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "crawl_pages": q_crawl_pages,

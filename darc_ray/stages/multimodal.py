@@ -92,6 +92,37 @@ class ImageTransformStage:
             "thumb_phash": pa.array(out_ph, type=pa.int64())})
 
 
+class ImageTranscodeStage:
+    """Actor stage: decode any payload → re-encode with the REAL T.81
+    baseline JPEG encoder (4:4:4, quality knob) → size ratio + PSNR of
+    the round trip — the storage-tiering transcode of an image corpus
+    (keep originals cold, serve compact JPEGs hot)."""
+
+    def __init__(self, quality: int = 85) -> None:
+        self.quality = quality
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from darc_ray.functions.jpeg import jpeg_decode, jpeg_encode
+
+        ids = batch.column("image_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        out_size, ratio, out_psnr = [], [], []
+        for payload, fmt in zip(payloads, fmts):
+            pix = img.decode(payload, fmt)
+            data = jpeg_encode(pix, quality=self.quality)
+            rt = jpeg_decode(data)
+            out_size.append(len(data))
+            ratio.append(round(len(data) / max(1, len(payload)), 6))
+            p = img.psnr(pix, rt)
+            out_psnr.append(round(p, 4) if p != float("inf") else -1.0)
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids),
+            "jpeg_bytes": pa.array(out_size, type=pa.int64()),
+            "size_ratio": pa.array(ratio, type=pa.float64()),
+            "psnr_db": pa.array(out_psnr, type=pa.float64())})
+
+
 class ImageQualityStage:
     """Actor stage: decode → LAION-style quality gate columns — min-dim
     / aspect-ratio bounds, brightness window, near-solid (contrast)

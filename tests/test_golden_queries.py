@@ -34,6 +34,7 @@ GOLDEN = {
     "image_thumbnails": (87, "d310a80ede681502"),
     "image_quality": (87, "6f7dfa974c3db7e6"),
     "image_dedup": (14, "0385f1d36ecc6069"),
+    "image_transcode": (65, "3313f1613d71026c"),
     "audio_features": (64, "b6e745d9e0642b05"),
     "video_frames": (147, "52ad18452ef4e65d"),
 }

@@ -268,3 +268,21 @@ def test_image_transform_stage_roundtrip(ray_session):
         expect = thumbnail(decode(data, fmt), 24)
         assert (pix == expect).all()
         assert phash64(pix) == row["thumb_phash"]
+
+
+def test_image_transcode_stage_real_t81_roundtrip(ray_session):
+    """The transcode stage must produce decodable real JPEG at the
+    declared quality with PSNR above the lossy floor for smooth
+    gradients."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import ImageTranscodeStage, synth_image_rows
+
+    t = synth_image_rows(list(range(1, 9)), ["amber", "basalt", "cedar"])
+    out = (rd.from_arrow(t)
+           .map_batches(ImageTranscodeStage, fn_constructor_kwargs={"quality": 85},
+                        batch_format="pyarrow", batch_size=4, concurrency=2)
+           .to_pandas())
+    assert len(out) == 8
+    assert (out["jpeg_bytes"] > 0).all()
+    assert (out["psnr_db"] > 25.0).all()      # q=85 on noisy gradients

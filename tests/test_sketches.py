@@ -63,3 +63,29 @@ def test_jaccard_edges():
     assert jaccard(set(), set()) == 1.0
     assert jaccard({"a"}, set()) == 0.0
     assert jaccard({"a", "b"}, {"a", "b"}) == 1.0
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    import numpy as np
+
+    from darc_ray.functions.sketches import BloomFilter64
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-2**62, 2**62, 4096)
+    bf = BloomFilter64(keys)
+    assert bf.contains(keys).all()                    # never a false negative
+    probe = rng.integers(-2**62, 2**62, 100_000)
+    member = np.isin(probe, keys)
+    fp = bf.contains(probe[~member]).mean()
+    assert fp < 0.01, fp                              # ~12 bits/key, k=4
+    assert bf.contains(np.array([], dtype=np.int64)).shape == (0,)
+
+
+def test_bloom_filter_tiny_and_negative_keys():
+    import numpy as np
+
+    from darc_ray.functions.sketches import BloomFilter64
+
+    keys = np.array([-1, 0, 1, 2**62, -2**62], dtype=np.int64)
+    bf = BloomFilter64(keys)
+    assert bf.contains(keys).all()
