@@ -876,6 +876,102 @@ def q_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
+def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT) per group via a mergeable
+    HyperLogLog sketch (``functions/sketches.py``) next to the exact
+    count — the "novel sketch" scale operator: per-batch partials are
+    O(groups × 2^p) register bytes (never the key stream), merged by
+    elementwise max in a tiny driver reduce, while the exact column
+    pays the unavoidable key all-to-all (combiner-dedup first).  The
+    hash is the md5-prefix of the key's decimal string and the
+    harmonic sum is an exact integer, so the DuckDB oracle reproduces
+    the estimate BIT-FOR-BIT including the linear-counting branch
+    (SQL_HLL_DISTINCT).  At 100 TB the approx column is a
+    metadata-sized merge; the exact one is the shuffle to avoid."""
+    import math
+
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.sketches import HyperLogLog, md5_hash64
+
+    p = 12
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial_regs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type"):
+            h = HyperLogLog(p).add_hashes(md5_hash64(g["user_id"].to_numpy()))
+            out.append({"event_type": et, "regs": h.registers.tobytes()})
+        return pd.DataFrame(out, columns=["event_type", "regs"])
+
+    parts = ds.map_batches(partial_regs, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    merged: dict[str, HyperLogLog] = {}
+    for et, blob in zip(parts["event_type"], parts["regs"]):
+        hll = HyperLogLog(p, np.frombuffer(blob, dtype=np.uint8))
+        merged[et].merge(hll) if et in merged else merged.setdefault(et, hll)
+
+    # exact side: combiner dedup per batch → ONE hash shuffle keyed by
+    # the pair → per-partition dedup + per-group count → driver sum
+    # (each distinct pair lands in exactly one partition)
+    dparts = (ds.map_batches(lambda df: df.drop_duplicates(),
+                             batch_format="pandas", batch_size=65536)
+              .repartition(num_blocks=8, keys=["event_type", "user_id"],
+                           sort=False))
+    dparts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    exact = (dparts.map_batches(
+        lambda df: (df.drop_duplicates()
+                    .groupby("event_type", as_index=False)
+                    .agg(n_exact=("user_id", "size"))),
+        batch_format="pandas", batch_size=None).to_pandas()
+        .groupby("event_type", as_index=False)["n_exact"].sum())
+
+    approx = pd.DataFrame({
+        "event_type": list(merged),
+        "approx_distinct": [int(math.floor(h.estimate() + 0.5))
+                            for h in merged.values()]})
+    return (approx.merge(exact, on="event_type")
+            .sort_values("event_type").reset_index(drop=True))
+
+
+# the whole sketch is SQL-expressible bit-for-bit: md5-prefix hash,
+# per-(group, register) max rank via bin()-string bitlength, exact
+# HUGEINT harmonic sum Σ 2^(53−r) (absent registers contribute 2^53),
+# and the same left-associated float expression as
+# HyperLogLog.estimate (p=12 → top 12 bits index, mask 2^52−1)
+SQL_HLL_DISTINCT = """
+WITH hashes AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM events
+), regs AS (
+  SELECT event_type, (h >> 52)::BIGINT AS idx,
+         max(CASE WHEN (h & 4503599627370495::UBIGINT) = 0 THEN 53
+             ELSE 52 - length(bin(h & 4503599627370495::UBIGINT)) + 1 END) AS r
+  FROM hashes GROUP BY event_type, idx
+), sums AS (
+  SELECT event_type,
+         sum((1::UBIGINT << (53 - r))::HUGEINT)
+           + (4096 - count(*))::HUGEINT * 9007199254740992::HUGEINT AS s,
+         (4096 - count(*))::BIGINT AS zeros
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type, zeros,
+         0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+           * 9007199254740992.0 / s::DOUBLE AS raw
+  FROM sums
+)
+SELECT e.event_type,
+       CAST(floor(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+                       THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END + 0.5)
+            AS BIGINT) AS approx_distinct,
+       d.n_exact
+FROM est e JOIN (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+                 FROM events GROUP BY event_type) d USING (event_type)
+ORDER BY event_type
+"""
+
+
 def q_argmax_dedup(sf_dir: str) -> pd.DataFrame:
     """Keep-newest dedup (argmax row per key): per-batch partial
     lexicographic max of (ts, event_id) per user — O(users/batch) rows
@@ -1820,6 +1916,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "group_topk": q_group_topk,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
+    "hll_distinct": q_hll_distinct,
     "argmax_dedup": q_argmax_dedup,
     "window_delta": q_window_delta,
     "top_terms": q_top_terms,
@@ -1881,6 +1978,7 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "group_topk": SQL_GROUP_TOPK,
     "quantiles": SQL_QUANTILES,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "argmax_dedup": SQL_ARGMAX_DEDUP,
     "window_delta": SQL_WINDOW_DELTA,
     "top_terms": SQL_TOP_TERMS,

@@ -89,3 +89,64 @@ def test_bloom_filter_tiny_and_negative_keys():
     keys = np.array([-1, 0, 1, 2**62, -2**62], dtype=np.int64)
     bf = BloomFilter64(keys)
     assert bf.contains(keys).all()
+
+
+def test_hll_accuracy_and_merge_equality():
+    """One-shot add == chunked add+merge (mergeability is what makes
+    the sketch a per-batch partial), and the estimate stays within the
+    ~3σ theoretical band (1.04/sqrt(m) ≈ 1.6 % at p=12)."""
+    from darc_ray.functions.sketches import HyperLogLog
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-2**62, 2**62, 200_000, dtype=np.int64)
+    n_true = len(np.unique(keys))
+
+    whole = HyperLogLog(12).add(keys)
+    chunked = HyperLogLog(12)
+    for lo in range(0, len(keys), 7_001):
+        chunked.merge(HyperLogLog(12).add(keys[lo:lo + 7_001]))
+    assert np.array_equal(whole.registers, chunked.registers)
+    assert abs(whole.estimate() - n_true) / n_true < 0.05
+
+    # linear-counting regime (small cardinality)
+    small = HyperLogLog(12).add(np.arange(300, dtype=np.int64))
+    assert abs(small.estimate() - 300) / 300 < 0.05
+
+
+def test_hll_rank_clz_exact_vs_python():
+    """The float64-exponent CLZ (with the power-of-two clamp) equals
+    Python's exact bit_length on adversarial values: exact powers of
+    two, 2^k±1, and all-ones suffixes."""
+    from darc_ray.functions.sketches import HyperLogLog
+
+    p = 12
+    vals = []
+    for k in range(p, 64):
+        vals += [1 << k, (1 << k) - 1, (1 << k) + 1]
+    vals = np.array([v & ((1 << 64) - 1) for v in vals], dtype=np.uint64)
+    h = HyperLogLog(p)
+    h.add_hashes(vals)
+    # recompute expected registers exactly with Python ints
+    exp = np.zeros(h.m, dtype=np.uint8)
+    for v in vals.tolist():
+        idx = v >> (64 - p)
+        rest = ((v << p) | ((1 << p) - 1)) & ((1 << 64) - 1)
+        rank = 64 - rest.bit_length() + 1
+        exp[idx] = max(exp[idx], rank)
+    assert np.array_equal(h.registers, exp)
+
+
+def test_md5_hash64_matches_duckdb_prefix():
+    """md5_hash64 == DuckDB's ('0x' || substr(md5(key::VARCHAR),1,16))
+    — the contract the hll_distinct oracle relies on."""
+    import duckdb
+
+    from darc_ray.functions.sketches import md5_hash64
+
+    keys = np.array([0, 1, -1, 42, 123456789, -987654321], dtype=np.int64)
+    ours = md5_hash64(keys)
+    sql = duckdb.sql(
+        "SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 16))::UBIGINT "
+        "FROM (SELECT unnest(?::BIGINT[]) AS k)",
+        params=[keys.tolist()]).fetchall()
+    assert [int(x) for x in ours] == [int(r[0]) for r in sql]
