@@ -876,6 +876,61 @@ def q_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
+# the histogram sketch is deterministic, so the oracle reproduces it
+# BIT-FOR-BIT: same bin formula ((v-lo)/wid*4096, floor, clamp 4095),
+# same owning-bin search (first bin whose running count reaches k+1 —
+# always a nonzero bin, so the dense-array searchsorted and this
+# sparse scan agree), same interpolation op order (lo + (bin+frac) *
+# (wid/4096)) and the same quantile_cont rank blend as the kernel
+SQL_QUANTILES_SKETCH = """
+WITH rng AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi,
+         count(*) AS total,
+         (CASE WHEN max(value) = min(value) THEN 1.0
+               ELSE max(value) - min(value) END) AS wid
+  FROM events GROUP BY event_type
+), hist AS (
+  SELECT e.event_type,
+         least(CAST(floor((e.value - r.lo) / r.wid * 4096.0) AS BIGINT),
+               4095) AS bin,
+         count(*) AS n
+  FROM events e JOIN rng r USING (event_type)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM hist
+), qs AS (
+  SELECT r.event_type, s.name, (r.total - 1) * s.q AS rk
+  FROM rng r CROSS JOIN (VALUES ('p50', 0.5), ('p90', 0.9),
+                                ('p99', 0.99)) s(name, q)
+), ks AS (
+  SELECT event_type, name, rk, CAST(floor(rk) AS BIGINT) AS k, 0 AS side FROM qs
+  UNION ALL
+  SELECT event_type, name, rk, CAST(ceil(rk) AS BIGINT) AS k, 1 AS side FROM qs
+), est AS (
+  SELECT k.event_type, k.name, k.rk, k.side,
+         r.lo + (c.bin + (k.k + 1 - (c.cum - c.n)) / CAST(c.n AS DOUBLE))
+                * (r.wid / 4096.0) AS v
+  FROM ks k
+  JOIN rng r ON r.event_type = k.event_type
+  JOIN LATERAL (SELECT bin, n, cum FROM cum c
+                WHERE c.event_type = k.event_type AND c.cum >= k.k + 1
+                ORDER BY bin LIMIT 1) c ON true
+), combined AS (
+  SELECT event_type, name,
+         round(sum(CASE WHEN side = 0 THEN (1.0 - (rk - floor(rk))) * v
+                        ELSE (rk - floor(rk)) * v END), 6) AS val
+  FROM est GROUP BY 1, 2
+)
+SELECT event_type,
+       max(CASE WHEN name = 'p50' THEN val END) AS p50,
+       max(CASE WHEN name = 'p90' THEN val END) AS p90,
+       max(CASE WHEN name = 'p99' THEN val END) AS p99
+FROM combined GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT) per group via a mergeable
     HyperLogLog sketch (``functions/sketches.py``) next to the exact
@@ -1978,6 +2033,7 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "group_topk": SQL_GROUP_TOPK,
     "quantiles": SQL_QUANTILES,
+    "quantiles_sketch": SQL_QUANTILES_SKETCH,
     "hll_distinct": SQL_HLL_DISTINCT,
     "argmax_dedup": SQL_ARGMAX_DEDUP,
     "window_delta": SQL_WINDOW_DELTA,
