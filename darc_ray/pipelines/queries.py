@@ -1261,6 +1261,108 @@ WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination — the guard every LLM training corpus
+    runs before the tokenizer: flag corpus documents sharing any word
+    5-gram with a held-out benchmark set (here the deterministic
+    ``doc_id % 20 == 0`` slice stands in for an eval suite).  Scale
+    shape: the benchmark side is SMALL by construction (eval suites are
+    thousands of docs, the corpus is billions), so its distinct 5-gram
+    set broadcasts once via ``ray.put`` as a SORTED uint64 hash array
+    (8 bytes per gram — never the strings) and the corpus streams
+    through ONE ``map_batches`` pass doing ``np.searchsorted``
+    membership per batch; no shuffle, no join, output is only the
+    contaminated doc ids.  Grams are hashed with the md5-64 prefix
+    (``functions/sketches.md5_hash64`` convention) so the DuckDB oracle
+    reproduces membership exactly — both sides count DISTINCT gram
+    hashes, so even a hash collision (deterministic, same on both
+    sides) cannot cause a mismatch."""
+    import hashlib
+
+    import ray
+
+    n = 5
+
+    def gram_hashes(texts: pd.Series) -> pd.DataFrame:
+        """(doc_id, gram_hash) rows, distinct per doc: tokenize, join
+        consecutive n-grams, md5-prefix-hash each UNIQUE gram string
+        once per batch."""
+        toks = texts.str.strip()
+        toks = toks[toks != ""].str.split()
+        ids, grams = [], []
+        for doc_id, t in toks.items():
+            if len(t) < n:
+                continue
+            g = {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+            ids.extend([doc_id] * len(g))
+            grams.extend(g)
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "g": pd.Series(dtype="uint64")})
+        uniq = pd.unique(pd.Series(grams))
+        hmap = {s: int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                for s in uniq}
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "g": np.array([hmap[s] for s in grams],
+                                           dtype=np.uint64)})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # benchmark side: tiny by construction — distinct gram hashes
+    # reduced on the driver, broadcast once as a sorted array (the
+    # mod-20 slice membership is a per-batch vectorized mask; Ray's
+    # filter(expr=) has no modulo support)
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 20 == 0]
+        return gram_hashes(df.set_index("doc_id")["text"])
+
+    bench = (ds.map_batches(bench_grams, batch_format="pandas",
+                            batch_size=4096).to_pandas())
+    bench_arr = np.unique(bench["g"].to_numpy(dtype=np.uint64))
+    bench_ref = ray.put(bench_arr)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        df = df[df["doc_id"] % 20 != 0]
+        gh = gram_hashes(df.set_index("doc_id")["text"])
+        pos = np.searchsorted(b, gh["g"].to_numpy())
+        hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)]
+                                == gh["g"].to_numpy())
+        out = (gh.assign(hit=hit.astype(np.int64))
+               .groupby("doc_id", as_index=False)
+               .agg(n_contam=("hit", "sum"), n_grams=("g", "size")))
+        return out[out["n_contam"] > 0]
+
+    res = (ds.map_batches(flag, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+# DISTINCT gram hashes per doc on both sides, so the count survives
+# (deterministic) md5-prefix collisions identically; t[i:i+4] is
+# DuckDB's 1-based INCLUSIVE slice = 5 tokens
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16))::UBIGINT AS g
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+)
+SELECT c.doc_id,
+       count(b.g)::BIGINT AS n_contam,
+       count(*)::BIGINT AS n_grams
+FROM (SELECT * FROM grams WHERE doc_id % 20 <> 0) c
+LEFT JOIN bench b USING (g)
+GROUP BY c.doc_id HAVING count(b.g) > 0
+ORDER BY doc_id
+"""
+
+
 def q_json_extract(sf_dir: str) -> pd.DataFrame:
     """Semi-structured extraction: pull ``$.k`` out of the JSON props
     column with a vectorized regex fast path (pandas ``str.extract``,
@@ -1979,6 +2081,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf": q_tfidf,
     "revenue_rollup": q_revenue_rollup,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
     "json_extract": q_json_extract,
     # rows-only
     "lang_id": q_lang_id,
@@ -2042,6 +2145,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf": SQL_TFIDF,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "decontaminate": SQL_DECONTAMINATE,
     "json_extract": SQL_JSON_EXTRACT,
     "lang_id": SQL_LANG_ID,
     "simhash": SQL_SIMHASH,
