@@ -307,3 +307,35 @@ def channel_stats(pixels: np.ndarray) -> dict:
         "saturation": float(spread.mean()),
         "near_solid": bool(gray.std() < 2.0),
     }
+
+
+def image_meta(data: bytes) -> dict:
+    """Header-only metadata for any payload this engine stores,
+    dispatched on magic bytes (never the table's ``fmt`` column — a
+    mislabeled blob must not mis-parse): PNG IHDR, FJPG fixed header,
+    or the T.81 segment walk (``jpeg.jpeg_info``).  Reads only
+    ``header_bytes`` of the object — the 100 TB metadata pass fetches
+    KBs per image, not the image."""
+    import struct
+
+    if data.startswith(PNG_SIG):
+        if len(data) < 34 or data[12:16] != b"IHDR":
+            raise ValueError("truncated PNG (no IHDR)")
+        w, h = struct.unpack_from(">II", data, 16)
+        depth, color, _comp, _filt, interlace = data[24:29]
+        comps = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if comps is None:
+            raise ValueError(f"unknown PNG color type {color}")
+        return {"fmt_detected": "png", "width": w, "height": h,
+                "depth": depth, "components": comps,
+                "progressive": int(interlace == 1), "header_bytes": 33}
+    if data.startswith(FAKE_JPEG_MAGIC):
+        w, h = struct.unpack_from(">II", data, 4)
+        return {"fmt_detected": "fjpg", "width": w, "height": h,
+                "depth": 6, "components": 3, "progressive": 0,
+                "header_bytes": 12}
+    if data.startswith(b"\xff\xd8"):
+        from darc_ray.functions.jpeg import jpeg_info
+
+        return {"fmt_detected": "jpeg", **jpeg_info(data)}
+    raise ValueError("unknown image payload (no PNG/FJPG/JPEG magic)")

@@ -839,3 +839,51 @@ def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 92) -> bytes:
             + _dht_seg(0, 1, *HT_DC_CHROMA) + _dht_seg(1, 1, *HT_AC_CHROMA)
             + sof + dc_scan + ac_scans[0] + ac_scans[1] + ac_scans[2]
             + b"\xff\xd9")
+
+
+def jpeg_info(data: bytes) -> dict:
+    """Header-only metadata scan: walk the segment chain up to the
+    first SOS and return frame facts WITHOUT entropy decode — the
+    100 TB metadata-pass primitive (``header_bytes`` is how much of the
+    object a ranged read must fetch to learn everything here).
+
+    The walk is STRICT (each segment must start at ``FF xx`` exactly
+    where the previous one ended, FF fill bytes allowed per T.81
+    B.1.1.2) so the DuckDB oracle's recursive-CTE hex walk visits the
+    identical offsets; corrupt chains raise ValueError like the
+    decoder's other corrupt-payload paths."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    o = 2
+    width = height = depth = ncomp = -1
+    progressive = -1
+    while True:
+        if o + 4 > len(data):
+            raise ValueError("truncated JPEG (no scan)")
+        if data[o] != 0xFF:
+            raise ValueError("invalid JPEG segment chain")
+        mk = data[o + 1]
+        if mk == 0xFF:                       # fill byte (B.1.1.2)
+            o += 1
+            continue
+        if mk in (0x01, 0xD9) or 0xD0 <= mk <= 0xD8:
+            o += 2                           # standalone marker
+            continue
+        (seglen,) = struct.unpack_from(">H", data, o + 2)
+        if mk in (0xC0, 0xC1, 0xC2):
+            progressive = int(mk == 0xC2)
+            depth = data[o + 4]
+            height = struct.unpack_from(">H", data, o + 5)[0]
+            width = struct.unpack_from(">H", data, o + 7)[0]
+            ncomp = data[o + 9]
+        elif mk in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCC,
+                    0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG SOF{mk - 0xC0} not supported "
+                             "(baseline/progressive only)")
+        elif mk == 0xDA:                     # first SOS ends the header
+            if ncomp < 0:
+                raise ValueError("JPEG scan before a supported SOF frame")
+            return {"width": width, "height": height, "depth": depth,
+                    "components": ncomp, "progressive": progressive,
+                    "header_bytes": o + 2 + seglen}
+        o += 2 + seglen

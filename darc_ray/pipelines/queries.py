@@ -1931,6 +1931,96 @@ def q_image_transcode(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def q_image_metadata(sf_dir: str) -> pd.DataFrame:
+    """Header-only image metadata scan — the 100 TB pass that reads
+    ``header_bytes`` per object instead of decoding pixels: magic-byte
+    dispatch (PNG IHDR / FJPG fixed header / T.81 strict segment walk,
+    no entropy decode) over a mixed-container corpus that includes
+    REAL baseline and progressive JPEG.  The corpus is the
+    deterministic fixed-path fixture (``ensure_image_meta_fixture`` —
+    sf-independent by design: the family exercises container parsing,
+    not table data), so the DuckDB oracle re-parses the identical
+    BYTES with a completely independent implementation: hex-string
+    arithmetic plus a recursive-CTE JPEG segment walk
+    (SQL_IMAGE_METADATA)."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_meta_fixture,
+                                            image_meta_batch)
+
+    path = ensure_image_meta_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_meta_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+# independent re-implementation of the header scan in SQL: PNG/FJPG
+# fields are fixed-offset hex-substring casts; JPEG is a recursive-CTE
+# walk over the segment chain (marker at byte o+1, big-endian length
+# at o+2; SOF0/1/2 yields depth@o+4, height@o+5, width@o+7,
+# ncomp@o+9; first SOS terminates with header_bytes = o+2+len) —
+# hex char index for byte b is 2b+1
+SQL_IMAGE_METADATA = """
+WITH RECURSIVE raw AS (
+  SELECT image_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_meta.parquet')
+), png AS (
+  SELECT image_id, 'png' AS fmt_detected,
+         ('0x' || substr(h, 33, 8))::BIGINT AS width,
+         ('0x' || substr(h, 41, 8))::BIGINT AS height,
+         ('0x' || substr(h, 49, 2))::BIGINT AS depth,
+         CASE ('0x' || substr(h, 51, 2))::BIGINT
+              WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+              WHEN 4 THEN 2 WHEN 6 THEN 4 END AS components,
+         CASE WHEN ('0x' || substr(h, 57, 2))::BIGINT = 1
+              THEN 1 ELSE 0 END AS progressive,
+         33::BIGINT AS header_bytes
+  FROM raw WHERE substr(h, 1, 16) = '89504E470D0A1A0A'
+), fjpg AS (
+  SELECT image_id, 'fjpg' AS fmt_detected,
+         ('0x' || substr(h, 9, 8))::BIGINT AS width,
+         ('0x' || substr(h, 17, 8))::BIGINT AS height,
+         6::BIGINT AS depth, 3::BIGINT AS components,
+         0::BIGINT AS progressive, 12::BIGINT AS header_bytes
+  FROM raw WHERE substr(h, 1, 8) = '464A5047'
+), jwalk AS (
+  SELECT image_id, h, 2::BIGINT AS o,
+         -1::BIGINT AS width, -1::BIGINT AS height, -1::BIGINT AS depth,
+         -1::BIGINT AS components, -1::BIGINT AS progressive,
+         -1::BIGINT AS header_bytes, FALSE AS done
+  FROM raw WHERE substr(h, 1, 4) = 'FFD8'
+  UNION ALL
+  SELECT image_id, h,
+         CASE WHEN substr(h, 2*o+3, 2) = 'DA' THEN o
+              ELSE o + 2 + ('0x' || substr(h, 2*o+5, 4))::BIGINT END,
+         CASE WHEN substr(h, 2*o+3, 2) IN ('C0', 'C1', 'C2')
+              THEN ('0x' || substr(h, 2*o+15, 4))::BIGINT ELSE width END,
+         CASE WHEN substr(h, 2*o+3, 2) IN ('C0', 'C1', 'C2')
+              THEN ('0x' || substr(h, 2*o+11, 4))::BIGINT ELSE height END,
+         CASE WHEN substr(h, 2*o+3, 2) IN ('C0', 'C1', 'C2')
+              THEN ('0x' || substr(h, 2*o+9, 2))::BIGINT ELSE depth END,
+         CASE WHEN substr(h, 2*o+3, 2) IN ('C0', 'C1', 'C2')
+              THEN ('0x' || substr(h, 2*o+19, 2))::BIGINT ELSE components END,
+         CASE WHEN substr(h, 2*o+3, 2) = 'C2' THEN 1
+              WHEN substr(h, 2*o+3, 2) IN ('C0', 'C1') THEN 0
+              ELSE progressive END,
+         CASE WHEN substr(h, 2*o+3, 2) = 'DA'
+              THEN o + 2 + ('0x' || substr(h, 2*o+5, 4))::BIGINT
+              ELSE -1 END,
+         substr(h, 2*o+3, 2) = 'DA'
+  FROM jwalk WHERE NOT done
+), jpeg AS (
+  SELECT image_id, 'jpeg' AS fmt_detected, width, height, depth,
+         components, progressive, header_bytes
+  FROM jwalk WHERE done
+)
+SELECT * FROM png UNION ALL SELECT * FROM fjpg UNION ALL
+SELECT * FROM jpeg ORDER BY image_id
+"""
+
+
 def q_audio_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal audio: synth WAV clips (real PCM16 codec) seeded by
     doc ids → actor-pool decode/feature stage (RMS, ZCR, spectral
@@ -2100,6 +2190,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_quality": q_image_quality,
     "image_dedup": q_image_dedup,
     "image_transcode": q_image_transcode,
+    "image_metadata": q_image_metadata,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "crawl_pages": q_crawl_pages,
@@ -2146,6 +2237,7 @@ ORACLE_SQL: dict[str, str] = {
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
+    "image_metadata": SQL_IMAGE_METADATA,
     "json_extract": SQL_JSON_EXTRACT,
     "lang_id": SQL_LANG_ID,
     "simhash": SQL_SIMHASH,

@@ -356,3 +356,70 @@ def synth_image_rows(seed_ids: list[int], caption_words: list[str],
     from darc_ray.schemas import IMAGES
 
     return pa.Table.from_pydict(rows, schema=IMAGES)
+
+
+META_FIXTURE = "/tmp/darc_ray_fixtures/image_meta.parquet"
+
+
+def ensure_image_meta_fixture(path: str = META_FIXTURE) -> str:
+    """Deterministic mixed-container corpus for the header-scan family
+    (PNG, FJPG, real T.81 baseline AND progressive JPEG), written
+    atomically to a FIXED path so the Ray query and the DuckDB oracle
+    read bit-identical bytes regardless of which side runs first.
+    Content depends only on constants (never sf_dir — the header scan
+    exercises container parsing, not corpus data), so concurrent
+    writers converge on the same file."""
+    import os
+    import tempfile
+
+    from darc_ray.functions.jpeg import jpeg_encode, jpeg_encode_progressive
+
+    rows = {"image_id": [], "bytes": []}
+    for i in range(16):
+        rng = np.random.default_rng(9000 + i)
+        hh, ww = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        base = 120 + 70 * np.sin(2 * np.pi * (xx + 3 * i) / ww)
+        pix = np.clip(base[..., None] + rng.integers(-9, 10, (hh, ww, 3)),
+                      0, 255).astype(np.uint8)
+        rows["image_id"].append(f"img-{i:02d}-png")
+        rows["bytes"].append(img.png_encode(pix))
+        rows["image_id"].append(f"img-{i:02d}-fjpg")
+        rows["bytes"].append(img.fake_jpeg_encode(pix))
+        rows["image_id"].append(f"img-{i:02d}-jpg")
+        rows["bytes"].append(jpeg_encode(pix, quality=88))
+        if i % 4 == 0:
+            rows["image_id"].append(f"img-{i:02d}-prog")
+            rows["bytes"].append(jpeg_encode_progressive(pix, quality=88))
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path
+
+
+def image_meta_batch(batch: "pa.Table") -> "pa.Table":
+    """Header-only metadata scan over a binary image column — per-row
+    dispatch on magic bytes (``functions.image.image_meta``); O(header
+    segments) per row, no pixel decode, so the 100 TB pass reads
+    ``header_bytes`` per object, not the object.  Stateless → plain
+    task ``map_batches``, no actor pool needed."""
+    from darc_ray.functions.image import image_meta
+
+    ids = batch.column("image_id").to_pylist()
+    out: dict[str, list] = {"image_id": [], "fmt_detected": [], "width": [],
+                            "height": [], "depth": [], "components": [],
+                            "progressive": [], "header_bytes": []}
+    for iid, payload in zip(ids, batch.column("bytes").to_pylist()):
+        m = image_meta(payload)
+        out["image_id"].append(iid)
+        for k in ("fmt_detected", "width", "height", "depth",
+                  "components", "progressive", "header_bytes"):
+            out[k].append(m[k])
+    return pa.Table.from_pydict(out)

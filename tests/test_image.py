@@ -235,3 +235,39 @@ def test_progressive_real_world_file():
     from darc_ray.functions.image import phash64
 
     assert phash64(img) == phash64(jpeg_decode(data))   # deterministic
+
+
+def test_image_meta_header_scan():
+    """Header-only metadata equals the decoder's ground truth on all
+    three containers, flags progressive, and needs only header_bytes
+    of the payload (the ranged-read contract)."""
+    import numpy as np
+
+    from darc_ray.functions.image import (fake_jpeg_encode, image_meta,
+                                          png_encode)
+    from darc_ray.functions.jpeg import (jpeg_encode,
+                                         jpeg_encode_progressive, jpeg_info)
+
+    pix = np.random.default_rng(3).integers(0, 256, (19, 29, 3)).astype(np.uint8)
+    for enc, fmt, depth, prog in ((png_encode, "png", 8, 0),
+                                  (fake_jpeg_encode, "fjpg", 6, 0),
+                                  (jpeg_encode, "jpeg", 8, 0),
+                                  (jpeg_encode_progressive, "jpeg", 8, 1)):
+        data = enc(pix)
+        m = image_meta(data)
+        assert (m["fmt_detected"], m["width"], m["height"]) == (fmt, 29, 19)
+        assert (m["depth"], m["components"], m["progressive"]) == (depth, 3, prog)
+        assert 0 < m["header_bytes"] < len(data)
+        # the scan must not need bytes past the header (+4 so the
+        # strict walk can see the marker following the SOS segment)
+        assert image_meta(data[:m["header_bytes"] + 4]) == m
+
+    # jpeg_info ValueError consistency on corrupt chains
+    import pytest
+
+    for bad in (b"\xff\xd8", b"\xff\xd8\x00\x01junk",
+                b"\xff\xd8\xff\xda\x00\x04ab"):
+        with pytest.raises(ValueError):
+            jpeg_info(bad)
+    with pytest.raises(ValueError):
+        image_meta(b"GIF89a not supported")
