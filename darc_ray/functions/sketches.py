@@ -258,3 +258,52 @@ class HyperLogLog:
         if est <= 2.5 * m and zeros:
             est = m * math.log(m / zeros)        # linear counting
         return float(est)
+
+
+class CountMinSketch:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005):
+    ``depth`` rows × ``width`` int64 counters; add is vectorized
+    (per-row md5-prefix hash of ``"j:key"`` mod width, counts
+    scatter-added), merge is elementwise sum, and a point query is the
+    min over rows — an OVERestimate with error ≤ εN (ε = e/width) at
+    probability 1−δ (δ = e^−depth).  Everything is integer arithmetic
+    on the DuckDB-reproducible md5-prefix hash, so the sketch is
+    bit-for-bit reproducible in SQL (the `cms_topk` oracle)."""
+
+    def __init__(self, depth: int = 4, width: int = 256,
+                 table: np.ndarray | None = None) -> None:
+        self.depth, self.width = depth, width
+        self.table = (np.zeros((depth, width), dtype=np.int64) if table is None
+                      else table.astype(np.int64, copy=True))
+
+    def _cells(self, j: int, keys: np.ndarray) -> np.ndarray:
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{j}:{int(k)}".encode()).digest()[:8], "big")
+             for k in keys),
+            dtype=np.uint64, count=len(keys))
+        return (h % np.uint64(self.width)).astype(np.int64)
+
+    def add_counts(self, keys: np.ndarray, counts: np.ndarray) -> "CountMinSketch":
+        """Scatter-add pre-aggregated (key, count) pairs — the per-batch
+        combiner path: one digest per UNIQUE key per row, never per
+        event."""
+        keys = np.asarray(keys, dtype=np.int64)
+        counts = np.asarray(counts, dtype=np.int64)
+        for j in range(self.depth):
+            np.add.at(self.table[j], self._cells(j, keys), counts)
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("incompatible sketch shape")
+        self.table += other.table
+        return self
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        """Point estimates (min over rows) — exact integers."""
+        keys = np.asarray(keys, dtype=np.int64)
+        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(self.depth):
+            est = np.minimum(est, self.table[j][self._cells(j, keys)])
+        return est

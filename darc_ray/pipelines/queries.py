@@ -1027,6 +1027,78 @@ ORDER BY event_type
 """
 
 
+def q_cms_topk(sf_dir: str) -> pd.DataFrame:
+    """Heavy hitters with a mergeable Count-Min sketch beside the
+    exact count: per-batch partials are (a) value-count combiners
+    (vocab-bounded rows) for the exact column and (b) depth×width
+    int64 sketch blobs (8 KB each, elementwise-sum merge) for the
+    estimate — at 100 TB the sketch column is a metadata-sized merge
+    that answers point frequencies for ANY key, while the exact path
+    only survives because the combiner bounds it to the key
+    cardinality.  All-integer md5-prefix hashing makes the sketch
+    bit-reproducible in SQL (SQL_CMS_TOPK); CMS guarantees
+    ``cms_est >= n_exact`` (tested)."""
+    from darc_ray.functions.sketches import CountMinSketch
+
+    depth, width = 4, 256
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()
+        return pd.DataFrame({"user_id": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    exact = (ds.map_batches(count_partial, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+             .groupby("user_id", as_index=False)["n"].sum()
+             .rename(columns={"n": "n_exact"}))
+    top = exact.sort_values(["n_exact", "user_id"],
+                            ascending=[False, True], kind="mergesort").head(20)
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()
+        c = CountMinSketch(depth, width).add_counts(vc.index.to_numpy(),
+                                                    vc.to_numpy())
+        return pd.DataFrame({"blob": [c.table.tobytes()]})
+
+    merged = CountMinSketch(depth, width)
+    for blob in (ds.map_batches(sketch_partial, batch_format="pandas",
+                                batch_size=65536).to_pandas()["blob"]):
+        merged.merge(CountMinSketch(
+            depth, width,
+            np.frombuffer(blob, dtype=np.int64).reshape(depth, width)))
+
+    out = top.assign(cms_est=merged.query(top["user_id"].to_numpy()))
+    return out[["user_id", "n_exact", "cms_est"]].reset_index(drop=True)
+
+
+# integer-only, so bit-exact: cell = md5("j:user")-prefix mod 256 per
+# sketch row j; row counters from ONE grouped pass over the stream;
+# point estimate = min over rows of the queried key's cells
+SQL_CMS_TOPK = """
+WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS j),
+cells AS (
+  SELECT r.j,
+         ('0x' || substr(md5(r.j::VARCHAR || ':' || e.user_id::VARCHAR),
+                         1, 16))::UBIGINT % 256 AS c,
+         count(*)::BIGINT AS n
+  FROM events e CROSS JOIN rows_ r
+  GROUP BY r.j, c
+), exact AS (
+  SELECT user_id, count(*)::BIGINT AS n_exact
+  FROM events GROUP BY user_id
+  ORDER BY n_exact DESC, user_id ASC LIMIT 20
+)
+SELECT x.user_id, x.n_exact, min(cl.n)::BIGINT AS cms_est
+FROM exact x CROSS JOIN rows_ r
+JOIN cells cl ON cl.j = r.j
+ AND cl.c = ('0x' || substr(md5(r.j::VARCHAR || ':' || x.user_id::VARCHAR),
+             1, 16))::UBIGINT % 256
+GROUP BY x.user_id, x.n_exact
+ORDER BY n_exact DESC, user_id ASC
+"""
+
+
 def q_argmax_dedup(sf_dir: str) -> pd.DataFrame:
     """Keep-newest dedup (argmax row per key): per-batch partial
     lexicographic max of (ts, event_id) per user — O(users/batch) rows
@@ -2164,6 +2236,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "hll_distinct": q_hll_distinct,
+    "cms_topk": q_cms_topk,
     "argmax_dedup": q_argmax_dedup,
     "window_delta": q_window_delta,
     "top_terms": q_top_terms,
@@ -2229,6 +2302,7 @@ ORACLE_SQL: dict[str, str] = {
     "quantiles": SQL_QUANTILES,
     "quantiles_sketch": SQL_QUANTILES_SKETCH,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "cms_topk": SQL_CMS_TOPK,
     "argmax_dedup": SQL_ARGMAX_DEDUP,
     "window_delta": SQL_WINDOW_DELTA,
     "top_terms": SQL_TOP_TERMS,

@@ -150,3 +150,29 @@ def test_md5_hash64_matches_duckdb_prefix():
         "FROM (SELECT unnest(?::BIGINT[]) AS k)",
         params=[keys.tolist()]).fetchall()
     assert [int(x) for x in ours] == [int(r[0]) for r in sql]
+
+
+def test_cms_merge_and_overestimate_bound():
+    """Chunked add+merge == one-shot (mergeability), every point
+    estimate >= the true count (CMS never underestimates), and error
+    is bounded by eN with e = e/width over a zipfy stream."""
+    from darc_ray.functions.sketches import CountMinSketch
+
+    rng = np.random.default_rng(5)
+    stream = rng.zipf(1.3, 50_000)
+    stream = stream[stream < 10_000].astype(np.int64)
+    keys, counts = np.unique(stream, return_counts=True)
+
+    whole = CountMinSketch().add_counts(keys, counts)
+    chunked = CountMinSketch()
+    for lo in range(0, len(keys), 997):
+        chunked.merge(CountMinSketch().add_counts(keys[lo:lo + 997],
+                                                  counts[lo:lo + 997]))
+    assert np.array_equal(whole.table, chunked.table)
+
+    est = whole.query(keys)
+    assert (est >= counts).all()
+    # every row's counters sum to N, so est - true <= N always; the
+    # probabilistic bound e*N/width holds for most keys
+    n = counts.sum()
+    assert np.median(est - counts) <= np.e * n / 256
