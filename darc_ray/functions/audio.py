@@ -88,3 +88,34 @@ def spectral_centroid(samples: np.ndarray, sample_rate: int) -> float:
     if total <= 0:
         return 0.0
     return float((freqs * mag).sum() / total)
+
+
+def wav_info(data: bytes) -> dict:
+    """Header-only RIFF/WAVE metadata: walk the chunk chain (word-
+    aligned per RIFF: odd-size chunks are padded) up to the ``data``
+    chunk and return stream facts WITHOUT touching the PCM payload —
+    the audio twin of ``image.image_meta``'s ranged-read story.  The
+    walk is strict so the DuckDB oracle's recursive hex walk visits
+    identical offsets."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    ch = sr = bits = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if tag == b"fmt ":
+            _fmt, ch, sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, pos + 8)
+        elif tag == b"data":
+            if ch is None:
+                raise ValueError("WAV data chunk before fmt")
+            n_samples = size // (ch * bits // 8)
+            return {"channels": ch, "sample_rate": sr, "bits": bits,
+                    "n_samples": n_samples,
+                    "duration_ms": n_samples * 1000 // sr,
+                    "data_bytes": size, "header_bytes": pos + 8}
+        pos += 8 + size + (size & 1)
+    raise ValueError("truncated WAV (no data chunk)")

@@ -2110,6 +2110,81 @@ def q_audio_features(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+def q_audio_metadata(sf_dir: str) -> pd.DataFrame:
+    """Header-only audio metadata scan (the WAV twin of
+    ``image_metadata``): strict RIFF chunk walk — including word-align
+    padding for odd-size chunks — up to the ``data`` chunk, never
+    touching PCM bytes.  Runs over the deterministic fixed-path
+    fixture (``ensure_audio_meta_fixture``, sf-independent: the family
+    exercises container parsing); the DuckDB oracle re-walks the
+    identical bytes with little-endian hex-substring arithmetic in a
+    recursive CTE."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (audio_meta_batch,
+                                            ensure_audio_meta_fixture)
+
+    path = ensure_audio_meta_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(audio_meta_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+# RIFF is little-endian: LE32 at byte b = '0x' || hex(b+3)..hex(b) with
+# hex(b) = substr(h, 2b+1, 2).  Walk: chunk tag at o, size at o+4,
+# next chunk at o+8+size+(size%2) (word alignment — the fixture plants
+# an odd-size LIST chunk to prove it); 'fmt ' = 666D7420 carries
+# ch@o+10/sr@o+12/bits@o+22, 'data' = 64617461 terminates
+SQL_AUDIO_METADATA = """
+WITH RECURSIVE raw AS (
+  SELECT audio_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/audio_meta.parquet')
+), walk AS (
+  SELECT audio_id, h, 12::BIGINT AS o,
+         -1::BIGINT AS channels, -1::BIGINT AS sample_rate,
+         -1::BIGINT AS bits, -1::BIGINT AS data_bytes,
+         -1::BIGINT AS header_bytes, FALSE AS done
+  FROM raw
+  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+  UNION ALL
+  SELECT audio_id, h,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461' THEN o
+              ELSE o + 8
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT % 2
+              END,
+         CASE WHEN substr(h, 2*o+1, 8) = '666D7420'
+              THEN ('0x' || substr(h, 2*o+23, 2) || substr(h, 2*o+21, 2))::BIGINT
+              ELSE channels END,
+         CASE WHEN substr(h, 2*o+1, 8) = '666D7420'
+              THEN ('0x' || substr(h, 2*o+31, 2) || substr(h, 2*o+29, 2)
+                    || substr(h, 2*o+27, 2) || substr(h, 2*o+25, 2))::BIGINT
+              ELSE sample_rate END,
+         CASE WHEN substr(h, 2*o+1, 8) = '666D7420'
+              THEN ('0x' || substr(h, 2*o+47, 2) || substr(h, 2*o+45, 2))::BIGINT
+              ELSE bits END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                    || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+              ELSE data_bytes END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN o + 8 ELSE -1 END,
+         substr(h, 2*o+1, 8) = '64617461'
+  FROM walk WHERE NOT done
+)
+SELECT audio_id, channels, sample_rate, bits,
+       data_bytes // (channels * (bits // 8)) AS n_samples,
+       (data_bytes // (channels * (bits // 8))) * 1000 // sample_rate
+         AS duration_ms,
+       data_bytes, header_bytes
+FROM walk WHERE done ORDER BY audio_id
+"""
+
+
 def q_video_frames(sf_dir: str) -> pd.DataFrame:
     """Multimodal video: synth FVID clips (real PNG frames) seeded by
     doc ids → actor-pool frame-sample stage (every-2nd frame, ≤ 4 per
@@ -2264,6 +2339,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_dedup": q_image_dedup,
     "image_transcode": q_image_transcode,
     "image_metadata": q_image_metadata,
+    "audio_metadata": q_audio_metadata,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "crawl_pages": q_crawl_pages,
@@ -2312,6 +2388,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
     "image_metadata": SQL_IMAGE_METADATA,
+    "audio_metadata": SQL_AUDIO_METADATA,
     "json_extract": SQL_JSON_EXTRACT,
     "lang_id": SQL_LANG_ID,
     "simhash": SQL_SIMHASH,

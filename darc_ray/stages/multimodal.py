@@ -423,3 +423,74 @@ def image_meta_batch(batch: "pa.Table") -> "pa.Table":
                   "components", "progressive", "header_bytes"):
             out[k].append(m[k])
     return pa.Table.from_pydict(out)
+
+
+AUDIO_META_FIXTURE = "/tmp/darc_ray_fixtures/audio_meta.parquet"
+
+
+def ensure_audio_meta_fixture(path: str = AUDIO_META_FIXTURE) -> str:
+    """Deterministic WAV corpus for the header-scan family: mono and
+    stereo rows at several sample rates, plus rows with an extra
+    odd-length LIST chunk before ``data`` (exercises RIFF word-align
+    padding in BOTH the Python walk and the SQL recursive walk).
+    Fixed path + atomic write, sf-independent — same contract as
+    ``ensure_image_meta_fixture``."""
+    import os
+    import struct
+    import tempfile
+
+    from darc_ray.functions.audio import wav_encode
+
+    rows = {"audio_id": [], "bytes": []}
+    for i in range(12):
+        rng = np.random.default_rng(7100 + i)
+        sr = (8000, 16000, 22050)[i % 3]
+        n = int(rng.integers(800, 4000))
+        t = np.arange(n)
+        s = (2800 * np.sin(2 * np.pi * (110 + 13 * i) * t / sr)
+             + rng.integers(-250, 251, n)).astype(np.int16)
+        if i % 2:
+            s = np.stack([s, (s // 2).astype(np.int16)], axis=1)
+        data = wav_encode(s, sr)
+        rows["audio_id"].append(f"aud-{i:02d}")
+        rows["bytes"].append(data)
+        if i % 4 == 0:
+            # inject an odd-length LIST chunk between fmt and data
+            # (RIFF pads odd chunks to word boundaries)
+            info = b"INFOdarc-ray fixture?"          # 21 bytes, odd
+            extra = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+            head, rest = data[:36], data[36:]
+            body_len = len(data) - 8 + len(extra)
+            patched = (b"RIFF" + struct.pack("<I", body_len)
+                       + head[8:] + extra + rest)
+            rows["audio_id"].append(f"aud-{i:02d}-list")
+            rows["bytes"].append(patched)
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("audio_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def audio_meta_batch(batch: "pa.Table") -> "pa.Table":
+    """Header-only WAV metadata over a binary column (no PCM decode);
+    stateless task ``map_batches``."""
+    from darc_ray.functions.audio import wav_info
+
+    out: dict[str, list] = {"audio_id": [], "channels": [], "sample_rate": [],
+                            "bits": [], "n_samples": [], "duration_ms": [],
+                            "data_bytes": [], "header_bytes": []}
+    for aid, payload in zip(batch.column("audio_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        m = wav_info(payload)
+        out["audio_id"].append(aid)
+        for k in ("channels", "sample_rate", "bits", "n_samples",
+                  "duration_ms", "data_bytes", "header_bytes"):
+            out[k].append(m[k])
+    return pa.Table.from_pydict(out)

@@ -286,3 +286,39 @@ def test_image_transcode_stage_real_t81_roundtrip(ray_session):
     assert len(out) == 8
     assert (out["jpeg_bytes"] > 0).all()
     assert (out["psnr_db"] > 25.0).all()      # q=85 on noisy gradients
+
+
+def test_wav_info_header_scan():
+    """wav_info equals the decoder's ground truth, never touches PCM
+    (truncation past header_bytes still parses), and walks odd-size
+    chunks with RIFF word alignment."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from darc_ray.functions.audio import wav_decode, wav_encode, wav_info
+
+    s = (1500 * np.sin(np.arange(2001) / 3.0)).astype(np.int16)
+    data = wav_encode(np.stack([s, -s], axis=1), 16000)
+    m = wav_info(data)
+    pcm, sr = wav_decode(data)
+    assert (m["channels"], m["sample_rate"], m["bits"]) == (2, sr, 16)
+    assert m["n_samples"] == pcm.shape[0] == 2001
+    assert m["duration_ms"] == 2001 * 1000 // 16000
+    assert wav_info(data[:m["header_bytes"]]) == m
+
+    # odd-size chunk before data: word-align padding honored
+    info = b"INFOx" * 3 + b"!"                     # 16 bytes... make odd
+    info = info[:15]
+    extra = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+    patched = (b"RIFF" + struct.pack("<I", len(data) - 8 + len(extra))
+               + data[8:36] + extra + data[36:])
+    m2 = wav_info(patched)
+    assert m2["n_samples"] == m["n_samples"]
+    assert m2["header_bytes"] == m["header_bytes"] + len(extra)
+
+    with pytest.raises(ValueError):
+        wav_info(b"RIFF\x00\x00\x00\x00WAVE")      # no data chunk
+    with pytest.raises(ValueError):
+        wav_info(b"OggS not a wav")
