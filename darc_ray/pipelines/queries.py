@@ -2185,6 +2185,61 @@ FROM walk WHERE done ORDER BY audio_id
 """
 
 
+def q_video_metadata(sf_dir: str) -> pd.DataFrame:
+    """Header+index-only video metadata (completing the image/audio/
+    video header-scan trilogy): FVID container header + frame-span
+    walk with ZERO frame decompression; dims come from a 33-byte peek
+    at the first frame's PNG IHDR.  Fixed-path deterministic fixture;
+    the DuckDB oracle re-walks the frame index with a recursive CTE
+    over big-endian hex substrings."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_video_meta_fixture,
+                                            video_meta_batch)
+
+    path = ensure_video_meta_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(video_meta_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("video_id").reset_index(drop=True)
+
+
+# FVID: 'FVID' + fps BE16 @4 + n BE32 @6, then per frame len BE32 +
+# PNG bytes; the walk accumulates frame sizes (sum/max) without ever
+# touching frame contents.  First frame's PNG IHDR: w @ off+16,
+# h @ off+20 (BE32), first frame payload starts at byte 14.
+# hex char index for byte b is 2b+1
+SQL_VIDEO_METADATA = """
+WITH RECURSIVE raw AS (
+  SELECT video_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/video_meta.parquet')
+), hdr AS (
+  SELECT video_id, h,
+         ('0x' || substr(h, 9, 4))::BIGINT AS fps,
+         ('0x' || substr(h, 13, 8))::BIGINT AS n_frames
+  FROM raw WHERE substr(h, 1, 8) = '46564944'
+), walk AS (
+  SELECT video_id, h, n_frames, 0::BIGINT AS i, 10::BIGINT AS o,
+         0::BIGINT AS total, 0::BIGINT AS mx
+  FROM hdr
+  UNION ALL
+  SELECT video_id, h, n_frames, i + 1,
+         o + 4 + ('0x' || substr(h, 2*o+1, 8))::BIGINT,
+         total + ('0x' || substr(h, 2*o+1, 8))::BIGINT,
+         greatest(mx, ('0x' || substr(h, 2*o+1, 8))::BIGINT)
+  FROM walk WHERE i < n_frames
+)
+SELECT d.video_id, d.fps, d.n_frames,
+       d.n_frames * 1000 // d.fps AS duration_ms,
+       ('0x' || substr(d.h, 61, 8))::BIGINT AS width,
+       ('0x' || substr(d.h, 69, 8))::BIGINT AS height,
+       w.total AS frame_bytes, w.mx AS max_frame_bytes
+FROM hdr d JOIN walk w ON w.video_id = d.video_id AND w.i = d.n_frames
+ORDER BY d.video_id
+"""
+
+
 def q_video_frames(sf_dir: str) -> pd.DataFrame:
     """Multimodal video: synth FVID clips (real PNG frames) seeded by
     doc ids → actor-pool frame-sample stage (every-2nd frame, ≤ 4 per
@@ -2340,6 +2395,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_transcode": q_image_transcode,
     "image_metadata": q_image_metadata,
     "audio_metadata": q_audio_metadata,
+    "video_metadata": q_video_metadata,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "crawl_pages": q_crawl_pages,
@@ -2389,6 +2445,7 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "image_metadata": SQL_IMAGE_METADATA,
     "audio_metadata": SQL_AUDIO_METADATA,
+    "video_metadata": SQL_VIDEO_METADATA,
     "json_extract": SQL_JSON_EXTRACT,
     "lang_id": SQL_LANG_ID,
     "simhash": SQL_SIMHASH,

@@ -494,3 +494,73 @@ def audio_meta_batch(batch: "pa.Table") -> "pa.Table":
                   "duration_ms", "data_bytes", "header_bytes"):
             out[k].append(m[k])
     return pa.Table.from_pydict(out)
+
+
+VIDEO_META_FIXTURE = "/tmp/darc_ray_fixtures/video_meta.parquet"
+
+
+def ensure_video_meta_fixture(path: str = VIDEO_META_FIXTURE) -> str:
+    """Deterministic FVID corpus for the header-scan family: varying
+    fps / frame counts / dims (PNG frame sizes differ per frame, so
+    the oracle's frame walk is non-trivial).  Fixed path + atomic
+    write, sf-independent — same contract as the image/audio meta
+    fixtures."""
+    import os
+    import tempfile
+
+    from darc_ray.functions.video import video_encode
+
+    rows = {"video_id": [], "bytes": []}
+    for i in range(10):
+        rng = np.random.default_rng(8200 + i)
+        fps = (4, 8, 12)[i % 3]
+        n = int(rng.integers(3, 9))
+        hh, ww = int(rng.integers(12, 33)), int(rng.integers(12, 33))
+        frames = []
+        for f in range(n):
+            yy, xx = np.mgrid[0:hh, 0:ww]
+            base = 110 + 80 * np.sin(2 * np.pi * (xx + 5 * f + i) / ww)
+            frames.append(np.clip(base[..., None]
+                                  + rng.integers(-8, 9, (hh, ww, 3)),
+                                  0, 255).astype(np.uint8))
+        rows["video_id"].append(f"vid-{i:02d}")
+        rows["bytes"].append(video_encode(frames, fps))
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("video_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def video_meta_batch(batch: "pa.Table") -> "pa.Table":
+    """Header+index-only FVID metadata: container header, frame-span
+    walk (`video_index` — offsets/lengths only, no PNG decompression),
+    dims from the FIRST frame's PNG IHDR bytes (a 33-byte peek, not a
+    decode).  Stateless task ``map_batches``."""
+    import struct
+
+    from darc_ray.functions.video import video_index
+
+    out: dict[str, list] = {"video_id": [], "fps": [], "n_frames": [],
+                            "duration_ms": [], "width": [], "height": [],
+                            "frame_bytes": [], "max_frame_bytes": []}
+    for vid, payload in zip(batch.column("video_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        fps, spans = video_index(payload)
+        first_off = spans[0][0]
+        w, h = struct.unpack_from(">II", payload, first_off + 16)
+        out["video_id"].append(vid)
+        out["fps"].append(fps)
+        out["n_frames"].append(len(spans))
+        out["duration_ms"].append(len(spans) * 1000 // fps)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["frame_bytes"].append(sum(ln for _, ln in spans))
+        out["max_frame_bytes"].append(max(ln for _, ln in spans))
+    return pa.Table.from_pydict(out)
