@@ -1724,6 +1724,128 @@ ORDER BY a, b
 """
 
 
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Iterative distributed PageRank (4 synchronous iterations,
+    damping 0.85) over the distinct (l_orderkey → l_partkey) edge set
+    — the canonical iterative-algorithm shape: the edge set stays a
+    materialized distributed Dataset; each iteration is ONE streaming
+    ``map_batches`` pass that joins the broadcast rank vector
+    (``ray.put`` numpy arrays + ``searchsorted``, re-shipped once per
+    iteration, never per batch) and emits per-batch PARTIAL
+    contribution sums per destination, reduced driver-side at node
+    cardinality (≪ edges).  All arithmetic is scaled-integer
+    (r//outdeg per edge, (85·Σ)//100 + 150000 update), so sums are
+    order-independent and the result is bit-exact on any partitioning
+    — which is exactly what lets the SQL oracle unroll the same four
+    iterations and hash-match.  At 10^10 nodes the rank vector stops
+    fitting one node: swap the broadcast for a (src-keyed) hash join
+    and the driver reduce for a dst-keyed shuffle — edge-pass
+    structure unchanged (docstring contract, same as ann/dedup
+    routing).  Dangling-mass is dropped (dsts are sinks in this
+    bipartite graph) — the standard simplification, mirrored in SQL."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    scale = 1_000_000
+    base = 15 * scale // 100
+
+    # distinct edge set (the distinct_edges machinery): combiner dedup
+    # before ONE pair-key shuffle, then per-partition exact dedup
+    parts = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+             .map_batches(lambda df: df.drop_duplicates(),
+                          batch_format="pandas", batch_size=65536)
+             .repartition(num_blocks=16, keys=["l_orderkey", "l_partkey"],
+                          sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    edges = parts.map_batches(
+        lambda df: df.drop_duplicates().rename(
+            columns={"l_orderkey": "src", "l_partkey": "dst"}),
+        batch_format="pandas", batch_size=None).materialize()
+
+    # node ids + out-degrees: partial counts per batch, node-sized
+    # driver reduce (nodes ≪ edges)
+    deg = (edges.map_batches(
+        lambda df: df.groupby("src", as_index=False).agg(d=("dst", "size")),
+        batch_format="pandas", batch_size=65536).to_pandas()
+        .groupby("src", as_index=False)["d"].sum())
+    dsts = (edges.map_batches(
+        lambda df: df[["dst"]].drop_duplicates(), batch_format="pandas",
+        batch_size=65536).to_pandas().drop_duplicates())
+    nodes = np.union1d(deg["src"].to_numpy(np.int64),
+                       dsts["dst"].to_numpy(np.int64))
+    deg_arr = np.zeros(len(nodes), dtype=np.int64)
+    deg_arr[np.searchsorted(nodes, deg["src"].to_numpy(np.int64))] = \
+        deg["d"].to_numpy(np.int64)
+    ranks = np.full(len(nodes), scale, dtype=np.int64)
+
+    for _ in range(4):
+        state_ref = ray.put((nodes, ranks, deg_arr))
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            nd, rk, dg = ray.get(state_ref)
+            si = np.searchsorted(nd, df["src"].to_numpy(np.int64))
+            c = rk[si] // dg[si]
+            out = pd.DataFrame({"dst": df["dst"].to_numpy(np.int64), "c": c})
+            return out.groupby("dst", as_index=False)["c"].sum()
+
+        sums = (edges.map_batches(contrib, batch_format="pandas",
+                                  batch_size=65536).to_pandas()
+                .groupby("dst", as_index=False)["c"].sum())
+        acc = np.zeros(len(nodes), dtype=np.int64)
+        acc[np.searchsorted(nodes, sums["dst"].to_numpy(np.int64))] = \
+            sums["c"].to_numpy(np.int64)
+        ranks = base + (85 * acc) // 100
+
+    out = pd.DataFrame({"node": nodes, "rank": ranks})
+    return (out.sort_values(["rank", "node"], ascending=[False, True],
+                            kind="mergesort").head(20).reset_index(drop=True))
+
+
+# the same four integer iterations unrolled — bit-exact because every
+# operation is integer (// floors, sums order-independent)
+SQL_PAGERANK = """
+WITH edges AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), outdeg AS (
+  SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, 1000000::BIGINT AS r FROM nodes
+), s1 AS (
+  SELECT e.dst AS node, sum(r0.r // o.d)::BIGINT AS s
+  FROM edges e JOIN outdeg o USING (src) JOIN r0 ON r0.node = e.src
+  GROUP BY e.dst
+), r1 AS (
+  SELECT n.node, (150000 + (85 * coalesce(s1.s, 0)) // 100)::BIGINT AS r
+  FROM nodes n LEFT JOIN s1 USING (node)
+), s2 AS (
+  SELECT e.dst AS node, sum(r1.r // o.d)::BIGINT AS s
+  FROM edges e JOIN outdeg o USING (src) JOIN r1 ON r1.node = e.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT n.node, (150000 + (85 * coalesce(s2.s, 0)) // 100)::BIGINT AS r
+  FROM nodes n LEFT JOIN s2 USING (node)
+), s3 AS (
+  SELECT e.dst AS node, sum(r2.r // o.d)::BIGINT AS s
+  FROM edges e JOIN outdeg o USING (src) JOIN r2 ON r2.node = e.src
+  GROUP BY e.dst
+), r3 AS (
+  SELECT n.node, (150000 + (85 * coalesce(s3.s, 0)) // 100)::BIGINT AS r
+  FROM nodes n LEFT JOIN s3 USING (node)
+), s4 AS (
+  SELECT e.dst AS node, sum(r3.r // o.d)::BIGINT AS s
+  FROM edges e JOIN outdeg o USING (src) JOIN r3 ON r3.node = e.src
+  GROUP BY e.dst
+), r4 AS (
+  SELECT n.node, (150000 + (85 * coalesce(s4.s, 0)) // 100)::BIGINT AS r
+  FROM nodes n LEFT JOIN s4 USING (node)
+)
+SELECT node, r AS rank FROM r4
+ORDER BY rank DESC, node ASC LIMIT 20
+"""
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup CLUSTERING: connected components over the simhash
     near-pair graph (distributed min-label propagation,
@@ -2373,6 +2495,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_semijoin": q_bloom_semijoin,
     "tfidf": q_tfidf,
     "revenue_rollup": q_revenue_rollup,
+    "pagerank": q_pagerank,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "json_extract": q_json_extract,
@@ -2441,6 +2564,7 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_semijoin": SQL_BLOOM_SEMIJOIN,
     "tfidf": SQL_TFIDF,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
+    "pagerank": SQL_PAGERANK,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
     "image_metadata": SQL_IMAGE_METADATA,
