@@ -11,8 +11,10 @@ nothing here (or in ``darc_ray``) initialises or shuts down Ray.
   SURVEY.md §2 (see ``darc_ray/pipelines/queries.py`` for the op
   mapping and scale notes).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for the relational subset;
-  omitted entries are non-SQL-expressible (sketches, LSH, crawl loop,
-  multimodal) and get the rows-only check.
+  omitted entries are non-SQL-expressible (seeded-LSH/IVF ANN, the
+  crawl loop, pixel/PCM feature stages) and get the rows-only check —
+  sketches (HLL/CMS/histogram) and the multimodal header scans ARE
+  SQL-backed via bit-reproducible integer/hex oracles.
 """
 
 from __future__ import annotations
