@@ -39,13 +39,29 @@ def entry() -> Any:
     return pages
 
 
+def _ensure_fixture_files() -> None:
+    """The multimodal header-scan families (image/audio/video_metadata)
+    compare Ray and SQL over deterministic fixed-path parquet fixtures
+    under /tmp; (re)write them here so the oracle side works no matter
+    which side the driver runs first, or whether /tmp was cleared."""
+    from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
+                                            ensure_image_meta_fixture,
+                                            ensure_video_meta_fixture)
+
+    ensure_image_meta_fixture()
+    ensure_audio_meta_fixture()
+    ensure_video_meta_fixture()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from darc_ray.pipelines.queries import QUERIES
 
+    _ensure_fixture_files()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     from darc_ray.pipelines.queries import ORACLE_SQL
 
+    _ensure_fixture_files()
     return dict(ORACLE_SQL)
