@@ -2017,6 +2017,73 @@ WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
 """
 
 
+def q_lsh_partition(sf_dir: str) -> pd.DataFrame:
+    """The hyperplane-LSH PARTITIONER itself, exactly: the bucketed
+    shuffle key every embedding-scale operator here routes through
+    (dedup, ANN) — 8 Rademacher hyperplanes whose ±1 signs derive from
+    md5 parity (never a seeded RNG, so the assignment is reproducible
+    anywhere, including SQL), embeddings quantized to integers
+    (floor(v·1e6+0.5)) so the sign of each projection is an EXACT
+    int64 dot product — no float-sum ordering hazard.  One streaming
+    ``map_batches`` pass: int matmul against the broadcast 8×64 sign
+    matrix → bucket id → per-batch partial histogram; driver reduce is
+    O(buckets).  Output is the bucket census (count + min id), i.e.
+    the skew diagnosis a bucketed shuffle needs before launching."""
+    import hashlib
+
+    signs = np.array([[1 - 2 * (int(hashlib.md5(f"{j}:{d}".encode())
+                                     .hexdigest()[:2], 16) % 2)
+                       for d in range(64)] for j in range(8)],
+                     dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        p = q @ signs.T                              # exact int64
+        bucket = ((p >= 0).astype(np.int64)
+                  << np.arange(8, dtype=np.int64)).sum(axis=1)
+        out = pd.DataFrame({"bucket": bucket,
+                            "vec_id": df["vec_id"].to_numpy(np.int64)})
+        return out.groupby("bucket", as_index=False).agg(
+            n_vecs=("vec_id", "size"), min_vec=("vec_id", "min"))
+
+    res = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(partial, batch_format="pandas", batch_size=4096)
+           .to_pandas()
+           .groupby("bucket", as_index=False)
+           .agg(n_vecs=("n_vecs", "sum"), min_vec=("min_vec", "min")))
+    return res.sort_values("bucket").reset_index(drop=True)
+
+
+# identical integer pipeline in SQL: md5-parity signs, quantized
+# embeddings, exact integer projections, bit-packed bucket
+SQL_LSH_PARTITION = """
+WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+planes AS (SELECT unnest(generate_series(0, 7)) AS j),
+signs AS (
+  SELECT p.j, t.d,
+         1 - 2 * (('0x' || substr(md5(p.j::VARCHAR || ':' || t.d::VARCHAR),
+                   1, 2))::BIGINT % 2) AS s
+  FROM planes p CROSS JOIN dims t
+), q AS (
+  SELECT vec_id, t.d,
+         CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings CROSS JOIN dims t
+), proj AS (
+  SELECT q.vec_id, s.j, sum(q.v * s.s)::BIGINT AS p
+  FROM q JOIN signs s USING (d) GROUP BY q.vec_id, s.j
+), buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN p >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+           AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT bucket, count(*)::BIGINT AS n_vecs, min(vec_id)::BIGINT AS min_vec
+FROM buckets GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     from darc_ray.stages.ann import lsh_topk
 
@@ -2496,6 +2563,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf": q_tfidf,
     "revenue_rollup": q_revenue_rollup,
     "pagerank": q_pagerank,
+    "lsh_partition": q_lsh_partition,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "json_extract": q_json_extract,
@@ -2565,6 +2633,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf": SQL_TFIDF,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "pagerank": SQL_PAGERANK,
+    "lsh_partition": SQL_LSH_PARTITION,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
     "image_metadata": SQL_IMAGE_METADATA,
