@@ -699,6 +699,69 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel progression (view → click → purchase, strict
+    time order): how many users reach each stage, where stage k+1 must
+    happen strictly AFTER the user's earliest stage-k completion.  The
+    `sessionize` shape — ONE hash shuffle by user, then a
+    per-partition vectorized pass (three merge+filter+groupby-min
+    rounds over integer µs timestamps, no per-key loop) emitting ONE
+    partial count row per stage per partition; the driver reduce is
+    O(stages × partitions)."""
+    steps = ("view", "click", "purchase")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(steps)]
+        ts = df["ts"].astype("datetime64[us]").astype("int64")
+        df = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                           "event_type": df["event_type"].to_numpy(),
+                           "ts_us": ts.to_numpy()})
+        cur = (df[df["event_type"] == steps[0]]
+               .groupby("user_id", as_index=False)["ts_us"].min()
+               .rename(columns={"ts_us": "t_prev"}))
+        counts = [len(cur)]
+        for step in steps[1:]:
+            nxt = df[df["event_type"] == step].merge(cur, on="user_id")
+            nxt = nxt[nxt["ts_us"] > nxt["t_prev"]]
+            cur = (nxt.groupby("user_id", as_index=False)["ts_us"].min()
+                   .rename(columns={"ts_us": "t_prev"}))
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "stage": [f"{i + 1}_{s}" for i, s in enumerate(steps)],
+            "n_users": np.asarray(counts, dtype=np.int64)})
+
+    from ray.data.context import ShuffleStrategy
+
+    parts = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+             .repartition(num_blocks=8, keys=["user_id"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    out = (parts.map_batches(per_partition, batch_format="pandas",
+                             batch_size=None).to_pandas()
+           .groupby("stage", as_index=False)["n_users"].sum())
+    return out.sort_values("stage").reset_index(drop=True)
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM v
+  UNION ALL SELECT '2_click', count(*)::BIGINT FROM c
+  UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM p
+) ORDER BY stage
+"""
+
+
 SQL_SESSIONIZE = """
 WITH gaps AS (
   SELECT user_id, ts,
@@ -2551,6 +2614,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "range_join": q_range_join,
     "stratified_sample": q_stratified_sample,
     "sessionize": q_sessionize,
+    "funnel": q_funnel,
     "group_topk": q_group_topk,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
@@ -2621,6 +2685,7 @@ ORACLE_SQL: dict[str, str] = {
     "range_join": SQL_RANGE_JOIN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "sessionize": SQL_SESSIONIZE,
+    "funnel": SQL_FUNNEL,
     "group_topk": SQL_GROUP_TOPK,
     "quantiles": SQL_QUANTILES,
     "quantiles_sketch": SQL_QUANTILES_SKETCH,
