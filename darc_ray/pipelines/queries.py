@@ -994,6 +994,93 @@ FROM combined GROUP BY event_type ORDER BY event_type
 """
 
 
+_PROFILE_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def q_profile_columns(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE-style table profiler: ONE streaming pass over the fact
+    table emits, per column, a partial row of (count, nulls, min, max)
+    plus a HyperLogLog register blob — so the full column profile
+    (including a distinct-count estimate) costs one scan and
+    O(columns × (4 + 2^p)) bytes of shuffle, never a per-column
+    distinct shuffle.  The mergeable-sketch composition is the point:
+    the same HLL that backs `hll_distinct` drops into any aggregate
+    pass.  md5-prefix hashing keeps the estimate bit-reproducible in
+    SQL (SQL_PROFILE_COLUMNS is generated from the same per-column
+    template)."""
+    import math
+
+    from darc_ray.functions.sketches import HyperLogLog, md5_hash64
+
+    p = 12
+    cols = list(_PROFILE_COLS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            nn = s.dropna()
+            h = HyperLogLog(p)
+            if len(nn):
+                h.add_hashes(md5_hash64(nn.to_numpy(np.int64)))
+            rows.append({"col": c, "n": len(s), "n_null": int(s.isna().sum()),
+                         "vmin": int(nn.min()) if len(nn) else np.iinfo(np.int64).max,
+                         "vmax": int(nn.max()) if len(nn) else np.iinfo(np.int64).min,
+                         "regs": h.registers.tobytes()})
+        return pd.DataFrame(rows)
+
+    parts = (_read(sf_dir, "lineitem", cols)
+             .map_batches(partial, batch_format="pandas", batch_size=65536)
+             .to_pandas())
+    out = []
+    for c, g in parts.groupby("col"):
+        h = HyperLogLog(p)
+        for blob in g["regs"]:
+            h.merge(HyperLogLog(p, np.frombuffer(blob, dtype=np.uint8)))
+        out.append({"col": c, "n": int(g["n"].sum()),
+                    "n_null": int(g["n_null"].sum()),
+                    "vmin": int(g["vmin"].min()), "vmax": int(g["vmax"].max()),
+                    "approx_distinct": int(math.floor(h.estimate() + 0.5))})
+    return pd.DataFrame(out).sort_values("col").reset_index(drop=True)
+
+
+def _profile_sql_one(col: str) -> str:
+    """Per-column profile leg reproducing the HLL estimate exactly
+    (the SQL_HLL_DISTINCT machinery without the group key)."""
+    return f"""
+  SELECT '{col}' AS col, n, n_null, vmin, vmax,
+         CAST(floor(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+                         THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END + 0.5)
+              AS BIGINT) AS approx_distinct
+  FROM (
+    SELECT b.n, b.n_null, b.vmin, b.vmax, s.zeros,
+           0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+             * 9007199254740992.0 / s.s::DOUBLE AS raw
+    FROM (SELECT count(*)::BIGINT AS n,
+                 (count(*) - count({col}))::BIGINT AS n_null,
+                 min({col})::BIGINT AS vmin, max({col})::BIGINT AS vmax
+          FROM lineitem) b
+    CROSS JOIN (
+      SELECT sum((1::UBIGINT << (53 - r))::HUGEINT)
+               + (4096 - count(*))::HUGEINT * 9007199254740992::HUGEINT AS s,
+             (4096 - count(*))::BIGINT AS zeros
+      FROM (SELECT (h >> 52)::BIGINT AS idx,
+                   max(CASE WHEN (h & 4503599627370495::UBIGINT) = 0 THEN 53
+                       ELSE 52 - length(bin(h & 4503599627370495::UBIGINT)) + 1
+                       END) AS r
+            FROM (SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 16))
+                           ::UBIGINT AS h
+                  FROM lineitem WHERE {col} IS NOT NULL)
+            GROUP BY idx)) s
+  )"""
+
+
+SQL_PROFILE_COLUMNS = ("SELECT * FROM (" +
+                       "\n  UNION ALL\n".join(_profile_sql_one(c)
+                                              for c in _PROFILE_COLS) +
+                       "\n) ORDER BY col")
+
+
 def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT) per group via a mergeable
     HyperLogLog sketch (``functions/sketches.py``) next to the exact
@@ -2619,6 +2706,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "hll_distinct": q_hll_distinct,
+    "profile_columns": q_profile_columns,
     "cms_topk": q_cms_topk,
     "argmax_dedup": q_argmax_dedup,
     "window_delta": q_window_delta,
@@ -2690,6 +2778,7 @@ ORACLE_SQL: dict[str, str] = {
     "quantiles": SQL_QUANTILES,
     "quantiles_sketch": SQL_QUANTILES_SKETCH,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "profile_columns": SQL_PROFILE_COLUMNS,
     "cms_topk": SQL_CMS_TOPK,
     "argmax_dedup": SQL_ARGMAX_DEDUP,
     "window_delta": SQL_WINDOW_DELTA,
