@@ -322,3 +322,41 @@ def test_wav_info_header_scan():
         wav_info(b"RIFF\x00\x00\x00\x00WAVE")      # no data chunk
     with pytest.raises(ValueError):
         wav_info(b"OggS not a wav")
+
+
+def test_header_scans_roundtrip_property():
+    """Property check: for arbitrary dims/rates, the header-only scans
+    agree with the encoders' ground truth (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from darc_ray.functions.audio import wav_encode, wav_info
+    from darc_ray.functions.image import image_meta, png_encode
+    from darc_ray.functions.jpeg import jpeg_encode, jpeg_info
+
+    @settings(max_examples=20, deadline=None)
+    @given(h=st.integers(8, 40), w=st.integers(8, 40),
+           seed=st.integers(0, 2**31))
+    def check_image(h, w, seed):
+        pix = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3)).astype(np.uint8)
+        m = image_meta(png_encode(pix))
+        assert (m["width"], m["height"], m["components"]) == (w, h, 3)
+        j = jpeg_info(jpeg_encode(pix))
+        assert (j["width"], j["height"], j["progressive"]) == (w, h, 0)
+
+    @settings(max_examples=20, deadline=None)
+    @given(n=st.integers(16, 3000), ch=st.integers(1, 2),
+           sr=st.sampled_from([8000, 11025, 16000, 44100]),
+           seed=st.integers(0, 2**31))
+    def check_audio(n, ch, sr, seed):
+        s = np.random.default_rng(seed).integers(
+            -3000, 3000, (n, ch)).astype(np.int16)
+        m = wav_info(wav_encode(s, sr))
+        assert (m["n_samples"], m["channels"], m["sample_rate"]) == (n, ch, sr)
+        assert m["duration_ms"] == n * 1000 // sr
+
+    check_image()
+    check_audio()
