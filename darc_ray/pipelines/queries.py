@@ -276,6 +276,49 @@ SQL_DEDUP_EXACT = ("SELECT md5(text) AS text_hash, min(doc_id) AS keeper "
                    "FROM documents GROUP BY text")
 
 
+def q_normalized_dedup(sf_dir: str) -> pd.DataFrame:
+    """Normalize-then-dedup — the standard pre-tokenizer cleanup
+    (lowercase, collapse non-word runs to single spaces, trim) ahead
+    of exact first-seen dedup, so trivially-reformatted copies
+    collapse that byte-exact dedup would miss.  Shape: vectorized
+    pandas-str normalization + md5 per batch (the combiner emits one
+    (hash, min_id, count) row per batch-distinct normal form), then
+    ONE hash shuffle by normalized hash + per-partition min/sum.
+    Ray's ``\\W``/lower semantics match DuckDB's RE2 on ASCII (the
+    corpus; parity pinned by the oracle)."""
+    import hashlib
+
+    from ray.data.context import ShuffleStrategy
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (df["text"].str.lower()
+                .str.replace(r"\W+", " ", regex=True).str.strip())
+        hh = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        g = (pd.DataFrame({"norm_hash": hh,
+                           "doc_id": df["doc_id"].to_numpy(np.int64)})
+             .groupby("norm_hash", as_index=False)
+             .agg(keeper=("doc_id", "min"), n_dups=("doc_id", "size")))
+        return g
+
+    parts = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(partial, batch_format="pandas", batch_size=4096)
+             .repartition(num_blocks=8, keys=["norm_hash"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    out = (parts.map_batches(
+        lambda df: df.groupby("norm_hash", as_index=False)
+                     .agg(keeper=("keeper", "min"), n_dups=("n_dups", "sum")),
+        batch_format="pandas", batch_size=None).to_pandas())
+    return out.sort_values("norm_hash").reset_index(drop=True)
+
+
+SQL_NORMALIZED_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS norm_hash,
+       min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS n_dups
+FROM documents
+GROUP BY norm_hash ORDER BY norm_hash
+"""
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     """§2.9 scalar hashing: per-document content fingerprint."""
     def fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -2688,6 +2731,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "anti_join": q_anti_join,
     "gate_filter": q_gate_filter,
     "dedup_exact": q_dedup_exact,
+    "normalized_dedup": q_normalized_dedup,
     "fingerprint": q_fingerprint,
     "token_counts": q_token_counts,
     "round_metrics": q_round_metrics,
@@ -2760,6 +2804,7 @@ ORACLE_SQL: dict[str, str] = {
     "anti_join": SQL_ANTI_JOIN,
     "gate_filter": SQL_GATE_FILTER,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "normalized_dedup": SQL_NORMALIZED_DEDUP,
     "fingerprint": SQL_FINGERPRINT,
     "token_counts": SQL_TOKEN_COUNTS,
     "round_metrics": SQL_ROUND_METRICS,
