@@ -1628,6 +1628,99 @@ ORDER BY doc_id
 """
 
 
+def q_bm25(sf_dir: str) -> pd.DataFrame:
+    """Top BM25 term per document (k1=1.2, b=0.75, Lucene-smoothed
+    idf) — the retrieval scorer `tfidf` graduates to: same broadcast
+    df-map shape plus a broadcast (N, avgdl) pair; the per-batch pass
+    is one vectorized explode + grouped score + idxmax.  Float parity
+    with the oracle comes from mirroring the expression tree exactly
+    and floor-rounding to 6 decimals BEFORE ranking (the established
+    cross-engine convention), so ln()/division ulp noise cannot flip a
+    tie."""
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip()
+        toks = toks[toks != ""].str.split()
+        dl = pd.DataFrame({"dl": toks.map(len)})
+        vc = toks.map(set).explode().value_counts()
+        out = pd.DataFrame({"term": vc.index.astype(str), "df": vc.to_numpy()})
+        out["sum_dl"] = 0
+        out["n_docs"] = 0
+        if len(out):
+            out.loc[out.index[0], "sum_dl"] = int(dl["dl"].sum())
+            out.loc[out.index[0], "n_docs"] = int(len(dl))
+        return out
+
+    parts = (ds.map_batches(df_partial, batch_format="pandas",
+                            batch_size=4096).to_pandas())
+    n_docs = int(parts["n_docs"].sum())
+    avgdl = float(parts["sum_dl"].sum()) / n_docs
+    dfc = parts.groupby("term")["df"].sum()
+    idf = {t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+           for t, d in dfc.items()}
+    state_ref = ray.put((idf, avgdl))
+
+    def best_term(df: pd.DataFrame) -> pd.DataFrame:
+        idf_m, avg = ray.get(state_ref)
+        toks = df.set_index("doc_id")["text"].str.strip()
+        toks = toks[toks != ""].str.split()
+        dl_map = toks.map(len)
+        ex = toks.explode()
+        tf = (ex.groupby([ex.index, ex.values]).size()
+              .rename_axis(["doc_id", "term"]).reset_index(name="tf"))
+        tf["dl"] = tf["doc_id"].map(dl_map)
+        tfv = tf["tf"].to_numpy(np.float64)
+        dlv = tf["dl"].to_numpy(np.float64)
+        idfv = np.array([idf_m[t] for t in tf["term"]])
+        score = idfv * ((tfv * 2.2) / (tfv + 1.2 * (0.25 + 0.75 * dlv / avg)))
+        tf["score"] = np.floor(score * 1e6 + 0.5) / 1e6
+        tf = tf.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        best = tf.groupby("doc_id", as_index=False).first()
+        return best[["doc_id", "term", "score"]].rename(
+            columns={"term": "top_term"})
+
+    return (ds.map_batches(best_term, batch_format="pandas", batch_size=4096)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+# identical expression tree: idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+# score = idf * ((tf*2.2) / (tf + 1.2*(0.25 + 0.75*dl/avgdl))),
+# floor-rounded to 6 decimals before ranking
+SQL_BM25 = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+               * 1e6 + 0.5) / 1e6 AS score
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, term AS top_term, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rn
+      FROM scored)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_json_extract(sf_dir: str) -> pd.DataFrame:
     """Semi-structured extraction: pull ``$.k`` out of the JSON props
     column with a vectorized regex fast path (pandas ``str.extract``,
@@ -2757,6 +2850,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_terms": q_top_terms,
     "bloom_semijoin": q_bloom_semijoin,
     "tfidf": q_tfidf,
+    "bm25": q_bm25,
     "revenue_rollup": q_revenue_rollup,
     "pagerank": q_pagerank,
     "lsh_partition": q_lsh_partition,
@@ -2830,6 +2924,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_terms": SQL_TOP_TERMS,
     "bloom_semijoin": SQL_BLOOM_SEMIJOIN,
     "tfidf": SQL_TFIDF,
+    "bm25": SQL_BM25,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "pagerank": SQL_PAGERANK,
     "lsh_partition": SQL_LSH_PARTITION,
