@@ -1804,6 +1804,52 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE grouping sets (all four: fine, by-flag, by-status, grand):
+    same one-finest-pass discipline as `q_revenue_rollup` — the extra
+    CUBE marginal (by-status) is one more re-sum of the tiny finest
+    frame on the driver, still zero extra scans/shuffles."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1 - df["l_discount"].to_numpy()) * 100 + 0.5
+                         ).astype("int64")
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "l_linestatus": df["l_linestatus"],
+                          "cents": cents})
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            "cents"].sum()
+
+    fine = (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(partial, batch_format="pandas", batch_size=65536)
+            .to_pandas()
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                "cents"].sum())
+    by_flag = fine.groupby("l_returnflag", as_index=False)["cents"].sum()
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fine.groupby("l_linestatus", as_index=False)["cents"].sum()
+    by_status["l_returnflag"] = "ALL"
+    total = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                          "cents": [fine["cents"].sum()]})
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    out["revenue_cents"] = out.pop("cents").astype("int64")
+    return (out[["l_returnflag", "l_linestatus", "revenue_cents"]]
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+SQL_REVENUE_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # =====================================================================
 # Rows-only (non-SQL-expressible; driver records row-count check)
 # =====================================================================
@@ -2852,6 +2898,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf": q_tfidf,
     "bm25": q_bm25,
     "revenue_rollup": q_revenue_rollup,
+    "revenue_cube": q_revenue_cube,
     "pagerank": q_pagerank,
     "lsh_partition": q_lsh_partition,
     "dedup_clusters": q_dedup_clusters,
@@ -2926,6 +2973,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf": SQL_TFIDF,
     "bm25": SQL_BM25,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
+    "revenue_cube": SQL_REVENUE_CUBE,
     "pagerank": SQL_PAGERANK,
     "lsh_partition": SQL_LSH_PARTITION,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
