@@ -670,6 +670,53 @@ FROM events v JOIN events c
 """
 
 
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis-Spirakis exponential-sort form: key = −ln(u)/w, keep
+    the k smallest) — how a training pipeline draws a quality-weighted
+    document subset reproducibly.  The uniform u derives from the
+    md5-prefix hash of the id ((h+1)/2^64 — no RNG state, identical
+    anywhere), weight = n_chars+1.  Shape: ONE streaming pass with a
+    per-batch top-k combiner (O(k) rows per batch out), tiny driver
+    merge — nothing shuffles.  Keys are floor-rounded to 9 decimals
+    before ranking (cross-engine ln-ulp convention), ties broken by
+    id."""
+    k = 20
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from darc_ray.functions.sketches import md5_hash64
+
+        h = md5_hash64(df["doc_id"].to_numpy(np.int64))
+        u = (h.astype(np.float64) + 1) / 18446744073709551616.0
+        w = df["n_chars"].to_numpy(np.float64) + 1
+        ek = (-np.log(u)) / w
+        ek = np.floor(ek * 1e9 + 0.5) / 1e9
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "ek": ek})
+        return out.sort_values(["ek", "doc_id"], kind="mergesort").head(k)
+
+    out = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+           .map_batches(partial, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return (out.sort_values(["ek", "doc_id"], kind="mergesort").head(k)
+            .reset_index(drop=True))
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM documents
+), keys AS (
+  SELECT doc_id,
+         floor((-ln((hv::DOUBLE + 1) / 18446744073709551616.0))
+               / (n_chars + 1) * 1e9 + 0.5) / 1e9 AS ek
+  FROM h
+)
+SELECT doc_id, ek FROM keys ORDER BY ek ASC, doc_id ASC LIMIT 20
+"""
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic stratified sampling: k smallest Knuth-hash values
     per stratum (lang) — reproducible across engines and runs, the
@@ -2883,6 +2930,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_partitioned": q_asof_partitioned,
     "range_join": q_range_join,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "sessionize": q_sessionize,
     "funnel": q_funnel,
     "group_topk": q_group_topk,
@@ -2958,6 +3006,7 @@ ORACLE_SQL: dict[str, str] = {
     "asof_partitioned": SQL_ASOF_JOIN,       # same contract as the broadcast flavor
     "range_join": SQL_RANGE_JOIN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "sessionize": SQL_SESSIONIZE,
     "funnel": SQL_FUNNEL,
     "group_topk": SQL_GROUP_TOPK,
