@@ -1675,6 +1675,78 @@ ORDER BY doc_id
 """
 
 
+def q_lm_score(sf_dir: str) -> pd.DataFrame:
+    """Unigram language-model scoring (the CCNet-style quality
+    filter): per-document mean token log-probability under the
+    corpus's own unigram distribution.  Each token's log-prob is
+    quantized to an INTEGER (floor(ln(count/total)·1e6)) before the
+    per-document sum, so the score is order-independent — any
+    partitioning, any batch order, bit-identical — and the SQL oracle
+    matches exactly.  Shape: vocab-bounded count partials → broadcast
+    log-prob map → one vectorized explode+sum pass; nothing shuffles
+    but the tiny vocab."""
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip()
+        toks = toks[toks != ""].str.split().explode()
+        vc = toks.value_counts()
+        return pd.DataFrame({"term": vc.index.astype(str), "n": vc.to_numpy()})
+
+    counts = (ds.map_batches(count_partial, batch_format="pandas",
+                             batch_size=4096).to_pandas()
+              .groupby("term")["n"].sum())
+    total = int(counts.sum())
+    lp = {t: int(math.floor(math.log(n / total) * 1e6))
+          for t, n in counts.items()}
+    lp_ref = ray.put(lp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lp_m = ray.get(lp_ref)
+        toks = df.set_index("doc_id")["text"].str.strip()
+        toks = toks[toks != ""].str.split()
+        ex = toks.explode()
+        s = (pd.DataFrame({"doc_id": ex.index,
+                           "lp": np.array([lp_m[t] for t in ex],
+                                          dtype=np.int64)})
+             .groupby("doc_id", as_index=False)
+             .agg(logprob_sum=("lp", "sum"), n_tokens=("lp", "size")))
+        # mean log-prob in integer micro-nats (floor division — exact)
+        s["mean_lp"] = s["logprob_sum"] // s["n_tokens"]
+        return s
+
+    out = (ds.map_batches(score, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return (out[["doc_id", "n_tokens", "logprob_sum", "mean_lp"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# integer micro-nat log-probs make the sum order-independent; DuckDB's
+# // on BIGINT floors like Python's (negative-capable: both floor)
+SQL_LM_SCORE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (
+  SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term
+), tot AS (SELECT sum(n)::BIGINT AS total FROM cnt),
+lp AS (
+  SELECT term,
+         CAST(floor(ln(n::DOUBLE / total) * 1e6) AS BIGINT) AS lp
+  FROM cnt CROSS JOIN tot
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(lp.lp)::BIGINT AS logprob_sum,
+       CAST(floor(sum(lp.lp)::DOUBLE / count(*)) AS BIGINT) AS mean_lp
+FROM tok t JOIN lp USING (term)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def q_bm25(sf_dir: str) -> pd.DataFrame:
     """Top BM25 term per document (k1=1.2, b=0.75, Lucene-smoothed
     idf) — the retrieval scorer `tfidf` graduates to: same broadcast
@@ -2945,6 +3017,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_semijoin": q_bloom_semijoin,
     "tfidf": q_tfidf,
     "bm25": q_bm25,
+    "lm_score": q_lm_score,
     "revenue_rollup": q_revenue_rollup,
     "revenue_cube": q_revenue_cube,
     "pagerank": q_pagerank,
@@ -3021,6 +3094,7 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_semijoin": SQL_BLOOM_SEMIJOIN,
     "tfidf": SQL_TFIDF,
     "bm25": SQL_BM25,
+    "lm_score": SQL_LM_SCORE,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "revenue_cube": SQL_REVENUE_CUBE,
     "pagerank": SQL_PAGERANK,
