@@ -1267,6 +1267,69 @@ ORDER BY event_type
 """
 
 
+def q_group_corr(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation (value vs hour-of-day per event
+    type) via the classic moment-partials pattern: each batch emits
+    EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy²) per group over
+    quantized x = floor(value·1e6+0.5) — six numbers per group per
+    batch, order/partitioning-independent; the driver combines and
+    applies the mirrored closed-form once.  This is how mean/var/corr
+    /covariance survive 100 TB: one streaming pass, O(groups) state,
+    no shuffle of values.  Quantization is 1e2 (cents), keeping Σx²
+    within int64 at any realistic group size (numpy int64 wraps
+    silently where DuckDB widens to HUGEINT — the scale is chosen so
+    neither side ever leaves exact territory)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(df["value"].to_numpy(np.float64) * 1e2 + 0.5
+                     ).astype(np.int64)
+        y = df["ts"].astype("datetime64[us]").dt.hour.to_numpy(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "n": 1, "sx": x, "sy": y, "sxy": x * y,
+                          "sxx": x * x, "syy": y * y})
+        return g.groupby("event_type", as_index=False).sum()
+
+    parts = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+             .map_batches(partial, batch_format="pandas", batch_size=65536)
+             .to_pandas().groupby("event_type", as_index=False).sum())
+    n = parts["n"].to_numpy(np.float64)
+    sx = parts["sx"].to_numpy(np.float64)
+    sy = parts["sy"].to_numpy(np.float64)
+    sxy = parts["sxy"].to_numpy(np.float64)
+    sxx = parts["sxx"].to_numpy(np.float64)
+    syy = parts["syy"].to_numpy(np.float64)
+    corr = ((n * sxy - sx * sy)
+            / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)))
+    out = pd.DataFrame({"event_type": parts["event_type"],
+                        "n": parts["n"].astype("int64"),
+                        "corr_vh": np.floor(corr * 1e6 + 0.5) / 1e6})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# identical integer moments and the identical closed-form expression
+# tree (operand values are exact integers, so the double arithmetic is
+# bit-equal on both engines)
+SQL_GROUP_CORR = """
+WITH m AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+  FROM (SELECT event_type,
+               CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS x,
+               hour(ts)::BIGINT AS y
+        FROM events)
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       floor((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)
+                * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)) * 1e6 + 0.5)
+         / 1e6 AS corr_vh
+FROM m ORDER BY event_type
+"""
+
+
 def q_cms_topk(sf_dir: str) -> pd.DataFrame:
     """Heavy hitters with a mergeable Count-Min sketch beside the
     exact count: per-batch partials are (a) value-count combiners
@@ -3011,6 +3074,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct": q_hll_distinct,
     "profile_columns": q_profile_columns,
     "cms_topk": q_cms_topk,
+    "group_corr": q_group_corr,
     "argmax_dedup": q_argmax_dedup,
     "window_delta": q_window_delta,
     "top_terms": q_top_terms,
@@ -3088,6 +3152,7 @@ ORACLE_SQL: dict[str, str] = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "profile_columns": SQL_PROFILE_COLUMNS,
     "cms_topk": SQL_CMS_TOPK,
+    "group_corr": SQL_GROUP_CORR,
     "argmax_dedup": SQL_ARGMAX_DEDUP,
     "window_delta": SQL_WINDOW_DELTA,
     "top_terms": SQL_TOP_TERMS,
