@@ -1738,6 +1738,59 @@ ORDER BY doc_id
 """
 
 
+def q_char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Character-distribution entropy per document (the gibberish /
+    binary-noise detector in text-quality gates): H = Σ_c (n_c/N)·
+    ln(N/n_c) over the doc's character counts.  Each class term is
+    quantized to integer micro-nats BEFORE the per-doc sum (the
+    `lm_score` rule), so the result is independent of class order and
+    bit-matched by the SQL oracle.  Per-doc char counting is a numpy
+    byte-histogram (`np.unique` over the encoded buffer), one
+    streaming pass, no shuffle."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, ent, nn = [], [], []
+        for doc_id, s in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            b = np.frombuffer(str(s).encode(), dtype=np.uint8)
+            n = len(b)
+            if n == 0:
+                continue
+            _, counts = np.unique(b, return_counts=True)
+            # integer micro-nats per class: floor((c/N)·ln(N/c)·1e6)
+            c = counts.astype(np.float64)
+            term = np.floor((c / n) * np.log(n / c) * 1e6).astype(np.int64)
+            ids.append(doc_id)
+            ent.append(int(term.sum()))
+            nn.append(n)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "n_chars": np.asarray(nn, dtype=np.int64),
+                             "entropy_unats": np.asarray(ent, dtype=np.int64)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(partial, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ASCII corpus ⇒ string_split(text,'') classes == byte classes; the
+# per-class term mirrors ((c/N)·ln(N/c)) exactly before the floor
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE text <> ''
+), cnt AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY doc_id
+)
+SELECT cnt.doc_id, any_value(tot.n)::BIGINT AS n_chars,
+       sum(CAST(floor((cnt.c::DOUBLE / tot.n)
+                      * ln(tot.n::DOUBLE / cnt.c) * 1e6) AS BIGINT))::BIGINT
+         AS entropy_unats
+FROM cnt JOIN tot USING (doc_id)
+GROUP BY cnt.doc_id ORDER BY cnt.doc_id
+"""
+
+
 def q_lm_score(sf_dir: str) -> pd.DataFrame:
     """Unigram language-model scoring (the CCNet-style quality
     filter): per-document mean token log-probability under the
@@ -3082,6 +3135,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf": q_tfidf,
     "bm25": q_bm25,
     "lm_score": q_lm_score,
+    "char_entropy": q_char_entropy,
     "revenue_rollup": q_revenue_rollup,
     "revenue_cube": q_revenue_cube,
     "pagerank": q_pagerank,
@@ -3160,6 +3214,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf": SQL_TFIDF,
     "bm25": SQL_BM25,
     "lm_score": SQL_LM_SCORE,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "revenue_cube": SQL_REVENUE_CUBE,
     "pagerank": SQL_PAGERANK,
