@@ -2463,6 +2463,88 @@ ORDER BY doc_id
 """
 
 
+def q_minhash_signatures(sf_dir: str) -> pd.DataFrame:
+    """The MinHash SIGNATURE layer itself, bit-exact: 8 XOR-mask
+    permutations (masks = md5-prefix of ``perm:i`` — no RNG state)
+    over the doc's distinct word-3-gram md5 hashes; sig_i = min over
+    shingles of (h ⊕ m_i), emitted >>1 so the value sits in int64 on
+    every engine.  min commutes with the weakly-monotone >>1, so both
+    orders agree.  One streaming vectorized pass (per-doc min via a
+    grouped reduce), no shuffle — the signatures ARE the small thing
+    you shuffle afterwards (`q_minhash_dedup` bands them); this family
+    pins that layer against an independent SQL derivation."""
+    import hashlib
+
+    n = 3
+    n_perm = 8
+    masks = np.array([int.from_bytes(hashlib.md5(f"perm:{i}".encode())
+                                     .digest()[:8], "big")
+                      for i in range(n_perm)], dtype=np.uint64)
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df.set_index("doc_id")["text"]
+        toks = texts.str.strip()
+        toks = toks[toks != ""].str.split()
+        ids, grams = [], []
+        for doc_id, t in toks.items():
+            if len(t) < n:
+                continue
+            g = {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+            ids.extend([doc_id] * len(g))
+            grams.extend(g)
+        if not ids:
+            cols = {"doc_id": pd.Series(dtype="int64")}
+            cols.update({f"sig{i}": pd.Series(dtype="int64")
+                         for i in range(n_perm)})
+            return pd.DataFrame(cols)
+        uniq = pd.unique(pd.Series(grams))
+        hmap = {s: int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                for s in uniq}
+        h = np.array([hmap[s] for s in grams], dtype=np.uint64)
+        frame = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64)})
+        for i in range(n_perm):
+            frame[f"sig{i}"] = ((h ^ masks[i]) >> np.uint64(1)).astype(np.int64)
+        return frame.groupby("doc_id", as_index=False).min()
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(sigs, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_MINHASH_SIGNATURES = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 16))::UBIGINT
+           AS h
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), masks AS (
+  SELECT i,
+         ('0x' || substr(md5('perm:' || i), 1, 16))::UBIGINT AS m
+  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+), mins AS (
+  SELECT g.doc_id, k.i,
+         (min(xor(g.h, k.m)) >> 1)::BIGINT AS sig
+  FROM grams g CROSS JOIN masks k
+  GROUP BY g.doc_id, k.i
+)
+SELECT doc_id,
+       max(CASE WHEN i = 0 THEN sig END)::BIGINT AS sig0,
+       max(CASE WHEN i = 1 THEN sig END)::BIGINT AS sig1,
+       max(CASE WHEN i = 2 THEN sig END)::BIGINT AS sig2,
+       max(CASE WHEN i = 3 THEN sig END)::BIGINT AS sig3,
+       max(CASE WHEN i = 4 THEN sig END)::BIGINT AS sig4,
+       max(CASE WHEN i = 5 THEN sig END)::BIGINT AS sig5,
+       max(CASE WHEN i = 6 THEN sig END)::BIGINT AS sig6,
+       max(CASE WHEN i = 7 THEN sig END)::BIGINT AS sig7
+FROM mins GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash LSH candidates verified by exact Jaccard ≥ 0.5.
 
@@ -3150,6 +3232,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -3234,4 +3317,5 @@ ORACLE_SQL: dict[str, str] = {
     "quality": SQL_QUALITY,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_dedup": SQL_MINHASH_DEDUP,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
 }
