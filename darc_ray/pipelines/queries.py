@@ -2368,6 +2368,45 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
                             kind="mergesort").head(20).reset_index(drop=True))
 
 
+def q_degree_hist(sf_dir: str) -> pd.DataFrame:
+    """Degree distribution of the (l_orderkey → l_partkey) link graph
+    — the graph-analytics profile run before choosing a partitioning
+    strategy (hubs = shuffle skew): distinct-edge combiner dedup → ONE
+    pair shuffle → per-partition out-degree counts (each partition
+    owns every copy of its pairs... but NOT all edges of a src — so
+    degree needs its own src-keyed reduction, done here as the
+    vocab-bounded driver combine of per-partition partials) → tiny
+    histogram groupby.  Output: (out_degree, n_srcs)."""
+    from ray.data.context import ShuffleStrategy
+
+    parts = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+             .map_batches(lambda df: df.drop_duplicates(),
+                          batch_format="pandas", batch_size=65536)
+             .repartition(num_blocks=16, keys=["l_orderkey", "l_partkey"],
+                          sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    deg = (parts.map_batches(
+        lambda df: (df.drop_duplicates()
+                    .groupby("l_orderkey", as_index=False)
+                    .agg(d=("l_partkey", "size"))),
+        batch_format="pandas", batch_size=None).to_pandas()
+        .groupby("l_orderkey", as_index=False)["d"].sum())
+    out = (deg.groupby("d", as_index=False)
+           .agg(n_srcs=("l_orderkey", "size"))
+           .rename(columns={"d": "out_degree"}))
+    out["n_srcs"] = out["n_srcs"].astype("int64")
+    out["out_degree"] = out["out_degree"].astype("int64")
+    return out.sort_values("out_degree").reset_index(drop=True)
+
+
+SQL_DEGREE_HIST = """
+SELECT d AS out_degree, count(*)::BIGINT AS n_srcs
+FROM (SELECT l_orderkey, count(DISTINCT l_partkey)::BIGINT AS d
+      FROM lineitem GROUP BY l_orderkey)
+GROUP BY d ORDER BY out_degree
+"""
+
+
 # the same four integer iterations unrolled — bit-exact because every
 # operation is integer (// floors, sums order-independent)
 SQL_PAGERANK = """
@@ -3221,6 +3260,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "revenue_rollup": q_revenue_rollup,
     "revenue_cube": q_revenue_cube,
     "pagerank": q_pagerank,
+    "degree_hist": q_degree_hist,
     "lsh_partition": q_lsh_partition,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
@@ -3301,6 +3341,7 @@ ORACLE_SQL: dict[str, str] = {
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "revenue_cube": SQL_REVENUE_CUBE,
     "pagerank": SQL_PAGERANK,
+    "degree_hist": SQL_DEGREE_HIST,
     "lsh_partition": SQL_LSH_PARTITION,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
