@@ -13,6 +13,7 @@ sorted-by-name columns).
 
 from __future__ import annotations
 
+import os
 import tempfile
 from typing import Any, Callable
 
@@ -2305,32 +2306,35 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     order-independent and the result is bit-exact on any partitioning
     — which is exactly what lets the SQL oracle unroll the same four
     iterations and hash-match.  At 10^10 nodes the rank vector stops
-    fitting one node: swap the broadcast for a (src-keyed) hash join
-    and the driver reduce for a dst-keyed shuffle — edge-pass
-    structure unchanged (docstring contract, same as ann/dedup
-    routing).  Dangling-mass is dropped (dsts are sinks in this
-    bipartite graph) — the standard simplification, mirrored in SQL."""
+    fitting one node: above ``DARC_RAY_PAGERANK_MAX_BROADCAST_EDGES``
+    distinct edges (default 10^7, env-overridable) the query routes to
+    :func:`darc_ray.stages.graph.pagerank`, which keeps the rank
+    vector a distributed Dataset (src-keyed hash join + dst-keyed
+    contribution shuffle per iteration) and ships only per-partition
+    top-20 partials to the driver — bit-identical output (integer
+    arithmetic, equality-tested).  Dangling-mass is dropped (dsts are
+    sinks in this bipartite graph) — the standard simplification,
+    mirrored in SQL."""
     import ray
-    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.stages.graph import dedup_edges
+    from darc_ray.stages.graph import pagerank as pagerank_distributed
 
     scale = 1_000_000
     base = 15 * scale // 100
 
-    # distinct edge set (the distinct_edges machinery): combiner dedup
-    # before ONE pair-key shuffle, then per-partition exact dedup
-    parts = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-             .map_batches(lambda df: df.drop_duplicates(),
-                          batch_format="pandas", batch_size=65536)
-             .repartition(num_blocks=16, keys=["l_orderkey", "l_partkey"],
-                          sort=False))
-    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    edges = parts.map_batches(
-        lambda df: df.drop_duplicates().rename(
-            columns={"l_orderkey": "src", "l_partkey": "dst"}),
-        batch_format="pandas", batch_size=None).materialize()
+    edges = dedup_edges(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        "l_orderkey", "l_partkey", n_blocks=16)
+
+    max_broadcast = int(os.environ.get(
+        "DARC_RAY_PAGERANK_MAX_BROADCAST_EDGES", str(10_000_000)))
+    if edges.count() > max_broadcast:
+        return pagerank_distributed(edges, iterations=4, scale=scale,
+                                    topk=20)
 
     # node ids + out-degrees: partial counts per batch, node-sized
-    # driver reduce (nodes ≪ edges)
+    # driver reduce (nodes ≪ edges — small-graph fast path only)
     deg = (edges.map_batches(
         lambda df: df.groupby("src", as_index=False).agg(d=("dst", "size")),
         batch_format="pandas", batch_size=65536).to_pandas()
@@ -2372,31 +2376,19 @@ def q_degree_hist(sf_dir: str) -> pd.DataFrame:
     """Degree distribution of the (l_orderkey → l_partkey) link graph
     — the graph-analytics profile run before choosing a partitioning
     strategy (hubs = shuffle skew): distinct-edge combiner dedup → ONE
-    pair shuffle → per-partition out-degree counts (each partition
-    owns every copy of its pairs... but NOT all edges of a src — so
-    degree needs its own src-keyed reduction, done here as the
-    vocab-bounded driver combine of per-partition partials) → tiny
-    histogram groupby.  Output: (out_degree, n_srcs)."""
-    from ray.data.context import ShuffleStrategy
+    pair shuffle → per-partition partial out-degree counts → a SECOND
+    src-keyed hash shuffle where each partition owns all of a src's
+    partials (exact degrees, vectorized sum) → per-partition histogram
+    partials.  Only n_blocks × distinct-degree-values rows ever reach
+    the driver — independent of node count, unlike the round-3 flavor
+    that driver-combined partials at src cardinality.
+    Output: (out_degree, n_srcs)."""
+    from darc_ray.stages.graph import dedup_edges, degree_histogram
 
-    parts = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-             .map_batches(lambda df: df.drop_duplicates(),
-                          batch_format="pandas", batch_size=65536)
-             .repartition(num_blocks=16, keys=["l_orderkey", "l_partkey"],
-                          sort=False))
-    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    deg = (parts.map_batches(
-        lambda df: (df.drop_duplicates()
-                    .groupby("l_orderkey", as_index=False)
-                    .agg(d=("l_partkey", "size"))),
-        batch_format="pandas", batch_size=None).to_pandas()
-        .groupby("l_orderkey", as_index=False)["d"].sum())
-    out = (deg.groupby("d", as_index=False)
-           .agg(n_srcs=("l_orderkey", "size"))
-           .rename(columns={"d": "out_degree"}))
-    out["n_srcs"] = out["n_srcs"].astype("int64")
-    out["out_degree"] = out["out_degree"].astype("int64")
-    return out.sort_values("out_degree").reset_index(drop=True)
+    edges = dedup_edges(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        "l_orderkey", "l_partkey", n_blocks=16)
+    return degree_histogram(edges, n_blocks=16)
 
 
 SQL_DEGREE_HIST = """
@@ -2454,19 +2446,31 @@ ORDER BY rank DESC, node ASC LIMIT 20
 
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup CLUSTERING: connected components over the simhash
-    near-pair graph (distributed min-label propagation,
-    :func:`darc_ray.stages.dedup.connected_components`), then every
-    document labeled with its component's min doc_id — the keep-one-
-    per-cluster step of a dedup pipeline.  The component map is
-    LSH-bounded small, so the final assignment broadcasts it
+    near-pair graph, then every document labeled with its component's
+    min doc_id — the keep-one-per-cluster step of a dedup pipeline.
+    Pair lists up to ``DARC_RAY_CC_MAX_DRIVER_PAIRS`` (default 10^6,
+    env-overridable) run the O(pairs·α) driver union-find
+    (:func:`darc_ray.stages.dedup.connected_components`); above it the
+    min-label propagation over hash-shuffled edge Datasets
+    (:func:`~darc_ray.stages.dedup.connected_components_distributed`)
+    takes over — identical labels (min-of-component is partitioning-
+    independent), equality-tested on planted chains.  The component
+    map is LSH-bounded small, so the final assignment broadcasts it
     (``ray.put``) into one vectorized map over the corpus."""
     import ray
 
-    from darc_ray.stages.dedup import connected_components, simhash_near_pairs
+    from darc_ray.stages.dedup import (connected_components,
+                                       connected_components_distributed,
+                                       simhash_near_pairs)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = simhash_near_pairs(ds, max_hamming=3)
-    labels = connected_components(pairs)
+    max_driver = int(os.environ.get(
+        "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
+    if len(pairs) > max_driver:
+        labels = connected_components_distributed(pairs)
+    else:
+        labels = connected_components(pairs)
     ref = ray.put(labels)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:

@@ -368,13 +368,17 @@ def connected_components(pairs: pd.DataFrame) -> dict:
 def connected_components_distributed(pairs: pd.DataFrame, n_blocks: int = 8,
                                      max_iters: int = 64) -> dict:
     """Dataset-native variant of :func:`connected_components` for pair
-    lists beyond driver memory: distributed min-label propagation — per
-    iteration, ship each node's current label across its edges
-    (``Dataset.join`` hash shuffle), then hash-partition by node and
-    take the per-partition vectorized min.  Labels are monotone
-    non-increasing integers, so an unchanged label SUM is an exact
-    convergence proof (one tiny aggregate per round, no diff join).
-    Converges in ≤ graph-diameter iterations."""
+    lists beyond driver memory: distributed min-label propagation with
+    POINTER DOUBLING — per iteration, (1) ship each node's current
+    label across its edges (``Dataset.join`` hash shuffle), (2)
+    shortcut each label through its own label (join labels onto
+    themselves on label = node), then hash-partition by node and take
+    the per-partition vectorized min.  The shortcut step makes long
+    paths collapse in O(log diameter) rounds instead of O(diameter) —
+    a 10^5-link planted chain converges in ~17 iterations, where pure
+    edge-propagation needs 10^5.  Labels are monotone non-increasing
+    integers, so an unchanged label SUM is an exact convergence proof
+    (one tiny aggregate per round, no diff join)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
     from ray.data.context import ShuffleStrategy
@@ -398,8 +402,16 @@ def connected_components_distributed(pairs: pd.DataFrame, n_blocks: int = 8,
                            on=("src",), right_on=("node",))
                 .select_columns(["dst", "label"])
                 .rename_columns({"dst": "node"}))
-        cand = labels.union(prop).repartition(num_blocks=n_blocks,
-                                              keys=["node"], sort=False)
+        # pointer doubling: node→label ⋈ (label-as-node)→label', so a
+        # node two hops from the minimum learns it in one round
+        jump = (labels.join(labels, join_type="inner",
+                            num_partitions=n_blocks,
+                            on=("label",), right_on=("node",),
+                            left_suffix="_l", right_suffix="_r")
+                .select_columns(["node", "label_r"])
+                .rename_columns({"label_r": "label"}))
+        cand = (labels.union(prop).union(jump)
+                .repartition(num_blocks=n_blocks, keys=["node"], sort=False))
         cand.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         labels = cand.map_batches(min_label, batch_format="pandas",
                                   batch_size=None).materialize()

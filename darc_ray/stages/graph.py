@@ -1,0 +1,170 @@
+"""Distributed graph kernels over edge Datasets.
+
+Link-graph analytics for the crawl's `edges` table (parent_hash →
+child_hash; ref darc stores it as ``URLThroughModel``,
+``darc/model/web/url.py:111-123``) at web scale, where NO driver-side
+structure may grow with node or edge cardinality:
+
+* :func:`dedup_edges` — exact distinct (src, dst) with a combiner pass
+  before ONE pair-key hash shuffle.
+* :func:`out_degrees` — exact per-src out-degree via partial counts +
+  src-keyed hash shuffle (never a whole-graph driver combine).
+* :func:`degree_histogram` — (out_degree, n_srcs) profile; only the
+  tiny per-partition histogram partials reach the driver.
+* :func:`pagerank` — synchronous iterations with the rank vector kept
+  as a DISTRIBUTED Dataset: per iteration one src-keyed hash join
+  (ranks onto edges) and one dst-keyed shuffle (contribution sums).
+  All arithmetic is scaled-integer (``r // outdeg`` per edge,
+  ``base + damping·Σ // 100``), so sums are order-independent and the
+  result is bit-identical to the broadcast-vector flavor in
+  ``pipelines/queries.py`` and to the unrolled SQL oracle on any
+  partitioning.
+
+Dangling nodes (no out-edges) contribute no mass — the same
+simplification as the broadcast flavor and the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["dedup_edges", "out_degrees", "degree_histogram", "pagerank"]
+
+
+def _hash_parts(ds, keys: list[str], n_blocks: int):
+    """Hash-repartition so every row of a key lands in one partition."""
+    from ray.data.context import ShuffleStrategy
+
+    parts = ds.repartition(num_blocks=n_blocks, keys=keys, sort=False)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return parts
+
+
+def dedup_edges(ds, src_col: str, dst_col: str, n_blocks: int = 16):
+    """Exact distinct (src, dst) edge set as a Dataset[src, dst].
+
+    Combiner dedup inside map_batches first (drops the bulk of
+    duplicates pre-shuffle), then ONE pair-key hash shuffle and a
+    per-partition exact dedup — each partition owns every copy of its
+    pairs, so the result is globally distinct without a sorted groupby.
+    """
+    combined = ds.map_batches(
+        lambda df: df.drop_duplicates(),
+        batch_format="pandas", batch_size=65536)
+    parts = _hash_parts(combined, [src_col, dst_col], n_blocks)
+    return parts.map_batches(
+        lambda df: df.drop_duplicates().rename(
+            columns={src_col: "src", dst_col: "dst"}),
+        batch_format="pandas", batch_size=None).materialize()
+
+
+def out_degrees(edges, n_blocks: int = 16):
+    """Exact per-src out-degree as Dataset[src, d] over a distinct edge
+    set — per-batch partial counts, then a src-keyed hash shuffle and a
+    per-partition vectorized sum.  Nothing node-sized touches the
+    driver."""
+    partials = edges.map_batches(
+        lambda df: df.groupby("src", as_index=False).agg(d=("dst", "size")),
+        batch_format="pandas", batch_size=65536)
+    parts = _hash_parts(partials, ["src"], n_blocks)
+    return parts.map_batches(
+        lambda df: df.groupby("src", as_index=False)["d"].sum(),
+        batch_format="pandas", batch_size=None).materialize()
+
+
+def degree_histogram(edges, n_blocks: int = 16) -> pd.DataFrame:
+    """(out_degree, n_srcs) histogram of a distinct edge set.
+
+    Degrees are computed exactly by :func:`out_degrees` (src-keyed
+    shuffle); each degree partition then emits its own tiny
+    (out_degree, n) partial, so the driver combine is bounded by
+    n_blocks × distinct-degree-values — independent of node count."""
+    deg = out_degrees(edges, n_blocks)
+    partials = (deg.map_batches(
+        lambda df: (df.groupby("d", as_index=False)
+                    .agg(n_srcs=("src", "size"))
+                    .rename(columns={"d": "out_degree"})),
+        batch_format="pandas", batch_size=None).to_pandas())
+    out = partials.groupby("out_degree", as_index=False)["n_srcs"].sum()
+    out["out_degree"] = out["out_degree"].astype("int64")
+    out["n_srcs"] = out["n_srcs"].astype("int64")
+    return out.sort_values("out_degree").reset_index(drop=True)
+
+
+def pagerank(edges, iterations: int = 4, scale: int = 1_000_000,
+             damping_num: int = 85, damping_den: int = 100,
+             n_blocks: int = 16, topk: int = 20) -> pd.DataFrame:
+    """Distributed integer PageRank over a distinct edge Dataset.
+
+    The rank vector is a Dataset[node, r] for the whole run; per
+    iteration:
+
+    1. src-keyed hash join of ranks onto (src, dst, d) edge rows,
+    2. per-batch partial contribution sums ``c = r // d`` per dst,
+    3. union with per-node zero rows (so rank-less nodes keep the
+       base term — replaces a left-outer join with pure inner
+       machinery), one dst-keyed hash shuffle, per-partition sum,
+    4. ``r' = base + damping·Σ // den`` vectorized per partition.
+
+    Only the final top-k leaves the cluster: each rank partition emits
+    its local top-k and the driver merges ≤ n_blocks·k rows.
+    """
+    base = (scale * (damping_den - damping_num)) // damping_den
+
+    deg = out_degrees(edges, n_blocks)
+    edges_deg = (edges.join(deg, "inner", n_blocks, on=("src",))
+                 .select_columns(["src", "dst", "d"]).materialize())
+
+    def srcs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["src"].drop_duplicates()})
+
+    def dsts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["dst"].drop_duplicates()})
+
+    nodes = (_hash_parts(
+        edges.map_batches(srcs, batch_format="pandas", batch_size=65536)
+        .union(edges.map_batches(dsts, batch_format="pandas",
+                                 batch_size=65536)),
+        ["node"], n_blocks)
+        .map_batches(lambda df: df.drop_duplicates(),
+                     batch_format="pandas", batch_size=None).materialize())
+
+    ranks = nodes.map_batches(
+        lambda df: df.assign(r=np.int64(scale)),
+        batch_format="pandas", batch_size=None).materialize()
+    zeros = nodes.map_batches(
+        lambda df: df.assign(s=np.int64(0)),
+        batch_format="pandas", batch_size=None).materialize()
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["r"].to_numpy(np.int64) // df["d"].to_numpy(np.int64)
+        out = pd.DataFrame({"node": df["dst"].to_numpy(np.int64), "s": c})
+        return out.groupby("node", as_index=False)["s"].sum()
+
+    def update(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("node", as_index=False)["s"].sum()
+        r = base + (damping_num * s["s"].to_numpy(np.int64)) // damping_den
+        return pd.DataFrame({"node": s["node"], "r": r})
+
+    for _ in range(iterations):
+        joined = (edges_deg.join(ranks, "inner", n_blocks,
+                                 on=("src",), right_on=("node",))
+                  .select_columns(["dst", "d", "r"]))
+        partial = joined.map_batches(contrib, batch_format="pandas",
+                                     batch_size=65536)
+        ranks = (_hash_parts(partial.union(zeros), ["node"], n_blocks)
+                 .map_batches(update, batch_format="pandas",
+                              batch_size=None).materialize())
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["r", "node"], ascending=[False, True],
+                               kind="mergesort").head(topk))
+
+    out = (ranks.map_batches(local_top, batch_format="pandas",
+                             batch_size=None).to_pandas()
+           .sort_values(["r", "node"], ascending=[False, True],
+                        kind="mergesort").head(topk))
+    return (out.rename(columns={"node": "node", "r": "rank"})
+            .astype({"node": "int64", "rank": "int64"})
+            .reset_index(drop=True))

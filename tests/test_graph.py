@@ -1,0 +1,107 @@
+"""Distributed graph kernels (stages/graph.py) and their routing.
+
+Covers the round-4 scale fixes: pagerank's no-broadcast path,
+degree_hist's src-keyed reduce, dedup_clusters' distributed
+connected-components rung, and pointer-doubling convergence on a
+planted 10^5-link chain."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return (df.sort_values(list(df.columns), kind="mergesort")
+            .reset_index(drop=True))
+
+
+def test_dedup_edges_and_out_degrees_match_pandas(ray_session):
+    import ray.data as rd
+
+    from darc_ray.stages.graph import dedup_edges, out_degrees
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"s": rng.integers(0, 40, 5000),
+                       "t": rng.integers(100, 160, 5000)})
+    edges = dedup_edges(rd.from_pandas(df), "s", "t", n_blocks=4)
+    got = _sorted(edges.to_pandas())
+    want = _sorted(df.drop_duplicates().rename(columns={"s": "src",
+                                                        "t": "dst"}))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got_deg = _sorted(out_degrees(edges, n_blocks=4).to_pandas())
+    want_deg = _sorted(want.groupby("src", as_index=False)
+                       .agg(d=("dst", "size")))
+    pd.testing.assert_frame_equal(got_deg, want_deg, check_dtype=False)
+
+
+def test_degree_histogram_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from darc_ray.stages.graph import dedup_edges, degree_histogram
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"s": rng.integers(0, 300, 20000),
+                       "t": rng.integers(0, 500, 20000)})
+    edges = dedup_edges(rd.from_pandas(df), "s", "t", n_blocks=4)
+    got = degree_histogram(edges, n_blocks=4)
+    deg = (df.drop_duplicates().groupby("s").size())
+    want = (deg.value_counts().rename_axis("out_degree")
+            .reset_index(name="n_srcs").sort_values("out_degree")
+            .reset_index(drop=True).astype("int64"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pagerank_distributed_matches_broadcast_and_sql(
+        ray_session, monkeypatch):
+    """Force the no-broadcast path (threshold 0) and require the exact
+    rows the broadcast flavor + unrolled SQL oracle produce — integer
+    arithmetic makes all three bit-identical."""
+    from darc_ray.pipelines.queries import SQL_PAGERANK, q_pagerank
+
+    broadcast = q_pagerank(SF_DIR)
+
+    monkeypatch.setenv("DARC_RAY_PAGERANK_MAX_BROADCAST_EDGES", "0")
+    distributed = q_pagerank(SF_DIR)
+    pd.testing.assert_frame_equal(distributed, broadcast,
+                                  check_dtype=False)
+
+    con = duckdb.connect()
+    for t in ("lineitem",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    want = con.sql(SQL_PAGERANK).df()
+    pd.testing.assert_frame_equal(_sorted(distributed), _sorted(want),
+                                  check_dtype=False)
+
+
+def test_dedup_clusters_distributed_matches_driver(
+        ray_session, monkeypatch):
+    from darc_ray.pipelines.queries import q_dedup_clusters
+
+    driver = q_dedup_clusters(SF_DIR)
+    monkeypatch.setenv("DARC_RAY_CC_MAX_DRIVER_PAIRS", "0")
+    distributed = q_dedup_clusters(SF_DIR)
+    pd.testing.assert_frame_equal(distributed, driver, check_dtype=False)
+
+
+@pytest.mark.slow
+def test_planted_chain_1e5_converges_distributed(ray_session):
+    """A single 10^5-link chain: worst case for plain label
+    propagation (diameter = n).  Pointer doubling must collapse it to
+    one component in O(log n) rounds without driver-resident
+    union-find."""
+    from darc_ray.stages.dedup import connected_components_distributed
+
+    n = 100_000
+    pairs = pd.DataFrame({"a": np.arange(n, dtype=np.int64),
+                          "b": np.arange(1, n + 1, dtype=np.int64)})
+    labels = connected_components_distributed(pairs, n_blocks=4,
+                                              max_iters=40)
+    assert len(labels) == n + 1
+    vals = np.fromiter(labels.values(), dtype=np.int64, count=n + 1)
+    assert (vals == 0).all()
