@@ -492,8 +492,16 @@ def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
     shingles is missed and surviving pairs' intersection counts omit
     dropped shingles (jaccard under-, never over-estimates) — the
     standard prefix-filter trade; ``max_df=None`` restores the exact
-    join.  Doc sizes ride as a broadcast int map (4 B/doc; co-shuffle
-    instead beyond ~10^8 docs)."""
+    join.  Doc sizes ride as a broadcast int map (4 B/doc) up to
+    ``DARC_RAY_NGRAM_MAX_BROADCAST_DOCS`` documents (default 10^8,
+    env-overridable); beyond that they are CO-SHUFFLED onto the
+    surviving (a, b, inter) rows instead — two hash joins of the
+    Dataset[doc_id, size] side table (on a, then on b), the
+    ``verify_pairs_coshuffled`` pattern — so nothing doc-cardinality-
+    sized ever lives on the driver or in a worker heap.  Both rungs
+    produce bit-identical output (equality-tested)."""
+    import os
+
     import ray
     from ray.data.context import ShuffleStrategy
 
@@ -518,14 +526,24 @@ def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
             "doc_id": pa.array(out_id),
             "sh": pa.array(out_sh, type=pa.int64())})
 
-    # sizes pass (light column scan) → broadcast int map
-    sizes_df = ds.map_batches(sizes_batch, batch_format="pyarrow").to_pandas()
-    size_of = dict(zip(sizes_df["doc_id"], sizes_df["size"]))
-    size_ref = ray.put(size_of)
+    max_broadcast_docs = int(os.environ.get(
+        "DARC_RAY_NGRAM_MAX_BROADCAST_DOCS", str(100_000_000)))
+    n_docs = ds.count()
+    coshuffle_sizes = n_docs > max_broadcast_docs
+
+    # sizes pass (light column scan): broadcast int map on the small
+    # rung, kept as a distributed side table on the co-shuffle rung
+    sizes = ds.map_batches(sizes_batch, batch_format="pyarrow")
+    if coshuffle_sizes:
+        sizes = sizes.materialize()
+        size_ref = None
+    else:
+        sizes_df = sizes.to_pandas()
+        size_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["size"])))
 
     shingles = ds.map_batches(explode, batch_format="pyarrow")
     if n_buckets is None:
-        n_buckets = max(8, min(256, len(size_of) // 5_000 + 8))
+        n_buckets = max(8, min(256, n_docs // 5_000 + 8))
     parts = shingles.repartition(num_blocks=n_buckets, keys=["sh"], sort=False)
     parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
@@ -576,21 +594,44 @@ def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
         lambda df: df.groupby(["a", "b"], as_index=False)["inter"].sum(),
         batch_format="pandas", batch_size=None)
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        sz = ray.get(size_ref)
-        sa = df["a"].map(sz).to_numpy(dtype=np.float64)
-        sb = df["b"].map(sz).to_numpy(dtype=np.float64)
-        it = df["inter"].to_numpy(dtype=np.float64)
+    def _score_arrays(a, b, sa, sb, it) -> pd.DataFrame:
         union = sa + sb - it
         jac = np.where(union > 0, it / union, 1.0)
         keep = jac >= threshold
         # floor(x·1e6+0.5)/1e6 (half-away), not np.round (half-even):
         # bit-identical to the DuckDB oracle's rounding
-        return pd.DataFrame({"a": df["a"].to_numpy()[keep],
-                             "b": df["b"].to_numpy()[keep],
+        return pd.DataFrame({"a": a[keep], "b": b[keep],
                              "jaccard": np.floor(jac[keep] * 1e6 + 0.5) / 1e6})
 
-    out = inter.map_batches(score, batch_format="pandas").to_pandas()
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(size_ref)
+        return _score_arrays(
+            df["a"].to_numpy(), df["b"].to_numpy(),
+            df["a"].map(sz).to_numpy(dtype=np.float64),
+            df["b"].map(sz).to_numpy(dtype=np.float64),
+            df["inter"].to_numpy(dtype=np.float64))
+
+    def score_coshuffled(df: pd.DataFrame) -> pd.DataFrame:
+        return _score_arrays(
+            df["a"].to_numpy(), df["b"].to_numpy(),
+            df["size_a"].to_numpy(dtype=np.float64),
+            df["size_b"].to_numpy(dtype=np.float64),
+            df["inter"].to_numpy(dtype=np.float64))
+
+    if coshuffle_sizes:
+        # surviving pairs ≪ candidate merge rows, so two size joins on
+        # the pair keys are cheap relative to the inverted-index pass
+        with_sizes = (inter
+                      .join(sizes, "inner", n_buckets,
+                            on=("a",), right_on=("doc_id",))
+                      .rename_columns({"size": "size_a"})
+                      .join(sizes, "inner", n_buckets,
+                            on=("b",), right_on=("doc_id",))
+                      .rename_columns({"size": "size_b"}))
+        out = with_sizes.map_batches(score_coshuffled,
+                                     batch_format="pandas").to_pandas()
+    else:
+        out = inter.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

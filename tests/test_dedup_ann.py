@@ -256,3 +256,28 @@ def test_connected_components_variants_agree(ray_session):
     assert uf[3] == 1 and uf[100] == 1
     assert uf[30] == uf[32] == 30
     assert connected_components(pairs.iloc[0:0]) == {}
+
+
+def test_ngram_join_coshuffled_sizes_match_broadcast(ray_session, monkeypatch):
+    """The co-shuffled size rung (doc-count above the broadcast cap)
+    must produce bit-identical pairs + jaccard to the broadcast-dict
+    rung."""
+    import ray.data as rd
+
+    from darc_ray.stages.dedup import ngram_jaccard_join
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(300):
+        k = rng.integers(6, 14)
+        rows.append((i, " ".join(rng.choice(words, k))))
+    for i in range(300, 330):           # planted near-dups
+        rows.append((i, rows[i - 300][1] + " extra"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    broadcast = ngram_jaccard_join(rd.from_pandas(df), k=3, threshold=0.3)
+    monkeypatch.setenv("DARC_RAY_NGRAM_MAX_BROADCAST_DOCS", "0")
+    coshuffled = ngram_jaccard_join(rd.from_pandas(df), k=3, threshold=0.3)
+    pd.testing.assert_frame_equal(coshuffled, broadcast)
+    assert len(broadcast) >= 30
