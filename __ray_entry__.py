@@ -46,9 +46,11 @@ def _ensure_fixture_files() -> None:
     which side the driver runs first, or whether /tmp was cleared."""
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
                                             ensure_image_meta_fixture,
+                                            ensure_image_pixels_fixture,
                                             ensure_video_meta_fixture)
 
     ensure_image_meta_fixture()
+    ensure_image_pixels_fixture()
     ensure_audio_meta_fixture()
     ensure_video_meta_fixture()
 

@@ -31,7 +31,9 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 FAKE_JPEG_MAGIC = b"FJPG"
+RAW_MAGIC = b"RAWI"
 _JPEG_REAL_MAGIC = b"\xff\xd8\xff"
+_VP8_SYNC = b"\x9d\x01\x2a"
 
 
 # --------------------------------------------------------------------------
@@ -129,6 +131,60 @@ def fake_jpeg_encode(pixels: np.ndarray) -> bytes:
     return FAKE_JPEG_MAGIC + struct.pack(">II", w, h) + body
 
 
+def raw_encode(pixels: np.ndarray) -> bytes:
+    """Uncompressed RGB container (``RAWI`` + big-endian w, h + raw
+    bytes) — the BMP-class payload of the fixture corpora whose pixel
+    kernels are re-derived independently in SQL (hex arithmetic needs
+    bytes it can address, so no zlib)."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("raw_encode expects (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    return RAW_MAGIC + struct.pack(">II", w, h) + pixels.tobytes()
+
+
+def raw_decode(data: bytes) -> np.ndarray:
+    if not data.startswith(RAW_MAGIC):
+        raise ValueError("not a RAWI payload")
+    w, h = struct.unpack_from(">II", data, 4)
+    return (np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=12)
+            .reshape(h, w, 3))
+
+
+def make_webp(w: int, h: int, flavor: str = "vp8",
+              alpha: bool = False, payload_len: int = 24) -> bytes:
+    """Synthesize a spec-correct WebP CONTAINER header (RIFF + VP8 /
+    VP8L / VP8X chunk with real dimension encoding) over a dummy
+    compressed payload.  The engine's metadata pass is header-only
+    (``image_meta``), so fixture rows need valid headers, not a VP8
+    codec — the decode path for WebP stays an explicit stub.
+
+    Dimension encodings per the public container spec: VP8 = 14-bit
+    w/h in little-endian uint16s after the 0x9D012A sync; VP8L =
+    (w−1, h−1) as 14-bit fields of a little-endian 32-bit word after
+    the 0x2F signature (bit 28 = alpha); VP8X = 24-bit little-endian
+    (canvas−1) fields, flag bit 0x10 = alpha."""
+    rng = np.random.default_rng(w * 31 + h * 7 + (alpha << 3))
+    junk = rng.integers(0, 256, payload_len, dtype=np.uint8).tobytes()
+    if flavor == "vp8":
+        body = (b"\x30\x01\x00" + _VP8_SYNC
+                + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF) + junk)
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    elif flavor == "vp8l":
+        v = (w - 1) | ((h - 1) << 14) | (int(alpha) << 28)
+        body = b"\x2f" + struct.pack("<I", v) + junk
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    elif flavor == "vp8x":
+        body = (bytes([0x10 if alpha else 0x00]) + b"\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body + junk
+    else:
+        raise ValueError(f"unknown webp flavor {flavor!r}")
+    if len(chunk) % 2:
+        chunk += b"\x00"                       # RIFF word alignment
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def fake_jpeg_decode(data: bytes) -> np.ndarray:
     if not data.startswith(FAKE_JPEG_MAGIC):
         raise ValueError("not an FJPG payload")
@@ -147,6 +203,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
 
             return jpeg_decode(data)
         return fake_jpeg_decode(data)
+    if fmt == "raw":
+        return raw_decode(data)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
@@ -159,6 +217,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         from darc_ray.functions.jpeg import jpeg_encode
 
         return jpeg_encode(pixels)
+    if fmt == "raw":
+        return raw_encode(pixels)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
@@ -334,8 +394,39 @@ def image_meta(data: bytes) -> dict:
         return {"fmt_detected": "fjpg", "width": w, "height": h,
                 "depth": 6, "components": 3, "progressive": 0,
                 "header_bytes": 12}
+    if data.startswith(RAW_MAGIC):
+        w, h = struct.unpack_from(">II", data, 4)
+        return {"fmt_detected": "raw", "width": w, "height": h,
+                "depth": 8, "components": 3, "progressive": 0,
+                "header_bytes": 12}
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        chunk = data[12:16]
+        if chunk == b"VP8 ":                   # lossy: 14-bit LE dims
+            if data[23:26] != _VP8_SYNC:
+                raise ValueError("WebP VP8 chunk missing frame sync")
+            wv, hv = struct.unpack_from("<HH", data, 26)
+            return {"fmt_detected": "webp", "width": wv & 0x3FFF,
+                    "height": hv & 0x3FFF, "depth": 8, "components": 3,
+                    "progressive": 0, "header_bytes": 30}
+        if chunk == b"VP8L":                   # lossless: packed bits
+            if data[20] != 0x2F:
+                raise ValueError("WebP VP8L chunk missing signature")
+            v = int.from_bytes(data[21:25], "little")
+            alpha = (v >> 28) & 1
+            return {"fmt_detected": "webp", "width": (v & 0x3FFF) + 1,
+                    "height": ((v >> 14) & 0x3FFF) + 1, "depth": 8,
+                    "components": 4 if alpha else 3, "progressive": 0,
+                    "header_bytes": 25}
+        if chunk == b"VP8X":                   # extended: 24-bit canvas
+            alpha = bool(data[20] & 0x10)
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return {"fmt_detected": "webp", "width": w, "height": h,
+                    "depth": 8, "components": 4 if alpha else 3,
+                    "progressive": 0, "header_bytes": 30}
+        raise ValueError(f"unknown WebP chunk {chunk!r}")
     if data.startswith(b"\xff\xd8"):
         from darc_ray.functions.jpeg import jpeg_info
 
         return {"fmt_detected": "jpeg", **jpeg_info(data)}
-    raise ValueError("unknown image payload (no PNG/FJPG/JPEG magic)")
+    raise ValueError("unknown image payload (no PNG/FJPG/RAWI/WebP/JPEG magic)")

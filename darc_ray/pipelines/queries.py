@@ -2858,15 +2858,143 @@ def q_image_dedup(sf_dir: str) -> pd.DataFrame:
     """Image near-dup pairs: banded-prefix blocking over the stored
     64-bit phash (exact recall at hamming ≤ 6, ONE hash shuffle — the
     simhash machinery generalized to any hash column).  Finds exactly
-    the planted ``-dup`` siblings."""
+    the planted ``-dup`` siblings.  Runs over the fixed-path RAW-pixel
+    fixture (``ensure_image_pixels_fixture`` — sf-independent, same
+    contract as the metadata trilogy) so the DuckDB oracle can verify
+    the pigeonhole-exact blocking against the brute-force all-pairs
+    hamming scan on identical bytes."""
     import ray.data as rd
 
     from darc_ray.stages.dedup import hash_near_pairs
+    from darc_ray.stages.multimodal import ensure_image_pixels_fixture
 
-    ds = rd.from_arrow(_image_variant_table(sf_dir)).select_columns(
-        ["image_id", "phash"])
+    path = ensure_image_pixels_fixture()
+    ds = rd.read_parquet(path, columns=["image_id", "phash"])
     return hash_near_pairs(ds, max_hamming=6, id_col="image_id",
                            hash_col="phash")
+
+
+SQL_IMAGE_DEDUP = """
+WITH t AS (
+  SELECT image_id, phash
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_pixels.parquet')
+)
+SELECT x.image_id AS a, y.image_id AS b,
+       bit_count(xor(x.phash, y.phash))::BIGINT AS hamming
+FROM t x JOIN t y ON x.image_id < y.image_id
+WHERE bit_count(xor(x.phash, y.phash)) <= 6
+ORDER BY a, b
+"""
+
+
+def q_image_quality_gate(sf_dir: str) -> pd.DataFrame:
+    """Integer image-quality gate (bit-reproducible twin of the float
+    LAION-style ``image_quality`` family): milli-luma brightness,
+    exact integer variance contrast, channel-spread saturation and a
+    dims/aspect predicate over the RAW-pixel fixture — every operation
+    is floor division on non-negative integers, so the DuckDB oracle
+    re-derives identical values straight from the hex bytes.  Rejects
+    exactly the planted ``-bad`` rows."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_pixels_fixture,
+                                            image_quality_gate_batch)
+
+    path = ensure_image_pixels_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_quality_gate_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+# independent pixel-kernel re-derivation: hex-substring byte reads
+# over the uncompressed RAWI payload (byte b = hex chars 2b+1..2b+2;
+# pixel p of an (h, w) image starts at byte 12 + 3p)
+SQL_IMAGE_QUALITY_GATE = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_pixels.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT AS pr,
+         ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT AS pg,
+         ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS pb
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), st AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht,
+         count(*)::BIGINT AS n,
+         sum(299 * pr + 587 * pg + 114 * pb)::BIGINT AS s1,
+         sum((299 * pr + 587 * pg + 114 * pb)
+             * (299 * pr + 587 * pg + 114 * pb))::BIGINT AS s2,
+         sum(greatest(pr, pg, pb) - least(pr, pg, pb))::BIGINT AS sp
+  FROM px GROUP BY image_id
+)
+SELECT image_id, w AS width, ht AS height,
+       (s1 // n) AS brightness_milli,
+       ((n * s2 - s1 * s1) // (n * n)) AS contrast_var,
+       (sp * 1000 // n) AS saturation_milli,
+       CASE WHEN (s1 // n) BETWEEN 30000 AND 225000
+             AND ((n * s2 - s1 * s1) // (n * n)) >= 25000000
+             AND least(w, ht) >= 12
+             AND greatest(w, ht) * 10 <= least(w, ht) * 30
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM st ORDER BY image_id
+"""
+
+
+def q_image_thumbs_pooled(sf_dir: str) -> pd.DataFrame:
+    """Integer 8×8 pooled thumbnail (center-crop square, per-cell
+    floor-mean of the milli-luma) over the RAW-pixel fixture — the
+    bit-reproducible profile of the float bilinear thumbnail stage,
+    one row per (image, cell), SQL-oracled from the hex bytes."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_pixels_fixture,
+                                            image_thumbs_pooled_batch)
+
+    path = ensure_image_pixels_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_thumbs_pooled_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return (out.sort_values(["image_id", "by", "bx"])
+            .reset_index(drop=True))
+
+
+SQL_IMAGE_THUMBS_POOLED = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht,
+         least(('0x' || substr(hex(bytes), 9, 8))::BIGINT,
+               ('0x' || substr(hex(bytes), 17, 8))::BIGINT) AS s
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_pixels.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(s * s) FROM raw) - 1)) AS i
+), cell AS (
+  SELECT r.image_id,
+         ((q.i // r.s) * 8 // r.s) AS by,
+         ((q.i % r.s) * 8 // r.s) AS bx,
+         299 * ('0x' || substr(r.hx, 2 * (12 + 3 * (
+             ((r.ht - r.s) // 2 + q.i // r.s) * r.w
+             + (r.w - r.s) // 2 + q.i % r.s)) + 1, 2))::BIGINT
+         + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * (
+             ((r.ht - r.s) // 2 + q.i // r.s) * r.w
+             + (r.w - r.s) // 2 + q.i % r.s)) + 1, 2))::BIGINT
+         + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * (
+             ((r.ht - r.s) // 2 + q.i // r.s) * r.w
+             + (r.w - r.s) // 2 + q.i % r.s)) + 1, 2))::BIGINT AS gm
+  FROM raw r JOIN series q ON q.i < r.s * r.s
+)
+SELECT image_id, by, bx, (sum(gm) // count(*))::BIGINT AS mean_milli
+FROM cell GROUP BY image_id, by, bx
+ORDER BY image_id, by, bx
+"""
 
 
 def q_image_transcode(sf_dir: str) -> pd.DataFrame:
@@ -2938,6 +3066,57 @@ WITH RECURSIVE raw AS (
          6::BIGINT AS depth, 3::BIGINT AS components,
          0::BIGINT AS progressive, 12::BIGINT AS header_bytes
   FROM raw WHERE substr(h, 1, 8) = '464A5047'
+), webp_raw AS (
+  -- RIFF....WEBP container; chunk tag at bytes 12-15, payload at 20
+  SELECT image_id, h, substr(h, 25, 8) AS tag
+  FROM raw WHERE substr(h, 1, 8) = '52494646'
+        AND substr(h, 17, 8) = '57454250'
+), webp AS (
+  SELECT image_id, 'webp' AS fmt_detected,
+         CASE tag
+           WHEN '56503820' THEN      -- 'VP8 ': 14-bit LE dims at 26/28
+             (('0x' || substr(h, 53, 2))::BIGINT
+              + 256 * ('0x' || substr(h, 55, 2))::BIGINT) % 16384
+           WHEN '5650384C' THEN      -- 'VP8L': packed LE word at 21
+             (('0x' || substr(h, 43, 2))::BIGINT
+              + 256 * ('0x' || substr(h, 45, 2))::BIGINT
+              + 65536 * ('0x' || substr(h, 47, 2))::BIGINT
+              + 16777216 * ('0x' || substr(h, 49, 2))::BIGINT) % 16384 + 1
+           ELSE                      -- 'VP8X': 24-bit LE canvas-1 at 24
+             ('0x' || substr(h, 49, 2))::BIGINT
+              + 256 * ('0x' || substr(h, 51, 2))::BIGINT
+              + 65536 * ('0x' || substr(h, 53, 2))::BIGINT + 1
+         END AS width,
+         CASE tag
+           WHEN '56503820' THEN
+             (('0x' || substr(h, 57, 2))::BIGINT
+              + 256 * ('0x' || substr(h, 59, 2))::BIGINT) % 16384
+           WHEN '5650384C' THEN
+             ((('0x' || substr(h, 43, 2))::BIGINT
+               + 256 * ('0x' || substr(h, 45, 2))::BIGINT
+               + 65536 * ('0x' || substr(h, 47, 2))::BIGINT
+               + 16777216 * ('0x' || substr(h, 49, 2))::BIGINT)
+              // 16384) % 16384 + 1
+           ELSE
+             ('0x' || substr(h, 55, 2))::BIGINT
+              + 256 * ('0x' || substr(h, 57, 2))::BIGINT
+              + 65536 * ('0x' || substr(h, 59, 2))::BIGINT + 1
+         END AS height,
+         8::BIGINT AS depth,
+         CASE tag
+           WHEN '56503820' THEN 3
+           WHEN '5650384C' THEN CASE WHEN
+             ((('0x' || substr(h, 43, 2))::BIGINT
+               + 256 * ('0x' || substr(h, 45, 2))::BIGINT
+               + 65536 * ('0x' || substr(h, 47, 2))::BIGINT
+               + 16777216 * ('0x' || substr(h, 49, 2))::BIGINT)
+              // 268435456) % 2 = 1 THEN 4 ELSE 3 END
+           ELSE CASE WHEN (('0x' || substr(h, 41, 2))::BIGINT // 16) % 2 = 1
+                THEN 4 ELSE 3 END
+         END AS components,
+         0::BIGINT AS progressive,
+         CASE tag WHEN '5650384C' THEN 25 ELSE 30 END AS header_bytes
+  FROM webp_raw
 ), jwalk AS (
   SELECT image_id, h, 2::BIGINT AS o,
          -1::BIGINT AS width, -1::BIGINT AS height, -1::BIGINT AS depth,
@@ -2970,6 +3149,7 @@ WITH RECURSIVE raw AS (
   FROM jwalk WHERE done
 )
 SELECT * FROM png UNION ALL SELECT * FROM fjpg UNION ALL
+SELECT * FROM webp UNION ALL
 SELECT * FROM jpeg ORDER BY image_id
 """
 
@@ -3296,6 +3476,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "revenue_rollup": q_revenue_rollup,
     "revenue_cube": q_revenue_cube,
     "json_extract": q_json_extract,
+    "image_quality_gate": q_image_quality_gate,
+    "image_thumbs_pooled": q_image_thumbs_pooled,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3364,6 +3546,9 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
     "image_metadata": SQL_IMAGE_METADATA,
+    "image_dedup": SQL_IMAGE_DEDUP,
+    "image_quality_gate": SQL_IMAGE_QUALITY_GATE,
+    "image_thumbs_pooled": SQL_IMAGE_THUMBS_POOLED,
     "audio_metadata": SQL_AUDIO_METADATA,
     "video_metadata": SQL_VIDEO_METADATA,
     "json_extract": SQL_JSON_EXTRACT,

@@ -391,6 +391,14 @@ def ensure_image_meta_fixture(path: str = META_FIXTURE) -> str:
         if i % 4 == 0:
             rows["image_id"].append(f"img-{i:02d}-prog")
             rows["bytes"].append(jpeg_encode_progressive(pix, quality=88))
+        if i % 4 == 1:
+            # WebP trio (real container headers over stub payloads —
+            # the metadata family is header-only by design): lossy
+            # VP8, lossless VP8L w/ alpha, extended VP8X canvas
+            flavor, alpha = (("vp8", False), ("vp8l", True),
+                             ("vp8x", i % 8 == 5))[(i // 4) % 3]
+            rows["image_id"].append(f"img-{i:02d}-webp")
+            rows["bytes"].append(img.make_webp(ww, hh, flavor, alpha))
     table = pa.Table.from_pydict(
         rows, schema=pa.schema([("image_id", pa.string()),
                                 ("bytes", pa.binary())]))
@@ -423,6 +431,150 @@ def image_meta_batch(batch: "pa.Table") -> "pa.Table":
                   "components", "progressive", "header_bytes"):
             out[k].append(m[k])
     return pa.Table.from_pydict(out)
+
+
+PIXELS_FIXTURE = "/tmp/darc_ray_fixtures/image_pixels.parquet"
+
+
+def ensure_image_pixels_fixture(path: str = PIXELS_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus (uncompressed ``RAWI`` containers
+    — the BMP-class payload) with planted near-dup (``-dup``, ±1 pixel
+    noise) and quality-fail (``-bad``: near-solid / tiny / extreme-
+    aspect) rows, plus the stored 64-bit phash column.  Fixed path +
+    atomic write + sf-independence, same contract as
+    ``ensure_image_meta_fixture``: the DuckDB oracles for the
+    quality-gate and pooled-thumbnail families re-derive their integer
+    kernels from these BYTES via hex arithmetic, which is why the
+    payload is uncompressed."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": [], "w": [], "h": [], "phash": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(pix))
+        rows["w"].append(pix.shape[1])
+        rows["h"].append(pix.shape[0])
+        rows["phash"].append(img.phash64(pix))
+
+    for i in range(32):
+        rng = np.random.default_rng(8200 + i)
+        hh, ww = int(rng.integers(24, 56)), int(rng.integers(24, 56))
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        base = 128 + 80 * np.sin(2 * np.pi * (xx + 2 * i) / ww)
+        pix = np.clip(base[..., None] + rng.integers(-10, 11, (hh, ww, 3)),
+                      0, 255).astype(np.uint8)
+        add(f"pix-{i:02d}", pix)
+        if i % 5 == 0:
+            noisy = np.clip(pix.astype(np.int16)
+                            + rng.integers(-1, 2, pix.shape),
+                            0, 255).astype(np.uint8)
+            add(f"pix-{i:02d}-dup", noisy)
+        if i % 7 == 0:
+            kind = i // 7 % 3
+            if kind == 0:       # near-solid
+                bad = np.full((40, 40, 3), int(rng.integers(60, 200)),
+                              np.uint8)
+            elif kind == 1:     # tiny
+                bad = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+            else:               # extreme aspect
+                bad = rng.integers(0, 256, (10, 64, 3)).astype(np.uint8)
+            add(f"pix-{i:02d}-bad", bad)
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary()),
+                                ("w", pa.int32()), ("h", pa.int32()),
+                                ("phash", pa.int64())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_quality_gate_batch(batch: "pa.Table") -> "pa.Table":
+    """INTEGER quality gate over raw-pixel payloads — the bit-
+    reproducible twin of ``ImageQualityStage`` (which keeps the float
+    LAION-style stats): BT.601 luma in milli-units (299r+587g+114b),
+    brightness = Σ//n, contrast as the exact integer variance
+    (n·Σg²−(Σg)²)//n², saturation = channel-spread mean.  Every
+    operation is integer floor-division on non-negative values, so the
+    DuckDB hex-walk oracle reproduces it bit-for-bit."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "brightness_milli", "contrast_var",
+        "saturation_milli", "keep")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        n = h * w
+        gm = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        s1, s2 = int(gm.sum()), int((gm * gm).sum())
+        spread = int((pix.max(axis=-1) - pix.min(axis=-1)).sum())
+        brightness = s1 // n
+        contrast_var = (n * s2 - s1 * s1) // (n * n)
+        saturation = spread * 1000 // n
+        keep = int(30_000 <= brightness <= 225_000
+                   and contrast_var >= 25_000_000
+                   and min(h, w) >= 12 and max(h, w) * 10 <= min(h, w) * 30)
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["brightness_milli"].append(brightness)
+        out["contrast_var"].append(contrast_var)
+        out["saturation_milli"].append(saturation)
+        out["keep"].append(keep)
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string()),
+                               ("width", pa.int64()), ("height", pa.int64()),
+                               ("brightness_milli", pa.int64()),
+                               ("contrast_var", pa.int64()),
+                               ("saturation_milli", pa.int64()),
+                               ("keep", pa.int64())]))
+
+
+def image_thumbs_pooled_batch(batch: "pa.Table") -> "pa.Table":
+    """INTEGER 8×8 pooled thumbnail over raw-pixel payloads: center-
+    crop to the inscribed square (side s = min(h, w)), assign each
+    crop pixel to cell (y·8//s, x·8//s), then per-cell mean of the
+    milli-luma as exact integer floor division — one output row per
+    (image, cell).  The SQL oracle re-derives the same 64 cells from
+    the hex bytes; the float bilinear thumbnail stage
+    (``ImageTransformStage``) stays the production path."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {"image_id": [], "by": [], "bx": [],
+                            "mean_milli": []}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        s = min(h, w)
+        y0, x0 = (h - s) // 2, (w - s) // 2
+        crop = pix[y0:y0 + s, x0:x0 + s]
+        gm = 299 * crop[..., 0] + 587 * crop[..., 1] + 114 * crop[..., 2]
+        idx = np.arange(s) * 8 // s
+        sums = np.zeros((8, 8), dtype=np.int64)
+        cnts = np.zeros((8, 8), dtype=np.int64)
+        np.add.at(sums, (idx[:, None].repeat(s, 1), idx[None, :].repeat(s, 0)), gm)
+        np.add.at(cnts, (idx[:, None].repeat(s, 1), idx[None, :].repeat(s, 0)), 1)
+        mean = sums // cnts
+        for by in range(8):
+            for bx in range(8):
+                out["image_id"].append(iid)
+                out["by"].append(by)
+                out["bx"].append(bx)
+                out["mean_milli"].append(int(mean[by, bx]))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string()),
+                               ("by", pa.int64()), ("bx", pa.int64()),
+                               ("mean_milli", pa.int64())]))
 
 
 AUDIO_META_FIXTURE = "/tmp/darc_ray_fixtures/audio_meta.parquet"

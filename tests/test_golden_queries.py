@@ -33,7 +33,9 @@ GOLDEN = {
     "image_features": (64, "4a47f3205b086d9f"),
     "image_thumbnails": (87, "d310a80ede681502"),
     "image_quality": (87, "6f7dfa974c3db7e6"),
-    "image_dedup": (14, "0385f1d36ecc6069"),
+    # r4: image_dedup retargeted to the fixed RAW-pixel fixture (now
+    # also SQL-oracled via brute-force hamming); re-pinned
+    "image_dedup": (7, "4c2c69df4ae0e34c"),
     "image_transcode": (65, "3313f1613d71026c"),
     "audio_features": (64, "b6e745d9e0642b05"),
     "video_frames": (147, "52ad18452ef4e65d"),

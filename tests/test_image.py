@@ -271,3 +271,35 @@ def test_image_meta_header_scan():
             jpeg_info(bad)
     with pytest.raises(ValueError):
         image_meta(b"GIF89a not supported")
+
+
+def test_webp_header_parsing_all_flavors():
+    """WebP container headers (VP8 lossy / VP8L lossless / VP8X
+    extended) parse header-only with correct dimension decoding,
+    alpha-driven component counts, and fixed header_bytes."""
+    from darc_ray.functions.image import image_meta, make_webp
+
+    m = image_meta(make_webp(320, 198, "vp8"))
+    assert m == {"fmt_detected": "webp", "width": 320, "height": 198,
+                 "depth": 8, "components": 3, "progressive": 0,
+                 "header_bytes": 30}
+    m = image_meta(make_webp(1, 16383, "vp8l", alpha=True))
+    assert (m["width"], m["height"], m["components"]) == (1, 16383, 4)
+    assert m["header_bytes"] == 25
+    m = image_meta(make_webp(70000, 3, "vp8x"))
+    assert (m["width"], m["height"], m["components"]) == (70000, 3, 3)
+    m = image_meta(make_webp(12, 13, "vp8x", alpha=True))
+    assert m["components"] == 4
+
+
+def test_raw_container_roundtrip_and_meta():
+    import numpy as np
+
+    from darc_ray.functions.image import image_meta, raw_decode, raw_encode
+
+    rng = np.random.default_rng(0)
+    pix = rng.integers(0, 256, (9, 14, 3)).astype(np.uint8)
+    data = raw_encode(pix)
+    assert (raw_decode(data) == pix).all()
+    m = image_meta(data)
+    assert (m["fmt_detected"], m["width"], m["height"]) == ("raw", 14, 9)
