@@ -178,6 +178,7 @@ def run_sustained(num_cpus: int) -> dict:
         for k, v in m.items():
             if k.startswith("t_"):
                 stage[k] = stage.get(k, 0.0) + v
+    eng._finish_pending_commit()         # charge the last round's checkpoint
     sec = time.perf_counter() - t0
     eng.shutdown()
     shutil.rmtree(out, ignore_errors=True)

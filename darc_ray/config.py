@@ -78,6 +78,13 @@ class CrawlConfig:
     snapshot_every: int = 20     # full frontier snapshot cadence (rounds);
                                  # deltas are written every round
 
+    # --- round pipelining: overlap next round's frontier pop with this
+    # round's fetch (optimistic, auto-invalidated on ANY frontier
+    # mutation — exact fallback) and this round's checkpoint writes
+    # with the next round's compute (manifest lands only after its
+    # writes are durable, so resume semantics are unchanged)
+    overlap_rounds: bool = True
+
     def fingerprint(self) -> str:
         """Stable hash of the config for checkpoint lineage manifests."""
         payload = json.dumps(asdict(self), sort_keys=True).encode()

@@ -118,6 +118,15 @@ class CrawlEngine:
         self._last_pool: dict[str, list] = {c: [] for c in POOL_COLS}
         self._last_render_pool: dict[str, list] = {c: [] for c in POOL_COLS}
         self._stop_requested = False
+        # round-pipelining state: in-flight speculative pop for round
+        # t+1 (fired against post-lease state, valid only if the rest
+        # of round t mutates nothing) and the previous round's commit
+        # futures (finished just before the next commit, or at
+        # run()/shutdown())
+        # (key, per-shard pop futures, requeue fixes, drop fixes, prev_now)
+        self._spec: tuple[tuple, list, list, list, float] | None = None
+        self._spec_valid = False
+        self._pending_commit: tuple | None = None
 
     # ------------------------------------------------------------------
     def request_stop(self) -> None:
@@ -134,6 +143,7 @@ class CrawlEngine:
         handle GC)."""
         import ray
 
+        self._finish_pending_commit()
         for a in self.frontier + self.hosts + self.render_frontier:
             ray.kill(a, no_restart=True)
         self.frontier = []
@@ -155,6 +165,7 @@ class CrawlEngine:
         """Seed links enqueue with score=0, nx (darc/__main__.py:160-161)."""
         import ray
 
+        self._spec_valid = False           # out-of-round frontier mutation
         cols = parse_batch(urls)
         hashes = sha256_hex(urls)
         shards = shard_of(hashes, self.cfg.seen_shards)
@@ -212,6 +223,7 @@ class CrawlEngine:
                     break
         self.next_round = t
         totals["rounds"] = t - start       # rounds executed in THIS call
+        self._finish_pending_commit()      # all manifests durable on return
         return totals
 
     # ------------------------------------------------------------------
@@ -243,8 +255,33 @@ class CrawlEngine:
             shutil.rmtree(round_dir)       # leftover from a crashed round
         os.makedirs(round_dir, exist_ok=True)
 
-        # ---- 1. pop: per-shard top-k, merge, global (score, url_hash) order
-        pops = ray.get([s.pop_candidates.remote(now, ttl, budget) for s in self.frontier])
+        # ---- 1. pop: per-shard top-k, merge, global (score, url_hash) order.
+        # A valid speculative pop (fired mid-round t-1 against post-lease
+        # state — see step 4b) is the same RPC result, already computed
+        # while the fetch stage ran.  The mutations round t-1 made AFTER
+        # the speculation are exactly known, so they are applied as
+        # driver-side corrections instead of discarding the pop: flush
+        # upserts are patched/appended from the rows the shards shipped
+        # back, requeued hashes get score=now_{t-1}, dropped hashes are
+        # removed, then rows re-filter against this round's eligibility
+        # horizon.  Any correction the driver cannot prove exact (a
+        # budget-truncated shard pop losing or up-scoring an original
+        # row, an over-cap flush, a CHECK-rewritten requeue) falls back
+        # to a fresh pop — see _correct_spec_pops for the proofs.
+        pops = None
+        if self._spec is not None:
+            spec_key, spec_futures, flush_fix, req_fix, drop_fix, prev_now = self._spec
+            self._spec = None
+            if self._spec_valid and spec_key == (t, now, ttl, budget):
+                cand = ray.get(spec_futures)
+                pops = self._correct_spec_pops(cand, flush_fix, req_fix,
+                                               drop_fix, prev_now, now, ttl,
+                                               budget)
+                if pops is not None:
+                    metrics["spec_pop"] = 1
+        if pops is None:
+            pops = ray.get([s.pop_candidates.remote(now, ttl, budget)
+                            for s in self.frontier])
         merged = _merge_pops(pops, budget)
         n_pop = len(merged["url_hash"])
         metrics["popped"] = n_pop
@@ -300,6 +337,23 @@ class CrawlEngine:
             if boot_cand is not None:
                 metrics["boot_candidates"] = boot_cand.num_rows
         _mark(metrics, "t_bootstrap")
+
+        # ---- 4b. speculative pop for round t+1, overlapped with the
+        # fetch stage: every score mutation of round t so far (lease,
+        # CHECK rewrites) has been issued, and actor mailbox ordering
+        # makes the pop observe exactly that state.  pop_candidates is
+        # read-only, so a wasted speculation costs nothing; step 7
+        # invalidates it if the round's tail mutates any frontier state
+        # (candidate inserts/replacements, requeues, drops).  The
+        # render/dual-queue lifecycle mutates the requests frontier
+        # after step 7, so speculation is gated off there.
+        if cfg.overlap_rounds and not self.render_frontier:
+            now_next = self.now_at(t + 1)
+            self._spec = ((t + 1, now_next, ttl, budget),
+                          [s.pop_candidates.remote(now_next, ttl, budget)
+                           for s in self.frontier],
+                          None, [], [], now)   # fixes filled in at step 7
+            self._spec_valid = True
 
         req_hashes: list[str] = []
         drop_hashes: list[str] = []
@@ -389,11 +443,17 @@ class CrawlEngine:
             ray.get(futures)
 
         # ---- 7. round-end frontier effects, deterministic order:
-        # candidate flush (nx then replace) -> requeues -> drops
-        metrics["enqueued"] = sum(ray.get(
-            [s.flush_candidates.remote(now) for s in self.frontier]))
+        # candidate flush (nx then replace) -> requeues -> drops.
+        # When a speculative pop is in flight, each shard ships back its
+        # applied flush rows (capped at budget) so the driver can patch
+        # them in; requeues/drops are recorded as per-hash corrections.
+        spec_live = self._spec is not None and self._spec_valid
+        rows_cap = budget if spec_live else 0
+        flush_res = ray.get([s.flush_candidates.remote(now, rows_cap)
+                             for s in self.frontier])
+        metrics["enqueued"] = sum(r["added"] for r in flush_res)
         if self.render_frontier:
-            metrics["promoted"] = sum(ray.get(
+            metrics["promoted"] = sum(r["added"] for r in ray.get(
                 [s.flush_candidates.remote(now) for s in self.render_frontier]))
         if req_hashes:
             self._scatter_scores(req_hashes, now)
@@ -401,6 +461,14 @@ class CrawlEngine:
         if drop_hashes:
             self._scatter_drops(drop_hashes)
         metrics["dropped"] = len(drop_hashes)
+        if spec_live:
+            flush_fix = [r["rows"] for r in flush_res]
+            if any(r is None for r in flush_fix):
+                self._spec_valid = False   # over-cap flush: re-pop at t+1
+            else:
+                key, spec_futures, _, _, _, prev_now = self._spec
+                self._spec = (key, spec_futures, flush_fix,
+                              list(req_hashes), list(drop_hashes), prev_now)
         _mark(metrics, "t_flush")
 
         # ---- 8b. render phase (loader worker, crawl.py:254-354): runs
@@ -501,7 +569,7 @@ class CrawlEngine:
         drops = sorted({r["url_hash"] for r in summary if r["kind"] == "drop"})
 
         # render-extracted links -> requests frontier (score=0 nx, crawl.py:349)
-        metrics["enqueued"] = sum(ray.get(
+        metrics["enqueued"] = sum(r["added"] for r in ray.get(
             [s.flush_candidates.remote(now) for s in self.frontier]))
         if req:
             self._scatter_scores_on(self.render_frontier, req, now)
@@ -753,10 +821,122 @@ class CrawlEngine:
                 futures.append(self.frontier[s].drop.remote(arr[idx].tolist()))
         ray.get(futures)
 
+    def _correct_spec_pops(self, cand: list[dict[str, list]],
+                           flush_fix: list[dict[str, list]] | None,
+                           req_fix: list[str], drop_fix: list[str],
+                           prev_now: float, now: float, ttl: float,
+                           budget: int) -> list[dict[str, list]] | None:
+        """Patch the speculative per-shard pops (computed mid-round t-1,
+        before that round's flush/requeues/drops landed) into exactly
+        what a fresh pop would return now, or ``None`` when exactness
+        cannot be proven (caller falls back to a fresh pop).
+
+        Let E be a shard's eligible set at speculation time and P its
+        pop (the |P| = min(|E|, budget) smallest rows by (score, hash)).
+        The corrections, applied in the round's own mutation order
+        (flush upserts → requeues → drops → eligibility re-filter):
+
+        * APPENDING a row (flush insert, re-insert of a dropped hash,
+          eligible requeue missing from P) only moves the per-shard
+          cutoff down, so rows outside P stay outside: top(P ∪ adds) is
+          exact even when P was truncated.
+        * LOWERING a score of a row in P (requeue: leased prev_now+ttl
+          → prev_now) keeps the top set unchanged — every excluded row
+          still sorts at/after P's non-increasing maximum.
+        * REMOVING or RAISING an original row of a TRUNCATED P (drop,
+          replace-mode score bump, re-filter) can admit the unseen
+          (k+1)-th row → ``None``.  On an untruncated P (|P| = |E|)
+          the same edits are exact — there is nothing unseen.
+        * A requeued hash absent from P while eligible re-enters from
+          the round's own pool attrs; if the pool no longer carries it
+          (CHECK rewrite renamed the hash) → ``None``.
+
+        Per-shard output order is irrelevant — the global
+        (score, url_hash) merge + budget cap in :func:`_merge_pops`
+        runs downstream, identical to the fresh-pop path."""
+        if flush_fix is None:
+            return None
+        if not req_fix and not drop_fix and not any(
+                f["url_hash"] for f in flush_fix):
+            return cand
+        S = self.cfg.seen_shards
+        req_by: dict[int, list[str]] = {}
+        for hh, s in zip(req_fix, shard_of(req_fix, S)):
+            req_by.setdefault(int(s), []).append(hh)
+        drop_by: dict[int, list[str]] = {}
+        for hh, s in zip(drop_fix, shard_of(drop_fix, S)):
+            drop_by.setdefault(int(s), []).append(hh)
+        max_score = now - ttl
+        req_eligible = prev_now <= max_score
+        pool_pos: dict[str, int] | None = None     # round-t pool, lazy
+        out: list[dict[str, list]] = []
+        for s, p in enumerate(cand):
+            fl = flush_fix[s]
+            reqs = req_by.get(s, [])
+            drops = drop_by.get(s, [])
+            n_fl = len(fl["url_hash"])
+            if not n_fl and not reqs and not drops:
+                out.append(p)
+                continue
+            q = {c: list(p[c]) for c in POOL_COLS}
+            pos = {hh: i for i, hh in enumerate(q["url_hash"])}
+            orig_len = len(p["url_hash"])
+            truncated = orig_len >= budget
+            # 1) flush upserts, in delta order (later op wins)
+            for i in range(n_fl):
+                hh = fl["url_hash"][i]
+                j = pos.get(hh)
+                if j is None:
+                    pos[hh] = len(q["url_hash"])
+                    for c in POOL_COLS:
+                        q[c].append(fl[c][i])
+                else:
+                    if truncated and j < orig_len and fl["score"][i] > q["score"][j]:
+                        return None    # raised original row of a full pop
+                    for c in POOL_COLS:
+                        if c != "url_hash":
+                            q[c][j] = fl[c][i]
+            # 2) requeues → score = prev_now (lease released)
+            for hh in reqs:
+                j = pos.get(hh)
+                if j is not None:
+                    q["score"][j] = prev_now
+                elif req_eligible:
+                    if pool_pos is None:
+                        pool_pos = {h: i for i, h in
+                                    enumerate(self._last_pool["url_hash"])}
+                    pj = pool_pos.get(hh)
+                    if pj is None:
+                        return None    # CHECK-rewritten; attrs not at hand
+                    pos[hh] = len(q["url_hash"])
+                    for c in POOL_COLS:
+                        q[c].append(prev_now if c == "score"
+                                    else self._last_pool[c][pj])
+            # 3) drops + 4) eligibility re-filter, one keep pass
+            drop_idx = {pos[hh] for hh in drops if hh in pos}
+            keep = [i for i in range(len(q["url_hash"]))
+                    if i not in drop_idx and q["score"][i] <= max_score]
+            removed = len(q["url_hash"]) - len(keep)
+            if removed:
+                if truncated and any(i in drop_idx or q["score"][i] > max_score
+                                     for i in range(orig_len)):
+                    return None        # original row left a full pop
+                q = {c: [q[c][i] for i in keep] for c in POOL_COLS}
+            out.append(q)
+        return out
+
     # ------------------------------------------------------------------
     def _commit(self, t: int, now: float, round_dir: str, metrics: dict[str, int]) -> None:
-        import ray
-
+        """Fire round ``t``'s checkpoint writes (actor-side delta
+        drains + host snapshots) without blocking; the previous round's
+        in-flight commit is finished first, so at most one commit is
+        outstanding and its writes overlap the NEXT round's compute.
+        The manifest is only written once the writes are durable
+        (:meth:`_finish_pending_commit`), preserving resume semantics:
+        a crash mid-commit re-runs the round, deterministically.
+        Per-round delta attribution is safe because the drain RPCs are
+        enqueued before any round-(t+1) actor message (mailbox order)."""
+        self._finish_pending_commit()
         os.makedirs(os.path.join(round_dir, "frontier_delta"), exist_ok=True)
         os.makedirs(os.path.join(round_dir, "host_state"), exist_ok=True)
         futures = [s.drain_delta_to.remote(
@@ -782,6 +962,17 @@ class CrawlEngine:
                 futures += [s.snapshot_to.remote(
                     os.path.join(round_dir, "render_snapshot", f"shard_{i}"))
                     for i, s in enumerate(self.render_frontier)]
+        self._pending_commit = (futures, t, now, dict(metrics), snapshot)
+        if not self.cfg.overlap_rounds:
+            self._finish_pending_commit()
+
+    def _finish_pending_commit(self) -> None:
+        import ray
+
+        if self._pending_commit is None:
+            return
+        futures, t, now, metrics, snapshot = self._pending_commit
+        self._pending_commit = None
         ray.get(futures)
         manifest = {
             "round": t, "now": now, "metrics": metrics, "complete": True,

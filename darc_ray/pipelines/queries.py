@@ -3439,13 +3439,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_metadata": q_image_metadata,
     "audio_metadata": q_audio_metadata,
     "video_metadata": q_video_metadata,
-    "hash_sample": q_hash_sample,
+    "image_quality_gate": q_image_quality_gate,
+    "image_thumbs_pooled": q_image_thumbs_pooled,
+    "image_dedup": q_image_dedup,
     "customer_nation_revenue": q_customer_nation_revenue,
     "shuffle_join": q_shuffle_join,
     "asof_partitioned": q_asof_partitioned,
     "range_join": q_range_join,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample": q_weighted_sample,
     "sessionize": q_sessionize,
     "group_topk": q_group_topk,
     "quantiles_sketch": q_quantiles_sketch,
@@ -3476,15 +3476,15 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "revenue_rollup": q_revenue_rollup,
     "revenue_cube": q_revenue_cube,
     "json_extract": q_json_extract,
-    "image_quality_gate": q_image_quality_gate,
-    "image_thumbs_pooled": q_image_thumbs_pooled,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "image_features": q_image_features,
     "image_thumbnails": q_image_thumbnails,
     "image_quality": q_image_quality,
-    "image_dedup": q_image_dedup,
     "image_transcode": q_image_transcode,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,

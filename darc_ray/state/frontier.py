@@ -270,11 +270,21 @@ class FrontierShard:
                 self._pending[key] = row
         return len(hashes)
 
-    def flush_candidates(self, now: float) -> int:
+    def flush_candidates(self, now: float, rows_cap: int = 0) -> dict[str, Any]:
         """Apply the round's buffered candidates: fresh discoveries as
         ``score=0, nx`` (crawl.py:225), sitemap/hosts.txt rows as
         ``score=now`` replace (null.py:332).  nx first, replace second —
-        the combined outcome is order-independent (tested)."""
+        the combined outcome is order-independent (tested).
+
+        Returns ``{"added", "mutated", "rows"}``: ``added`` counts
+        new-hash inserts, ``mutated`` EVERY delta-log append (inserts,
+        re-inserts of dropped hashes, replace-mode score updates).
+        With ``rows_cap > 0`` and ``mutated <= rows_cap``, ``rows``
+        carries the applied upserts (full attrs + score, delta order) —
+        the engine patches them into its speculative next-round pop
+        instead of discarding it; ``rows=None`` signals "not requested
+        or too many to ship" (the engine then re-pops exactly)."""
+        d0 = len(self._delta)
         added = 0
         by_mode: dict[str, list[tuple[str, list[Any]]]] = {"zero_nx": [], "now_replace": []}
         for (hh, mode), row in self._pending.items():
@@ -295,7 +305,20 @@ class FrontierShard:
                 "depth": [r[7] for _, r in items],
             }
             added += self.upsert(batch, score, nx=nx)
-        return added
+        new_ops = self._delta[d0:]
+        res: dict[str, Any] = {"added": added, "mutated": len(new_ops)}
+        if rows_cap > 0 and len(new_ops) <= rows_cap:
+            # flush only emits full-row "u" ops (nx insert / replace)
+            rows: dict[str, list] = {"url_hash": []}
+            rows.update({name: [] for name in _ATTRS})
+            for _op, hh, row in new_ops:
+                rows["url_hash"].append(hh)
+                for name, val in zip(_ATTRS, row):
+                    rows[name].append(val)
+            res["rows"] = rows
+        else:
+            res["rows"] = None
+        return res
 
     def set_scores(self, url_hashes: list[str], score: float) -> None:
         """Lease (score=now+ttl) or requeue (score=now) taken rows.

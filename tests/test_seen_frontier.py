@@ -120,8 +120,9 @@ def test_flush_modes_nx_then_replace():
     ba = _batch(["http://a/", "http://b/"])
     ba["mode"] = ["zero_nx", "now_replace"]
     s.buffer_candidates(ba)
-    added = s.flush_candidates(now=9.0)
-    assert added == 1                                 # only b is new
+    res = s.flush_candidates(now=9.0)
+    assert res["added"] == 1                          # only b is new
+    assert res["mutated"] == 1                        # only b's insert mutates
     assert s.rows[ba["url_hash"][0]][6] == 1.0        # nx kept existing score
     assert s.rows[ba["url_hash"][1]][6] == 9.0        # replace → now
 
