@@ -44,6 +44,8 @@ def _ensure_fixture_files() -> None:
     compare Ray and SQL over deterministic fixed-path parquet fixtures
     under /tmp; (re)write them here so the oracle side works no matter
     which side the driver runs first, or whether /tmp was cleared."""
+    from darc_ray.functions.text import (ensure_lines_fixture,
+                                         ensure_pii_fixture)
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
                                             ensure_image_meta_fixture,
                                             ensure_image_pixels_fixture,
@@ -53,6 +55,8 @@ def _ensure_fixture_files() -> None:
     ensure_image_pixels_fixture()
     ensure_audio_meta_fixture()
     ensure_video_meta_fixture()
+    ensure_pii_fixture()
+    ensure_lines_fixture()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -95,3 +95,130 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
     if len(ws) < k:
         return {" ".join(ws)} if ws else set()
     return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing: emails / IPv4 / phone numbers)
+# ---------------------------------------------------------------------------
+# ASCII-only patterns chosen so Python `re` and DuckDB's RE2 agree
+# exactly (same leftmost non-overlapping matches, same greedy classes);
+# counts are taken over the ORIGINAL text, then the three redactions
+# apply sequentially (email -> ipv4 -> phone), so the definition is
+# order-unambiguous on both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{2}-\d{3}-\d{4}"
+
+
+def pii_redact(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized PII scrub: per-doc match counts (int64, over the
+    original text) + the redacted text after the three sequential
+    replacements.  Stateless, batch-local — the 100 TB shape is a pure
+    map with zero shuffle."""
+    n_email = texts.str.count(PII_EMAIL_RE).astype("int64")
+    n_ipv4 = texts.str.count(PII_IPV4_RE).astype("int64")
+    n_phone = texts.str.count(PII_PHONE_RE).astype("int64")
+    red = (texts.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+                .str.replace(PII_IPV4_RE, "<IP>", regex=True)
+                .str.replace(PII_PHONE_RE, "<PHONE>", regex=True))
+    return pd.DataFrame({"n_email": n_email, "n_ipv4": n_ipv4,
+                         "n_phone": n_phone, "redacted": red})
+
+
+PII_FIXTURE = "/tmp/darc_ray_fixtures/text_pii.parquet"
+
+
+def ensure_pii_fixture(path: str = PII_FIXTURE) -> str:
+    """Deterministic PII corpus (the sf documents table is digit-free
+    word soup, so scrubbing needs planted positives): 400 docs of word
+    soup with seeded emails / dotted-quad IPs / +CC-XXX-XXXX phones —
+    some docs clean, some repeating the same address, counts 0-3 per
+    kind.  Fixed path + atomic write, sf-independent (same contract as
+    the image fixtures in stages/multimodal.py)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    vocab = ("alpha beta gamma delta sigma lambda tensor vector matrix "
+             "stream batch shard merge scan probe build spill flush").split()
+    docs = []
+    for d in range(400):
+        rng = np.random.default_rng(7300 + d)
+        words = list(rng.choice(vocab, size=int(rng.integers(12, 40))))
+        for _ in range(int(rng.integers(0, 3))):        # emails
+            w = f"user{int(rng.integers(1, 500))}@example{int(rng.integers(1, 9))}.com"
+            words.insert(int(rng.integers(0, len(words))), w)
+        for _ in range(int(rng.integers(0, 3))):        # IPv4s
+            w = ".".join(str(int(rng.integers(0, 256))) for _ in range(4))
+            words.insert(int(rng.integers(0, len(words))), w)
+        for _ in range(int(rng.integers(0, 3))):        # phones
+            w = (f"+{int(rng.integers(10, 100))}-{int(rng.integers(100, 1000))}"
+                 f"-{int(rng.integers(1000, 10000))}")
+            words.insert(int(rng.integers(0, len(words))), w)
+        docs.append(" ".join(words))
+    table = pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path
+
+
+LINES_FIXTURE = "/tmp/darc_ray_fixtures/text_lines.parquet"
+
+
+def ensure_lines_fixture(path: str = LINES_FIXTURE) -> str:
+    """Deterministic multi-line corpus for boilerplate-line removal
+    (the sf documents table is single-line): 300 docs of 6-18 lines;
+    ~90% of docs share a small set of header/footer/banner lines
+    (corpus-frequent = boilerplate), a few lines recur at mid frequency
+    (below threshold, must survive), the body lines are doc-unique.
+    Fixed path + atomic write, sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    boiler = ["accept all cookies to continue",
+              "copyright example corp all rights reserved",
+              "subscribe to our newsletter for updates",
+              "home products pricing about contact"]
+    midfreq = [f"promo banner variant {i}" for i in range(6)]   # ~15 docs each
+    vocab = ("quark lepton boson hadron meson photon gluon charm strange "
+             "truth beauty spin charge mass field flux decay orbit").split()
+    docs = []
+    for d in range(300):
+        rng = np.random.default_rng(6400 + d)
+        lines = []
+        if rng.random() < 0.9:
+            lines.append(boiler[int(rng.integers(0, 2))])       # header
+        if rng.random() < 0.05:
+            lines.append(midfreq[int(rng.integers(0, len(midfreq)))])
+        for _ in range(int(rng.integers(4, 14))):               # unique body
+            lines.append(" ".join(rng.choice(vocab,
+                                             size=int(rng.integers(5, 12))))
+                         + f" #{d}")
+        if rng.random() < 0.9:
+            lines.append(boiler[2 + int(rng.integers(0, 2))])   # footer
+        docs.append("\n".join(lines))
+    table = pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

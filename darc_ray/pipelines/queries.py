@@ -3394,6 +3394,128 @@ def q_crawl_artifacts(sf_dir: str) -> pd.DataFrame:
             .sort_values(["proxy", "src", "url"]).reset_index(drop=True))
 
 
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing (training-data hygiene): per-doc email / IPv4 /
+    phone match counts + the redacted text after three sequential
+    regex replacements.  Stateless vectorized map — the 100 TB shape
+    is a pure ``map_batches`` pass with zero shuffle and compiled
+    patterns reused across batches.  Runs over the fixed-path PII
+    fixture (``ensure_pii_fixture`` — the sf documents table is
+    digit-free word soup, so planted positives are required); the
+    DuckDB oracle re-derives counts with ``regexp_extract_all`` and
+    the exact redacted STRING with nested ``regexp_replace`` (ASCII
+    patterns chosen so Python re and RE2 agree exactly)."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import ensure_pii_fixture, pii_redact
+
+    path = ensure_pii_fixture()
+
+    def batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = pii_redact(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
+
+    out = (rd.read_parquet(path)
+           .map_batches(batch, batch_format="pandas", batch_size=128)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PII_REDACT = """
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))  AS n_ipv4,
+  len(regexp_extract_all(text, '\\+\\d{2}-\\d{3}-\\d{4}')) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+      '\\+\\d{2}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted
+FROM read_parquet('/tmp/darc_ray_fixtures/text_pii.parquet')
+ORDER BY doc_id
+"""
+
+
+BOILERPLATE_MIN_DF = 25          # corpus occurrences that make a line boilerplate
+BOILERPLATE_BROADCAST_CAP = 5_000_000   # max boilerplate lines shipped via ray.put
+
+
+def q_boilerplate_strip(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style boilerplate-line removal: pass 1 counts line
+    occurrences corpus-wide (per-batch partial counts — the combiner —
+    then ONE hash shuffle keyed by line, so no raw line stream ever
+    reaches the driver); lines with count ≥ BOILERPLATE_MIN_DF form the
+    boilerplate set, which is small BY CONSTRUCTION (≤ total_lines/min_df)
+    and broadcast once via ``ray.put``; pass 2 strips them per doc in a
+    stateless map.  A boilerplate set above BOILERPLATE_BROADCAST_CAP
+    raises loudly rather than silently degrading (the co-shuffle rung —
+    join docs×boilerplate on the line key, the ngram_jaccard pattern —
+    is the documented escape hatch above the cap).  Output per doc:
+    line count, removed count, kept characters (order-independent ints
+    — the DuckDB oracle is a plain unnest + join + group by)."""
+    import ray
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.text import ensure_lines_fixture
+
+    path = ensure_lines_fixture()
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["text"].str.split("\n").explode()
+        vc = ln.value_counts()
+        return pd.DataFrame({"ln": vc.index.astype(str), "n": vc.to_numpy()})
+
+    parts = (rd.read_parquet(path, columns=["text"])
+             .map_batches(count_partial, batch_format="pandas", batch_size=4096)
+             .repartition(num_blocks=8, keys=["ln"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def boiler_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("ln", as_index=False)["n"].sum()
+        return s[s["n"] >= BOILERPLATE_MIN_DF][["ln"]]
+
+    boiler = (parts.map_batches(boiler_of_partition, batch_format="pandas",
+                                batch_size=None).to_pandas()["ln"].to_numpy())
+    if len(boiler) > BOILERPLATE_BROADCAST_CAP:
+        raise RuntimeError(
+            f"boilerplate set {len(boiler)} exceeds broadcast cap "
+            f"{BOILERPLATE_BROADCAST_CAP}; use the co-shuffled line-join rung")
+    boiler_ref = ray.put(frozenset(boiler.tolist()))
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(boiler_ref)
+        lines = df["text"].str.split("\n")
+        n_lines = lines.map(len).astype("int64")
+        n_removed = lines.map(
+            lambda ls: sum(1 for x in ls if x in bset)).astype("int64")
+        kept_chars = lines.map(
+            lambda ls: sum(len(x) for x in ls if x not in bset)).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_lines": n_lines, "n_removed": n_removed,
+                             "kept_chars": kept_chars})
+
+    out = (rd.read_parquet(path)
+           .map_batches(strip, batch_format="pandas", batch_size=1024)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BOILERPLATE_STRIP = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_lines.parquet')
+), freq AS (
+  SELECT ln, count(*) AS cnt FROM lines GROUP BY ln
+)
+SELECT l.doc_id, count(*) AS n_lines,
+       sum(CASE WHEN f.cnt >= 25 THEN 1 ELSE 0 END) AS n_removed,
+       sum(CASE WHEN f.cnt < 25 THEN length(l.ln) ELSE 0 END) AS kept_chars
+FROM lines l JOIN freq f USING (ln)
+GROUP BY l.doc_id ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3442,10 +3564,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_quality_gate": q_image_quality_gate,
     "image_thumbs_pooled": q_image_thumbs_pooled,
     "image_dedup": q_image_dedup,
-    "customer_nation_revenue": q_customer_nation_revenue,
+    "pii_redact": q_pii_redact,
+    "boilerplate_strip": q_boilerplate_strip,
     "shuffle_join": q_shuffle_join,
     "asof_partitioned": q_asof_partitioned,
-    "range_join": q_range_join,
     "sessionize": q_sessionize,
     "group_topk": q_group_topk,
     "quantiles_sketch": q_quantiles_sketch,
@@ -3479,6 +3601,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
+    "customer_nation_revenue": q_customer_nation_revenue,
+    "range_join": q_range_join,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3549,6 +3673,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_dedup": SQL_IMAGE_DEDUP,
     "image_quality_gate": SQL_IMAGE_QUALITY_GATE,
     "image_thumbs_pooled": SQL_IMAGE_THUMBS_POOLED,
+    "pii_redact": SQL_PII_REDACT,
+    "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "audio_metadata": SQL_AUDIO_METADATA,
     "video_metadata": SQL_VIDEO_METADATA,
     "json_extract": SQL_JSON_EXTRACT,
