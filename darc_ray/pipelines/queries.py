@@ -3516,6 +3516,139 @@ GROUP BY l.doc_id ORDER BY doc_id
 """
 
 
+EPOCH_SHARDS = 8
+
+
+def q_epoch_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training-epoch shuffle: every doc gets a shard and
+    an in-shard position from an md5 hash of ``doc_id`` + epoch salt —
+    reproducible anywhere with no RNG state, unlike
+    ``Dataset.random_shuffle``.  Shape: stateless hash map → ONE hash
+    shuffle keyed by shard (each partition owns whole shards) →
+    per-partition vectorized rank.  Per-shard output order is the hash
+    order, so at 100 TB each shard writes straight to its own
+    partitioned-parquet directory in final reading order."""
+    import hashlib as _hl
+
+    from ray.data.context import ShuffleStrategy
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        hv = df["doc_id"].map(
+            lambda i: int(_hl.md5(f"{i}-e1".encode()).hexdigest()[:16], 16))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "hv": hv.to_numpy(np.uint64),
+                             "shard": (hv % EPOCH_SHARDS).to_numpy(np.int64)})
+
+    parts = (_read(sf_dir, "documents", ["doc_id"])
+             .map_batches(assign, batch_format="pandas", batch_size=65536)
+             .repartition(num_blocks=EPOCH_SHARDS, keys=["shard"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shard", "hv", "doc_id"], kind="mergesort")
+        pos = df.groupby("shard").cumcount().to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "shard": df["shard"].to_numpy(np.int64),
+                             "pos": pos})
+
+    out = (parts.map_batches(rank, batch_format="pandas", batch_size=None)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id, (hv % 8)::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1)::BIGINT AS pos
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-e1'), 1, 16))::UBIGINT AS hv
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+PACK_CHUNK_TOKENS = 2048
+PACK_BUCKETS = 16
+
+
+def q_sequence_pack(sf_dir: str) -> pd.DataFrame:
+    """GPT-style sequence packing (concat-then-chunk): documents
+    concatenate in doc_id order and split into fixed 2048-token context
+    windows, so each doc maps to a [start_chunk, end_chunk] span.  The
+    global token prefix-sum is the classic two-pass distributed scan:
+    pass 1 computes per-bucket token totals (buckets = contiguous
+    doc_id ranges), the driver prefix-sums the O(buckets) totals, pass
+    2 re-reads each bucket, local-cumsums and adds its bucket offset —
+    no driver structure scales with row count.  Whitespace tokens match
+    the token_counts family's convention."""
+    from ray.data.context import ShuffleStrategy
+
+    max_id = int(_read(sf_dir, "documents", ["doc_id"])
+                 .max("doc_id"))
+    span = max_id + 1
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        nt = df["text"].str.split().map(len).to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_tokens": nt,
+                             "bucket": ids * PACK_BUCKETS // span})
+
+    toks = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(tokens, batch_format="pandas", batch_size=65536))
+
+    # pass 1: O(buckets) totals -> driver prefix offsets
+    totals = (toks.groupby("bucket").sum("n_tokens").to_pandas()
+              .sort_values("bucket"))
+    offs = np.zeros(PACK_BUCKETS, dtype=np.int64)
+    for b, s in zip(totals["bucket"].to_numpy(np.int64),
+                    totals["sum(n_tokens)"].to_numpy(np.int64)):
+        offs[b] = s
+    offs = np.concatenate(([0], np.cumsum(offs)[:-1]))
+
+    # pass 2: each partition owns whole buckets; local cumsum + offset
+    parts = toks.repartition(num_blocks=PACK_BUCKETS, keys=["bucket"],
+                             sort=False)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    B = PACK_CHUNK_TOKENS
+
+    def chunk_span(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        nt = df["n_tokens"].to_numpy(np.int64)
+        # a partition may own several buckets: local cumsum per bucket,
+        # rebased on that bucket's global offset
+        bk = df["bucket"].to_numpy(np.int64)
+        before = np.empty(len(df), dtype=np.int64)
+        for b in np.unique(bk):
+            m = bk == b
+            ntb = nt[m]
+            before[m] = offs[b] + np.concatenate(([0], np.cumsum(ntb)[:-1]))
+        start = before // B
+        end = np.where(nt == 0, start, (before + nt - 1) // B)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_tokens": nt, "start_chunk": start,
+                             "end_chunk": end})
+
+    out = (parts.map_batches(chunk_span, batch_format="pandas",
+                             batch_size=None).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SEQUENCE_PACK = """
+SELECT doc_id, n_tokens,
+       (cum_before // 2048)::BIGINT AS start_chunk,
+       (CASE WHEN n_tokens = 0 THEN cum_before // 2048
+             ELSE (cum_before + n_tokens - 1) // 2048 END)::BIGINT AS end_chunk
+FROM (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents)
+) ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3603,6 +3736,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "weighted_sample": q_weighted_sample,
     "customer_nation_revenue": q_customer_nation_revenue,
     "range_join": q_range_join,
+    "epoch_shuffle": q_epoch_shuffle,
+    "sequence_pack": q_sequence_pack,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3675,6 +3810,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_thumbs_pooled": SQL_IMAGE_THUMBS_POOLED,
     "pii_redact": SQL_PII_REDACT,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "sequence_pack": SQL_SEQUENCE_PACK,
     "audio_metadata": SQL_AUDIO_METADATA,
     "video_metadata": SQL_VIDEO_METADATA,
     "json_extract": SQL_JSON_EXTRACT,
