@@ -2375,20 +2375,20 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
 def q_degree_hist(sf_dir: str) -> pd.DataFrame:
     """Degree distribution of the (l_orderkey → l_partkey) link graph
     — the graph-analytics profile run before choosing a partitioning
-    strategy (hubs = shuffle skew): distinct-edge combiner dedup → ONE
-    pair shuffle → per-partition partial out-degree counts → a SECOND
-    src-keyed hash shuffle where each partition owns all of a src's
-    partials (exact degrees, vectorized sum) → per-partition histogram
-    partials.  Only n_blocks × distinct-degree-values rows ever reach
-    the driver — independent of node count, unlike the round-3 flavor
-    that driver-combined partials at src cardinality.
+    strategy (hubs = shuffle skew): per-batch combiner dedup → ONE
+    src-keyed hash shuffle; a partition owning every row of a src
+    dedups that src's pairs AND counts its distinct dsts locally, so
+    pair-distinct + exact degrees + histogram partials all happen in
+    the same pass (stages/graph.py degree_histogram_raw).  Only
+    n_blocks × distinct-degree-values rows ever reach the driver —
+    independent of node count, unlike the round-3 flavor that
+    driver-combined partials at src cardinality.
     Output: (out_degree, n_srcs)."""
-    from darc_ray.stages.graph import dedup_edges, degree_histogram
+    from darc_ray.stages.graph import degree_histogram_raw
 
-    edges = dedup_edges(
+    return degree_histogram_raw(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
         "l_orderkey", "l_partkey", n_blocks=16)
-    return degree_histogram(edges, n_blocks=16)
 
 
 SQL_DEGREE_HIST = """

@@ -29,7 +29,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["dedup_edges", "out_degrees", "degree_histogram", "pagerank"]
+__all__ = ["dedup_edges", "out_degrees", "degree_histogram",
+           "degree_histogram_raw", "pagerank"]
 
 
 def _hash_parts(ds, keys: list[str], n_blocks: int):
@@ -86,6 +87,35 @@ def degree_histogram(edges, n_blocks: int = 16) -> pd.DataFrame:
                     .agg(n_srcs=("src", "size"))
                     .rename(columns={"d": "out_degree"})),
         batch_format="pandas", batch_size=None).to_pandas())
+    out = partials.groupby("out_degree", as_index=False)["n_srcs"].sum()
+    out["out_degree"] = out["out_degree"].astype("int64")
+    out["n_srcs"] = out["n_srcs"].astype("int64")
+    return out.sort_values("out_degree").reset_index(drop=True)
+
+
+def degree_histogram_raw(ds, src_col: str, dst_col: str,
+                         n_blocks: int = 16) -> pd.DataFrame:
+    """(out_degree, n_srcs) straight from a RAW (duplicated) edge
+    stream in ONE src-keyed shuffle: a partition that owns every row
+    of a src can dedup that src's pairs and count its distinct dsts
+    locally, so the separate pair-keyed distinct pass (and its whole
+    extra shuffle) is unnecessary.  Per-batch drop_duplicates is the
+    pre-shuffle combiner; only n_blocks × distinct-degree-values
+    partial rows reach the driver — independent of node count."""
+    combined = ds.map_batches(
+        lambda df: df.drop_duplicates(),
+        batch_format="pandas", batch_size=65536)
+    parts = _hash_parts(combined, [src_col], n_blocks)
+
+    def hist_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+        deg = (df.drop_duplicates()
+               .groupby(src_col, as_index=False).agg(d=(dst_col, "size")))
+        return (deg.groupby("d", as_index=False)
+                .agg(n_srcs=(src_col, "size"))
+                .rename(columns={"d": "out_degree"}))
+
+    partials = (parts.map_batches(hist_of_partition, batch_format="pandas",
+                                  batch_size=None).to_pandas())
     out = partials.groupby("out_degree", as_index=False)["n_srcs"].sum()
     out["out_degree"] = out["out_degree"].astype("int64")
     out["n_srcs"] = out["n_srcs"].astype("int64")
