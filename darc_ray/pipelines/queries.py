@@ -2506,6 +2506,95 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Canonical selection — the step AFTER near-dup clustering: every
+    document labeled with its cluster and the cluster's KEEPER, chosen
+    by quality (max ``n_chars``, ties to min ``doc_id``).  Composes the
+    suite end-to-end: simhash near-pairs → connected components (same
+    driver/distributed routing as ``dedup_clusters``) → per-batch
+    per-cluster argmax PARTIALS (combiner) → driver merge bounded by
+    CLUSTER cardinality (pair-graph-sized, ≪ corpus; the co-shuffled
+    keeper join is the documented rung above that) → broadcast keeper
+    map → one stateless assign pass.  Filtering to ``is_keeper = 1``
+    is the dedup'd corpus."""
+    import ray
+
+    from darc_ray.stages.dedup import (connected_components,
+                                       connected_components_distributed,
+                                       simhash_near_pairs)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_near_pairs(ds, max_hamming=3)
+    max_driver = int(os.environ.get(
+        "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
+    if len(pairs) > max_driver:
+        labels = connected_components_distributed(pairs)
+    else:
+        labels = connected_components(pairs)
+    lref = ray.put(labels)
+
+    def best_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lref)
+        ids = df["doc_id"]
+        cl = ids.map(m).fillna(ids).astype("int64")
+        part = pd.DataFrame({"cluster_id": cl,
+                             "n_chars": df["n_chars"].astype("int64"),
+                             "doc_id": ids.astype("int64")})
+        part = part.sort_values(["n_chars", "doc_id"],
+                                ascending=[False, True], kind="mergesort")
+        return part.groupby("cluster_id", as_index=False).first()
+
+    parts = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+             .map_batches(best_partial, batch_format="pandas",
+                          batch_size=65536).to_pandas())
+    parts = parts.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+    best = parts.groupby("cluster_id", as_index=False).first()
+    kref = ray.put(dict(zip(best["cluster_id"], best["doc_id"])))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lref)
+        k = ray.get(kref)
+        ids = df["doc_id"]
+        cl = ids.map(m).fillna(ids).astype("int64")
+        kp = cl.map(k).astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids.astype("int64"), "cluster_id": cl,
+            "keeper_id": kp,
+            "is_keeper": (ids.to_numpy() == kp.to_numpy()).astype("int64")})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(assign, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_SQL_SIMHASH_CTE},
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster_id,
+       first_value(doc_id) OVER (PARTITION BY cluster_id
+           ORDER BY n_chars DESC, doc_id ASC) AS keeper_id,
+       (doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+           ORDER BY n_chars DESC, doc_id ASC))::BIGINT AS is_keeper
+FROM labeled ORDER BY doc_id
+"""
+
+
 def q_minhash_signatures(sf_dir: str) -> pd.DataFrame:
     """The MinHash SIGNATURE layer itself, bit-exact: 8 XOR-mask
     permutations (masks = md5-prefix of ``perm:i`` — no RNG state)
@@ -3738,6 +3827,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "range_join": q_range_join,
     "epoch_shuffle": q_epoch_shuffle,
     "sequence_pack": q_sequence_pack,
+    "dedup_keep_best": q_dedup_keep_best,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3812,6 +3902,7 @@ ORACLE_SQL: dict[str, str] = {
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "audio_metadata": SQL_AUDIO_METADATA,
     "video_metadata": SQL_VIDEO_METADATA,
     "json_extract": SQL_JSON_EXTRACT,
