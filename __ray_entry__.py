@@ -45,7 +45,8 @@ def _ensure_fixture_files() -> None:
     under /tmp; (re)write them here so the oracle side works no matter
     which side the driver runs first, or whether /tmp was cleared."""
     from darc_ray.functions.text import (ensure_lines_fixture,
-                                         ensure_pii_fixture)
+                                         ensure_pii_fixture,
+                                         ensure_repetition_fixture)
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
                                             ensure_image_meta_fixture,
                                             ensure_image_pixels_fixture,
@@ -57,6 +58,7 @@ def _ensure_fixture_files() -> None:
     ensure_video_meta_fixture()
     ensure_pii_fixture()
     ensure_lines_fixture()
+    ensure_repetition_fixture()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -222,3 +222,60 @@ def ensure_lines_fixture(path: str = LINES_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+REPETITION_FIXTURE = "/tmp/darc_ray_fixtures/text_repetition.parquet"
+
+
+def ensure_repetition_fixture(path: str = REPETITION_FIXTURE) -> str:
+    """Deterministic corpus with PLANTED repetition for the Gopher-style
+    repetition rules (ref quality heuristics are per-page scalar checks,
+    `darc/parse.py` has none — this is the training-data extension):
+    240 docs in four styles — clean (unique lines), line-spam (one line
+    repeated 2-5×), 2-gram-spam (a two-word phrase repeated 5-15× in a
+    line), 5-gram-spam (a five-word phrase recurring 3-8× across lines).
+    Fixed path + atomic write, sf-independent, no RNG state shared
+    across docs (rng seeded per doc)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    vocab = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+    docs = []
+    for d in range(240):
+        rng = np.random.default_rng(9300 + d)
+        mkline = lambda n: " ".join(rng.choice(vocab, size=n)) + f" #{d}"
+        lines = [mkline(int(rng.integers(6, 12)))
+                 for _ in range(int(rng.integers(5, 10)))]
+        style = d % 4
+        if style == 1:                           # line spam
+            victim = lines[int(rng.integers(0, len(lines)))]
+            for _ in range(int(rng.integers(2, 5))):
+                lines.insert(int(rng.integers(0, len(lines) + 1)), victim)
+        elif style == 2:                         # 2-gram spam
+            phrase = " ".join(rng.choice(vocab, size=2))
+            reps = int(rng.integers(5, 16))
+            lines.insert(int(rng.integers(0, len(lines) + 1)),
+                         " ".join([phrase] * reps))
+        elif style == 3:                         # 5-gram spam
+            phrase = " ".join(rng.choice(vocab, size=5))
+            for _ in range(int(rng.integers(3, 9))):
+                lines.insert(int(rng.integers(0, len(lines) + 1)),
+                             phrase + " " + mkline(3))
+        docs.append("\n".join(lines))
+    table = pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

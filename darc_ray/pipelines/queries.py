@@ -3605,6 +3605,119 @@ GROUP BY l.doc_id ORDER BY doc_id
 """
 
 
+def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1 —
+    the reference has no quality layer; training-data extension):
+    per-doc duplicate-line count/chars, top word-2-gram mass and
+    duplicate-5-gram count, over a planted-repetition fixture.  All
+    outputs are INTEGERS (counts/chars, not fractions) so the DuckDB
+    oracle is exact with zero float-parity hedging; a filter threshold
+    is one comparison away.  Shape: stateless per-doc map, ZERO
+    shuffles — every stat is within-document, the explode+groupby runs
+    inside the batch.  Tie-break for the top 2-gram: max count, then
+    lexicographically smallest gram (mirrored by the SQL window)."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import ensure_repetition_fixture
+
+    path = ensure_repetition_fixture()
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        # --- line stats: explode + per-(doc,line) group ---
+        ln = df["text"].str.split("\n").explode()
+        lg = pd.DataFrame({"i": ln.index.to_numpy(), "ln": ln.to_numpy()})
+        g = lg.groupby(["i", "ln"], sort=False).size().reset_index(name="c")
+        g["dch"] = (g["c"] - 1) * g["ln"].str.len()
+        ls = g.groupby("i").agg(n_lines=("c", "sum"), uniq=("c", "size"),
+                                dup_line_chars=("dch", "sum"))
+        # --- word stream with in-doc successor shifts ---
+        w = df["text"].str.strip().str.split(r"\s+", regex=True)
+        we = w.explode()
+        wf = pd.DataFrame({"i": we.index.to_numpy(), "w": we.to_numpy()})
+        grp = wf.groupby("i")["w"]
+        for k in range(1, 5):
+            wf[f"n{k}"] = grp.shift(-k)
+        g2 = wf.dropna(subset=["n1"])
+        c2 = (pd.DataFrame({"i": g2["i"], "g": g2["w"] + " " + g2["n1"]})
+              .groupby(["i", "g"], sort=False).size().reset_index(name="c")
+              .sort_values(["i", "c", "g"], ascending=[True, False, True],
+                           kind="mergesort")
+              .groupby("i", as_index=False).first())
+        c2["top2gram_chars"] = c2["c"] * c2["g"].str.len()
+        g5 = wf.dropna(subset=["n4"])
+        c5 = (pd.DataFrame({"i": g5["i"],
+                            "g": g5["w"] + " " + g5["n1"] + " " + g5["n2"]
+                                 + " " + g5["n3"] + " " + g5["n4"]})
+              .groupby(["i", "g"], sort=False).size().reset_index(name="c"))
+        c5["d"] = c5["c"] - 1
+        d5 = c5.groupby("i")["d"].sum()
+        idx = df.index
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_lines": ls["n_lines"].reindex(idx).to_numpy(),
+            "dup_lines": (ls["n_lines"] - ls["uniq"]).reindex(idx).to_numpy(),
+            "dup_line_chars": ls["dup_line_chars"].reindex(idx).to_numpy(),
+            "n_words": w.str.len().to_numpy(),
+            "top2gram_n": c2.set_index("i")["c"].reindex(idx, fill_value=0)
+                            .to_numpy(),
+            "top2gram_chars": c2.set_index("i")["top2gram_chars"]
+                                .reindex(idx, fill_value=0).to_numpy(),
+            "dup_5gram_n": d5.reindex(idx, fill_value=0).to_numpy(),
+        })
+        return out.astype("int64")
+
+    return (rd.read_parquet(path)
+            .map_batches(feats, batch_format="pandas", batch_size=1024)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH docs AS (
+  SELECT doc_id, text
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_repetition.parquet')
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM docs
+), lgrp AS (
+  SELECT doc_id, ln, count(*) AS c, len(ln) AS L
+  FROM lines GROUP BY doc_id, ln
+), lstat AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_lines, sum(c - 1)::BIGINT AS dup_lines,
+         sum((c - 1) * L)::BIGINT AS dup_line_chars
+  FROM lgrp GROUP BY doc_id
+), base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM docs
+), grams2 AS (
+  SELECT doc_id, words[i] || ' ' || words[i + 1] AS g
+  FROM base, unnest(range(1, len(words))) AS t(i)
+), g2c AS (
+  SELECT doc_id, g, count(*) AS c FROM grams2 GROUP BY doc_id, g
+), g2best AS (
+  SELECT doc_id, c AS top2gram_n, (c * len(g))::BIGINT AS top2gram_chars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+  FROM g2c
+), grams5 AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+         words[i+3] || ' ' || words[i+4] AS g
+  FROM base, unnest(range(1, len(words) - 3)) AS t(i)
+), g5stat AS (
+  SELECT doc_id, sum(c - 1)::BIGINT AS dup_5gram_n
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams5 GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, l.n_lines, l.dup_lines, l.dup_line_chars,
+       len(string_split_regex(trim(d.text), '\s+'))::BIGINT AS n_words,
+       coalesce(b.top2gram_n, 0)::BIGINT AS top2gram_n,
+       coalesce(b.top2gram_chars, 0)::BIGINT AS top2gram_chars,
+       coalesce(f.dup_5gram_n, 0)::BIGINT AS dup_5gram_n
+FROM docs d
+JOIN lstat l USING (doc_id)
+LEFT JOIN (SELECT * FROM g2best WHERE rn = 1) b USING (doc_id)
+LEFT JOIN g5stat f USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 EPOCH_SHARDS = 8
 
 
@@ -3828,6 +3941,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "epoch_shuffle": q_epoch_shuffle,
     "sequence_pack": q_sequence_pack,
     "dedup_keep_best": q_dedup_keep_best,
+    "gopher_quality": q_gopher_quality,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3903,6 +4017,7 @@ ORACLE_SQL: dict[str, str] = {
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "audio_metadata": SQL_AUDIO_METADATA,
     "video_metadata": SQL_VIDEO_METADATA,
     "json_extract": SQL_JSON_EXTRACT,
