@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "image_dedup", "dedup_clusters", "json_extract", "image_transcode",
     "hll_distinct", "decontaminate", "image_metadata", "cms_topk", "audio_metadata", "video_metadata", "pagerank", "lsh_partition", "funnel", "profile_columns", "normalized_dedup", "bm25", "revenue_cube", "weighted_sample", "lm_score", "group_corr", "char_entropy", "minhash_signatures", "degree_hist",
     "pii_redact", "boilerplate_strip", "epoch_shuffle", "sequence_pack",
-    "dedup_keep_best", "gopher_quality", "paragraph_dedup",
+    "dedup_keep_best", "gopher_quality", "paragraph_dedup", "domain_mix",
 ]
 
 

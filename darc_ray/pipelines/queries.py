@@ -3682,6 +3682,71 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# target mixture in milli-shares (sum 1000); unlisted domains get 200
+MIX_TARGET_MILLI = {"en": 300, "zh": 250, "es": 200, "de": 150, "fr": 100}
+MIX_DEFAULT_MILLI = 200
+
+
+def q_domain_mix(sf_dir: str) -> pd.DataFrame:
+    """DoReMi-style dataset-mixture rebalancing: downsample each domain
+    (= ``lang``) so the surviving corpus approaches the TARGET share
+    vector — keep-rate r_d = min(1, target_d · total / count_d), applied
+    per doc via a deterministic md5 uniform (no RNG state, reproducible
+    on any engine).  The keep decision is an ALL-INTEGER comparison
+    (u · count_d < milli_d · total · 1000) so Ray and the SQL oracle
+    agree bit-for-bit at every rate boundary.  Shape: per-batch partial
+    domain counts → driver combine bounded by DOMAIN cardinality (vocab,
+    not data) → broadcast counts → one stateless filter pass.  At 100 TB
+    this is the standard pre-training mixture step: one cheap counting
+    pass, one streaming filter, zero shuffles."""
+    import hashlib as _hl
+
+    import ray
+
+    counts = (_read(sf_dir, "documents", ["lang"])
+              .map_batches(lambda df: df["lang"].value_counts()
+                           .rename_axis("lang").reset_index(name="n"),
+                           batch_format="pandas", batch_size=65536)
+              .to_pandas().groupby("lang")["n"].sum())
+    total = int(counts.sum())
+    cref = ray.put(counts.to_dict())
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = ray.get(cref)
+        u = df["doc_id"].map(
+            lambda i: int(_hl.md5(f"mix-{i}".encode()).hexdigest()[:16], 16)
+            % 1_000_000).to_numpy(np.int64)
+        n_d = df["lang"].map(cnt).to_numpy(np.int64)
+        milli = df["lang"].map(
+            lambda l: MIX_TARGET_MILLI.get(l, MIX_DEFAULT_MILLI)
+        ).to_numpy(np.int64)
+        mask = u * n_d < milli * total * 1000
+        return df.loc[mask, ["doc_id", "lang"]]
+
+    out = (_read(sf_dir, "documents", ["doc_id", "lang"])
+           .map_batches(keep, batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOMAIN_MIX = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT count(*) AS t FROM documents),
+u AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 16))
+          ::UBIGINT % 1000000)::BIGINT AS u
+  FROM documents
+)
+SELECT u.doc_id, u.lang
+FROM u JOIN counts c USING (lang) CROSS JOIN tot
+WHERE u.u * c.n < (CASE u.lang WHEN 'en' THEN 300 WHEN 'zh' THEN 250
+                   WHEN 'es' THEN 200 WHEN 'de' THEN 150 WHEN 'fr' THEN 100
+                   ELSE 200 END) * tot.t * 1000
+ORDER BY doc_id
+"""
+
+
 def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1 —
     the reference has no quality layer; training-data extension):
@@ -3988,10 +4053,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "gopher_quality": q_gopher_quality,
     "paragraph_dedup": q_paragraph_dedup,
+    "domain_mix": q_domain_mix,
     "tfidf": q_tfidf,
     "bm25": q_bm25,
     "lm_score": q_lm_score,
-    "char_entropy": q_char_entropy,
     "pagerank": q_pagerank,
     "degree_hist": q_degree_hist,
     "lsh_partition": q_lsh_partition,
@@ -4018,6 +4083,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "weighted_sample": q_weighted_sample,
     "customer_nation_revenue": q_customer_nation_revenue,
     "range_join": q_range_join,
+    "char_entropy": q_char_entropy,
     "sessionize": q_sessionize,
     "group_topk": q_group_topk,
     "quantiles_sketch": q_quantiles_sketch,
@@ -4100,6 +4166,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "domain_mix": SQL_DOMAIN_MIX,
     "audio_metadata": SQL_AUDIO_METADATA,
     "video_metadata": SQL_VIDEO_METADATA,
     "json_extract": SQL_JSON_EXTRACT,
