@@ -279,11 +279,16 @@ def main() -> dict:
     # always fits the capture window.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(result, f, indent=1)
-    except OSError:
+    if mode != "full":
+        # --scaling legs run main() as subprocesses in "sustained" mode;
+        # they must not clobber the full-bench sidecar artifact
         detail_path = None
+    else:
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            detail_path = None
     slowest = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:5])
     compact = {
         "metric": result["metric"],

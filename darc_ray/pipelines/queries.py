@@ -3550,19 +3550,26 @@ def q_boilerplate_strip(sf_dir: str) -> pd.DataFrame:
 
     path = ensure_lines_fixture()
 
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def count_partial(df: pd.DataFrame) -> pa.Table:
         ln = df["text"].str.split("\n").explode()
         vc = ln.value_counts()
-        return pd.DataFrame({"ln": vc.index.astype(str), "n": vc.to_numpy()})
+        # explicit Arrow types: object-dtype pandas output breaks Ray's
+        # block-size accounting on empty batches
+        return pa.table({
+            "ln": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+            "n": pa.array(vc.to_numpy().astype("int64"), type=pa.int64()),
+        })
 
     parts = (rd.read_parquet(path, columns=["text"])
              .map_batches(count_partial, batch_format="pandas", batch_size=4096)
              .repartition(num_blocks=8, keys=["ln"], sort=False))
     parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
-    def boiler_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def boiler_of_partition(df: pd.DataFrame) -> pa.Table:
         s = df.groupby("ln", as_index=False)["n"].sum()
-        return s[s["n"] >= BOILERPLATE_MIN_DF][["ln"]]
+        keep = s.loc[s["n"] >= BOILERPLATE_MIN_DF, "ln"]
+        return pa.table({"ln": pa.array(keep.to_numpy(dtype=object),
+                                        type=pa.string())})
 
     boiler = (parts.map_batches(boiler_of_partition, batch_format="pandas",
                                 batch_size=None).to_pandas()["ln"].to_numpy())
@@ -3625,14 +3632,17 @@ def q_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
 
     path = ensure_lines_fixture()
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    def explode(df: pd.DataFrame) -> pa.Table:
         out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
                             "ln": df["text"].str.split("\n")}).explode("ln")
         # docs are whole rows, so a per-original-row cumcount IS the
         # in-doc line index even inside a batch
         out["idx"] = out.groupby(level=0).cumcount().astype("int64")
-        out["ln"] = out["ln"].astype(str)
-        return out.reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+            "ln": pa.array(out["ln"].to_numpy(dtype=object), type=pa.string()),
+            "idx": pa.array(out["idx"].to_numpy(), type=pa.int64()),
+        })
 
     lines = (rd.read_parquet(path, columns=["doc_id", "text"])
              .map_batches(explode, batch_format="pandas", batch_size=4096)
