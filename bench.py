@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "hll_distinct", "decontaminate", "image_metadata", "cms_topk", "audio_metadata", "video_metadata", "pagerank", "lsh_partition", "funnel", "profile_columns", "normalized_dedup", "bm25", "revenue_cube", "weighted_sample", "lm_score", "group_corr", "char_entropy", "minhash_signatures", "degree_hist",
     "pii_redact", "boilerplate_strip", "epoch_shuffle", "sequence_pack",
     "dedup_keep_best", "gopher_quality", "paragraph_dedup", "domain_mix",
+    "dup_ngrams", "bigram_lm", "image_phash_clusters", "bpe_pair_counts",
 ]
 
 

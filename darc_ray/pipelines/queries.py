@@ -1864,6 +1864,169 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+# bigram-table broadcast cap: above this, score via a co-shuffled join
+# on the bigram key (the ngram_jaccard escape-hatch pattern) instead
+BIGRAM_BROADCAST_CAP = 20_000_000
+
+
+def q_bigram_lm(sf_dir: str) -> pd.DataFrame:
+    """Bigram language-model scoring — the CCNet/KenLM-style perplexity
+    filter one order up from ``lm_score``: per-document mean bigram
+    log-probability under the corpus's own add-one-smoothed bigram
+    distribution, lp(a,b) = floor(ln((c(a,b)+1)/(c(a·)+V))·1e6) in
+    integer micro-nats (c(a·) = occurrences of ``a`` as a bigram
+    history, V = distinct unigrams), quantized BEFORE the per-doc sum
+    so any partitioning yields the bit-identical result the SQL oracle
+    computes.  Shape: per-batch bigram/unigram count partials (the
+    combiner), driver combine bounded by BIGRAM-vocab cardinality —
+    which, unlike unigrams, grows with corpus diversity, so the
+    broadcast is capped at ``BIGRAM_BROADCAST_CAP`` and raises loudly
+    above it (the co-shuffled bigram-key join is the documented rung
+    past the cap) — then one streaming score pass; nothing shuffles
+    but the count tables."""
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip()
+        toks = toks[toks != ""].str.split()
+        ex = toks.explode()
+        w = ex.to_numpy()
+        row = ex.index.to_numpy()
+        same = row[1:] == row[:-1]          # consecutive tokens, same doc
+        bg = w[:-1][same] + " " + w[1:][same]   # vectorized object concat
+        cnt = pd.Series(bg).value_counts()
+        vocab = pd.unique(w)
+        # unigram vocab rides along (marker rows, n = -1) so V needs no
+        # second pass over the corpus
+        return pa.table({
+            "b": pa.array(np.concatenate([cnt.index.to_numpy(dtype=object),
+                                          vocab]), type=pa.string()),
+            "n": pa.array(np.concatenate([cnt.to_numpy().astype(np.int64),
+                                          np.full(len(vocab), -1,
+                                                  dtype=np.int64)]),
+                          type=pa.int64()),
+        })
+
+    parts = (ds.map_batches(bigram_partial, batch_format="pandas",
+                            batch_size=4096).to_pandas())
+    vocab_n = int(parts.loc[parts["n"] < 0, "b"].nunique())
+    bg = (parts[parts["n"] > 0].groupby("b")["n"].sum())
+    if len(bg) > BIGRAM_BROADCAST_CAP:
+        raise RuntimeError(
+            f"bigram table {len(bg)} exceeds broadcast cap "
+            f"{BIGRAM_BROADCAST_CAP}; use the co-shuffled bigram-key join")
+    hist = bg.groupby(bg.index.str.split(" ").str[0]).sum()
+    lp = {b: int(math.floor(math.log((n + 1.0)
+                                     / (hist[b.split(" ", 1)[0]] + vocab_n))
+                            * 1e6))
+          for b, n in bg.items()}
+    lp_ref = ray.put(lp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lp_m = ray.get(lp_ref)
+        toks = df.set_index("doc_id")["text"].str.strip()
+        toks = toks[toks != ""].str.split()
+        ex = toks.explode()
+        w = ex.to_numpy()
+        doc = ex.index.to_numpy()
+        same = doc[1:] == doc[:-1]
+        bg = w[:-1][same] + " " + w[1:][same]
+        lps = pd.Series(bg).map(lp_m).to_numpy(dtype=np.int64)
+        s = (pd.DataFrame({"doc_id": doc[:-1][same].astype(np.int64),
+                           "lp": lps})
+             .groupby("doc_id", as_index=False)
+             .agg(logprob_sum=("lp", "sum"), n_bigrams=("lp", "size")))
+        s["mean_lp"] = s["logprob_sum"] // s["n_bigrams"]
+        return s
+
+    out = (ds.map_batches(score, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return (out[["doc_id", "n_bigrams", "logprob_sum", "mean_lp"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_BIGRAM_LM = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), uni AS (
+  SELECT count(DISTINCT term)::BIGINT AS v
+  FROM (SELECT unnest(t) AS term FROM tok)
+), bg AS (
+  SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1], ' ') AS b
+  FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), cb AS (
+  SELECT b, min(w1) AS w1, count(*)::BIGINT AS nb FROM bg GROUP BY b
+), ch AS (
+  SELECT w1, count(*)::BIGINT AS nh FROM bg GROUP BY w1
+), lp AS (
+  SELECT cb.b,
+         CAST(floor(ln((cb.nb + 1.0) / (ch.nh + uni.v)) * 1e6) AS BIGINT) AS lp
+  FROM cb JOIN ch USING (w1) CROSS JOIN uni
+)
+SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(lp.lp)::BIGINT AS logprob_sum,
+       CAST(floor(sum(lp.lp)::DOUBLE / count(*)) AS BIGINT) AS mean_lp
+FROM bg g JOIN lp USING (b)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """The counting pass of BPE vocabulary learning (Sennrich et al.
+    2016): corpus-wide frequencies of adjacent character pairs inside
+    whitespace tokens — the statistic the first merge rule is argmax
+    of.  Top 20 by (count DESC, pair ASC); the deterministic tie-break
+    makes the LIMIT reproducible on both engines.  Shape: the classic
+    BPE optimization — count over word TYPES per batch (vocab-bounded)
+    and multiply by word frequency, so the per-batch partial is
+    alphabet²-bounded (truly vocab-bounded, unlike bigrams); driver
+    combine is a dict merge over ≤ |Σ|² keys, no shuffle anywhere."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip()
+        toks = toks[toks != ""].str.split().explode()
+        wc = toks.value_counts()
+        cnt: dict[str, int] = {}
+        for word, n in wc.items():
+            for i in range(len(word) - 1):
+                p = word[i:i + 2]
+                cnt[p] = cnt.get(p, 0) + int(n)
+        return pd.DataFrame({
+            "pair": list(cnt.keys()),
+            "n": np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt)),
+        })
+
+    parts = (ds.map_batches(pair_partial, batch_format="pandas",
+                            batch_size=4096).to_pandas())
+    total = (parts.groupby("pair", as_index=False)["n"].sum()
+             .sort_values(["n", "pair"], ascending=[False, True],
+                          kind="mergesort")
+             .head(20).reset_index(drop=True))
+    return total[["pair", "n"]]
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT substring(word, i, 2) AS pair
+  FROM words, unnest(generate_series(1, length(word) - 1)) AS u(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, count(*)::BIGINT AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
 def q_bm25(sf_dir: str) -> pd.DataFrame:
     """Top BM25 term per document (k1=1.2, b=0.75, Lucene-smoothed
     idf) — the retrieval scorer `tfidf` graduates to: same broadcast
@@ -2976,6 +3139,104 @@ ORDER BY a, b
 """
 
 
+def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
+    """Image dedup end-to-end — the LAION-style keep-one-per-near-dup
+    step: phash near-pairs (banded-prefix blocking, hamming ≤ 6) →
+    connected components → every image labeled with its cluster (min
+    image_id) and the cluster's KEEPER, chosen by resolution (max
+    w·h, ties to min image_id).  Filtering to ``is_keeper = 1`` is the
+    deduplicated image corpus.  Shape mirrors ``dedup_keep_best``: the
+    pair graph is blocking-bounded (driver union-find here; ids are
+    strings — map to dense ints before the distributed min-label
+    flavor when the pair list outgrows the driver), per-batch
+    per-cluster argmax PARTIALS, driver merge bounded by cluster
+    cardinality, broadcast keeper map, one stateless assign pass."""
+    import ray
+    import ray.data as rd
+
+    from darc_ray.stages.dedup import connected_components, hash_near_pairs
+    from darc_ray.stages.multimodal import ensure_image_pixels_fixture
+
+    path = ensure_image_pixels_fixture()
+    pairs = hash_near_pairs(
+        rd.read_parquet(path, columns=["image_id", "phash"]),
+        max_hamming=6, id_col="image_id", hash_col="phash")
+    labels = connected_components(pairs)
+    lab_ref = ray.put(labels)
+
+    def best_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lab_ref)
+        part = pd.DataFrame({
+            "image_id": df["image_id"],
+            "cluster_id": df["image_id"].map(m).fillna(df["image_id"]),
+            "n_pixels": (df["w"].astype("int64")
+                         * df["h"].astype("int64")),
+        })
+        part = part.sort_values(["cluster_id", "n_pixels", "image_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        return part.groupby("cluster_id", as_index=False).first()
+
+    parts = (rd.read_parquet(path, columns=["image_id", "w", "h"])
+             .map_batches(best_partial, batch_format="pandas",
+                          batch_size=16).to_pandas())
+    parts = parts.sort_values(["cluster_id", "n_pixels", "image_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    keeper = dict(zip(parts.groupby("cluster_id").first().index,
+                      parts.groupby("cluster_id").first()["image_id"]))
+    keep_ref = ray.put(keeper)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lab_ref)
+        k = ray.get(keep_ref)
+        cl = df["image_id"].map(m).fillna(df["image_id"])
+        return pd.DataFrame({
+            "image_id": df["image_id"],
+            "cluster_id": cl,
+            "n_pixels": (df["w"].astype("int64")
+                         * df["h"].astype("int64")),
+            "is_keeper": (cl.map(k) == df["image_id"]).astype("int64"),
+        })
+
+    out = (rd.read_parquet(path, columns=["image_id", "w", "h"])
+           .map_batches(assign, batch_format="pandas", batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_PHASH_CLUSTERS = """
+WITH RECURSIVE t AS (
+  SELECT image_id, phash, w, h
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_pixels.parquet')
+), pairs AS (
+  SELECT x.image_id AS a, y.image_id AS b
+  FROM t x JOIN t y ON x.image_id < y.image_id
+  WHERE bit_count(xor(x.phash, y.phash)) <= 6
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+), lab AS (
+  SELECT i.image_id, coalesce(c.cluster_id, i.image_id) AS cluster_id,
+         (i.w * i.h)::BIGINT AS n_pixels
+  FROM t i LEFT JOIN comp c ON i.image_id = c.node
+), ranked AS (
+  SELECT image_id, cluster_id, n_pixels,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_pixels DESC, image_id) AS rn
+  FROM lab
+)
+SELECT image_id, cluster_id, n_pixels,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM ranked ORDER BY image_id
+"""
+
+
 def q_image_quality_gate(sf_dir: str) -> pd.DataFrame:
     """Integer image-quality gate (bit-reproducible twin of the float
     LAION-style ``image_quality`` family): milli-luma brightness,
@@ -3692,6 +3953,102 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+DUP_NGRAM_W = 24     # character window length (ExactSubstr threshold)
+
+
+def q_dup_ngrams(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    character window of length W (stride 1) is keyed; a window is
+    DUPLICATED if it occurs in ≥ 2 distinct documents — any substring
+    shared verbatim across documents with length ≥ W lights up as a
+    run of duplicated windows.  Output per doc: distinct windows and
+    how many of them are duplicated (the doc's copied-span exposure).
+
+    Shape (the ``paragraph_dedup`` discipline): per-batch DISTINCT
+    (doc, window-hash) explode — the combiner — then ONE hash shuffle
+    keyed by the window hash, so a partition owns every occurrence of
+    its windows and the ≥2-distinct-docs test is a local vectorized
+    pass; per-doc integer partials flow back through a doc-keyed
+    shuffle.  Windows ship as md5-64 hashes (8 bytes, W-independent
+    shuffle volume; the DuckDB oracle hashes the SAME substrings to
+    the same keys, so a collision — deterministic, on both sides —
+    cannot cause a mismatch).  Nothing driver-resident scales with
+    corpus size."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.text import ensure_lines_fixture
+
+    w = DUP_NGRAM_W
+    path = ensure_lines_fixture()
+
+    def explode_windows(df: pd.DataFrame) -> pa.Table:
+        ids: list[int] = []
+        gs: list[int] = []
+        for doc_id, txt in zip(df["doc_id"].to_numpy(),
+                               df["text"].to_numpy()):
+            t = str(txt)
+            if len(t) < w:
+                continue
+            uniq = {t[i:i + w] for i in range(len(t) - w + 1)}
+            ids.extend([int(doc_id)] * len(uniq))
+            gs.extend(int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                     "big") for s in uniq)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64),
+                               type=pa.int64()),
+            "g": pa.array(np.asarray(gs, dtype=np.uint64),
+                          type=pa.uint64()),
+        })
+
+    grams = (rd.read_parquet(path, columns=["doc_id", "text"])
+             .map_batches(explode_windows, batch_format="pandas",
+                          batch_size=4096)
+             .repartition(num_blocks=8, keys=["g"], sort=False))
+    grams.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def dup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("g")["doc_id"].transform("nunique")
+        part = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_windows": np.ones(len(df), dtype="int64"),
+            "n_dup_windows": (nd.to_numpy() >= 2).astype("int64"),
+        })
+        return part.groupby("doc_id", as_index=False).sum()
+
+    partials = (grams.map_batches(dup_partial, batch_format="pandas",
+                                  batch_size=None)
+                .repartition(num_blocks=8, keys=["doc_id"], sort=False))
+    partials.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def sum_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).sum()
+
+    out = (partials.map_batches(sum_partition, batch_format="pandas",
+                                batch_size=None).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DUP_NGRAMS = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(substring(text, i, {DUP_NGRAM_W})), 1, 16))::UBIGINT AS g
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_lines.parquet'),
+       unnest(generate_series(1, length(text) - {DUP_NGRAM_W - 1})) AS u(i)
+  WHERE length(text) >= {DUP_NGRAM_W}
+), freq AS (
+  SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+)
+SELECT doc_id, count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows
+FROM grams JOIN freq f USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # target mixture in milli-shares (sum 1000); unlisted domains get 200
 MIX_TARGET_MILLI = {"en": 300, "zh": 250, "es": 200, "de": 150, "fr": 100}
 MIX_DEFAULT_MILLI = 200
@@ -4056,16 +4413,16 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_dedup": q_image_dedup,
     "pii_redact": q_pii_redact,
     "boilerplate_strip": q_boilerplate_strip,
-    "shuffle_join": q_shuffle_join,
-    "asof_partitioned": q_asof_partitioned,
+    "dup_ngrams": q_dup_ngrams,
+    "bigram_lm": q_bigram_lm,
+    "image_phash_clusters": q_image_phash_clusters,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "epoch_shuffle": q_epoch_shuffle,
     "sequence_pack": q_sequence_pack,
     "dedup_keep_best": q_dedup_keep_best,
     "gopher_quality": q_gopher_quality,
     "paragraph_dedup": q_paragraph_dedup,
     "domain_mix": q_domain_mix,
-    "tfidf": q_tfidf,
-    "bm25": q_bm25,
     "lm_score": q_lm_score,
     "pagerank": q_pagerank,
     "degree_hist": q_degree_hist,
@@ -4075,6 +4432,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # ---- slot 51+: below the observed driver-correctness window ----
     # (still SQL-oracled + repo-harness-checked where an entry exists
     # in ORACLE_SQL; driver-green in earlier rounds)
+    "shuffle_join": q_shuffle_join,
+    "asof_partitioned": q_asof_partitioned,
+    "tfidf": q_tfidf,
+    "bm25": q_bm25,
     "windowed_counts": q_windowed_counts,
     "asof_join": q_asof_join,
     "funnel": q_funnel,
@@ -4171,6 +4532,10 @@ ORACLE_SQL: dict[str, str] = {
     "image_thumbs_pooled": SQL_IMAGE_THUMBS_POOLED,
     "pii_redact": SQL_PII_REDACT,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
+    "dup_ngrams": SQL_DUP_NGRAMS,
+    "bigram_lm": SQL_BIGRAM_LM,
+    "image_phash_clusters": SQL_IMAGE_PHASH_CLUSTERS,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
