@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "pii_redact", "boilerplate_strip", "epoch_shuffle", "sequence_pack",
     "dedup_keep_best", "gopher_quality", "paragraph_dedup", "domain_mix",
     "dup_ngrams", "bigram_lm", "image_phash_clusters", "bpe_pair_counts",
+    "kmeans_assign",
 ]
 
 
@@ -339,10 +340,14 @@ def scaling() -> None:
     for lo, hi in ((2, 8), (8, 32)):
         r_lo, r_hi = run(lo), run(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-        result[f"sec_{lo}"] = r_lo["value"]
-        result[f"sec_{hi}"] = r_hi["value"]
-        result[f"urls_per_sec_{lo}"] = r_lo["urls_per_sec"]
-        result[f"urls_per_sec_{hi}"] = r_hi["urls_per_sec"]
+        # per-pair keys: both pairs measure an 8-cpu leg, and a shared
+        # "sec_8" field made the second pair silently overwrite the
+        # first pair's leg in earlier rounds' records
+        result[f"pair_{lo}_to_{hi}"] = {
+            f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+            f"urls_per_sec_{lo}": r_lo["urls_per_sec"],
+            f"urls_per_sec_{hi}": r_hi["urls_per_sec"],
+        }
         result[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
     result["scaling_efficiency"] = result["scaling_efficiency_2_to_8"]
     print(json.dumps(result))

@@ -388,6 +388,65 @@ ORDER BY query_id, rank
 """
 
 
+KMEANS_K = 8
+
+
+def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    """K-means ASSIGNMENT pass — the embedding-clustering step of a
+    corpus-organization pipeline (and one Lloyd iteration's E-step):
+    every vector labeled with its nearest of K deterministic centroids
+    (the ``vec_id < K`` rows; production seeds via the hash-sampled
+    k-means in ``stages/ann.ivf_topk``, whose full Lloyd loop is the
+    rows-only golden-tested path).  Nearest = min squared L2, ties to
+    the smaller centroid id; only IDS are emitted (the ``ann_brute``
+    float-parity convention — rank margins dwarf ulp noise, so the
+    DuckDB oracle agrees exactly).  Shape: K·d centroid matrix
+    broadcast once via ``ray.put``, one streaming vectorized
+    matmul-distance pass, no shuffle — the 100 TB shape for corpus
+    bucketing by semantic cluster."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    cents = (ds.filter(expr=f"vec_id < {KMEANS_K}").to_pandas()
+             .sort_values("vec_id"))
+    c_mat = np.stack(cents["embedding"].to_numpy()).astype(np.float64)
+    c_ids = cents["vec_id"].to_numpy().astype(np.int64)
+    c_ref = ray.put((c_ids, c_mat))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids, c = ray.get(c_ref)
+        e = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        # ||e-c||² = ||e||² - 2e·c + ||c||²; argmin row-wise, ties to
+        # the first (= smallest) centroid id since ids are sorted
+        d2 = ((e * e).sum(axis=1, keepdims=True)
+              - 2.0 * (e @ c.T)
+              + (c * c).sum(axis=1))
+        best = np.argmin(d2, axis=1)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy().astype(np.int64),
+            "cluster": ids[best],
+        })
+
+    out = (ds.map_batches(assign, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_KMEANS_ASSIGN = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {KMEANS_K}
+), ranked AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding, c.ce), c.cid)
+         AS rn
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def q_windowed_counts(sf_dir: str) -> pd.DataFrame:
     """Streaming-shaped: tumbling 1-hour event-time windows (partial
     aggregation per batch → small groupby; Ray Data has no watermarks,
@@ -4423,7 +4482,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gopher_quality": q_gopher_quality,
     "paragraph_dedup": q_paragraph_dedup,
     "domain_mix": q_domain_mix,
-    "lm_score": q_lm_score,
+    "kmeans_assign": q_kmeans_assign,
     "pagerank": q_pagerank,
     "degree_hist": q_degree_hist,
     "lsh_partition": q_lsh_partition,
@@ -4436,6 +4495,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_partitioned": q_asof_partitioned,
     "tfidf": q_tfidf,
     "bm25": q_bm25,
+    "lm_score": q_lm_score,
     "windowed_counts": q_windowed_counts,
     "asof_join": q_asof_join,
     "funnel": q_funnel,
@@ -4534,6 +4594,7 @@ ORACLE_SQL: dict[str, str] = {
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "dup_ngrams": SQL_DUP_NGRAMS,
     "bigram_lm": SQL_BIGRAM_LM,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
     "image_phash_clusters": SQL_IMAGE_PHASH_CLUSTERS,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
