@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "pii_redact", "boilerplate_strip", "epoch_shuffle", "sequence_pack",
     "dedup_keep_best", "gopher_quality", "paragraph_dedup", "domain_mix",
     "dup_ngrams", "bigram_lm", "image_phash_clusters", "bpe_pair_counts",
-    "kmeans_assign",
+    "kmeans_assign", "postings", "aspect_buckets", "cluster_profile",
 ]
 
 

@@ -447,6 +447,92 @@ SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def q_cluster_profile(sf_dir: str) -> pd.DataFrame:
+    """Semantic-cluster corpus profile — the triage view a curation
+    pipeline builds right after clustering: the ``kmeans_assign``
+    labels hash-joined (``Dataset.join``, both sides shuffled by id —
+    assignments are corpus-sized, so NO broadcast) against the
+    documents table, then per-cluster doc counts and token totals.
+    Composes three primitives end-to-end: broadcast-centroid
+    assignment → large×large id join → vocab-bounded aggregate; the
+    join is the piece ``shuffle_join`` proves, re-used on the
+    embedding axis."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = (ds.filter(expr=f"vec_id < {KMEANS_K}").to_pandas()
+             .sort_values("vec_id"))
+    c_mat = np.stack(cents["embedding"].to_numpy()).astype(np.float64)
+    c_ids = cents["vec_id"].to_numpy().astype(np.int64)
+    c_ref = ray.put((c_ids, c_mat))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids, c = ray.get(c_ref)
+        e = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d2 = ((e * e).sum(axis=1, keepdims=True)
+              - 2.0 * (e @ c.T)
+              + (c * c).sum(axis=1))
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy().astype(np.int64),
+            "cluster": ids[np.argmin(d2, axis=1)],
+        })
+
+    labels = ds.map_batches(assign, batch_format="pandas", batch_size=4096)
+
+    def doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.strip()
+        n = np.where(t.to_numpy() == "", 0,
+                     t.str.split().map(len).to_numpy()).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_tokens": n})
+
+    docs = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(doc_tokens, batch_format="pandas",
+                         batch_size=4096))
+
+    j = labels.join(docs, join_type="inner", num_partitions=8,
+                    on=("vec_id",), right_on=("doc_id",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.assign(n_docs=np.ones(len(df), dtype=np.int64))
+                .groupby("cluster", as_index=False)
+                .agg(n_docs=("n_docs", "sum"),
+                     total_tokens=("n_tokens", "sum")))
+
+    out = (j.map_batches(partial, batch_format="pandas", batch_size=65536)
+           .groupby("cluster")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_tokens", alias_name="total_tokens"))
+           .to_pandas())
+    return (out[["cluster", "n_docs", "total_tokens"]]
+            .sort_values("cluster").reset_index(drop=True))
+
+
+SQL_CLUSTER_PROFILE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {KMEANS_K}
+), ranked AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding, c.ce), c.cid)
+         AS rn
+  FROM embeddings e CROSS JOIN c
+), lab AS (
+  SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT cluster, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM lab JOIN toks ON lab.vec_id = toks.doc_id
+GROUP BY cluster ORDER BY cluster
+"""
+
+
 def q_windowed_counts(sf_dir: str) -> pd.DataFrame:
     """Streaming-shaped: tumbling 1-hour event-time windows (partial
     aggregation per batch → small groupby; Ray Data has no watermarks,
@@ -2086,6 +2172,84 @@ ORDER BY n DESC, pair LIMIT 20
 """
 
 
+POSTING_HEAD = 20    # posting-list rows shipped to the driver per term
+
+
+def q_postings(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index BUILD — the retrieval-side artifact every search
+    pipeline materializes from a corpus: per term, document frequency
+    and the head of its sorted posting list (first ``POSTING_HEAD``
+    doc_ids, comma-joined — truncation keeps the driver's share
+    vocab-bounded even for stopwords whose full postings are
+    corpus-sized).  Top 20 terms by (df DESC, term ASC) — the
+    deterministic tie-break makes the LIMIT reproducible.  Shape:
+    per-batch DISTINCT (term, doc) explode, ONE term-keyed hash
+    shuffle (a partition owns every posting of its terms, so df and
+    the sorted head are local), per-term rows to the driver — at
+    100 TB the full index would instead ``write_parquet`` straight
+    from the term partitions; only the top-k demo reduces here."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_terms(df: pd.DataFrame) -> pa.Table:
+        toks = df.set_index("doc_id")["text"].str.strip()
+        toks = toks[toks != ""].str.split()
+        ex = toks.explode()
+        pairs = pd.DataFrame({"doc_id": ex.index.to_numpy(dtype=np.int64),
+                              "term": ex.to_numpy()}).drop_duplicates()
+        return pa.table({
+            "doc_id": pa.array(pairs["doc_id"].to_numpy(), type=pa.int64()),
+            "term": pa.array(pairs["term"].to_numpy(dtype=object),
+                             type=pa.string()),
+        })
+
+    parts = (ds.map_batches(explode_terms, batch_format="pandas",
+                            batch_size=4096)
+             .repartition(num_blocks=8, keys=["term"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def posting_partial(df: pd.DataFrame) -> pa.Table:
+        # the term shuffle co-locates every posting of a term, so both
+        # the df count and the sorted head are exact local passes
+        df = df.sort_values(["term", "doc_id"], kind="mergesort")
+        g = df.groupby("term")["doc_id"]
+        out = pd.DataFrame({
+            "df": g.size().astype("int64"),
+            "posting_head": g.apply(
+                lambda s: ",".join(map(str, s.head(POSTING_HEAD)))),
+        }).reset_index()
+        return pa.table({
+            "term": pa.array(out["term"].to_numpy(dtype=object),
+                             type=pa.string()),
+            "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
+            "posting_head": pa.array(out["posting_head"]
+                                     .to_numpy(dtype=object),
+                                     type=pa.string()),
+        })
+
+    out = (parts.map_batches(posting_partial, batch_format="pandas",
+                             batch_size=None).to_pandas())
+    out = out.sort_values(["df", "term"], ascending=[False, True],
+                          kind="mergesort").head(20).reset_index(drop=True)
+    return out[["term", "df", "posting_head"]]
+
+
+SQL_POSTINGS = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT term, count(*)::BIGINT AS df,
+       array_to_string(list_sort(list(doc_id))[1:{POSTING_HEAD}], ',')
+         AS posting_head
+FROM tok GROUP BY term
+ORDER BY df DESC, term LIMIT 20
+"""
+
+
 def q_bm25(sf_dir: str) -> pd.DataFrame:
     """Top BM25 term per document (k1=1.2, b=0.75, Lucene-smoothed
     idf) — the retrieval scorer `tfidf` graduates to: same broadcast
@@ -3296,6 +3460,62 @@ FROM ranked ORDER BY image_id
 """
 
 
+# SDXL-style aspect-ratio buckets, width/height in milli-ratio
+ASPECT_BUCKETS_MILLI = (250, 500, 750, 1000, 1333, 2000, 4000)
+
+
+def q_aspect_buckets(sf_dir: str) -> pd.DataFrame:
+    """Aspect-ratio bucketing — the batching prerequisite of
+    variable-aspect image training (SDXL-style): every image assigned
+    to the nearest of a fixed ratio-bucket ladder so a training batch
+    can be composed of same-shape tensors.  ratio = w·1000 // h
+    (integer milli-ratio, exact on both engines); nearest bucket by
+    |ratio − bucket|, ties to the SMALLER bucket — all-integer
+    arithmetic, no float anywhere.  Shape: one stateless vectorized
+    map over the metadata columns (w, h — never the pixels), then a
+    bucket-keyed count small enough to be a driver reduce; the 100 TB
+    form writes each bucket partition straight back out."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import ensure_image_pixels_fixture
+
+    path = ensure_image_pixels_fixture()
+    buckets = np.asarray(ASPECT_BUCKETS_MILLI, dtype=np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ratio = (df["w"].astype("int64") * 1000
+                 // df["h"].astype("int64")).to_numpy()
+        dist = np.abs(ratio[:, None] - buckets[None, :])
+        best = np.argmin(dist, axis=1)     # first min = smaller bucket
+        return pd.DataFrame({
+            "image_id": df["image_id"],
+            "ratio_milli": ratio,
+            "bucket": buckets[best],
+        })
+
+    out = (rd.read_parquet(path, columns=["image_id", "w", "h"])
+           .map_batches(assign, batch_format="pandas", batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_ASPECT_BUCKETS = f"""
+WITH img AS (
+  SELECT image_id, (w * 1000) // h AS ratio_milli
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_pixels.parquet')
+), b(bucket) AS (
+  VALUES {', '.join(f'({v})' for v in ASPECT_BUCKETS_MILLI)}
+), ranked AS (
+  SELECT image_id, ratio_milli, bucket,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY abs(ratio_milli - bucket), bucket) AS rn
+  FROM img CROSS JOIN b
+)
+SELECT image_id, ratio_milli, bucket FROM ranked WHERE rn = 1
+ORDER BY image_id
+"""
+
+
 def q_image_quality_gate(sf_dir: str) -> pd.DataFrame:
     """Integer image-quality gate (bit-reproducible twin of the float
     LAION-style ``image_quality`` family): milli-luma brightness,
@@ -4450,10 +4670,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gate_filter": q_gate_filter,
     "dedup_exact": q_dedup_exact,
     "normalized_dedup": q_normalized_dedup,
-    "fingerprint": q_fingerprint,
-    "token_counts": q_token_counts,
-    "round_metrics": q_round_metrics,
     "ann_brute": q_ann_brute,
+    "postings": q_postings,
+    "aspect_buckets": q_aspect_buckets,
+    "cluster_profile": q_cluster_profile,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -4493,6 +4713,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # in ORACLE_SQL; driver-green in earlier rounds)
     "shuffle_join": q_shuffle_join,
     "asof_partitioned": q_asof_partitioned,
+    "fingerprint": q_fingerprint,
+    "token_counts": q_token_counts,
+    "round_metrics": q_round_metrics,
     "tfidf": q_tfidf,
     "bm25": q_bm25,
     "lm_score": q_lm_score,
@@ -4595,6 +4818,9 @@ ORACLE_SQL: dict[str, str] = {
     "dup_ngrams": SQL_DUP_NGRAMS,
     "bigram_lm": SQL_BIGRAM_LM,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "postings": SQL_POSTINGS,
+    "aspect_buckets": SQL_ASPECT_BUCKETS,
+    "cluster_profile": SQL_CLUSTER_PROFILE,
     "image_phash_clusters": SQL_IMAGE_PHASH_CLUSTERS,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
