@@ -44,7 +44,8 @@ def _ensure_fixture_files() -> None:
     compare Ray and SQL over deterministic fixed-path parquet fixtures
     under /tmp; (re)write them here so the oracle side works no matter
     which side the driver runs first, or whether /tmp was cleared."""
-    from darc_ray.functions.text import (ensure_lines_fixture,
+    from darc_ray.functions.text import (ensure_html_fixture,
+                                         ensure_lines_fixture,
                                          ensure_pii_fixture,
                                          ensure_repetition_fixture)
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
@@ -59,6 +60,7 @@ def _ensure_fixture_files() -> None:
     ensure_pii_fixture()
     ensure_lines_fixture()
     ensure_repetition_fixture()
+    ensure_html_fixture()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

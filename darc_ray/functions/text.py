@@ -279,3 +279,57 @@ def ensure_repetition_fixture(path: str = REPETITION_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+HTML_FIXTURE = "/tmp/darc_ray_fixtures/text_html.parquet"
+
+
+def ensure_html_fixture(path: str = HTML_FIXTURE) -> str:
+    """Deterministic HTML corpus for the html_text extraction family
+    (the crawl corpus pages exist, but a fixed-path fixture keeps the
+    SQL oracle engine-independent like the other trilogies): 200 docs
+    mixing nested markup, <script>/<style> blocks (with angle brackets
+    inside!), HTML comments, the five standard entities, attributes
+    with '>' in quoted values excluded by design (the tag regex is the
+    documented extraction contract, not a full HTML5 parser — same
+    class of contract as the reference's URL regexes)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    vocab = ("web corpus training data quality filter dedupe token "
+             "model crawl render fetch parse index shard batch").split()
+    docs = []
+    for d in range(200):
+        rng = np.random.default_rng(11000 + d)
+        words = lambda n: " ".join(rng.choice(vocab, size=n))
+        parts = [f"<html><head><title>{words(3)} #{d}</title>"]
+        if d % 3 == 0:
+            parts.append("<script>if (a < b && c > d) { spam(); }</script>")
+        if d % 4 == 0:
+            parts.append("<style>p { margin: 0; } /* x < y */</style>")
+        parts.append("</head><body>")
+        if d % 5 == 0:
+            parts.append(f"<!-- hidden {words(2)} comment -->")
+        for _ in range(int(rng.integers(2, 6))):
+            tag = ["p", "div", "li", "h2"][int(rng.integers(0, 4))]
+            ent = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;"][
+                int(rng.integers(0, 5))]
+            parts.append(f"<{tag} class=\"c{d}\">{words(int(rng.integers(4, 9)))}"
+                         f" {ent} {words(2)}</{tag}>")
+        parts.append("</body></html>")
+        docs.append("\n".join(parts))
+    table = pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

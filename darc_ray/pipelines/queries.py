@@ -4232,6 +4232,194 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# the mirrored HTML→text extraction contract (NOT a full HTML5 parser —
+# same class of contract as the reference's URL regexes): strip
+# script/style/comment blocks, strip tags, decode the five standard
+# entities (&amp; last), collapse whitespace
+HTML_STRIP_PATTERNS = (r"(?s)<script[^>]*>.*?</script>",
+                       r"(?s)<style[^>]*>.*?</style>",
+                       r"(?s)<!--.*?-->",
+                       r"<[^>]+>")
+HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&#39;", "'"), ("&amp;", "&"))
+
+
+def q_html_text(sf_dir: str) -> pd.DataFrame:
+    """HTML → text extraction — the first transform of every web
+    training corpus (the Trafilatura/jusText step, reduced to an
+    engine-checkable contract): drop script/style/comment blocks,
+    strip tags, decode the five standard entities (&amp; LAST, the
+    standard order), collapse whitespace.  Ray and the oracle run the
+    IDENTICAL regex pipeline (Python re and DuckDB RE2 agree on these
+    constructs), so the extracted STRING itself is verified verbatim,
+    not just counts.  Shape: one stateless vectorized pass, zero
+    shuffles — at 100 TB this runs fused right behind the fetch
+    decode, before any dedup/quality stage."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import ensure_html_fixture
+
+    path = ensure_html_fixture()
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"]
+        for pat in HTML_STRIP_PATTERNS:
+            s = s.str.replace(pat, " ", regex=True)
+        for ent, ch in HTML_ENTITIES:
+            s = s.str.replace(ent, ch, regex=False)
+        s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "extracted": s,
+            "n_chars": s.str.len().astype("int64"),
+            "n_words": s.str.split().map(len).astype("int64"),
+        })
+
+    out = (rd.read_parquet(path)
+           .map_batches(extract, batch_format="pandas", batch_size=1024)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_HTML_TEXT = """
+WITH stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(
+        regexp_replace(
+        regexp_replace(
+        regexp_replace(text,
+          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS extracted
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_html.parquet')
+)
+SELECT doc_id, extracted,
+       length(extracted)::BIGINT AS n_chars,
+       CASE WHEN extracted = '' THEN 0
+            ELSE len(string_split_regex(extracted, '\\s+')) END::BIGINT
+         AS n_words
+FROM stripped ORDER BY doc_id
+"""
+
+
+# prior-snapshot hash set broadcast cap; the co-shuffled hash join is
+# the rung above (the decontaminate escape-hatch pattern)
+INCR_DEDUP_BROADCAST_CAP = 50_000_000
+
+
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingestion dedup — the shape of every RECURRING
+    corpus build: an incoming shard (the ``doc_id % 5 == 0`` slice) is
+    deduped against the PRIOR snapshot (the rest) by exact content
+    hash, without ever re-shuffling the prior corpus.  The prior
+    side's distinct md5-64 hashes broadcast once as a SORTED uint64
+    array (8 bytes/doc; loud cap, co-shuffled hash join above it) and
+    the incoming shard streams through one ``np.searchsorted``
+    membership pass — no shuffle, no join, the ``decontaminate``
+    discipline applied at doc granularity."""
+    import hashlib
+
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def md5_64(texts: pd.Series) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+             for t in texts),
+            dtype=np.uint64, count=len(texts))
+
+    def prior_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 5 != 0]
+        return pd.DataFrame({"g": md5_64(df["text"])})
+
+    prior = (ds.map_batches(prior_hashes, batch_format="pandas",
+                            batch_size=4096).to_pandas())
+    arr = np.unique(prior["g"].to_numpy(dtype=np.uint64))
+    if len(arr) > INCR_DEDUP_BROADCAST_CAP:
+        raise RuntimeError(
+            f"prior hash set {len(arr)} exceeds broadcast cap "
+            f"{INCR_DEDUP_BROADCAST_CAP}; use the co-shuffled hash join")
+    ref = ray.put(arr)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        df = df[df["doc_id"] % 5 == 0]
+        g = md5_64(df["text"])
+        pos = np.searchsorted(b, g)
+        hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == g)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "is_dup": hit.astype("int64")})
+
+    out = (ds.map_batches(flag, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH h AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 16))::UBIGINT AS g
+  FROM documents
+), prior AS (
+  SELECT DISTINCT g FROM h WHERE doc_id % 5 <> 0
+)
+SELECT i.doc_id,
+       CAST(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM (SELECT * FROM h WHERE doc_id % 5 = 0) i
+LEFT JOIN prior p USING (g)
+ORDER BY doc_id
+"""
+
+
+# train/val/test in percent (md5-uniform mod 100: < 96 / < 98 / rest)
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 96, 98
+
+
+def q_dataset_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment — the last step before
+    the tokenizer: split by a content-free md5 uniform over the doc id
+    (stable across corpus versions: adding documents never moves an
+    existing one between splits, unlike any count-based scheme).  The
+    decision is an integer modulo, bit-identical on any engine; one
+    stateless map, zero shuffles, and the per-split counts downstream
+    jobs need are a 3-row aggregate."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:8], "big") % 100
+             for d in df["doc_id"]),
+            dtype=np.int64, count=len(df))
+        split = np.where(u < SPLIT_TRAIN_PCT, "train",
+                         np.where(u < SPLIT_VAL_PCT, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "split": split})
+
+    out = (ds.map_batches(assign, batch_format="pandas", batch_size=8192)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DATASET_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                 % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                 % 100 < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 DUP_NGRAM_W = 24     # character window length (ExactSubstr threshold)
 
 
@@ -4659,12 +4847,12 @@ FROM (
 # over ORACLE_SQL).
 QUERIES: dict[str, Callable[[str], Any]] = {
     "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
-    "broadcast_join": q_broadcast_join,
+    "html_text": q_html_text,
+    "incremental_dedup": q_incremental_dedup,
+    "dataset_split": q_dataset_split,
     "frontier_pop": q_frontier_pop,
     "first_seen": q_first_seen,
     "host_alive": q_host_alive,
-    "host_since": q_host_since,
     "distinct_edges": q_distinct_edges,
     "anti_join": q_anti_join,
     "gate_filter": q_gate_filter,
@@ -4713,6 +4901,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # in ORACLE_SQL; driver-green in earlier rounds)
     "shuffle_join": q_shuffle_join,
     "asof_partitioned": q_asof_partitioned,
+    "top_customers": q_top_customers,
+    "broadcast_join": q_broadcast_join,
+    "host_since": q_host_since,
     "fingerprint": q_fingerprint,
     "token_counts": q_token_counts,
     "round_metrics": q_round_metrics,
@@ -4821,6 +5012,9 @@ ORACLE_SQL: dict[str, str] = {
     "postings": SQL_POSTINGS,
     "aspect_buckets": SQL_ASPECT_BUCKETS,
     "cluster_profile": SQL_CLUSTER_PROFILE,
+    "html_text": SQL_HTML_TEXT,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "dataset_split": SQL_DATASET_SPLIT,
     "image_phash_clusters": SQL_IMAGE_PHASH_CLUSTERS,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
