@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "dedup_keep_best", "gopher_quality", "paragraph_dedup", "domain_mix",
     "dup_ngrams", "bigram_lm", "image_phash_clusters", "bpe_pair_counts",
     "kmeans_assign", "postings", "aspect_buckets", "cluster_profile",
-    "html_text", "incremental_dedup", "dataset_split",
+    "html_text", "incremental_dedup", "dataset_split", "quality_funnel",
 ]
 
 

@@ -2566,6 +2566,96 @@ FROM r
 """
 
 
+# the funnel thresholds, all-integer (C4/Gopher-style document gates)
+FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS = 20, 5000
+FUNNEL_WORDLEN_MILLI = (3000, 10000)    # mean token length × 1000
+FUNNEL_MAX_TOKEN_LEN = 25
+FUNNEL_MIN_ALPHA_PCT = 60
+
+
+def q_quality_funnel(sf_dir: str) -> pd.DataFrame:
+    """The composed C4/Gopher document-filter FUNNEL — the single
+    keep/drop decision (with its first failing rule as the audit
+    reason) that quality pipelines actually apply, rather than raw
+    feature columns: token-count bounds, mean-token-length band,
+    longest-token cap, alphabetic-character floor, evaluated in a
+    FIXED order so 'reason' is deterministic.  Every rule is an
+    ALL-INTEGER comparison (milli mean length, percent alpha — floor
+    division), so the oracle agrees at every threshold boundary.
+    Shape: one stateless vectorized pass, zero shuffles; the funnel
+    composes the same kernels `quality`/`gopher_quality` expose as
+    features."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.strip()
+        toks = t.str.split()
+        n = toks.map(len).to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        lens = ex.str.len()
+        grp = lens.groupby(level=0)
+        tok_chars = grp.sum().reindex(df.index, fill_value=0) \
+                       .to_numpy(dtype=np.int64)
+        max_tok = grp.max().reindex(df.index, fill_value=0) \
+                     .to_numpy(dtype=np.int64)
+        alpha = t.str.count("[A-Za-z]").to_numpy(dtype=np.int64)
+        n1 = np.maximum(n, 1)                # guarded by rule order
+        mean_milli = tok_chars * 1000 // n1
+        alpha_pct = alpha * 100 // np.maximum(tok_chars, 1)
+        reason = np.select(
+            [n < FUNNEL_MIN_TOKENS,
+             n > FUNNEL_MAX_TOKENS,
+             (mean_milli < FUNNEL_WORDLEN_MILLI[0])
+             | (mean_milli > FUNNEL_WORDLEN_MILLI[1]),
+             max_tok > FUNNEL_MAX_TOKEN_LEN,
+             alpha_pct < FUNNEL_MIN_ALPHA_PCT],
+            ["too_short", "too_long", "word_len", "long_word", "alpha"],
+            default="ok")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": n,
+            "keep": (reason == "ok").astype(np.int64),
+            "reason": reason,
+        })
+
+    out = (ds.map_batches(funnel, batch_format="pandas", batch_size=8192)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_QUALITY_FUNNEL = f"""
+WITH feats AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT
+      AS n_tokens,
+    length(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT AS tok_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE list_aggregate(list_transform(
+                string_split_regex(trim(text), '\\s+'), x -> length(x)),
+              'max') END::BIGINT AS max_tok,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha_chars
+  FROM documents
+), ruled AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens < {FUNNEL_MIN_TOKENS} THEN 'too_short'
+         WHEN n_tokens > {FUNNEL_MAX_TOKENS} THEN 'too_long'
+         WHEN tok_chars * 1000 // greatest(n_tokens, 1)
+              NOT BETWEEN {FUNNEL_WORDLEN_MILLI[0]}
+                      AND {FUNNEL_WORDLEN_MILLI[1]} THEN 'word_len'
+         WHEN max_tok > {FUNNEL_MAX_TOKEN_LEN} THEN 'long_word'
+         WHEN alpha_chars * 100 // greatest(tok_chars, 1)
+              < {FUNNEL_MIN_ALPHA_PCT} THEN 'alpha'
+         ELSE 'ok' END AS reason
+  FROM feats
+)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       reason
+FROM ruled ORDER BY doc_id
+"""
+
+
 def q_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
     from darc_ray.functions.text import rolling_fingerprint
 
@@ -4853,7 +4943,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "frontier_pop": q_frontier_pop,
     "first_seen": q_first_seen,
     "host_alive": q_host_alive,
-    "distinct_edges": q_distinct_edges,
+    "quality_funnel": q_quality_funnel,
     "anti_join": q_anti_join,
     "gate_filter": q_gate_filter,
     "dedup_exact": q_dedup_exact,
@@ -4904,6 +4994,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_customers": q_top_customers,
     "broadcast_join": q_broadcast_join,
     "host_since": q_host_since,
+    "distinct_edges": q_distinct_edges,
     "fingerprint": q_fingerprint,
     "token_counts": q_token_counts,
     "round_metrics": q_round_metrics,
@@ -5015,6 +5106,7 @@ ORACLE_SQL: dict[str, str] = {
     "html_text": SQL_HTML_TEXT,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "dataset_split": SQL_DATASET_SPLIT,
+    "quality_funnel": SQL_QUALITY_FUNNEL,
     "image_phash_clusters": SQL_IMAGE_PHASH_CLUSTERS,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
