@@ -2656,6 +2656,173 @@ FROM ruled ORDER BY doc_id
 """
 
 
+def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The CAPSTONE chain — a complete pre-training curation pass in
+    one verified pipeline, each doc's final DISPOSITION auditable:
+    quality funnel (first-fail reason) → simhash near-dup clustering
+    over the SURVIVORS ONLY (hamming ≤ 3; keeper = max chars, ties to
+    min doc_id; losers → 'near_dup') → deterministic train/val/test
+    split for what remains.  Composes `quality_funnel`,
+    `simhash_pairs`+`dedup_keep_best`, and `dataset_split` end-to-end
+    under ONE DuckDB oracle (funnel CTE + recursive-CTE components +
+    window-fn keeper + md5 split), proving the stages agree not just
+    individually but composed.  Scale shape inherits from the parts:
+    stateless funnel, banded-prefix pair shuffle, cluster-bounded
+    keeper merge, stateless split."""
+    import hashlib
+
+    import ray
+
+    from darc_ray.stages.dedup import connected_components, simhash_near_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _reasons(df: pd.DataFrame) -> np.ndarray:
+        # the funnel is STATELESS, so downstream stages recompute it
+        # per batch instead of broadcasting a data-proportional reject
+        # map — only the cluster-bounded near-dup set ever broadcasts
+        t = df["text"].str.strip()
+        toks = t.str.split()
+        n = toks.map(len).to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        lens = ex.str.len()
+        grp = lens.groupby(level=0)
+        tok_chars = grp.sum().reindex(df.index, fill_value=0) \
+                       .to_numpy(dtype=np.int64)
+        max_tok = grp.max().reindex(df.index, fill_value=0) \
+                     .to_numpy(dtype=np.int64)
+        alpha = t.str.count("[A-Za-z]").to_numpy(dtype=np.int64)
+        mean_milli = tok_chars * 1000 // np.maximum(n, 1)
+        alpha_pct = alpha * 100 // np.maximum(tok_chars, 1)
+        return np.select(
+            [n < FUNNEL_MIN_TOKENS,
+             n > FUNNEL_MAX_TOKENS,
+             (mean_milli < FUNNEL_WORDLEN_MILLI[0])
+             | (mean_milli > FUNNEL_WORDLEN_MILLI[1]),
+             max_tok > FUNNEL_MAX_TOKEN_LEN,
+             alpha_pct < FUNNEL_MIN_ALPHA_PCT],
+            ["too_short", "too_long", "word_len", "long_word", "alpha"],
+            default="ok")
+
+    # near-dup clustering over the survivors ONLY (pipeline order)
+    survivors = ds.map_batches(
+        lambda df: df[_reasons(df) == "ok"],
+        batch_format="pandas", batch_size=8192)
+    pairs = simhash_near_pairs(survivors, max_hamming=3)
+    labels = connected_components(pairs)
+    # keeper = max chars, ties to min doc_id; the pair graph is
+    # LSH-bounded, so fetching chars for ITS nodes only is a small read
+    node_ids = sorted(labels)
+    if node_ids:
+        chars_df = (survivors.map_batches(
+            lambda df, _n=frozenset(node_ids):
+                pd.DataFrame({"doc_id": df.loc[df["doc_id"].isin(_n),
+                                               "doc_id"].astype("int64"),
+                              "n_chars": df.loc[df["doc_id"].isin(_n),
+                                                "text"].str.len()
+                              .astype("int64")}),
+            batch_format="pandas", batch_size=8192).to_pandas())
+        chars = dict(zip(chars_df["doc_id"], chars_df["n_chars"]))
+    else:
+        chars = {}
+    best: dict = {}
+    for node, comp in labels.items():
+        cand = (-chars[node], node)
+        if comp not in best or cand < best[comp]:
+            best[comp] = cand
+    near_dup = frozenset(n for n, c in labels.items() if best[c][1] != n)
+    dup_ref = ray.put(near_dup)
+
+    def disposition(df: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(dup_ref)
+        reason = _reasons(df)
+        ids = df["doc_id"].to_numpy()
+        u = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:8], "big") % 100
+             for d in ids),
+            dtype=np.int64, count=len(ids))
+        split = np.where(u < SPLIT_TRAIN_PCT, "train",
+                         np.where(u < SPLIT_VAL_PCT, "val", "test"))
+        is_nd = np.fromiter((int(d) in nd for d in ids), dtype=bool,
+                            count=len(ids))
+        disp = np.where(reason != "ok", reason,
+                        np.where(is_nd, "near_dup", split))
+        return pd.DataFrame({"doc_id": ids.astype(np.int64),
+                             "disposition": disp})
+
+    out = (ds.map_batches(disposition, batch_format="pandas",
+                          batch_size=8192).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_curation_pipeline() -> str:
+    return f"""
+WITH RECURSIVE {_SQL_SIMHASH_CTE},
+feats AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT
+      AS n_tokens,
+    length(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT AS tok_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE list_aggregate(list_transform(
+                string_split_regex(trim(text), '\\s+'), x -> length(x)),
+              'max') END::BIGINT AS max_tok,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha_chars
+  FROM documents
+), ruled AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens < {FUNNEL_MIN_TOKENS} THEN 'too_short'
+         WHEN n_tokens > {FUNNEL_MAX_TOKENS} THEN 'too_long'
+         WHEN tok_chars * 1000 // greatest(n_tokens, 1)
+              NOT BETWEEN {FUNNEL_WORDLEN_MILLI[0]}
+                      AND {FUNNEL_WORDLEN_MILLI[1]} THEN 'word_len'
+         WHEN max_tok > {FUNNEL_MAX_TOKEN_LEN} THEN 'long_word'
+         WHEN alpha_chars * 100 // greatest(tok_chars, 1)
+              < {FUNNEL_MIN_ALPHA_PCT} THEN 'alpha'
+         ELSE 'ok' END AS reason
+  FROM feats
+), keepset AS (
+  SELECT doc_id FROM ruled WHERE reason = 'ok'
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+  JOIN keepset ka ON ka.doc_id = x.doc_id
+  JOIN keepset kb ON kb.doc_id = y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+), lab AS (
+  SELECT c.node AS doc_id, c.cluster_id, length(d.text)::BIGINT AS n_chars
+  FROM comp c JOIN documents d ON c.node = d.doc_id
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM lab
+)
+SELECT d.doc_id,
+  CASE WHEN ru.reason <> 'ok' THEN ru.reason
+       WHEN rk.rn > 1 THEN 'near_dup'
+       WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+            % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+       WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+            % 100 < {SPLIT_VAL_PCT} THEN 'val'
+       ELSE 'test' END AS disposition
+FROM documents d
+JOIN ruled ru USING (doc_id)
+LEFT JOIN ranked rk USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
     from darc_ray.functions.text import rolling_fingerprint
 
@@ -4944,7 +5111,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "first_seen": q_first_seen,
     "host_alive": q_host_alive,
     "quality_funnel": q_quality_funnel,
-    "anti_join": q_anti_join,
+    "curation_pipeline": q_curation_pipeline,
     "gate_filter": q_gate_filter,
     "dedup_exact": q_dedup_exact,
     "normalized_dedup": q_normalized_dedup,
@@ -4995,6 +5162,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "broadcast_join": q_broadcast_join,
     "host_since": q_host_since,
     "distinct_edges": q_distinct_edges,
+    "anti_join": q_anti_join,
     "fingerprint": q_fingerprint,
     "token_counts": q_token_counts,
     "round_metrics": q_round_metrics,
@@ -5107,6 +5275,7 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "dataset_split": SQL_DATASET_SPLIT,
     "quality_funnel": SQL_QUALITY_FUNNEL,
+    "curation_pipeline": _sql_curation_pipeline(),
     "image_phash_clusters": SQL_IMAGE_PHASH_CLUSTERS,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,

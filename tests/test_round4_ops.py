@@ -98,3 +98,20 @@ def test_incremental_dedup_flags_planted_copy(ray_session, tmp_path):
     got = out["is_dup"]
     want.index = docs.loc[expect, "doc_id"]
     assert (got.sort_index() == want.sort_index()).all()
+
+
+def test_curation_pipeline_consistent_with_parts(ray_session):
+    """The capstone's dispositions agree with the standalone stages:
+    funnel rejects keep their reason, surviving non-dups carry exactly
+    their dataset_split label, and near_dups were funnel-survivors."""
+    disp = QUERIES["curation_pipeline"](SF).set_index("doc_id")["disposition"]
+    funnel = QUERIES["quality_funnel"](SF).set_index("doc_id")
+    split = QUERIES["dataset_split"](SF).set_index("doc_id")["split"]
+
+    rejects = funnel[funnel["keep"] == 0]
+    assert (disp.loc[rejects.index] == rejects["reason"]).all()
+    survivors = disp[disp.isin(("train", "val", "test"))]
+    assert (survivors == split.loc[survivors.index]).all()
+    near = disp[disp == "near_dup"]
+    assert (funnel.loc[near.index, "keep"] == 1).all()
+    assert set(disp.unique()) >= {"train", "near_dup"}
