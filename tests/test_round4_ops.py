@@ -4,8 +4,6 @@ against the fixtures' planted structure."""
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 import pyarrow.parquet as pq
 
 from darc_ray.pipelines.queries import (
