@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "dup_ngrams", "bigram_lm", "image_phash_clusters", "bpe_pair_counts",
     "kmeans_assign", "postings", "aspect_buckets", "cluster_profile",
     "html_text", "incremental_dedup", "dataset_split", "quality_funnel",
-    "curation_pipeline",
+    "curation_pipeline", "image_curation_pipeline",
 ]
 
 

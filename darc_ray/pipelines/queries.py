@@ -3833,6 +3833,159 @@ FROM st ORDER BY image_id
 """
 
 
+def q_image_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The image-axis CAPSTONE — a complete LAION-style image curation
+    pass with an auditable per-image DISPOSITION: integer quality gate
+    (brightness/contrast/dims/aspect over raw pixels) → phash near-dup
+    clustering over the SURVIVORS ONLY (hamming ≤ 6; keeper = max
+    resolution, ties to min id; losers → 'near_dup') → aspect-ratio
+    bucket label for what remains ('bucket_<milli>').  Composes
+    `image_quality_gate`, `image_phash_clusters` and `aspect_buckets`
+    under ONE DuckDB oracle (hex pixel-walk gate + recursive
+    components + window keeper + integer bucket argmin).  The gate is
+    STATELESS, so downstream stages recompute it per batch — no
+    data-proportional reject broadcast; only the blocking-bounded
+    near-dup set ships."""
+    import ray
+    import ray.data as rd
+
+    from darc_ray.stages.dedup import connected_components, hash_near_pairs
+    from darc_ray.stages.multimodal import (ensure_image_pixels_fixture,
+                                            image_quality_gate_batch)
+
+    path = ensure_image_pixels_fixture()
+    buckets = np.asarray(ASPECT_BUCKETS_MILLI, dtype=np.int64)
+
+    def survivors_batch(t: pa.Table) -> pa.Table:
+        g = image_quality_gate_batch(t)
+        mask = pc.equal(g["keep"], pa.scalar(1, type=pa.int64()))
+        return t.filter(mask).select(["image_id", "phash"])
+
+    survivors = (rd.read_parquet(path)
+                 .map_batches(survivors_batch, batch_format="pyarrow",
+                              batch_size=16))
+    pairs = hash_near_pairs(survivors, max_hamming=6, id_col="image_id",
+                            hash_col="phash")
+    labels = connected_components(pairs)
+    node_ids = frozenset(labels)
+    if node_ids:
+        px = (rd.read_parquet(path, columns=["image_id", "w", "h"])
+              .map_batches(
+                  lambda df, _n=node_ids:
+                      df[df["image_id"].isin(_n)].assign(
+                          n_pixels=lambda x: (x["w"].astype("int64")
+                                              * x["h"].astype("int64")))
+                      [["image_id", "n_pixels"]],
+                  batch_format="pandas", batch_size=16).to_pandas())
+        npix = dict(zip(px["image_id"], px["n_pixels"]))
+    else:
+        npix = {}
+    best: dict = {}
+    for node, comp in labels.items():
+        cand = (-npix[node], node)
+        if comp not in best or cand < best[comp]:
+            best[comp] = cand
+    near_dup = frozenset(n for n, c in labels.items() if best[c][1] != n)
+    dup_ref = ray.put(near_dup)
+
+    def disposition(t: pa.Table) -> pd.DataFrame:
+        nd = ray.get(dup_ref)
+        g = image_quality_gate_batch(t).to_pandas()
+        ratio = (g["width"].to_numpy(dtype=np.int64) * 1000
+                 // g["height"].to_numpy(dtype=np.int64))
+        bidx = np.argmin(np.abs(ratio[:, None] - buckets[None, :]), axis=1)
+        blab = np.array([f"bucket_{b}" for b in buckets[bidx]], dtype=object)
+        is_nd = g["image_id"].isin(nd).to_numpy()
+        disp = np.where(g["keep"].to_numpy() == 0, "quality",
+                        np.where(is_nd, "near_dup", blab))
+        return pd.DataFrame({"image_id": g["image_id"],
+                             "disposition": disp})
+
+    out = (rd.read_parquet(path)
+           .map_batches(disposition, batch_format="pyarrow", batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _sql_image_curation_pipeline() -> str:
+    bucket_values = ", ".join(f"({v})" for v in ASPECT_BUCKETS_MILLI)
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_pixels.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT AS pr,
+         ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT AS pg,
+         ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS pb
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), st AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht,
+         count(*)::BIGINT AS n,
+         sum(299 * pr + 587 * pg + 114 * pb)::BIGINT AS s1,
+         sum((299 * pr + 587 * pg + 114 * pb)
+             * (299 * pr + 587 * pg + 114 * pb))::BIGINT AS s2
+  FROM px GROUP BY image_id
+), gate AS (
+  SELECT image_id,
+       CASE WHEN (s1 // n) BETWEEN 30000 AND 225000
+             AND ((n * s2 - s1 * s1) // (n * n)) >= 25000000
+             AND least(w, ht) >= 12
+             AND greatest(w, ht) * 10 <= least(w, ht) * 30
+            THEN 1 ELSE 0 END::BIGINT AS keep
+  FROM st
+), t AS (
+  SELECT image_id, phash, w, h
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_pixels.parquet')
+), keepset AS (
+  SELECT image_id FROM gate WHERE keep = 1
+), pairs AS (
+  SELECT x.image_id AS a, y.image_id AS b
+  FROM t x JOIN t y ON x.image_id < y.image_id
+  JOIN keepset ka ON ka.image_id = x.image_id
+  JOIN keepset kb ON kb.image_id = y.image_id
+  WHERE bit_count(xor(x.phash, y.phash)) <= 6
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+), lab AS (
+  SELECT c.node AS image_id, c.cluster_id, (t.w * t.h)::BIGINT AS n_pixels
+  FROM comp c JOIN t ON c.node = t.image_id
+), ranked AS (
+  SELECT image_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_pixels DESC, image_id) AS rn
+  FROM lab
+), b(bucket) AS (
+  VALUES {bucket_values}
+), bucketed AS (
+  SELECT image_id, bucket,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY abs((w * 1000) // h - bucket), bucket)
+         AS brn
+  FROM t CROSS JOIN b
+)
+SELECT t.image_id,
+  CASE WHEN g.keep = 0 THEN 'quality'
+       WHEN rk.rn > 1 THEN 'near_dup'
+       ELSE 'bucket_' || CAST(bk.bucket AS VARCHAR) END AS disposition
+FROM t
+JOIN gate g USING (image_id)
+LEFT JOIN ranked rk USING (image_id)
+JOIN (SELECT image_id, bucket FROM bucketed WHERE brn = 1) bk USING (image_id)
+ORDER BY image_id
+"""
+
+
 def q_image_thumbs_pooled(sf_dir: str) -> pd.DataFrame:
     """Integer 8×8 pooled thumbnail (center-crop square, per-cell
     floor-mean of the milli-luma) over the RAW-pixel fixture — the
@@ -5112,7 +5265,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "host_alive": q_host_alive,
     "quality_funnel": q_quality_funnel,
     "curation_pipeline": q_curation_pipeline,
-    "gate_filter": q_gate_filter,
+    "image_curation_pipeline": q_image_curation_pipeline,
     "dedup_exact": q_dedup_exact,
     "normalized_dedup": q_normalized_dedup,
     "ann_brute": q_ann_brute,
@@ -5163,6 +5316,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "host_since": q_host_since,
     "distinct_edges": q_distinct_edges,
     "anti_join": q_anti_join,
+    "gate_filter": q_gate_filter,
     "fingerprint": q_fingerprint,
     "token_counts": q_token_counts,
     "round_metrics": q_round_metrics,
@@ -5276,6 +5430,7 @@ ORACLE_SQL: dict[str, str] = {
     "dataset_split": SQL_DATASET_SPLIT,
     "quality_funnel": SQL_QUALITY_FUNNEL,
     "curation_pipeline": _sql_curation_pipeline(),
+    "image_curation_pipeline": _sql_image_curation_pipeline(),
     "image_phash_clusters": SQL_IMAGE_PHASH_CLUSTERS,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,

@@ -113,3 +113,18 @@ def test_curation_pipeline_consistent_with_parts(ray_session):
     near = disp[disp == "near_dup"]
     assert (funnel.loc[near.index, "keep"] == 1).all()
     assert set(disp.unique()) >= {"train", "near_dup"}
+
+
+def test_image_curation_pipeline_dispositions(ray_session):
+    """Planted '-bad' rows fail the gate; every '-dup' loses to its
+    equal-resolution base (tie → min id) and lands in 'near_dup';
+    everything else carries an aspect-bucket label."""
+    disp = QUERIES["image_curation_pipeline"]("unused") \
+        .set_index("image_id")["disposition"]
+    bads = [i for i in disp.index if i.endswith("-bad")]
+    dups = [i for i in disp.index if i.endswith("-dup")]
+    assert bads and dups
+    assert (disp.loc[bads] == "quality").all()
+    assert (disp.loc[dups] == "near_dup").all()
+    rest = disp.drop(bads + dups)
+    assert rest.str.startswith("bucket_").all()
