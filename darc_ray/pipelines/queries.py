@@ -391,22 +391,13 @@ ORDER BY query_id, rank
 KMEANS_K = 8
 
 
-def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
-    """K-means ASSIGNMENT pass — the embedding-clustering step of a
-    corpus-organization pipeline (and one Lloyd iteration's E-step):
-    every vector labeled with its nearest of K deterministic centroids
-    (the ``vec_id < K`` rows; production seeds via the hash-sampled
-    k-means in ``stages/ann.ivf_topk``, whose full Lloyd loop is the
-    rows-only golden-tested path).  Nearest = min squared L2, ties to
-    the smaller centroid id; only IDS are emitted (the ``ann_brute``
-    float-parity convention — rank margins dwarf ulp noise, so the
-    DuckDB oracle agrees exactly).  Shape: K·d centroid matrix
-    broadcast once via ``ray.put``, one streaming vectorized
-    matmul-distance pass, no shuffle — the 100 TB shape for corpus
-    bucketing by semantic cluster."""
+def _kmeans_labels(ds) -> "Any":
+    """Shared assignment kernel for `kmeans_assign` / `cluster_profile`
+    (ONE implementation so the tie-break can never drift between the
+    two oracled families): broadcast the sorted K·d centroid matrix
+    once, return the (vec_id, cluster) label Dataset — nearest squared
+    L2, ties to the smaller centroid id."""
     import ray
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     cents = (ds.filter(expr=f"vec_id < {KMEANS_K}").to_pandas()
              .sort_values("vec_id"))
@@ -422,14 +413,29 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
         d2 = ((e * e).sum(axis=1, keepdims=True)
               - 2.0 * (e @ c.T)
               + (c * c).sum(axis=1))
-        best = np.argmin(d2, axis=1)
         return pd.DataFrame({
             "vec_id": df["vec_id"].to_numpy().astype(np.int64),
-            "cluster": ids[best],
+            "cluster": ids[np.argmin(d2, axis=1)],
         })
 
-    out = (ds.map_batches(assign, batch_format="pandas", batch_size=4096)
-           .to_pandas())
+    return ds.map_batches(assign, batch_format="pandas", batch_size=4096)
+
+
+def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    """K-means ASSIGNMENT pass — the embedding-clustering step of a
+    corpus-organization pipeline (and one Lloyd iteration's E-step):
+    every vector labeled with its nearest of K deterministic centroids
+    (the ``vec_id < K`` rows; production seeds via the hash-sampled
+    k-means in ``stages/ann.ivf_topk``, whose full Lloyd loop is the
+    rows-only golden-tested path).  Nearest = min squared L2, ties to
+    the smaller centroid id; only IDS are emitted (the ``ann_brute``
+    float-parity convention — rank margins dwarf ulp noise, so the
+    DuckDB oracle agrees exactly).  Shape: K·d centroid matrix
+    broadcast once via ``ray.put``, one streaming vectorized
+    matmul-distance pass, no shuffle — the 100 TB shape for corpus
+    bucketing by semantic cluster."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = _kmeans_labels(ds).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
@@ -457,28 +463,10 @@ def q_cluster_profile(sf_dir: str) -> pd.DataFrame:
     assignment → large×large id join → vocab-bounded aggregate; the
     join is the piece ``shuffle_join`` proves, re-used on the
     embedding axis."""
-    import ray
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cents = (ds.filter(expr=f"vec_id < {KMEANS_K}").to_pandas()
-             .sort_values("vec_id"))
-    c_mat = np.stack(cents["embedding"].to_numpy()).astype(np.float64)
-    c_ids = cents["vec_id"].to_numpy().astype(np.int64)
-    c_ref = ray.put((c_ids, c_mat))
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        ids, c = ray.get(c_ref)
-        e = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        d2 = ((e * e).sum(axis=1, keepdims=True)
-              - 2.0 * (e @ c.T)
-              + (c * c).sum(axis=1))
-        return pd.DataFrame({
-            "vec_id": df["vec_id"].to_numpy().astype(np.int64),
-            "cluster": ids[np.argmin(d2, axis=1)],
-        })
-
-    labels = ds.map_batches(assign, batch_format="pandas", batch_size=4096)
+    labels = _kmeans_labels(ds)
 
     def doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].str.strip()
@@ -2064,11 +2052,13 @@ def q_bigram_lm(sf_dir: str) -> pd.DataFrame:
         raise RuntimeError(
             f"bigram table {len(bg)} exceeds broadcast cap "
             f"{BIGRAM_BROADCAST_CAP}; use the co-shuffled bigram-key join")
-    hist = bg.groupby(bg.index.str.split(" ").str[0]).sum()
-    lp = {b: int(math.floor(math.log((n + 1.0)
-                                     / (hist[b.split(" ", 1)[0]] + vocab_n))
-                            * 1e6))
-          for b, n in bg.items()}
+    w1 = bg.index.str.split(" ").str[0]
+    hist = bg.groupby(w1.to_numpy()).sum()
+    nh = pd.Series(w1.map(hist).to_numpy(), index=bg.index)
+    lp_vals = np.floor(np.log((bg.to_numpy() + 1.0)
+                              / (nh.to_numpy() + vocab_n))
+                       * 1e6).astype(np.int64)
+    lp = dict(zip(bg.index, lp_vals.tolist()))
     lp_ref = ray.put(lp)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -2573,6 +2563,38 @@ FUNNEL_MAX_TOKEN_LEN = 25
 FUNNEL_MIN_ALPHA_PCT = 60
 
 
+def _funnel_reasons(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """THE funnel rule kernel, shared by `quality_funnel` and the
+    `curation_pipeline` capstone (one implementation so thresholds and
+    rule order cannot drift between the two oracled families).
+    Returns (reason, n_tokens) arrays; rules evaluate in a FIXED order
+    so the first-fail reason is deterministic, and every comparison is
+    all-integer so the SQL oracles agree at threshold boundaries."""
+    t = df["text"].str.strip()
+    toks = t.str.split()
+    n = toks.map(len).to_numpy(dtype=np.int64)
+    ex = toks.explode().dropna()
+    lens = ex.str.len()
+    grp = lens.groupby(level=0)
+    tok_chars = grp.sum().reindex(df.index, fill_value=0) \
+                   .to_numpy(dtype=np.int64)
+    max_tok = grp.max().reindex(df.index, fill_value=0) \
+                 .to_numpy(dtype=np.int64)
+    alpha = t.str.count("[A-Za-z]").to_numpy(dtype=np.int64)
+    mean_milli = tok_chars * 1000 // np.maximum(n, 1)
+    alpha_pct = alpha * 100 // np.maximum(tok_chars, 1)
+    reason = np.select(
+        [n < FUNNEL_MIN_TOKENS,
+         n > FUNNEL_MAX_TOKENS,
+         (mean_milli < FUNNEL_WORDLEN_MILLI[0])
+         | (mean_milli > FUNNEL_WORDLEN_MILLI[1]),
+         max_tok > FUNNEL_MAX_TOKEN_LEN,
+         alpha_pct < FUNNEL_MIN_ALPHA_PCT],
+        ["too_short", "too_long", "word_len", "long_word", "alpha"],
+        default="ok")
+    return reason, n
+
+
 def q_quality_funnel(sf_dir: str) -> pd.DataFrame:
     """The composed C4/Gopher document-filter FUNNEL — the single
     keep/drop decision (with its first failing rule as the audit
@@ -2588,29 +2610,7 @@ def q_quality_funnel(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def funnel(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["text"].str.strip()
-        toks = t.str.split()
-        n = toks.map(len).to_numpy(dtype=np.int64)
-        ex = toks.explode().dropna()
-        lens = ex.str.len()
-        grp = lens.groupby(level=0)
-        tok_chars = grp.sum().reindex(df.index, fill_value=0) \
-                       .to_numpy(dtype=np.int64)
-        max_tok = grp.max().reindex(df.index, fill_value=0) \
-                     .to_numpy(dtype=np.int64)
-        alpha = t.str.count("[A-Za-z]").to_numpy(dtype=np.int64)
-        n1 = np.maximum(n, 1)                # guarded by rule order
-        mean_milli = tok_chars * 1000 // n1
-        alpha_pct = alpha * 100 // np.maximum(tok_chars, 1)
-        reason = np.select(
-            [n < FUNNEL_MIN_TOKENS,
-             n > FUNNEL_MAX_TOKENS,
-             (mean_milli < FUNNEL_WORDLEN_MILLI[0])
-             | (mean_milli > FUNNEL_WORDLEN_MILLI[1]),
-             max_tok > FUNNEL_MAX_TOKEN_LEN,
-             alpha_pct < FUNNEL_MIN_ALPHA_PCT],
-            ["too_short", "too_long", "word_len", "long_word", "alpha"],
-            default="ok")
+        reason, n = _funnel_reasons(df)
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
             "n_tokens": n,
@@ -2673,43 +2673,37 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
 
     import ray
 
-    from darc_ray.stages.dedup import connected_components, simhash_near_pairs
+    from darc_ray.stages.dedup import (connected_components,
+                                       connected_components_distributed,
+                                       simhash_near_pairs)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _reasons(df: pd.DataFrame) -> np.ndarray:
-        # the funnel is STATELESS, so downstream stages recompute it
-        # per batch instead of broadcasting a data-proportional reject
-        # map — only the cluster-bounded near-dup set ever broadcasts
-        t = df["text"].str.strip()
-        toks = t.str.split()
-        n = toks.map(len).to_numpy(dtype=np.int64)
-        ex = toks.explode().dropna()
-        lens = ex.str.len()
-        grp = lens.groupby(level=0)
-        tok_chars = grp.sum().reindex(df.index, fill_value=0) \
-                       .to_numpy(dtype=np.int64)
-        max_tok = grp.max().reindex(df.index, fill_value=0) \
-                     .to_numpy(dtype=np.int64)
-        alpha = t.str.count("[A-Za-z]").to_numpy(dtype=np.int64)
-        mean_milli = tok_chars * 1000 // np.maximum(n, 1)
-        alpha_pct = alpha * 100 // np.maximum(tok_chars, 1)
-        return np.select(
-            [n < FUNNEL_MIN_TOKENS,
-             n > FUNNEL_MAX_TOKENS,
-             (mean_milli < FUNNEL_WORDLEN_MILLI[0])
-             | (mean_milli > FUNNEL_WORDLEN_MILLI[1]),
-             max_tok > FUNNEL_MAX_TOKEN_LEN,
-             alpha_pct < FUNNEL_MIN_ALPHA_PCT],
-            ["too_short", "too_long", "word_len", "long_word", "alpha"],
-            default="ok")
+    # the funnel is STATELESS (_funnel_reasons, the quality_funnel
+    # kernel), so downstream stages recompute it per batch instead of
+    # broadcasting a data-proportional reject map — only the
+    # cluster-bounded near-dup set ever broadcasts
+    def keep_survivors(df: pd.DataFrame) -> pa.Table:
+        reason, _ = _funnel_reasons(df)
+        kept = df[reason == "ok"]
+        # explicit Arrow types: an all-rejected batch must not emit an
+        # empty object-dtype text column (breaks block accounting)
+        return pa.table({
+            "doc_id": pa.array(kept["doc_id"].to_numpy(dtype=np.int64),
+                               type=pa.int64()),
+            "text": pa.array(kept["text"].to_numpy(dtype=object),
+                             type=pa.string()),
+        })
 
-    # near-dup clustering over the survivors ONLY (pipeline order)
-    survivors = ds.map_batches(
-        lambda df: df[_reasons(df) == "ok"],
-        batch_format="pandas", batch_size=8192)
+    survivors = ds.map_batches(keep_survivors, batch_format="pandas",
+                               batch_size=8192)
     pairs = simhash_near_pairs(survivors, max_hamming=3)
-    labels = connected_components(pairs)
+    max_driver = int(os.environ.get(
+        "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
+    if len(pairs) > max_driver:
+        labels = connected_components_distributed(pairs)
+    else:
+        labels = connected_components(pairs)
     # keeper = max chars, ties to min doc_id; the pair graph is
     # LSH-bounded, so fetching chars for ITS nodes only is a small read
     node_ids = sorted(labels)
@@ -2735,7 +2729,7 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
 
     def disposition(df: pd.DataFrame) -> pd.DataFrame:
         nd = ray.get(dup_ref)
-        reason = _reasons(df)
+        reason, _ = _funnel_reasons(df)
         ids = df["doc_id"].to_numpy()
         u = np.fromiter(
             (int.from_bytes(
@@ -3663,8 +3657,8 @@ def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
     parts = parts.sort_values(["cluster_id", "n_pixels", "image_id"],
                               ascending=[True, False, True],
                               kind="mergesort")
-    keeper = dict(zip(parts.groupby("cluster_id").first().index,
-                      parts.groupby("cluster_id").first()["image_id"]))
+    first = parts.groupby("cluster_id").first()
+    keeper = dict(zip(first.index, first["image_id"]))
     keep_ref = ray.put(keeper)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -4871,9 +4865,15 @@ def q_dup_ngrams(sf_dir: str) -> pd.DataFrame:
             if len(t) < w:
                 continue
             uniq = {t[i:i + w] for i in range(len(t) - w + 1)}
-            ids.extend([int(doc_id)] * len(uniq))
-            gs.extend(int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
-                                     "big") for s in uniq)
+            # distinct per doc BY HASH (exactly what the SQL's
+            # DISTINCT doc_id, md5(...) computes), so even a
+            # within-doc md5-64 collision cannot cause a mismatch
+            hs = np.unique(np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                "big") for s in uniq),
+                dtype=np.uint64, count=len(uniq)))
+            ids.extend([int(doc_id)] * len(hs))
+            gs.extend(hs.tolist())
         return pa.table({
             "doc_id": pa.array(np.asarray(ids, dtype=np.int64),
                                type=pa.int64()),
