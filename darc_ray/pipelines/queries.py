@@ -4549,8 +4549,8 @@ WITH lines AS (
   SELECT ln, count(*) AS cnt FROM lines GROUP BY ln
 )
 SELECT l.doc_id, count(*) AS n_lines,
-       sum(CASE WHEN f.cnt >= 25 THEN 1 ELSE 0 END) AS n_removed,
-       sum(CASE WHEN f.cnt < 25 THEN length(l.ln) ELSE 0 END) AS kept_chars
+       sum(CASE WHEN f.cnt >= 25 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       sum(CASE WHEN f.cnt < 25 THEN length(l.ln) ELSE 0 END)::BIGINT AS kept_chars
 FROM lines l JOIN freq f USING (ln)
 GROUP BY l.doc_id ORDER BY doc_id
 """

@@ -41,6 +41,15 @@ def test_sql_backed_query_matches_duckdb(name, con, ray_session):
     if not isinstance(got, pd.DataFrame):
         got = got.to_pandas()
     want = con.sql(ORACLE_SQL[name]).df()
+    # dtype-strict pre-check: an int column on one side must be int on the
+    # other (the driver's value hash distinguishes 5 from 5.0 — a missing
+    # ::BIGINT in an oracle must fail HERE, not at the driver)
+    for c in sorted(set(got.columns) & set(want.columns)):
+        gk = got[c].dtype.kind
+        wk = want[c].dtype.kind
+        gk = "i" if gk in "iu" else gk
+        wk = "i" if wk in "iu" else wk
+        assert gk == wk, (name, c, got[c].dtype, want[c].dtype)
     g, w = _normalize(got), _normalize(want)
     assert list(g.columns) == list(w.columns), (list(g.columns), list(w.columns))
     assert len(g) == len(w), (name, len(g), len(w))
