@@ -141,8 +141,6 @@ def ensure_pii_fixture(path: str = PII_FIXTURE) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.exists(path):
-        return path
     vocab = ("alpha beta gamma delta sigma lambda tensor vector matrix "
              "stream batch shard merge scan probe build spill flush").split()
     docs = []
@@ -188,8 +186,6 @@ def ensure_lines_fixture(path: str = LINES_FIXTURE) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.exists(path):
-        return path
     boiler = ["accept all cookies to continue",
               "copyright example corp all rights reserved",
               "subscribe to our newsletter for updates",
@@ -242,8 +238,6 @@ def ensure_repetition_fixture(path: str = REPETITION_FIXTURE) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.exists(path):
-        return path
     vocab = ("alpha bravo charlie delta echo foxtrot golf hotel india "
              "juliet kilo lima mike november oscar papa quebec romeo "
              "sierra tango uniform victor whiskey xray yankee zulu").split()
@@ -299,8 +293,6 @@ def ensure_html_fixture(path: str = HTML_FIXTURE) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.exists(path):
-        return path
     vocab = ("web corpus training data quality filter dedupe token "
              "model crawl render fetch parse index shard batch").split()
     docs = []

@@ -484,6 +484,22 @@ class CrawlEngine:
             rmetrics = self._render_phase(t, now, round_dir)
             for k, v in rmetrics.items():
                 metrics[f"render_{k}"] = v
+            # ---- 8c. speculative pop for round t+1 on render runs:
+            # the requests frontier saw its LAST round-t mutation in
+            # the render phase's flush just above, so a pop issued here
+            # observes exactly the state round t+1 will pop — no
+            # corrections needed (empty fixes short-circuit
+            # _correct_spec_pops).  The RPCs overlap steps 9-10 and
+            # the inter-round driver work; _commit's drains/snapshots
+            # are read-only w.r.t. pop-visible score state.
+            if cfg.overlap_rounds:
+                now_next = self.now_at(t + 1)
+                self._spec = ((t + 1, now_next, ttl, budget),
+                              [s.pop_candidates.remote(now_next, ttl, budget)
+                               for s in self.frontier],
+                              [{"url_hash": []} for _ in self.frontier],
+                              [], [], now)
+                self._spec_valid = True
         _mark(metrics, "t_render")
 
         # ---- 9. pop-ordering artifact for this round (pre-CHECK pool,
@@ -1053,8 +1069,18 @@ class CrawlEngine:
         return eng
 
     # ------------------------------------------------------------------
+    def finalize(self) -> None:
+        """Public flush point for callers driving :meth:`run_round`
+        directly with ``overlap_rounds`` on: finishes any pending
+        (non-blocking) checkpoint commit so every manifest is durable.
+        :meth:`run`, :meth:`stop` and :meth:`shutdown` call this
+        implicitly, as do the inspection accessors below."""
+        self._finish_pending_commit()
+
+    # ------------------------------------------------------------------
     # conformance / inspection helpers (driver-side; test-scale use)
     def seen_hashes(self) -> list[str]:
+        self._finish_pending_commit()
         import ray
 
         out: set[str] = set()
@@ -1065,6 +1091,7 @@ class CrawlEngine:
     def counts(self) -> dict[str, int]:
         import ray
 
+        self._finish_pending_commit()
         live = ever = 0
         for c in ray.get([s.counts.remote() for s in self.frontier]):
             live += c["live"]
@@ -1073,6 +1100,8 @@ class CrawlEngine:
 
     def _gather(self, sub: str, columns: list[str] | None = None) -> pa.Table | None:
         import glob
+
+        self._finish_pending_commit()
 
         import pyarrow.parquet as pq
 

@@ -31,6 +31,61 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _id_key64(ids) -> np.ndarray:
+    """Deterministic md5-derived positive int64 key per string id — the
+    node domain for running distributed connected components over
+    string-keyed corpora (collision odds ~n²/2^64, negligible below
+    10^9 ids; the high bit is dropped to stay in int64)."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8],
+                        "big") >> 1 for x in ids),
+        dtype=np.int64, count=len(ids))
+
+
+def _near_dup_losers_ds(labels_ds, scores_ds, id_col: str):
+    """Dataset-native LOSER set for a near-dup component labeling:
+    join per-node quality scores onto the labels Dataset, pick each
+    component's keeper (max score, ties to min id) with a
+    cluster-keyed shuffle + per-partition argmax, and return the
+    non-keeper ids as a Dataset ``(id_col, is_nd=1)`` ready to
+    left-join onto the corpus — no node-cardinality structure ever
+    lands on the driver.  ``scores_ds`` must carry ``(node:int64,
+    id_col, n_score:int64)`` for at least every pair-graph node:
+    ``node`` is the CC key domain (the id itself for int corpora, an
+    md5 :func:`_id_key64` for string ids) while ``id_col`` keeps the
+    original id for keeper tie-breaks and the output."""
+    from darc_ray.stages.dedup import best_per_cluster
+
+    nodes = (labels_ds.join(scores_ds, join_type="inner", num_partitions=8,
+                            on=("node",))
+             .select_columns(["node", "label", id_col, "n_score"])
+             .materialize())
+    keepers = (best_per_cluster(nodes, "label", ["n_score", id_col],
+                                [False, True], [id_col])
+               .map_batches(lambda df: df.rename(
+                   columns={id_col: "keeper"}),
+                   batch_format="pandas", batch_size=None)
+               .materialize())
+
+    def losers(df: pd.DataFrame) -> pa.Table:
+        keep = df[df[id_col] != df["keeper"]]
+        ids = keep[id_col]
+        typ = (pa.string() if ids.dtype == object else pa.int64())
+        vals = (ids.tolist() if typ == pa.string()
+                else ids.to_numpy(dtype=np.int64))
+        return pa.table({
+            id_col: pa.array(vals, type=typ),
+            "is_nd": pa.array(np.ones(len(keep), dtype=np.int64),
+                              type=pa.int64())})
+
+    return (nodes.join(keepers, join_type="inner", num_partitions=8,
+                       on=("label",))
+            .map_batches(losers, batch_format="pandas", batch_size=None)
+            .materialize())
+
+
 # =====================================================================
 # Relational / crawl-shaped (DuckDB-checked)
 # =====================================================================
@@ -396,22 +451,28 @@ def _kmeans_labels(ds) -> "Any":
     (ONE implementation so the tie-break can never drift between the
     two oracled families): broadcast the sorted K·d centroid matrix
     once, return the (vec_id, cluster) label Dataset — nearest squared
-    L2, ties to the smaller centroid id."""
+    L2 over MILLI-QUANTIZED integer embeddings (floor(x·1000+0.5),
+    identical IEEE ops on both sides), ties to the smaller centroid
+    id.  Integer distances make the argmin bit-proof against the SQL
+    oracle instead of relying on rank margins dwarfing ulp noise."""
     import ray
 
     cents = (ds.filter(expr=f"vec_id < {KMEANS_K}").to_pandas()
              .sort_values("vec_id"))
-    c_mat = np.stack(cents["embedding"].to_numpy()).astype(np.float64)
+    c_mat = np.floor(np.stack(cents["embedding"].to_numpy())
+                     .astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
     c_ids = cents["vec_id"].to_numpy().astype(np.int64)
     c_ref = ray.put((c_ids, c_mat))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         ids, c = ray.get(c_ref)
-        e = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        # ||e-c||² = ||e||² - 2e·c + ||c||²; argmin row-wise, ties to
-        # the first (= smallest) centroid id since ids are sorted
+        e = np.floor(np.stack(df["embedding"].to_numpy())
+                     .astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+        # ||e-c||² = ||e||² - 2e·c + ||c||² in EXACT int64; argmin
+        # row-wise, ties to the first (= smallest) centroid id since
+        # ids are sorted
         d2 = ((e * e).sum(axis=1, keepdims=True)
-              - 2.0 * (e @ c.T)
+              - 2 * (e @ c.T)
               + (c * c).sum(axis=1))
         return pd.DataFrame({
             "vec_id": df["vec_id"].to_numpy().astype(np.int64),
@@ -445,7 +506,11 @@ WITH c AS (
 ), ranked AS (
   SELECT e.vec_id, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY list_distance(e.embedding, c.ce), c.cid)
+                            ORDER BY list_sum(list_transform(
+                                list_zip(e.embedding, c.ce),
+                                x -> (CAST(floor(x[1]*1000 + 0.5) AS BIGINT)
+                                      - CAST(floor(x[2]*1000 + 0.5) AS BIGINT))**2)),
+                            c.cid)
          AS rn
   FROM embeddings e CROSS JOIN c
 )
@@ -503,7 +568,11 @@ WITH c AS (
 ), ranked AS (
   SELECT e.vec_id, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY list_distance(e.embedding, c.ce), c.cid)
+                            ORDER BY list_sum(list_transform(
+                                list_zip(e.embedding, c.ce),
+                                x -> (CAST(floor(x[1]*1000 + 0.5) AS BIGINT)
+                                      - CAST(floor(x[2]*1000 + 0.5) AS BIGINT))**2)),
+                            c.cid)
          AS rn
   FROM embeddings e CROSS JOIN c
 ), lab AS (
@@ -1677,9 +1746,12 @@ def q_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
         bloom = ray.get(bloom_ref)
         ok = df[bloom.contains(df["l_orderkey"].to_numpy())]
         exact = ray.get(exact_ref)      # verify rung: kill false positives
-        idx = np.searchsorted(exact, ok["l_orderkey"].to_numpy())
-        idx = np.minimum(idx, len(exact) - 1)
-        ok = ok[exact[idx] == ok["l_orderkey"].to_numpy()]
+        if len(exact) == 0:
+            ok = ok.iloc[0:0]
+        else:
+            idx = np.searchsorted(exact, ok["l_orderkey"].to_numpy())
+            idx = np.minimum(idx, len(exact) - 1)
+            ok = ok[exact[idx] == ok["l_orderkey"].to_numpy()]
         qty_units = np.floor(ok["l_quantity"].to_numpy() + 0.5).astype("int64")
         g = pd.DataFrame({"l_returnflag": ok["l_returnflag"],
                           "qty_units": qty_units})
@@ -1834,9 +1906,12 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
         b = ray.get(bench_ref)
         df = df[df["doc_id"] % 20 != 0]
         gh = gram_hashes(df.set_index("doc_id")["text"])
-        pos = np.searchsorted(b, gh["g"].to_numpy())
-        hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)]
-                                == gh["g"].to_numpy())
+        if len(b) == 0:
+            hit = np.zeros(len(gh), dtype=bool)
+        else:
+            pos = np.searchsorted(b, gh["g"].to_numpy())
+            hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)]
+                                    == gh["g"].to_numpy())
         out = (gh.assign(hit=hit.astype(np.int64))
                .groupby("doc_id", as_index=False)
                .agg(n_contam=("hit", "sum"), n_grams=("g", "size")))
@@ -2002,6 +2077,107 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 BIGRAM_BROADCAST_CAP = 20_000_000
 
 
+def _bigram_lm_coshuffled(ds, parts_ds) -> pd.DataFrame:
+    """The over-cap rung of ``bigram_lm``: the bigram count table
+    never lands on the driver.  Partials hash-shuffle ONCE by bigram
+    key (partitions then own disjoint key ranges, so per-partition
+    sums are exact); histories aggregate with a second w1-keyed
+    shuffle; per-bigram log-probs come from a bg⋈hist join; and docs
+    explode into bigram-instance rows that join the lp table on the
+    bigram key before a doc-keyed sum.  Only the scalar vocabulary
+    size V crosses the driver."""
+    import math  # noqa: F401  (parity with the broadcast rung)
+
+    from ray.data.aggregate import Sum
+    from ray.data.context import ShuffleStrategy
+
+    parts_rep = parts_ds.repartition(num_blocks=8, keys=["b"], sort=False)
+    parts_rep.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    parts_rep = parts_rep.materialize()
+
+    # V: per-partition distinct marker rows sum to the global distinct
+    # count because the shuffle made partitions key-disjoint
+    vocab_n = int(parts_rep.map_batches(
+        lambda df: pa.table({"v": pa.array(
+            [int(df.loc[df["n"] < 0, "b"].nunique())],
+            type=pa.int64())}),
+        batch_format="pandas", batch_size=None).to_pandas()["v"].sum())
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        g = (df[df["n"] > 0].groupby("b", as_index=False)["n"].sum())
+        return pa.table({
+            "b": pa.array(g["b"].to_numpy(dtype=object), type=pa.string()),
+            "w1": pa.array(g["b"].str.split(" ").str[0]
+                           .to_numpy(dtype=object), type=pa.string()),
+            "nb": pa.array(g["n"].to_numpy(dtype=np.int64),
+                           type=pa.int64())})
+
+    bg_ds = parts_rep.map_batches(combine, batch_format="pandas",
+                                  batch_size=None).materialize()
+
+    hist_parts = (bg_ds.select_columns(["w1", "nb"])
+                  .repartition(num_blocks=8, keys=["w1"], sort=False))
+    hist_parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    hist_ds = hist_parts.map_batches(
+        lambda df: pa.table({
+            "w1": pa.array(df.groupby("w1")["nb"].sum().index
+                           .to_numpy(dtype=object), type=pa.string()),
+            "nh": pa.array(df.groupby("w1")["nb"].sum()
+                           .to_numpy(dtype=np.int64), type=pa.int64())}),
+        batch_format="pandas", batch_size=None)
+
+    def to_lp(df: pd.DataFrame) -> pa.Table:
+        lp = np.floor(np.log((df["nb"].to_numpy(dtype=np.float64) + 1.0)
+                             / (df["nh"].to_numpy(dtype=np.float64)
+                                + vocab_n)) * 1e6).astype(np.int64)
+        return pa.table({
+            "b": pa.array(df["b"].to_numpy(dtype=object), type=pa.string()),
+            "lp": pa.array(lp, type=pa.int64())})
+
+    lp_ds = (bg_ds.join(hist_ds, join_type="inner", num_partitions=8,
+                        on=("w1",))
+             .map_batches(to_lp, batch_format="pandas", batch_size=None)
+             .materialize())
+
+    def instances(df: pd.DataFrame) -> pa.Table:
+        toks = df.set_index("doc_id")["text"].str.strip()
+        toks = toks[toks != ""].str.split()
+        ex = toks.explode()
+        w = ex.to_numpy()
+        doc = ex.index.to_numpy()
+        same = doc[1:] == doc[:-1]
+        bg = w[:-1][same] + " " + w[1:][same]
+        return pa.table({
+            "doc_id": pa.array(doc[:-1][same].astype(np.int64),
+                               type=pa.int64()),
+            "b": pa.array(bg, type=pa.string())})
+
+    # materialize between the b-keyed join and the doc-keyed hash
+    # aggregate: fusing Join aggregators with HashAggregate's pool
+    # starves both on small CPU counts (same discipline as the CC
+    # consumers' join chains)
+    j = (ds.map_batches(instances, batch_format="pandas", batch_size=4096)
+         .join(lp_ds, join_type="inner", num_partitions=8, on=("b",))
+         .materialize())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "logprob_sum": df["lp"].to_numpy(dtype=np.int64),
+            "n_bigrams": np.ones(len(df), dtype=np.int64)})
+            .groupby("doc_id", as_index=False).sum())
+
+    out = (j.map_batches(partial, batch_format="pandas", batch_size=65536)
+           .groupby("doc_id")
+           .aggregate(Sum("logprob_sum", alias_name="logprob_sum"),
+                      Sum("n_bigrams", alias_name="n_bigrams"))
+           .to_pandas())
+    out["mean_lp"] = np.floor_divide(out["logprob_sum"].to_numpy(np.int64),
+                                     out["n_bigrams"].to_numpy(np.int64))
+    return (out[["doc_id", "n_bigrams", "logprob_sum", "mean_lp"]]
+            .astype("int64").sort_values("doc_id").reset_index(drop=True))
+
+
 def q_bigram_lm(sf_dir: str) -> pd.DataFrame:
     """Bigram language-model scoring — the CCNet/KenLM-style perplexity
     filter one order up from ``lm_score``: per-document mean bigram
@@ -2044,14 +2220,15 @@ def q_bigram_lm(sf_dir: str) -> pd.DataFrame:
                           type=pa.int64()),
         })
 
-    parts = (ds.map_batches(bigram_partial, batch_format="pandas",
-                            batch_size=4096).to_pandas())
+    parts_ds = ds.map_batches(bigram_partial, batch_format="pandas",
+                              batch_size=4096)
+    cap = int(os.environ.get("DARC_RAY_BIGRAM_CAP",
+                             str(BIGRAM_BROADCAST_CAP)))
+    if parts_ds.count() > cap:     # partial-row count ≥ distinct bigrams
+        return _bigram_lm_coshuffled(ds, parts_ds)
+    parts = parts_ds.to_pandas()
     vocab_n = int(parts.loc[parts["n"] < 0, "b"].nunique())
     bg = (parts[parts["n"] > 0].groupby("b")["n"].sum())
-    if len(bg) > BIGRAM_BROADCAST_CAP:
-        raise RuntimeError(
-            f"bigram table {len(bg)} exceeds broadcast cap "
-            f"{BIGRAM_BROADCAST_CAP}; use the co-shuffled bigram-key join")
     w1 = bg.index.str.split(" ").str[0]
     hist = bg.groupby(w1.to_numpy()).sum()
     nh = pd.Series(w1.map(hist).to_numpy(), index=bg.index)
@@ -2701,9 +2878,42 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     max_driver = int(os.environ.get(
         "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
     if len(pairs) > max_driver:
-        labels = connected_components_distributed(pairs)
-    else:
-        labels = connected_components(pairs)
+        # Dataset-native rung: labels Dataset ⋈ survivor chars →
+        # keeper per cluster (cluster-keyed argmax) → LOSERS Dataset;
+        # the disposition pass left-joins the loser flags instead of
+        # broadcasting a node-cardinality frozenset
+        near_dup_ds = _near_dup_losers_ds(
+            connected_components_distributed(pairs),
+            survivors.map_batches(
+                lambda df: pd.DataFrame({
+                    "node": df["doc_id"].astype("int64"),
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "n_score": df["text"].str.len().astype("int64")}),
+                batch_format="pandas", batch_size=8192),
+            id_col="doc_id")
+
+        def disposition_ds(df: pd.DataFrame) -> pd.DataFrame:
+            reason, _ = _funnel_reasons(df)
+            ids = df["doc_id"].to_numpy()
+            u = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(str(int(d)).encode()).digest()[:8],
+                    "big") % 100 for d in ids),
+                dtype=np.int64, count=len(ids))
+            split = np.where(u < SPLIT_TRAIN_PCT, "train",
+                             np.where(u < SPLIT_VAL_PCT, "val", "test"))
+            is_nd = df["is_nd"].fillna(0).to_numpy().astype(bool)
+            disp = np.where(reason != "ok", reason,
+                            np.where(is_nd, "near_dup", split))
+            return pd.DataFrame({"doc_id": ids.astype(np.int64),
+                                 "disposition": disp})
+
+        out = (ds.join(near_dup_ds, join_type="left_outer",
+                       num_partitions=8, on=("doc_id",))
+               .map_batches(disposition_ds, batch_format="pandas",
+                            batch_size=8192).to_pandas())
+        return out.sort_values("doc_id").reset_index(drop=True)
+    labels = connected_components(pairs)
     # keeper = max chars, ties to min doc_id; the pair graph is
     # LSH-bounded, so fetching chars for ITS nodes only is a small read
     node_ids = sorted(labels)
@@ -3091,23 +3301,29 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     min-label propagation over hash-shuffled edge Datasets
     (:func:`~darc_ray.stages.dedup.connected_components_distributed`)
     takes over — identical labels (min-of-component is partitioning-
-    independent), equality-tested on planted chains.  The component
-    map is LSH-bounded small, so the final assignment broadcasts it
-    (``ray.put``) into one vectorized map over the corpus."""
+    independent), equality-tested on planted chains.  The distributed
+    rung never lands labels on the driver: the labels DATASET is
+    hash-joined onto the corpus (:func:`~darc_ray.stages.dedup
+    .label_corpus`); only the small rung broadcasts its
+    threshold-bounded dict."""
     import ray
 
     from darc_ray.stages.dedup import (connected_components,
                                        connected_components_distributed,
-                                       simhash_near_pairs)
+                                       label_corpus, simhash_near_pairs)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = simhash_near_pairs(ds, max_hamming=3)
     max_driver = int(os.environ.get(
         "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
     if len(pairs) > max_driver:
-        labels = connected_components_distributed(pairs)
-    else:
-        labels = connected_components(pairs)
+        labels_ds = connected_components_distributed(pairs)
+        out = (label_corpus(_read(sf_dir, "documents", ["doc_id"]),
+                            labels_ds, "doc_id")
+               .to_pandas())
+        return (out[["doc_id", "cluster_id"]].astype("int64")
+                .sort_values("doc_id").reset_index(drop=True))
+    labels = connected_components(pairs)
     ref = ray.put(labels)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -3150,24 +3366,61 @@ def q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
     suite end-to-end: simhash near-pairs → connected components (same
     driver/distributed routing as ``dedup_clusters``) → per-batch
     per-cluster argmax PARTIALS (combiner) → driver merge bounded by
-    CLUSTER cardinality (pair-graph-sized, ≪ corpus; the co-shuffled
-    keeper join is the documented rung above that) → broadcast keeper
-    map → one stateless assign pass.  Filtering to ``is_keeper = 1``
-    is the dedup'd corpus."""
+    CLUSTER cardinality (pair-graph-sized, ≪ corpus) → broadcast
+    keeper map → one stateless assign pass.  Above the driver cap the
+    whole chain goes Dataset-native: labels Dataset ⟕-joined onto the
+    corpus, keepers via cluster-keyed shuffle + per-partition argmax
+    (:func:`~darc_ray.stages.dedup.best_per_cluster`), keeper join
+    back on cluster_id — no label or keeper map ever driver-resident.
+    Filtering to ``is_keeper = 1`` is the dedup'd corpus."""
     import ray
 
-    from darc_ray.stages.dedup import (connected_components,
+    from darc_ray.stages.dedup import (best_per_cluster,
+                                       connected_components,
                                        connected_components_distributed,
-                                       simhash_near_pairs)
+                                       label_corpus, simhash_near_pairs)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = simhash_near_pairs(ds, max_hamming=3)
     max_driver = int(os.environ.get(
         "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
     if len(pairs) > max_driver:
-        labels = connected_components_distributed(pairs)
-    else:
-        labels = connected_components(pairs)
+        labels_ds = connected_components_distributed(pairs)
+
+        def cast_chars(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64")})
+
+        docs = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+                .map_batches(cast_chars, batch_format="pandas",
+                             batch_size=65536))
+        # ≤1 join/shuffle per streaming plan (fused join+shuffle
+        # aggregator pools starve each other on small CPU counts)
+        labeled = label_corpus(docs, labels_ds, "doc_id").materialize()
+        keepers = (best_per_cluster(labeled, "cluster_id",
+                                    ["n_chars", "doc_id"], [False, True],
+                                    ["doc_id"])
+                   .map_batches(lambda df: df.rename(
+                       columns={"doc_id": "keeper_id"}),
+                       batch_format="pandas", batch_size=None)
+                   .materialize())
+        j = labeled.join(keepers, join_type="inner", num_partitions=8,
+                         on=("cluster_id",))
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy(dtype=np.int64)
+            kp = df["keeper_id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "doc_id": ids,
+                "cluster_id": df["cluster_id"].astype("int64"),
+                "keeper_id": kp,
+                "is_keeper": (ids == kp).astype("int64")})
+
+        out = (j.map_batches(finish, batch_format="pandas",
+                             batch_size=None).to_pandas())
+        return out.sort_values("doc_id").reset_index(drop=True)
+    labels = connected_components(pairs)
     lref = ray.put(labels)
 
     def best_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3620,21 +3873,81 @@ def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
     image_id) and the cluster's KEEPER, chosen by resolution (max
     w·h, ties to min image_id).  Filtering to ``is_keeper = 1`` is the
     deduplicated image corpus.  Shape mirrors ``dedup_keep_best``: the
-    pair graph is blocking-bounded (driver union-find here; ids are
-    strings — map to dense ints before the distributed min-label
-    flavor when the pair list outgrows the driver), per-batch
+    pair graph is blocking-bounded (driver union-find below the cap;
+    above it, string ids are md5-hashed to int64 node KEYS and the
+    distributed min-label flavor runs on the keys), per-batch
     per-cluster argmax PARTIALS, driver merge bounded by cluster
-    cardinality, broadcast keeper map, one stateless assign pass."""
+    cardinality, broadcast keeper map, one stateless assign pass.
+    The over-cap rung recovers the string ``cluster_id`` (component
+    min image_id) with a comp-keyed shuffle and joins labels/keepers
+    back onto the corpus — nothing driver-resident."""
     import ray
     import ray.data as rd
 
-    from darc_ray.stages.dedup import connected_components, hash_near_pairs
+    from darc_ray.stages.dedup import (best_per_cluster,
+                                       connected_components,
+                                       connected_components_distributed,
+                                       hash_near_pairs, label_corpus)
     from darc_ray.stages.multimodal import ensure_image_pixels_fixture
 
     path = ensure_image_pixels_fixture()
     pairs = hash_near_pairs(
         rd.read_parquet(path, columns=["image_id", "phash"]),
         max_hamming=6, id_col="image_id", hash_col="phash")
+    max_driver = int(os.environ.get(
+        "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
+    if len(pairs) > max_driver:
+        labels_ds = connected_components_distributed(pd.DataFrame({
+            "a": _id_key64(pairs["a"]), "b": _id_key64(pairs["b"])}))
+
+        def add_key(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "image_id": df["image_id"],
+                "key": _id_key64(df["image_id"]),
+                "n_pixels": (df["w"].astype("int64")
+                             * df["h"].astype("int64"))})
+
+        imgs = (rd.read_parquet(path, columns=["image_id", "w", "h"])
+                .map_batches(add_key, batch_format="pandas", batch_size=64))
+        labeled = (label_corpus(imgs, labels_ds, "key",
+                                label_col="comp_key").materialize())
+        # component representative = min image_id → the STRING cluster_id
+        reps = (best_per_cluster(labeled, "comp_key", ["image_id"], [True],
+                                 ["image_id"])
+                .map_batches(lambda df: df.rename(
+                    columns={"image_id": "cluster_id"}),
+                    batch_format="pandas", batch_size=None)
+                .materialize())
+        # joins are all-to-all barriers already; materialize() between
+        # them keeps each streaming plan to ≤1 join (>2 fused
+        # join+shuffle operators starve each other's aggregator pools
+        # on small CPU counts) — blocks stay in the object store
+        labeled = (labeled.join(reps, join_type="inner", num_partitions=8,
+                                on=("comp_key",))
+                   .select_columns(["image_id", "cluster_id", "n_pixels"])
+                   .materialize())
+        keepers = (best_per_cluster(labeled, "cluster_id",
+                                    ["n_pixels", "image_id"], [False, True],
+                                    ["image_id"])
+                   .map_batches(lambda df: df.rename(
+                       columns={"image_id": "keeper_id"}),
+                       batch_format="pandas", batch_size=None)
+                   .materialize())
+        j = labeled.join(keepers, join_type="inner", num_partitions=8,
+                         on=("cluster_id",))
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "image_id": df["image_id"],
+                "cluster_id": df["cluster_id"],
+                "n_pixels": df["n_pixels"].astype("int64"),
+                "is_keeper": (df["image_id"].to_numpy()
+                              == df["keeper_id"].to_numpy())
+                .astype("int64")})
+
+        out = (j.map_batches(finish, batch_format="pandas",
+                             batch_size=None).to_pandas())
+        return out.sort_values("image_id").reset_index(drop=True)
     labels = connected_components(pairs)
     lab_ref = ray.put(labels)
 
@@ -3860,6 +4173,51 @@ def q_image_curation_pipeline(sf_dir: str) -> pd.DataFrame:
                               batch_size=16))
     pairs = hash_near_pairs(survivors, max_hamming=6, id_col="image_id",
                             hash_col="phash")
+    max_driver = int(os.environ.get(
+        "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
+    if len(pairs) > max_driver:
+        # Dataset-native rung: string ids → md5 int64 keys, labels as
+        # a Dataset, losers via cluster-keyed keeper argmax, and the
+        # disposition pass LEFT-JOINS the loser flags (no frozenset
+        # broadcast scaling with near-dup node count)
+        from darc_ray.stages.dedup import connected_components_distributed
+
+        labels_ds = connected_components_distributed(pd.DataFrame({
+            "a": _id_key64(pairs["a"]), "b": _id_key64(pairs["b"])}))
+        px = (rd.read_parquet(path, columns=["image_id", "w", "h"])
+              .map_batches(
+                  lambda df: pd.DataFrame({
+                      "node": _id_key64(df["image_id"]),
+                      "image_id": df["image_id"],
+                      "n_score": (df["w"].astype("int64")
+                                  * df["h"].astype("int64"))}),
+                  batch_format="pandas", batch_size=64))
+        near_dup_ds = _near_dup_losers_ds(labels_ds, px, id_col="image_id")
+
+        def disposition_ds(t: pa.Table) -> pd.DataFrame:
+            g = image_quality_gate_batch(
+                t.select([c for c in t.column_names
+                          if c not in ("is_nd",)])).to_pandas()
+            ratio = (g["width"].to_numpy(dtype=np.int64) * 1000
+                     // g["height"].to_numpy(dtype=np.int64))
+            bidx = np.argmin(np.abs(ratio[:, None] - buckets[None, :]),
+                             axis=1)
+            blab = np.array([f"bucket_{b}" for b in buckets[bidx]],
+                            dtype=object)
+            nd_col = t.column("is_nd").to_pandas()
+            is_nd = nd_col.reindex(g.index).fillna(0).to_numpy().astype(bool)
+            disp = np.where(g["keep"].to_numpy() == 0, "quality",
+                            np.where(is_nd, "near_dup", blab))
+            return pd.DataFrame({"image_id": g["image_id"],
+                                 "disposition": disp})
+
+        out = (rd.read_parquet(path)
+               .join(near_dup_ds, join_type="left_outer", num_partitions=8,
+                     on=("image_id",))
+               .map_batches(disposition_ds, batch_format="pyarrow",
+                            batch_size=64)
+               .to_pandas())
+        return out.sort_values("image_id").reset_index(drop=True)
     labels = connected_components(pairs)
     node_ids = frozenset(labels)
     if node_ids:
@@ -4473,6 +4831,56 @@ BOILERPLATE_MIN_DF = 25          # corpus occurrences that make a line boilerpla
 BOILERPLATE_BROADCAST_CAP = 5_000_000   # max boilerplate lines shipped via ray.put
 
 
+def _boilerplate_strip_coshuffled(docs, boiler_ds) -> pd.DataFrame:
+    """The over-cap rung of ``boilerplate_strip``: the boilerplate set
+    never lands on the driver.  Docs explode into (doc_id, ln, ln_len)
+    line rows, LEFT-OUTER join the boilerplate Dataset on the line key
+    (both sides hash-partitioned by ``ln``), then per-batch doc
+    partials + one doc-keyed ``groupby().aggregate(Sum)`` rebuild the
+    per-doc counts — the ngram_jaccard co-shuffle pattern applied to
+    CCNet line stripping."""
+    from ray.data.aggregate import Sum
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        lines = df["text"].str.split("\n")
+        n = lines.map(len).to_numpy(dtype=np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), n)
+        flat = lines.explode()
+        return pa.table({
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "ln": pa.array(flat.to_numpy(dtype=object), type=pa.string()),
+            "ln_len": pa.array(flat.str.len().to_numpy(dtype=np.int64),
+                               type=pa.int64())})
+
+    flag = boiler_ds.map_batches(
+        lambda df: pa.table({
+            "ln": pa.array(df["ln"].to_numpy(dtype=object),
+                           type=pa.string()),
+            "is_b": pa.array(np.ones(len(df), dtype=np.int64),
+                             type=pa.int64())}),
+        batch_format="pandas", batch_size=None)
+    j = (docs.map_batches(explode, batch_format="pandas", batch_size=1024)
+         .join(flag, join_type="left_outer", num_partitions=8, on=("ln",)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        is_b = df["is_b"].fillna(0).to_numpy(dtype=np.int64)
+        return (pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_lines": np.ones(len(df), dtype=np.int64),
+            "n_removed": is_b,
+            "kept_chars": df["ln_len"].to_numpy(dtype=np.int64) * (1 - is_b)})
+            .groupby("doc_id", as_index=False).sum())
+
+    out = (j.map_batches(partial, batch_format="pandas", batch_size=65536)
+           .groupby("doc_id")
+           .aggregate(Sum("n_lines", alias_name="n_lines"),
+                      Sum("n_removed", alias_name="n_removed"),
+                      Sum("kept_chars", alias_name="kept_chars"))
+           .to_pandas())
+    return (out[["doc_id", "n_lines", "n_removed", "kept_chars"]]
+            .astype("int64").sort_values("doc_id").reset_index(drop=True))
+
+
 def q_boilerplate_strip(sf_dir: str) -> pd.DataFrame:
     """CCNet-style boilerplate-line removal: pass 1 counts line
     occurrences corpus-wide (per-batch partial counts — the combiner —
@@ -4515,12 +4923,14 @@ def q_boilerplate_strip(sf_dir: str) -> pd.DataFrame:
         return pa.table({"ln": pa.array(keep.to_numpy(dtype=object),
                                         type=pa.string())})
 
-    boiler = (parts.map_batches(boiler_of_partition, batch_format="pandas",
-                                batch_size=None).to_pandas()["ln"].to_numpy())
-    if len(boiler) > BOILERPLATE_BROADCAST_CAP:
-        raise RuntimeError(
-            f"boilerplate set {len(boiler)} exceeds broadcast cap "
-            f"{BOILERPLATE_BROADCAST_CAP}; use the co-shuffled line-join rung")
+    boiler_ds = parts.map_batches(boiler_of_partition, batch_format="pandas",
+                                  batch_size=None).materialize()
+    cap = int(os.environ.get("DARC_RAY_BOILERPLATE_CAP",
+                             str(BOILERPLATE_BROADCAST_CAP)))
+    if boiler_ds.count() > cap:
+        return _boilerplate_strip_coshuffled(
+            rd.read_parquet(path, columns=["doc_id", "text"]), boiler_ds)
+    boiler = boiler_ds.to_pandas()["ln"].to_numpy()
     boiler_ref = ray.put(frozenset(boiler.tolist()))
 
     def strip(df: pd.DataFrame) -> pd.DataFrame:
@@ -4717,16 +5127,59 @@ FROM stripped ORDER BY doc_id
 INCR_DEDUP_BROADCAST_CAP = 50_000_000
 
 
+def _incremental_dedup_coshuffled(ds, prior_ds, md5_64) -> pd.DataFrame:
+    """The over-cap rung of ``incremental_dedup``: distinct the prior
+    hashes with a g-keyed hash shuffle + per-partition ``np.unique``,
+    then flag the incoming shard by LEFT-OUTER joining it against the
+    distinct prior on ``g`` — both sides partitioned by the same key,
+    no driver-resident hash set at any point."""
+    from ray.data.context import ShuffleStrategy
+
+    parts = prior_ds.repartition(num_blocks=8, keys=["g"], sort=False)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def distinct(df: pd.DataFrame) -> pa.Table:
+        u = np.unique(df["g"].to_numpy(dtype=np.uint64))
+        return pa.table({"g": pa.array(u, type=pa.uint64()),
+                         "hit": pa.array(np.ones(len(u), dtype=np.int64),
+                                         type=pa.int64())})
+
+    prior_u = parts.map_batches(distinct, batch_format="pandas",
+                                batch_size=None)
+
+    def incoming(df: pd.DataFrame) -> pa.Table:
+        df = df[df["doc_id"] % 5 == 0]
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64),
+                               type=pa.int64()),
+            "g": pa.array(md5_64(df["text"]), type=pa.uint64())})
+
+    inc = ds.map_batches(incoming, batch_format="pandas", batch_size=4096)
+    j = inc.join(prior_u, join_type="left_outer", num_partitions=8,
+                 on=("g",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "is_dup": df["hit"].fillna(0).astype("int64")})
+
+    out = (j.map_batches(finish, batch_format="pandas", batch_size=None)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     """Incremental-ingestion dedup — the shape of every RECURRING
     corpus build: an incoming shard (the ``doc_id % 5 == 0`` slice) is
     deduped against the PRIOR snapshot (the rest) by exact content
-    hash, without ever re-shuffling the prior corpus.  The prior
-    side's distinct md5-64 hashes broadcast once as a SORTED uint64
-    array (8 bytes/doc; loud cap, co-shuffled hash join above it) and
-    the incoming shard streams through one ``np.searchsorted``
-    membership pass — no shuffle, no join, the ``decontaminate``
-    discipline applied at doc granularity."""
+    hash, without ever re-shuffling the prior corpus.  Below the cap
+    the prior side's distinct md5-64 hashes broadcast once as a
+    SORTED uint64 array (8 bytes/doc) and the incoming shard streams
+    through one ``np.searchsorted`` membership pass — no shuffle, no
+    join.  Above the cap (prior snapshot corpus-sized, the real
+    100 TB shape) the prior hashes NEVER land on the driver: both
+    sides hash-partition by ``g`` and the membership is one
+    left-outer semi-join (``_incremental_dedup_coshuffled``)."""
     import hashlib
 
     import ray
@@ -4743,21 +5196,24 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
         df = df[df["doc_id"] % 5 != 0]
         return pd.DataFrame({"g": md5_64(df["text"])})
 
-    prior = (ds.map_batches(prior_hashes, batch_format="pandas",
-                            batch_size=4096).to_pandas())
-    arr = np.unique(prior["g"].to_numpy(dtype=np.uint64))
-    if len(arr) > INCR_DEDUP_BROADCAST_CAP:
-        raise RuntimeError(
-            f"prior hash set {len(arr)} exceeds broadcast cap "
-            f"{INCR_DEDUP_BROADCAST_CAP}; use the co-shuffled hash join")
+    cap = int(os.environ.get("DARC_RAY_INCR_DEDUP_CAP",
+                             str(INCR_DEDUP_BROADCAST_CAP)))
+    prior_ds = ds.map_batches(prior_hashes, batch_format="pandas",
+                              batch_size=4096)
+    if prior_ds.count() > cap:        # row count: cheap cap probe
+        return _incremental_dedup_coshuffled(ds, prior_ds, md5_64)
+    arr = np.unique(prior_ds.to_pandas()["g"].to_numpy(dtype=np.uint64))
     ref = ray.put(arr)
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         b = ray.get(ref)
         df = df[df["doc_id"] % 5 == 0]
         g = md5_64(df["text"])
-        pos = np.searchsorted(b, g)
-        hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == g)
+        if len(b) == 0:
+            hit = np.zeros(len(g), dtype=bool)
+        else:
+            pos = np.searchsorted(b, g)
+            hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == g)
         return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
                              "is_dup": hit.astype("int64")})
 
@@ -5294,12 +5750,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bigram_lm": q_bigram_lm,
     "image_phash_clusters": q_image_phash_clusters,
     "bpe_pair_counts": q_bpe_pair_counts,
-    "epoch_shuffle": q_epoch_shuffle,
+    "cms_topk": q_cms_topk,
     "sequence_pack": q_sequence_pack,
     "dedup_keep_best": q_dedup_keep_best,
-    "gopher_quality": q_gopher_quality,
+    "quantiles_sketch": q_quantiles_sketch,
     "paragraph_dedup": q_paragraph_dedup,
-    "domain_mix": q_domain_mix,
+    "hll_distinct": q_hll_distinct,
     "kmeans_assign": q_kmeans_assign,
     "pagerank": q_pagerank,
     "degree_hist": q_degree_hist,
@@ -5327,7 +5783,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_join": q_asof_join,
     "funnel": q_funnel,
     "quantiles": q_quantiles,
-    "cms_topk": q_cms_topk,
+    "epoch_shuffle": q_epoch_shuffle,
     "group_corr": q_group_corr,
     "argmax_dedup": q_argmax_dedup,
     "window_delta": q_window_delta,
@@ -5344,8 +5800,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "char_entropy": q_char_entropy,
     "sessionize": q_sessionize,
     "group_topk": q_group_topk,
-    "quantiles_sketch": q_quantiles_sketch,
-    "hll_distinct": q_hll_distinct,
+    "gopher_quality": q_gopher_quality,
+    "domain_mix": q_domain_mix,
     "profile_columns": q_profile_columns,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,

@@ -281,21 +281,24 @@ def hash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     width = 64 // n_bands
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        hashes = t.column(hash_col).to_pylist()
-        out_id, out_band, out_bits, out_sh = [], [], [], []
-        for d, h in zip(ids, hashes):
-            u = h & ((1 << 64) - 1)
-            for b in range(n_bands):
-                out_id.append(d)
-                out_band.append(b)
-                out_bits.append((u >> (b * width)) & ((1 << width) - 1))
-                out_sh.append(h)
+        import pyarrow.compute as pc
+
+        h = t.column(hash_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = h.view(np.uint64)
+        n = len(h)
+        shifts = (np.arange(n_bands, dtype=np.uint64)
+                  * np.uint64(width))
+        mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(2**64 - 1)
+        # (n, n_bands) band extraction in one shot; .view keeps the
+        # raw bit pattern (band equality is all that matters)
+        bits = ((u[:, None] >> shifts[None, :]) & mask).view(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_bands)
         return pa.Table.from_pydict({
-            "doc_id": pa.array(out_id, type=t.schema.field(id_col).type),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_bits": pa.array(out_bits, type=pa.int64()),
-            "hash64": pa.array(out_sh, type=pa.int64())})
+            "doc_id": pc.take(t.column(id_col), pa.array(idx)),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n),
+                             type=pa.int32()),
+            "band_bits": pa.array(bits.reshape(-1), type=pa.int64()),
+            "hash64": pa.array(np.repeat(h, n_bands), type=pa.int64())})
 
     parts = (ds.repartition(target_num_rows_per_block=2048)
              .map_batches(explode, batch_format="pyarrow")
@@ -366,7 +369,7 @@ def connected_components(pairs: pd.DataFrame) -> dict:
 
 
 def connected_components_distributed(pairs: pd.DataFrame, n_blocks: int = 8,
-                                     max_iters: int = 64) -> dict:
+                                     max_iters: int = 64):
     """Dataset-native variant of :func:`connected_components` for pair
     lists beyond driver memory: distributed min-label propagation with
     POINTER DOUBLING — per iteration, (1) ship each node's current
@@ -376,15 +379,26 @@ def connected_components_distributed(pairs: pd.DataFrame, n_blocks: int = 8,
     the per-partition vectorized min.  The shortcut step makes long
     paths collapse in O(log diameter) rounds instead of O(diameter) —
     a 10^5-link planted chain converges in ~17 iterations, where pure
-    edge-propagation needs 10^5.  Labels are monotone non-increasing
-    integers, so an unchanged label SUM is an exact convergence proof
-    (one tiny aggregate per round, no diff join)."""
+    edge-propagation needs 10^5.  Convergence proof is exact and
+    overflow-safe: the node's OLD label rides through the min-shuffle
+    with a tag, so the per-partition min also emits ``changed =
+    (new != old)`` and one tiny ``Sum(changed)`` (≤ node count, never
+    wraps — unlike summing 63-bit md5-key labels) decides the break.
+
+    Returns the labels as a ``Dataset`` of ``(node:int64,
+    label:int64)`` — NOT a driver dict: at 10^9+ near-dup nodes the
+    label map must never be driver-resident.  Consumers attach labels
+    to the corpus with :func:`label_corpus` (hash join) and pick
+    canonical keepers with :func:`best_per_cluster` (cluster-keyed
+    shuffle + per-partition argmax)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
     from ray.data.context import ShuffleStrategy
 
     if pairs.empty:
-        return {}
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int64())}))
     a = pairs["a"].to_numpy()
     b = pairs["b"].to_numpy()
     edges_df = pd.DataFrame({"src": np.concatenate([a, b]),
@@ -394,9 +408,22 @@ def connected_components_distributed(pairs: pd.DataFrame, n_blocks: int = 8,
     labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
 
     def min_label(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("node", as_index=False)["label"].min()
+        g = df.groupby("node")
+        new = g["label"].min()
+        # the tagged row carries each node's pre-iteration label; a
+        # node absent from old (never happens — labels is in cand)
+        # would count as changed
+        old = df[df["old"] == 1].set_index("node")["label"]
+        out = new.reset_index()
+        out["changed"] = (new.to_numpy()
+                          != old.reindex(new.index).to_numpy()).astype("int64")
+        return out
 
-    prev_sum = None
+    def tag(df: pd.DataFrame, flag: int) -> pd.DataFrame:
+        df = df[["node", "label"]].copy()
+        df["old"] = np.int64(flag)
+        return df
+
     for _ in range(max_iters):
         prop = (edges.join(labels, join_type="inner", num_partitions=n_blocks,
                            on=("src",), right_on=("node",))
@@ -410,17 +437,75 @@ def connected_components_distributed(pairs: pd.DataFrame, n_blocks: int = 8,
                             left_suffix="_l", right_suffix="_r")
                 .select_columns(["node", "label_r"])
                 .rename_columns({"label_r": "label"}))
-        cand = (labels.union(prop).union(jump)
+        cand = (labels.map_batches(lambda df: tag(df, 1),
+                                   batch_format="pandas", batch_size=None)
+                .union(prop.map_batches(lambda df: tag(df, 0),
+                                        batch_format="pandas",
+                                        batch_size=None))
+                .union(jump.map_batches(lambda df: tag(df, 0),
+                                        batch_format="pandas",
+                                        batch_size=None))
                 .repartition(num_blocks=n_blocks, keys=["node"], sort=False))
         cand.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        labels = cand.map_batches(min_label, batch_format="pandas",
-                                  batch_size=None).materialize()
-        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
-        if cur == prev_sum:
+        step = cand.map_batches(min_label, batch_format="pandas",
+                                batch_size=None).materialize()
+        labels = step.select_columns(["node", "label"])
+        if step.aggregate(Sum("changed", alias_name="c"))["c"] == 0:
             break
-        prev_sum = cur
-    out = labels.to_pandas()
-    return dict(zip(out["node"], out["label"]))
+    return labels
+
+
+def label_corpus(corpus, labels, id_col: str, label_col: str = "cluster_id",
+                 n_blocks: int = 8):
+    """Attach component labels to a corpus Dataset WITHOUT a driver
+    map: ``corpus ⟕ labels`` hash join on ``id_col = node``, with
+    ``coalesce(label, id)`` so every non-pair row is its own singleton
+    cluster.  Both sides shuffle by id — nothing driver-resident
+    scales with node count (the `cluster_profile` join shape,
+    reapplied to dedup labels)."""
+    j = corpus.join(labels, join_type="left_outer", num_partitions=n_blocks,
+                    on=(id_col,), right_on=("node",))
+
+    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        lab = df["label"].fillna(df[id_col]).astype(df[id_col].dtype)
+        df = df.drop(columns=["label", "node"], errors="ignore")
+        df[label_col] = lab
+        return df
+
+    return j.map_batches(coalesce, batch_format="pandas", batch_size=None)
+
+
+def best_per_cluster(labeled, cluster_col: str, order_cols: list,
+                     ascending: list, out_cols: list, n_blocks: int = 8):
+    """Canonical-keeper selection without a driver keeper map:
+    per-batch per-cluster argmin PARTIALS (combiner), then one
+    cluster-keyed hash shuffle and a per-partition argmin.  Returns a
+    Dataset of one row per cluster carrying ``[cluster_col] +
+    out_cols``; ``order_cols``/``ascending`` define the keeper order
+    (mergesort-stable, ties resolved by the later columns)."""
+    from ray.data.context import ShuffleStrategy
+
+    keep = [cluster_col] + [c for c in out_cols if c != cluster_col]
+    carry = list(dict.fromkeys(keep + order_cols))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, ascending=ascending,
+                            kind="mergesort")
+        return df.groupby(cluster_col, as_index=False).first()[carry]
+
+    parts = (labeled.map_batches(partial, batch_format="pandas",
+                                 batch_size=65536)
+             .repartition(num_blocks=n_blocks, keys=[cluster_col],
+                          sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, ascending=ascending,
+                            kind="mergesort")
+        return df.groupby(cluster_col, as_index=False).first()[keep]
+
+    return parts.map_batches(final, batch_format="pandas", batch_size=None)
 
 
 def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",

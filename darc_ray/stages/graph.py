@@ -51,13 +51,13 @@ def dedup_edges(ds, src_col: str, dst_col: str, n_blocks: int = 16):
     pairs, so the result is globally distinct without a sorted groupby.
     """
     combined = ds.map_batches(
-        lambda df: df.drop_duplicates(),
-        batch_format="pandas", batch_size=65536)
+        lambda t: t.group_by([src_col, dst_col]).aggregate([]),
+        batch_format="pyarrow", batch_size=65536)
     parts = _hash_parts(combined, [src_col, dst_col], n_blocks)
     return parts.map_batches(
-        lambda df: df.drop_duplicates().rename(
-            columns={src_col: "src", dst_col: "dst"}),
-        batch_format="pandas", batch_size=None).materialize()
+        lambda t: (t.group_by([src_col, dst_col]).aggregate([])
+                   .rename_columns(["src", "dst"])),
+        batch_format="pyarrow", batch_size=None).materialize()
 
 
 def out_degrees(edges, n_blocks: int = 16):
@@ -66,12 +66,14 @@ def out_degrees(edges, n_blocks: int = 16):
     per-partition vectorized sum.  Nothing node-sized touches the
     driver."""
     partials = edges.map_batches(
-        lambda df: df.groupby("src", as_index=False).agg(d=("dst", "size")),
-        batch_format="pandas", batch_size=65536)
+        lambda t: (t.group_by("src").aggregate([("dst", "count")])
+                   .rename_columns(["src", "d"])),
+        batch_format="pyarrow", batch_size=65536)
     parts = _hash_parts(partials, ["src"], n_blocks)
     return parts.map_batches(
-        lambda df: df.groupby("src", as_index=False)["d"].sum(),
-        batch_format="pandas", batch_size=None).materialize()
+        lambda t: (t.group_by("src").aggregate([("d", "sum")])
+                   .rename_columns(["src", "d"])),
+        batch_format="pyarrow", batch_size=None).materialize()
 
 
 def degree_histogram(edges, n_blocks: int = 16) -> pd.DataFrame:
@@ -83,10 +85,9 @@ def degree_histogram(edges, n_blocks: int = 16) -> pd.DataFrame:
     n_blocks × distinct-degree-values — independent of node count."""
     deg = out_degrees(edges, n_blocks)
     partials = (deg.map_batches(
-        lambda df: (df.groupby("d", as_index=False)
-                    .agg(n_srcs=("src", "size"))
-                    .rename(columns={"d": "out_degree"})),
-        batch_format="pandas", batch_size=None).to_pandas())
+        lambda t: (t.group_by("d").aggregate([("src", "count")])
+                   .rename_columns(["out_degree", "n_srcs"])),
+        batch_format="pyarrow", batch_size=None).to_pandas())
     out = partials.groupby("out_degree", as_index=False)["n_srcs"].sum()
     out["out_degree"] = out["out_degree"].astype("int64")
     out["n_srcs"] = out["n_srcs"].astype("int64")
@@ -103,18 +104,18 @@ def degree_histogram_raw(ds, src_col: str, dst_col: str,
     pre-shuffle combiner; only n_blocks × distinct-degree-values
     partial rows reach the driver — independent of node count."""
     combined = ds.map_batches(
-        lambda df: df.drop_duplicates(),
-        batch_format="pandas", batch_size=65536)
+        lambda t: t.group_by([src_col, dst_col]).aggregate([]),
+        batch_format="pyarrow", batch_size=65536)
     parts = _hash_parts(combined, [src_col], n_blocks)
 
-    def hist_of_partition(df: pd.DataFrame) -> pd.DataFrame:
-        deg = (df.drop_duplicates()
-               .groupby(src_col, as_index=False).agg(d=(dst_col, "size")))
-        return (deg.groupby("d", as_index=False)
-                .agg(n_srcs=(src_col, "size"))
-                .rename(columns={"d": "out_degree"}))
+    def hist_of_partition(t):
+        deg = (t.group_by([src_col, dst_col]).aggregate([])
+               .group_by(src_col).aggregate([(dst_col, "count")]))
+        return (deg.group_by(f"{dst_col}_count")
+                .aggregate([(src_col, "count")])
+                .rename_columns(["out_degree", "n_srcs"]))
 
-    partials = (parts.map_batches(hist_of_partition, batch_format="pandas",
+    partials = (parts.map_batches(hist_of_partition, batch_format="pyarrow",
                                   batch_size=None).to_pandas())
     out = partials.groupby("out_degree", as_index=False)["n_srcs"].sum()
     out["out_degree"] = out["out_degree"].astype("int64")

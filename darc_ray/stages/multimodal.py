@@ -556,6 +556,13 @@ def image_thumbs_pooled_batch(batch: "pa.Table") -> "pa.Table":
         pix = raw_decode(payload).astype(np.int64)
         h, w = pix.shape[:2]
         s = min(h, w)
+        if s < 8:
+            # below 8px the 8×8 grid has empty cells (cnt=0 → //0),
+            # and the SQL oracle's GROUP BY would drop those rows —
+            # reject loudly instead of silently diverging from it
+            raise ValueError(
+                f"image {iid}: min(h, w) = {s} < 8; pooled 8x8 "
+                "thumbnails need at least an 8px inscribed square")
         y0, x0 = (h - s) // 2, (w - s) // 2
         crop = pix[y0:y0 + s, x0:x0 + s]
         gm = 299 * crop[..., 0] + 587 * crop[..., 1] + 114 * crop[..., 2]

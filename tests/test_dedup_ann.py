@@ -250,12 +250,15 @@ def test_connected_components_variants_agree(ray_session):
         "a": [1, 2, 5, 9, 9, 20, 30, 31, 32, 100],
         "b": [2, 3, 6, 10, 11, 21, 31, 32, 30, 1]})
     uf = connected_components(pairs)
-    lp = connected_components_distributed(pairs)
-    assert uf == lp
+    lp_ds = connected_components_distributed(pairs)
+    lp_df = lp_ds.to_pandas()
+    assert uf == dict(zip(lp_df["node"], lp_df["label"]))
     # chain 1-2-3 merged with 100 via (100,1): all label 1
     assert uf[3] == 1 and uf[100] == 1
     assert uf[30] == uf[32] == 30
     assert connected_components(pairs.iloc[0:0]) == {}
+    empty = connected_components_distributed(pairs.iloc[0:0])
+    assert empty.count() == 0 and "node" in empty.schema().names
 
 
 def test_ngram_join_coshuffled_sizes_match_broadcast(ray_session, monkeypatch):

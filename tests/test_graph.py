@@ -101,7 +101,6 @@ def test_planted_chain_1e5_converges_distributed(ray_session):
     pairs = pd.DataFrame({"a": np.arange(n, dtype=np.int64),
                           "b": np.arange(1, n + 1, dtype=np.int64)})
     labels = connected_components_distributed(pairs, n_blocks=4,
-                                              max_iters=40)
+                                              max_iters=40).to_pandas()
     assert len(labels) == n + 1
-    vals = np.fromiter(labels.values(), dtype=np.int64, count=n + 1)
-    assert (vals == 0).all()
+    assert (labels["label"].to_numpy() == 0).all()

@@ -134,3 +134,53 @@ def test_overlap_matches_serial_matrix(ray_session, corpus, tmp_path_factory, kn
         })
         eng.shutdown()
     assert states[0] == states[1]
+
+
+def test_overlap_matches_serial_with_render(ray_session, corpus,
+                                            tmp_path_factory):
+    """Render runs speculate at round END (after the render phase's
+    requests-frontier flush) instead of mid-round — state is final, so
+    no corrections apply.  Overlapped and serial render engines must
+    stay bit-identical (pop logs on BOTH frontiers, pages, rendered
+    rows, seen set), and the speculation must actually engage."""
+    _, cpath = corpus
+
+    def cfg(overlap):
+        return CrawlConfig(max_pool=500, workers=1, time_cache=0.5,
+                           tick=1.0, host_ttl=1e9, seen_shards=4,
+                           host_shards=2, fetch_concurrency=2,
+                           fetch_batch_size=64, per_host_cap=500,
+                           snapshot_every=0, render_enabled=True,
+                           overlap_rounds=overlap)
+
+    states, rounds_by = [], []
+    for overlap in (True, False):
+        out = tmp_path_factory.mktemp(f"ovr_{overlap}")
+        eng = CrawlEngine(cpath, str(out), cfg(overlap))
+        from darc_ray.sources.table_io import read_table
+
+        urls = read_table(os.path.join(cpath, "web")).column("url").to_pylist()
+        eng.seed(urls)
+        rounds = [eng.run_round(t) for t in range(6)]
+        eng.finalize()
+        pages = eng.pages_table()
+        rend = eng.render_table()
+        states.append({
+            "pop_log": list(eng.pop_log),
+            "render_pop_log": list(eng.render_pop_log),
+            "seen": sorted(eng.seen_hashes()),
+            "counts": eng.counts(),
+            "pages": (sorted(zip(pages.column("url_hash").to_pylist(),
+                                 pages.column("round").to_pylist()))
+                      if pages is not None else None),
+            "rendered": (sorted(rend.column("url_hash").to_pylist())
+                         if rend is not None else None),
+            "rounds": [{k: v for k, v in m.items()
+                        if not k.startswith("t_") and k != "spec_pop"}
+                       for m in rounds],
+        })
+        rounds_by.append(rounds)
+        eng.shutdown()
+    assert states[0] == states[1]
+    assert sum(m.get("spec_pop", 0) for m in rounds_by[0]) >= 4
+    assert all("spec_pop" not in m for m in rounds_by[1])
