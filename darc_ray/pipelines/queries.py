@@ -44,6 +44,20 @@ def _id_key64(ids) -> np.ndarray:
         dtype=np.int64, count=len(ids))
 
 
+def _pair_keys64(df: pd.DataFrame) -> pd.DataFrame:
+    """Map a string-id pair batch to the int64 CC node-key domain."""
+    return pd.DataFrame({"a": _id_key64(df["a"]), "b": _id_key64(df["b"])})
+
+
+def _pairs_df(pairs_ds) -> pd.DataFrame:
+    """Driver DataFrame view of a pairs Dataset for the under-cap
+    union-find rung: distinct + (a, b)-sorted, matching the driver
+    flavor of hash_near_pairs."""
+    out = pairs_ds.to_pandas()
+    return (out.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 def _near_dup_losers_ds(labels_ds, scores_ds, id_col: str):
     """Dataset-native LOSER set for a near-dup component labeling:
     join per-node quality scores onto the labels Dataset, pick each
@@ -2852,7 +2866,7 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
 
     from darc_ray.stages.dedup import (connected_components,
                                        connected_components_distributed,
-                                       simhash_near_pairs)
+                                       simhash_near_pairs_ds)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -2874,16 +2888,16 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
 
     survivors = ds.map_batches(keep_survivors, batch_format="pandas",
                                batch_size=8192)
-    pairs = simhash_near_pairs(survivors, max_hamming=3)
+    pairs_ds = simhash_near_pairs_ds(survivors, max_hamming=3)
     max_driver = int(os.environ.get(
         "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
-    if len(pairs) > max_driver:
+    if pairs_ds.count() > max_driver:
         # Dataset-native rung: labels Dataset ⋈ survivor chars →
         # keeper per cluster (cluster-keyed argmax) → LOSERS Dataset;
         # the disposition pass left-joins the loser flags instead of
         # broadcasting a node-cardinality frozenset
         near_dup_ds = _near_dup_losers_ds(
-            connected_components_distributed(pairs),
+            connected_components_distributed(pairs_ds),
             survivors.map_batches(
                 lambda df: pd.DataFrame({
                     "node": df["doc_id"].astype("int64"),
@@ -2913,6 +2927,7 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
                .map_batches(disposition_ds, batch_format="pandas",
                             batch_size=8192).to_pandas())
         return out.sort_values("doc_id").reset_index(drop=True)
+    pairs = _pairs_df(pairs_ds)
     labels = connected_components(pairs)
     # keeper = max chars, ties to min doc_id; the pair graph is
     # LSH-bounded, so fetching chars for ITS nodes only is a small read
@@ -3310,20 +3325,21 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
 
     from darc_ray.stages.dedup import (connected_components,
                                        connected_components_distributed,
-                                       label_corpus, simhash_near_pairs)
+                                       label_corpus, simhash_near_pairs_ds)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = simhash_near_pairs(ds, max_hamming=3)
+    pairs_ds = simhash_near_pairs_ds(ds, max_hamming=3)
     max_driver = int(os.environ.get(
         "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
-    if len(pairs) > max_driver:
-        labels_ds = connected_components_distributed(pairs)
+    if pairs_ds.count() > max_driver:
+        # pair stream AND labels stay Datasets — nothing driver-resident
+        labels_ds = connected_components_distributed(pairs_ds)
         out = (label_corpus(_read(sf_dir, "documents", ["doc_id"]),
                             labels_ds, "doc_id")
                .to_pandas())
         return (out[["doc_id", "cluster_id"]].astype("int64")
                 .sort_values("doc_id").reset_index(drop=True))
-    labels = connected_components(pairs)
+    labels = connected_components(_pairs_df(pairs_ds))
     ref = ray.put(labels)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -3378,14 +3394,14 @@ def q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
     from darc_ray.stages.dedup import (best_per_cluster,
                                        connected_components,
                                        connected_components_distributed,
-                                       label_corpus, simhash_near_pairs)
+                                       label_corpus, simhash_near_pairs_ds)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = simhash_near_pairs(ds, max_hamming=3)
+    pairs_ds = simhash_near_pairs_ds(ds, max_hamming=3)
     max_driver = int(os.environ.get(
         "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
-    if len(pairs) > max_driver:
-        labels_ds = connected_components_distributed(pairs)
+    if pairs_ds.count() > max_driver:
+        labels_ds = connected_components_distributed(pairs_ds)
 
         def cast_chars(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
@@ -3420,7 +3436,7 @@ def q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
         out = (j.map_batches(finish, batch_format="pandas",
                              batch_size=None).to_pandas())
         return out.sort_values("doc_id").reset_index(drop=True)
-    labels = connected_components(pairs)
+    labels = connected_components(_pairs_df(pairs_ds))
     lref = ray.put(labels)
 
     def best_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3887,18 +3903,19 @@ def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
     from darc_ray.stages.dedup import (best_per_cluster,
                                        connected_components,
                                        connected_components_distributed,
-                                       hash_near_pairs, label_corpus)
+                                       hash_near_pairs_ds, label_corpus)
     from darc_ray.stages.multimodal import ensure_image_pixels_fixture
 
     path = ensure_image_pixels_fixture()
-    pairs = hash_near_pairs(
+    pairs_ds = hash_near_pairs_ds(
         rd.read_parquet(path, columns=["image_id", "phash"]),
         max_hamming=6, id_col="image_id", hash_col="phash")
     max_driver = int(os.environ.get(
         "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
-    if len(pairs) > max_driver:
-        labels_ds = connected_components_distributed(pd.DataFrame({
-            "a": _id_key64(pairs["a"]), "b": _id_key64(pairs["b"])}))
+    if pairs_ds.count() > max_driver:
+        labels_ds = connected_components_distributed(
+            pairs_ds.map_batches(_pair_keys64, batch_format="pandas",
+                                 batch_size=65536))
 
         def add_key(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
@@ -3948,7 +3965,7 @@ def q_image_phash_clusters(sf_dir: str) -> pd.DataFrame:
         out = (j.map_batches(finish, batch_format="pandas",
                              batch_size=None).to_pandas())
         return out.sort_values("image_id").reset_index(drop=True)
-    labels = connected_components(pairs)
+    labels = connected_components(_pairs_df(pairs_ds))
     lab_ref = ray.put(labels)
 
     def best_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -4156,7 +4173,8 @@ def q_image_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     import ray
     import ray.data as rd
 
-    from darc_ray.stages.dedup import connected_components, hash_near_pairs
+    from darc_ray.stages.dedup import (connected_components,
+                                        hash_near_pairs_ds)
     from darc_ray.stages.multimodal import (ensure_image_pixels_fixture,
                                             image_quality_gate_batch)
 
@@ -4171,19 +4189,20 @@ def q_image_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     survivors = (rd.read_parquet(path)
                  .map_batches(survivors_batch, batch_format="pyarrow",
                               batch_size=16))
-    pairs = hash_near_pairs(survivors, max_hamming=6, id_col="image_id",
-                            hash_col="phash")
+    pairs_ds = hash_near_pairs_ds(survivors, max_hamming=6,
+                                  id_col="image_id", hash_col="phash")
     max_driver = int(os.environ.get(
         "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
-    if len(pairs) > max_driver:
+    if pairs_ds.count() > max_driver:
         # Dataset-native rung: string ids → md5 int64 keys, labels as
         # a Dataset, losers via cluster-keyed keeper argmax, and the
         # disposition pass LEFT-JOINS the loser flags (no frozenset
         # broadcast scaling with near-dup node count)
         from darc_ray.stages.dedup import connected_components_distributed
 
-        labels_ds = connected_components_distributed(pd.DataFrame({
-            "a": _id_key64(pairs["a"]), "b": _id_key64(pairs["b"])}))
+        labels_ds = connected_components_distributed(
+            pairs_ds.map_batches(_pair_keys64, batch_format="pandas",
+                                 batch_size=65536))
         px = (rd.read_parquet(path, columns=["image_id", "w", "h"])
               .map_batches(
                   lambda df: pd.DataFrame({
@@ -4218,7 +4237,7 @@ def q_image_curation_pipeline(sf_dir: str) -> pd.DataFrame:
                             batch_size=64)
                .to_pandas())
         return out.sort_values("image_id").reset_index(drop=True)
-    labels = connected_components(pairs)
+    labels = connected_components(_pairs_df(pairs_ds))
     node_ids = frozenset(labels)
     if node_ids:
         px = (rd.read_parquet(path, columns=["image_id", "w", "h"])

@@ -265,16 +265,18 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(vals, type=pa.int64()))
 
 
-def hash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
-                    hash_col: str = "simhash",
-                    n_buckets: int = 16) -> pd.DataFrame:
+def hash_near_pairs_ds(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                       hash_col: str = "simhash", n_buckets: int = 16):
     """Near-dup pairs over ANY precomputed signed-int64 hash column
     (simhash, image phash, …) by banded prefix blocking: split each
     64-bit hash into ``max_hamming + 1`` bands — two hashes within the
     radius must agree on ≥ 1 band exactly (pigeonhole), so ONE
     hash-repartition keyed (band, band_bits) co-locates every candidate
     pair; verify exact hamming within partitions.  Same shuffle shape
-    as the MinHash path; exact recall at the radius."""
+    as the MinHash path; exact recall at the radius.  Returns the pair
+    Dataset ``(a, b, hamming)`` WITHOUT a global distinct — per-band
+    duplicates survive (harmless for CC edges; the driver wrapper
+    below dedups for pair-list outputs)."""
     from ray.data.context import ShuffleStrategy
 
     n_bands = max_hamming + 1
@@ -327,9 +329,21 @@ def hash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
             "b": pa.array(list(b_col), type=id_type),
             "hamming": pa.array(list(h_col), type=pa.int64())})
 
-    out = (parts.map_batches(pairs_of_partition, batch_format="pandas",
-                             batch_size=None).to_pandas())
-    # a pair may collide on several bands → distinct
+    return parts.map_batches(pairs_of_partition, batch_format="pandas",
+                             batch_size=None).materialize()
+
+
+def hash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                    hash_col: str = "simhash",
+                    n_buckets: int = 16) -> pd.DataFrame:
+    """Driver-DataFrame flavor of :func:`hash_near_pairs_ds` (distinct,
+    (a, b)-sorted) — for pair-list consumers whose OUTPUT is the pair
+    list itself.  CC consumers at scale use the Dataset flavor: the
+    raw banded pair stream feeds min-label propagation directly (a
+    pair that collided on several bands is just a duplicate edge,
+    which changes no component)."""
+    out = hash_near_pairs_ds(ds, max_hamming=max_hamming, id_col=id_col,
+                             hash_col=hash_col, n_buckets=n_buckets).to_pandas()
     return (out.drop_duplicates(["a", "b"])
             .sort_values(["a", "b"]).reset_index(drop=True))
 
@@ -390,22 +404,54 @@ def connected_components_distributed(pairs: pd.DataFrame, n_blocks: int = 8,
     label map must never be driver-resident.  Consumers attach labels
     to the corpus with :func:`label_corpus` (hash join) and pick
     canonical keepers with :func:`best_per_cluster` (cluster-keyed
-    shuffle + per-partition argmax)."""
+    shuffle + per-partition argmax).
+
+    ``pairs`` may be a driver DataFrame OR a pairs **Dataset** (columns
+    ``a``, ``b`` int64, e.g. from :func:`hash_near_pairs_ds`) — with a
+    Dataset the pair list itself also never lands on the driver, and
+    duplicate edges (band collisions) are harmless."""
     import ray.data as rd
     from ray.data.aggregate import Sum
     from ray.data.context import ShuffleStrategy
 
-    if pairs.empty:
-        return rd.from_arrow(pa.table({
-            "node": pa.array([], type=pa.int64()),
-            "label": pa.array([], type=pa.int64())}))
-    a = pairs["a"].to_numpy()
-    b = pairs["b"].to_numpy()
-    edges_df = pd.DataFrame({"src": np.concatenate([a, b]),
-                             "dst": np.concatenate([b, a])})
-    nodes = np.unique(edges_df["src"].to_numpy())
-    edges = rd.from_pandas(edges_df)
-    labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64())}))
+        a = pairs["a"].to_numpy()
+        b = pairs["b"].to_numpy()
+        edges = rd.from_pandas(pd.DataFrame({
+            "src": np.concatenate([a, b]),
+            "dst": np.concatenate([b, a])}))
+    else:
+        def symmetrize(t: pa.Table) -> pa.Table:
+            av = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            bv = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "src": pa.array(np.concatenate([av, bv]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([bv, av]), type=pa.int64())})
+
+        edges = (pairs.map_batches(symmetrize, batch_format="pyarrow",
+                                   batch_size=65536).materialize())
+        if edges.count() == 0:
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64())}))
+
+    # initial labels: every node its own label.  Node set = distinct
+    # src of the symmetric edge stream — src-keyed shuffle +
+    # per-partition unique (never a driver np.unique at Dataset scale).
+    node_parts = (edges.select_columns(["src"])
+                  .repartition(num_blocks=n_blocks, keys=["src"],
+                               sort=False))
+    node_parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    labels = node_parts.map_batches(
+        lambda t: (lambda u: pa.table({
+            "node": pa.array(u, type=pa.int64()),
+            "label": pa.array(u, type=pa.int64())}))(
+            np.unique(t.column("src").to_numpy(zero_copy_only=False))),
+        batch_format="pyarrow", batch_size=None).materialize()
 
     def min_label(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("node")
@@ -523,6 +569,22 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     hashed = ds.map_batches(add_simhash, batch_format="pyarrow")
     return hash_near_pairs(hashed, max_hamming=max_hamming, id_col=id_col,
                            hash_col="simhash", n_buckets=n_buckets)
+
+
+def simhash_near_pairs_ds(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                          text_col: str = "text", n_buckets: int = 16):
+    """Dataset flavor of :func:`simhash_near_pairs` (raw banded pair
+    stream, no driver materialization) — the CC feeder at scale."""
+    def add_simhash(t: pa.Table) -> pa.Table:
+        hashes = [simhash64(x) for x in t.column(text_col).to_pylist()]
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            "simhash": pa.array(hashes, type=pa.int64())})
+
+    hashed = ds.map_batches(add_simhash, batch_format="pyarrow")
+    return hash_near_pairs_ds(hashed, max_hamming=max_hamming,
+                              id_col=id_col, hash_col="simhash",
+                              n_buckets=n_buckets)
 
 
 # ---------------------------------------------------------------- n-gram jaccard
