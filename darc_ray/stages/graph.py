@@ -147,52 +147,66 @@ def pagerank(edges, iterations: int = 4, scale: int = 1_000_000,
     edges_deg = (edges.join(deg, "inner", n_blocks, on=("src",))
                  .select_columns(["src", "dst", "d"]).materialize())
 
-    def srcs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["src"].drop_duplicates()})
+    import pyarrow as pa
 
-    def dsts(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["dst"].drop_duplicates()})
+    def side(col):
+        return lambda t: (t.group_by(col).aggregate([])
+                          .rename_columns(["node"]))
 
     nodes = (_hash_parts(
-        edges.map_batches(srcs, batch_format="pandas", batch_size=65536)
-        .union(edges.map_batches(dsts, batch_format="pandas",
+        edges.map_batches(side("src"), batch_format="pyarrow",
+                          batch_size=65536)
+        .union(edges.map_batches(side("dst"), batch_format="pyarrow",
                                  batch_size=65536)),
         ["node"], n_blocks)
-        .map_batches(lambda df: df.drop_duplicates(),
-                     batch_format="pandas", batch_size=None).materialize())
+        .map_batches(lambda t: t.group_by("node").aggregate([]),
+                     batch_format="pyarrow", batch_size=None).materialize())
 
-    ranks = nodes.map_batches(
-        lambda df: df.assign(r=np.int64(scale)),
-        batch_format="pandas", batch_size=None).materialize()
-    zeros = nodes.map_batches(
-        lambda df: df.assign(s=np.int64(0)),
-        batch_format="pandas", batch_size=None).materialize()
+    def const_col(name, val):
+        return lambda t: t.append_column(
+            name, pa.array(np.full(t.num_rows, val, dtype=np.int64),
+                           type=pa.int64()))
 
-    def contrib(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["r"].to_numpy(np.int64) // df["d"].to_numpy(np.int64)
-        out = pd.DataFrame({"node": df["dst"].to_numpy(np.int64), "s": c})
-        return out.groupby("node", as_index=False)["s"].sum()
+    ranks = nodes.map_batches(const_col("r", scale),
+                              batch_format="pyarrow",
+                              batch_size=None).materialize()
+    zeros = nodes.map_batches(const_col("s", 0),
+                              batch_format="pyarrow",
+                              batch_size=None).materialize()
 
-    def update(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.groupby("node", as_index=False)["s"].sum()
-        r = base + (damping_num * s["s"].to_numpy(np.int64)) // damping_den
-        return pd.DataFrame({"node": s["node"], "r": r})
+    def contrib(t: pa.Table) -> pa.Table:
+        c = (t.column("r").to_numpy(zero_copy_only=False)
+             // t.column("d").to_numpy(zero_copy_only=False))
+        part = pa.table({"node": t.column("dst"),
+                         "s": pa.array(c, type=pa.int64())})
+        return (part.group_by("node").aggregate([("s", "sum")])
+                .rename_columns(["node", "s"]))
+
+    def update(t: pa.Table) -> pa.Table:
+        g = (t.group_by("node").aggregate([("s", "sum")])
+             .rename_columns(["node", "s"]))
+        r = base + (damping_num
+                    * g.column("s").to_numpy(zero_copy_only=False)
+                    ) // damping_den
+        return pa.table({"node": g.column("node"),
+                         "r": pa.array(r, type=pa.int64())})
 
     for _ in range(iterations):
         joined = (edges_deg.join(ranks, "inner", n_blocks,
                                  on=("src",), right_on=("node",))
                   .select_columns(["dst", "d", "r"]))
-        partial = joined.map_batches(contrib, batch_format="pandas",
+        partial = joined.map_batches(contrib, batch_format="pyarrow",
                                      batch_size=65536)
         ranks = (_hash_parts(partial.union(zeros), ["node"], n_blocks)
-                 .map_batches(update, batch_format="pandas",
+                 .map_batches(update, batch_format="pyarrow",
                               batch_size=None).materialize())
 
-    def local_top(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(["r", "node"], ascending=[False, True],
-                               kind="mergesort").head(topk))
+    def local_top(t: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("r", "descending"), ("node", "ascending")])
+        return t.take(idx[:topk])
 
-    out = (ranks.map_batches(local_top, batch_format="pandas",
+    out = (ranks.map_batches(local_top, batch_format="pyarrow",
                              batch_size=None).to_pandas()
            .sort_values(["r", "node"], ascending=[False, True],
                         kind="mergesort").head(topk))
