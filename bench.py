@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "kmeans_assign", "postings", "aspect_buckets", "cluster_profile",
     "html_text", "incremental_dedup", "dataset_split", "quality_funnel",
     "curation_pipeline", "image_curation_pipeline",
+    "dedup_clusters_dataset",
 ]
 
 

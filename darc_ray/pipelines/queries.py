@@ -3375,6 +3375,28 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_clusters_dataset(sf_dir: str) -> pd.DataFrame:
+    """Driver-visible proof of the DISTRIBUTED connected-components
+    rung: identical output contract (and SQL oracle) to
+    ``dedup_clusters``, but always routed through the full
+    Dataset-native chain — banded pair STREAM
+    (:func:`~darc_ray.stages.dedup.simhash_near_pairs_ds`) →
+    pointer-doubling min-label propagation on hash-shuffled edge
+    Datasets → corpus labeling by hash join — with the driver
+    union-find cap forced to 0 for this family only.  The scale path
+    itself is thereby oracle-checked at the driver, not just in
+    forced-env repo tests."""
+    old = os.environ.get("DARC_RAY_CC_MAX_DRIVER_PAIRS")
+    os.environ["DARC_RAY_CC_MAX_DRIVER_PAIRS"] = "0"
+    try:
+        return q_dedup_clusters(sf_dir)
+    finally:
+        if old is None:
+            os.environ.pop("DARC_RAY_CC_MAX_DRIVER_PAIRS", None)
+        else:
+            os.environ["DARC_RAY_CC_MAX_DRIVER_PAIRS"] = old
+
+
 def q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
     """Canonical selection — the step AFTER near-dup clustering: every
     document labeled with its cluster and the cluster's KEEPER, chosen
@@ -5734,7 +5756,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pricing_summary": q_pricing_summary,
     "html_text": q_html_text,
     "incremental_dedup": q_incremental_dedup,
-    "dataset_split": q_dataset_split,
+    "dedup_clusters_dataset": q_dedup_clusters_dataset,
     "frontier_pop": q_frontier_pop,
     "first_seen": q_first_seen,
     "host_alive": q_host_alive,
@@ -5802,6 +5824,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_join": q_asof_join,
     "funnel": q_funnel,
     "quantiles": q_quantiles,
+    "dataset_split": q_dataset_split,
     "epoch_shuffle": q_epoch_shuffle,
     "group_corr": q_group_corr,
     "argmax_dedup": q_argmax_dedup,
@@ -5887,6 +5910,7 @@ ORACLE_SQL: dict[str, str] = {
     "degree_hist": SQL_DEGREE_HIST,
     "lsh_partition": SQL_LSH_PARTITION,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_clusters_dataset": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
     "image_metadata": SQL_IMAGE_METADATA,
     "image_dedup": SQL_IMAGE_DEDUP,
