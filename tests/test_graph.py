@@ -97,10 +97,16 @@ def test_planted_chain_1e5_converges_distributed(ray_session):
     union-find."""
     from darc_ray.stages.dedup import connected_components_distributed
 
+    import ray.data as rd
+
     n = 100_000
     pairs = pd.DataFrame({"a": np.arange(n, dtype=np.int64),
                           "b": np.arange(1, n + 1, dtype=np.int64)})
-    labels = connected_components_distributed(pairs, n_blocks=4,
-                                              max_iters=40).to_pandas()
+    # feed the pairs as a DATASET — the scale-path input (pair stream
+    # never driver-resident); the DataFrame flavor is equality-tested
+    # against union-find in test_dedup_ann
+    labels = connected_components_distributed(
+        rd.from_pandas(pairs).repartition(num_blocks=4), n_blocks=4,
+        max_iters=40).to_pandas()
     assert len(labels) == n + 1
     assert (labels["label"].to_numpy() == 0).all()
