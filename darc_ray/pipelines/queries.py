@@ -4429,6 +4429,126 @@ ORDER BY image_id, by, bx
 """
 
 
+def q_image_letterbox(sf_dir: str) -> pd.DataFrame:
+    """Uniform-border (letterbox/pillarbox) bar detection + crop dims
+    over the planted-borders RAW-pixel fixture — the LAION-style
+    bar-crop pass as a stateless integer ``map_batches``; the DuckDB
+    oracle re-derives row/column uniformity (min=max per channel) from
+    the hex bytes."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_borders_fixture,
+                                            image_letterbox_batch)
+
+    path = ensure_image_borders_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_letterbox_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_LETTERBOX = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_borders.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht, s.i // r.w AS rr, s.i % r.w AS cc,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT AS pr,
+         ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT AS pg,
+         ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS pb
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), rowu AS (
+  SELECT image_id, rr,
+         CASE WHEN min(pr) = max(pr) AND min(pg) = max(pg)
+               AND min(pb) = max(pb) THEN 1 ELSE 0 END AS u
+  FROM px GROUP BY image_id, rr
+), colu AS (
+  SELECT image_id, cc,
+         CASE WHEN min(pr) = max(pr) AND min(pg) = max(pg)
+               AND min(pb) = max(pb) THEN 1 ELSE 0 END AS u
+  FROM px GROUP BY image_id, cc
+), rb AS (
+  SELECT image_id, min(rr) FILTER (WHERE u = 0) AS nm,
+         max(rr) FILTER (WHERE u = 0) AS nx
+  FROM rowu GROUP BY image_id
+), cb AS (
+  SELECT image_id, min(cc) FILTER (WHERE u = 0) AS nm,
+         max(cc) FILTER (WHERE u = 0) AS nx
+  FROM colu GROUP BY image_id
+), dims AS (
+  SELECT r.image_id, r.w, r.ht,
+         CASE WHEN rb.nm IS NULL THEN r.ht ELSE rb.nm END::BIGINT AS t,
+         CASE WHEN rb.nm IS NULL THEN 0
+              ELSE r.ht - 1 - rb.nx END::BIGINT AS b,
+         CASE WHEN cb.nm IS NULL THEN r.w ELSE cb.nm END::BIGINT AS l,
+         CASE WHEN cb.nm IS NULL THEN 0
+              ELSE r.w - 1 - cb.nx END::BIGINT AS rt
+  FROM raw r JOIN rb ON rb.image_id = r.image_id
+             JOIN cb ON cb.image_id = r.image_id
+)
+SELECT image_id, w AS width, ht AS height, t AS bar_top, b AS bar_bottom,
+       l AS bar_left, rt AS bar_right,
+       (w - l - rt)::BIGINT AS crop_w, (ht - t - b)::BIGINT AS crop_h,
+       CASE WHEN t + b + l + rt > 0 THEN 1 ELSE 0 END::BIGINT AS bars
+FROM dims ORDER BY image_id
+"""
+
+
+def q_image_color_stats(sf_dir: str) -> pd.DataFrame:
+    """Grayscale / low-color-complexity gate (exact r=g=b test,
+    near-gray milli score, exact distinct-color count, ≤16-color
+    posterized-junk flag) over the planted-borders fixture — the
+    DataComp-style monochrome + solid/posterized filter, all-integer
+    and hex-oracled."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_borders_fixture,
+                                            image_color_stats_batch)
+
+    path = ensure_image_borders_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_color_stats_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_COLOR_STATS = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_borders.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT AS pr,
+         ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT AS pg,
+         ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS pb
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), st AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht,
+         count(*)::BIGINT AS n,
+         sum(abs(pr - pg) + abs(pg - pb))::BIGINT AS sd,
+         count(DISTINCT pr * 65536 + pg * 256 + pb)::BIGINT AS dc
+  FROM px GROUP BY image_id
+)
+SELECT image_id, w AS width, ht AS height,
+       CASE WHEN sd = 0 THEN 1 ELSE 0 END::BIGINT AS gray,
+       (sd * 1000 // n)::BIGINT AS near_gray_milli,
+       dc AS distinct_colors,
+       CASE WHEN dc <= 16 THEN 1 ELSE 0 END::BIGINT AS low_complexity,
+       CASE WHEN sd > 0 AND dc > 16 THEN 1 ELSE 0 END::BIGINT AS keep
+FROM st ORDER BY image_id
+"""
+
+
 def q_image_transcode(sf_dir: str) -> pd.DataFrame:
     """Image transcode: every payload re-encoded with the real T.81
     baseline JPEG encoder (q=85) in an actor-pool stage; output is the
@@ -5845,6 +5965,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gopher_quality": q_gopher_quality,
     "domain_mix": q_domain_mix,
     "profile_columns": q_profile_columns,
+    "image_letterbox": q_image_letterbox,
+    "image_color_stats": q_image_color_stats,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -5916,6 +6038,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_dedup": SQL_IMAGE_DEDUP,
     "image_quality_gate": SQL_IMAGE_QUALITY_GATE,
     "image_thumbs_pooled": SQL_IMAGE_THUMBS_POOLED,
+    "image_letterbox": SQL_IMAGE_LETTERBOX,
+    "image_color_stats": SQL_IMAGE_COLOR_STATS,
     "pii_redact": SQL_PII_REDACT,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "dup_ngrams": SQL_DUP_NGRAMS,

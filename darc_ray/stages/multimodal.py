@@ -584,6 +584,172 @@ def image_thumbs_pooled_batch(batch: "pa.Table") -> "pa.Table":
                                ("mean_milli", pa.int64())]))
 
 
+BORDERS_FIXTURE = "/tmp/darc_ray_fixtures/image_borders.parquet"
+
+
+def ensure_image_borders_fixture(path: str = BORDERS_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the border/color families:
+    textured RGB content (an integer gradient varying along BOTH axes,
+    so every content row and column is non-uniform) with planted
+    letterbox (``-lb``), pillarbox (``-pb``), boxed (``-box``),
+    grayscale (``-gray``), posterized-palette (``-poster``) and
+    fully-solid (``-solid``) rows.  All pixel values are exact
+    integers (no float, no clipping ambiguity) so the DuckDB hex-walk
+    oracles re-derive the kernels bit-for-bit.  Fixed path + atomic
+    write + ALWAYS rewritten (no stale-exists early return),
+    sf-independent — same contract as ``ensure_image_pixels_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def content(hh: int, ww: int, i: int, gray: bool = False) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        v = (40 + (31 * xx + 17 * yy + 7 * i) % 160).astype(np.uint8)
+        if gray:
+            return np.repeat(v[..., None], 3, axis=2)
+        g = (40 + (31 * xx + 17 * yy + 7 * i + 35) % 160).astype(np.uint8)
+        b = (40 + (31 * xx + 17 * yy + 7 * i + 70) % 160).astype(np.uint8)
+        return np.stack([v, g, b], axis=2)
+
+    for i in range(16):
+        hh, ww = 20 + (5 * i) % 21, 22 + (7 * i) % 19
+        flavor = i % 5
+        if flavor == 0:
+            add(f"bdr-{i:02d}-plain", content(hh, ww, i))
+        elif flavor == 1:
+            pix = content(hh, ww, i)
+            t, b = 2 + i % 4, 1 + i % 3
+            pix[:t] = (8 + i) % 40
+            pix[hh - b:] = (8 + i) % 40
+            add(f"bdr-{i:02d}-lb", pix)
+        elif flavor == 2:
+            pix = content(hh, ww, i)
+            l, r = 1 + i % 4, 2 + i % 3
+            pix[:, :l] = 245 - i
+            pix[:, ww - r:] = 245 - i
+            add(f"bdr-{i:02d}-pb", pix)
+        elif flavor == 3:
+            pix = content(hh, ww, i)
+            t, b, l, r = 1 + i % 3, 2 + i % 2, 2 + i % 3, 1 + i % 2
+            pix[:t] = 0
+            pix[hh - b:] = 0
+            pix[:, :l] = 0
+            pix[:, ww - r:] = 0
+            add(f"bdr-{i:02d}-box", pix)
+        else:
+            add(f"bdr-{i:02d}-gray", content(hh, ww, i, gray=True))
+    # ≤16-distinct-color palette rows (low-complexity junk) + a solid
+    palette = np.array([[200, 30, 30], [30, 200, 30], [30, 30, 200],
+                        [220, 220, 40], [40, 220, 220], [220, 40, 220],
+                        [120, 60, 20], [20, 120, 60]], dtype=np.uint8)
+    for j, (hh, ww) in enumerate(((24, 30), (27, 25))):
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        idx = (7 * xx + 13 * yy + j) % len(palette)
+        add(f"bdr-poster-{j}", palette[idx])
+    add("bdr-solid", np.full((24, 24, 3), 77, np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_letterbox_batch(batch: "pa.Table") -> "pa.Table":
+    """Uniform-border (letterbox/pillarbox) detection over raw-pixel
+    payloads — the LAION-style bar-crop pass: a border row/column is
+    one whose pixels are ALL a single color; ``bar_top`` = count of
+    consecutive single-color rows from the top edge (= index of the
+    first non-uniform row), likewise bottom/left/right; a fully
+    uniform image crops to 0×0 (top = h, left = w by convention, so
+    the four bars never double-count).  Pure integer comparisons →
+    the DuckDB hex-walk oracle (min=max per channel per row/column)
+    is bit-exact.  Stateless vectorized ``map_batches`` — no shuffle,
+    embarrassingly parallel at 100 TB."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "bar_top", "bar_bottom",
+        "bar_left", "bar_right", "crop_w", "crop_h", "bars")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload)
+        h, w = pix.shape[:2]
+        row_uni = (pix == pix[:, :1, :]).all(axis=(1, 2))
+        col_uni = (pix == pix[:1, :, :]).all(axis=(0, 2))
+        ri = np.flatnonzero(~row_uni)
+        ci = np.flatnonzero(~col_uni)
+        top, bottom = (h, 0) if len(ri) == 0 else (int(ri[0]),
+                                                   h - 1 - int(ri[-1]))
+        left, right = (w, 0) if len(ci) == 0 else (int(ci[0]),
+                                                   w - 1 - int(ci[-1]))
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["bar_top"].append(top)
+        out["bar_bottom"].append(bottom)
+        out["bar_left"].append(left)
+        out["bar_right"].append(right)
+        out["crop_w"].append(w - left - right)
+        out["crop_h"].append(h - top - bottom)
+        out["bars"].append(int(top + bottom + left + right > 0))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "bar_top",
+                                  "bar_bottom", "bar_left", "bar_right",
+                                  "crop_w", "crop_h", "bars")]))
+
+
+def image_color_stats_batch(batch: "pa.Table") -> "pa.Table":
+    """Grayscale / low-color-complexity gate over raw-pixel payloads
+    (the DataComp-style monochrome + solid/posterized junk filter):
+    ``gray`` = exact r=g=b everywhere, ``near_gray_milli`` =
+    Σ(|r−g|+|g−b|)·1000//n, ``distinct_colors`` = exact distinct
+    (r,g,b) count, ``low_complexity`` = ≤16 distinct colors, ``keep``
+    = colorful AND complex.  All-integer → bit-exact vs the DuckDB
+    hex-walk oracle.  Stateless ``map_batches``, no shuffle."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "gray", "near_gray_milli",
+        "distinct_colors", "low_complexity", "keep")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        n = h * w
+        sd = int((np.abs(pix[..., 0] - pix[..., 1])
+                  + np.abs(pix[..., 1] - pix[..., 2])).sum())
+        key = (pix[..., 0] << 16) | (pix[..., 1] << 8) | pix[..., 2]
+        dc = int(np.unique(key).size)
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["gray"].append(int(sd == 0))
+        out["near_gray_milli"].append(sd * 1000 // n)
+        out["distinct_colors"].append(dc)
+        out["low_complexity"].append(int(dc <= 16))
+        out["keep"].append(int(sd > 0 and dc > 16))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "gray",
+                                  "near_gray_milli", "distinct_colors",
+                                  "low_complexity", "keep")]))
+
+
 AUDIO_META_FIXTURE = "/tmp/darc_ray_fixtures/audio_meta.parquet"
 
 
