@@ -49,12 +49,14 @@ def _ensure_fixture_files() -> None:
                                          ensure_pii_fixture,
                                          ensure_repetition_fixture)
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
+                                            ensure_image_borders_fixture,
                                             ensure_image_meta_fixture,
                                             ensure_image_pixels_fixture,
                                             ensure_video_meta_fixture)
 
     ensure_image_meta_fixture()
     ensure_image_pixels_fixture()
+    ensure_image_borders_fixture()
     ensure_audio_meta_fixture()
     ensure_video_meta_fixture()
     ensure_pii_fixture()

@@ -5907,10 +5907,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_dedup": q_image_dedup,
     "pii_redact": q_pii_redact,
     "boilerplate_strip": q_boilerplate_strip,
-    "dup_ngrams": q_dup_ngrams,
+    "image_letterbox": q_image_letterbox,
     "bigram_lm": q_bigram_lm,
     "image_phash_clusters": q_image_phash_clusters,
-    "bpe_pair_counts": q_bpe_pair_counts,
+    "image_color_stats": q_image_color_stats,
     "cms_topk": q_cms_topk,
     "sequence_pack": q_sequence_pack,
     "dedup_keep_best": q_dedup_keep_best,
@@ -5965,8 +5965,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gopher_quality": q_gopher_quality,
     "domain_mix": q_domain_mix,
     "profile_columns": q_profile_columns,
-    "image_letterbox": q_image_letterbox,
-    "image_color_stats": q_image_color_stats,
+    "dup_ngrams": q_dup_ngrams,
+    "bpe_pair_counts": q_bpe_pair_counts,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
