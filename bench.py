@@ -50,7 +50,8 @@ BENCH_QUERIES = [
     "kmeans_assign", "postings", "aspect_buckets", "cluster_profile",
     "html_text", "incremental_dedup", "dataset_split", "quality_funnel",
     "curation_pipeline", "image_curation_pipeline",
-    "image_letterbox", "image_color_stats",
+    "image_letterbox", "image_color_stats", "image_edge_density",
+    "image_dominant_color",
     # dedup_clusters_dataset (the always-distributed CC rung) is in the
     # driver correctness window but NOT benched: its fixed per-iteration
     # shuffle overhead (~24 s at sf0.1) would double-count the chain

@@ -4549,6 +4549,107 @@ FROM st ORDER BY image_id
 """
 
 
+def q_image_edge_density(sf_dir: str) -> pd.DataFrame:
+    """Integer sharpness/blur gate (milli-luma gradient sum over the
+    interior, per-mille density + threshold flag) over the
+    planted-borders fixture — the DataComp-style blur/flat filter,
+    all-integer and hex-oracled via neighbor byte reads."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_borders_fixture,
+                                            image_edge_density_batch)
+
+    path = ensure_image_borders_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_edge_density_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_EDGE_DENSITY = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_borders.parquet')
+), series AS (
+  SELECT unnest(generate_series(
+      0, (SELECT max((w - 1) * (ht - 1)) FROM raw) - 1)) AS j
+), e AS (
+  SELECT r.image_id, r.w, r.ht,
+         abs((299 * ('0x' || substr(r.hx, 2 * (12 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1))) + 1, 2))::BIGINT
+              + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1))) + 1, 2))::BIGINT
+              + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1))) + 1, 2))::BIGINT)
+             - (299 * ('0x' || substr(r.hx, 2 * (12 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1) + 1)) + 1, 2))::BIGINT
+              + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1) + 1)) + 1, 2))::BIGINT
+              + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1) + 1)) + 1, 2))::BIGINT))
+       + abs((299 * ('0x' || substr(r.hx, 2 * (12 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1))) + 1, 2))::BIGINT
+              + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1))) + 1, 2))::BIGINT
+              + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1))) + 1, 2))::BIGINT)
+             - (299 * ('0x' || substr(r.hx, 2 * (12 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1) + r.w)) + 1, 2))::BIGINT
+              + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1) + r.w)) + 1, 2))::BIGINT
+              + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1) + r.w)) + 1, 2))::BIGINT)) AS g
+  FROM raw r JOIN series s ON s.j < (r.w - 1) * (r.ht - 1)
+)
+SELECT image_id, any_value(w) AS width, any_value(ht) AS height,
+       (sum(g)::BIGINT * 1000 // count(*))::BIGINT AS edge_milli,
+       CASE WHEN sum(g)::BIGINT * 1000 // count(*) >= 8000000
+            THEN 1 ELSE 0 END::BIGINT AS sharp
+FROM e GROUP BY image_id ORDER BY image_id
+"""
+
+
+def q_image_dominant_color(sf_dir: str) -> pd.DataFrame:
+    """Dominant exact (r,g,b) color and its per-mille share (ties →
+    smallest packed key) over the planted-borders fixture — the
+    banner/solid-background junk signal, exact counts and a
+    deterministic tie-break on both sides."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_borders_fixture,
+                                            image_dominant_color_batch)
+
+    path = ensure_image_borders_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_dominant_color_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_DOMINANT_COLOR = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_borders.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w * r.ht AS n,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT * 65536
+         + ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT * 256
+         + ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS key
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), cnt AS (
+  SELECT image_id, any_value(n) AS n, key, count(*)::BIGINT AS c
+  FROM px GROUP BY image_id, key
+), ranked AS (
+  SELECT image_id, n, key, c,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY c DESC, key ASC) AS rn
+  FROM cnt
+)
+SELECT image_id, (key // 65536)::BIGINT AS dom_r,
+       ((key // 256) % 256)::BIGINT AS dom_g, (key % 256)::BIGINT AS dom_b,
+       (c * 1000 // n)::BIGINT AS share_milli,
+       CASE WHEN c * 1000 // n >= 400 THEN 1 ELSE 0 END::BIGINT
+           AS dominant_heavy
+FROM ranked WHERE rn = 1 ORDER BY image_id
+"""
+
+
 def q_image_transcode(sf_dir: str) -> pd.DataFrame:
     """Image transcode: every payload re-encoded with the real T.81
     baseline JPEG encoder (q=85) in an actor-pool stage; output is the
@@ -5967,6 +6068,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "profile_columns": q_profile_columns,
     "dup_ngrams": q_dup_ngrams,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "image_edge_density": q_image_edge_density,
+    "image_dominant_color": q_image_dominant_color,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -6040,6 +6143,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_thumbs_pooled": SQL_IMAGE_THUMBS_POOLED,
     "image_letterbox": SQL_IMAGE_LETTERBOX,
     "image_color_stats": SQL_IMAGE_COLOR_STATS,
+    "image_edge_density": SQL_IMAGE_EDGE_DENSITY,
+    "image_dominant_color": SQL_IMAGE_DOMINANT_COLOR,
     "pii_redact": SQL_PII_REDACT,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "dup_ngrams": SQL_DUP_NGRAMS,

@@ -750,6 +750,75 @@ def image_color_stats_batch(batch: "pa.Table") -> "pa.Table":
                                   "low_complexity", "keep")]))
 
 
+def image_edge_density_batch(batch: "pa.Table") -> "pa.Table":
+    """Integer sharpness/blur gate over raw-pixel payloads: per pixel,
+    milli-luma gradient = |gm(y,x)−gm(y,x+1)| + |gm(y,x)−gm(y+1,x)|
+    over the (h−1)×(w−1) interior, ``edge_milli`` = Σgrad·1000 //
+    interior-count, ``sharp`` = edge_milli above a flat-content
+    threshold.  All-integer (abs/diff/floor-div) → bit-exact vs the
+    DuckDB hex-walk oracle, which reads the right/down neighbors at
+    byte offsets i+1 and i+w.  Stateless ``map_batches``, no shuffle —
+    the DataComp-style blur/flat filter."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "edge_milli", "sharp")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        gm = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        gx = np.abs(gm[:h - 1, :w - 1] - gm[:h - 1, 1:])
+        gy = np.abs(gm[:h - 1, :w - 1] - gm[1:, :w - 1])
+        n = (h - 1) * (w - 1)
+        edge = int((gx + gy).sum()) * 1000 // n if n else 0
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["edge_milli"].append(edge)
+        out["sharp"].append(int(edge >= 8_000_000))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "edge_milli",
+                                  "sharp")]))
+
+
+def image_dominant_color_batch(batch: "pa.Table") -> "pa.Table":
+    """Dominant-color share over raw-pixel payloads: the most frequent
+    exact (r,g,b) (ties → smallest packed key) and its per-mille share
+    — the banner/solid-background junk signal.  Exact counts +
+    deterministic tie-break → bit-exact vs the DuckDB oracle's
+    ``row_number() OVER (ORDER BY cnt DESC, key ASC)``."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "dom_r", "dom_g", "dom_b", "share_milli",
+        "dominant_heavy")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        n = pix.shape[0] * pix.shape[1]
+        key = ((pix[..., 0] << 16) | (pix[..., 1] << 8)
+               | pix[..., 2]).reshape(-1)
+        uniq, cnt = np.unique(key, return_counts=True)
+        # np.unique sorts keys ascending, argmax takes the FIRST max →
+        # ties break to the smallest key, matching the SQL ORDER BY
+        top = int(uniq[int(np.argmax(cnt))])
+        share = int(cnt.max()) * 1000 // n
+        out["image_id"].append(iid)
+        out["dom_r"].append(top >> 16)
+        out["dom_g"].append((top >> 8) & 255)
+        out["dom_b"].append(top & 255)
+        out["share_milli"].append(share)
+        out["dominant_heavy"].append(int(share >= 400))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("dom_r", "dom_g", "dom_b",
+                                  "share_milli", "dominant_heavy")]))
+
+
 AUDIO_META_FIXTURE = "/tmp/darc_ray_fixtures/audio_meta.parquet"
 
 

@@ -13,6 +13,8 @@ import pyarrow.parquet as pq
 from darc_ray.functions.image import raw_encode
 from darc_ray.stages.multimodal import (ensure_image_borders_fixture,
                                         image_color_stats_batch,
+                                        image_dominant_color_batch,
+                                        image_edge_density_batch,
                                         image_letterbox_batch)
 
 
@@ -58,6 +60,28 @@ def test_color_stats_exact_counts_handbuilt():
     assert row.gray == 1 and row.distinct_colors == 25 and row.keep == 0
 
 
+def test_edge_density_exact_handbuilt():
+    # 2×3 image: gm = 1000·v for gray pixels; one interior sample each
+    pix = np.repeat(np.array([[0, 10, 10], [5, 10, 0]],
+                             np.uint8)[..., None], 3, axis=2)
+    row = image_edge_density_batch(_one("x", pix)).to_pandas().iloc[0]
+    # interior (h-1)(w-1) = 2 cells: (0,0): |0-10|+|0-5| = 15k;
+    # (0,1): |10-10|+|10-10| = 0  → sum 15000·1000 // 2 = 7.5M < 8M
+    assert row.edge_milli == 15000 * 1000 // 2 and row.sharp == 0
+    flat = image_edge_density_batch(
+        _one("f", np.full((6, 6, 3), 9, np.uint8))).to_pandas().iloc[0]
+    assert flat.edge_milli == 0 and flat.sharp == 0
+
+
+def test_dominant_color_tiebreak_smallest_key():
+    pix = np.zeros((2, 2, 3), np.uint8)
+    pix[0, 1] = (0, 0, 5)     # two colors, 2 pixels each → tie
+    pix[1, 1] = (0, 0, 5)
+    row = image_dominant_color_batch(_one("x", pix)).to_pandas().iloc[0]
+    assert (row.dom_r, row.dom_g, row.dom_b) == (0, 0, 0)  # smaller key
+    assert row.share_milli == 500 and row.dominant_heavy == 1
+
+
 def test_fixture_planted_flavors_roundtrip():
     t = pq.read_table(ensure_image_borders_fixture())
     lb = image_letterbox_batch(t).to_pandas().set_index("image_id")
@@ -78,3 +102,10 @@ def test_fixture_planted_flavors_roundtrip():
     assert (cs.loc[cs.index.str.startswith("bdr-poster"), "gray"] == 0).all()
     assert (cs.loc[cs.index.str.endswith("-plain"), "keep"] == 1).all()
     assert cs.loc["bdr-solid", "distinct_colors"] == 1
+    ed = image_edge_density_batch(t).to_pandas().set_index("image_id")
+    dc = image_dominant_color_batch(t).to_pandas().set_index("image_id")
+    assert ed.loc["bdr-solid", ["edge_milli", "sharp"]].tolist() == [0, 0]
+    assert (ed.loc[ed.index.str.endswith("-plain"), "sharp"] == 1).all()
+    assert dc.loc["bdr-solid", "share_milli"] == 1000
+    assert (dc.loc[dc.index.str.endswith("-plain"),
+                   "dominant_heavy"] == 0).all()
