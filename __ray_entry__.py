@@ -49,6 +49,7 @@ def _ensure_fixture_files() -> None:
                                          ensure_pii_fixture,
                                          ensure_repetition_fixture)
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
+                                            ensure_audio_pcm_fixture,
                                             ensure_image_borders_fixture,
                                             ensure_image_meta_fixture,
                                             ensure_image_pixels_fixture,
@@ -58,6 +59,7 @@ def _ensure_fixture_files() -> None:
     ensure_image_pixels_fixture()
     ensure_image_borders_fixture()
     ensure_audio_meta_fixture()
+    ensure_audio_pcm_fixture()
     ensure_video_meta_fixture()
     ensure_pii_fixture()
     ensure_lines_fixture()

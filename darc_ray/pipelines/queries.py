@@ -4899,6 +4899,81 @@ FROM walk WHERE done ORDER BY audio_id
 """
 
 
+def q_audio_loudness(sf_dir: str) -> pd.DataFrame:
+    """Sample-level integer loudness scan (exact mean-square, peak,
+    clip count, silence flag) over the deterministic PCM fixture —
+    the audio twin of the pixel quality gate; the DuckDB oracle
+    re-walks the RIFF container to the PCM offset and reads every
+    little-endian int16 from the hex bytes."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (audio_loudness_batch,
+                                            ensure_audio_pcm_fixture)
+
+    path = ensure_audio_pcm_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(audio_loudness_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+# same recursive RIFF walk as SQL_AUDIO_METADATA (header_bytes = PCM
+# start), then one series row per int16: LE16 at byte b is
+# '0x' || hex(b+1) || hex(b), sign-fixed by subtracting 65536 ≥ 0x8000
+SQL_AUDIO_LOUDNESS = """
+WITH RECURSIVE raw AS (
+  SELECT audio_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/audio_pcm.parquet')
+), walk AS (
+  SELECT audio_id, h, 12::BIGINT AS o,
+         -1::BIGINT AS data_bytes, -1::BIGINT AS header_bytes,
+         FALSE AS done
+  FROM raw
+  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+  UNION ALL
+  SELECT audio_id, h,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461' THEN o
+              ELSE o + 8
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT % 2
+              END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                    || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+              ELSE data_bytes END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN o + 8 ELSE -1 END,
+         substr(h, 2*o+1, 8) = '64617461'
+  FROM walk WHERE NOT done
+), pcm AS (
+  SELECT audio_id, h, header_bytes AS off, data_bytes // 2 AS ns
+  FROM walk WHERE done
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(ns) FROM pcm) - 1)) AS k
+), smp AS (
+  SELECT u.audio_id, u.ns,
+         CASE WHEN u.uv >= 32768 THEN u.uv - 65536 ELSE u.uv END AS v
+  FROM (
+    SELECT p.audio_id, p.ns,
+           ('0x' || substr(p.h, 2 * (p.off + 2 * s.k) + 3, 2)
+                 || substr(p.h, 2 * (p.off + 2 * s.k) + 1, 2))::BIGINT AS uv
+    FROM pcm p JOIN series s ON s.k < p.ns
+  ) u
+)
+SELECT audio_id, count(*)::BIGINT AS n_int16,
+       (sum(v * v) // count(*))::BIGINT AS mean_square,
+       max(abs(v))::BIGINT AS peak,
+       sum(CASE WHEN abs(v) >= 32000 THEN 1 ELSE 0 END)::BIGINT
+           AS clip_count,
+       CASE WHEN (sum(v * v) // count(*)) < 10000 THEN 1 ELSE 0
+           END::BIGINT AS silent
+FROM smp GROUP BY audio_id ORDER BY audio_id
+"""
+
+
 def q_video_metadata(sf_dir: str) -> pd.DataFrame:
     """Header+index-only video metadata (completing the image/audio/
     video header-scan trilogy): FVID container header + frame-span
@@ -6070,6 +6145,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "image_edge_density": q_image_edge_density,
     "image_dominant_color": q_image_dominant_color,
+    "audio_loudness": q_audio_loudness,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -6145,6 +6221,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_color_stats": SQL_IMAGE_COLOR_STATS,
     "image_edge_density": SQL_IMAGE_EDGE_DENSITY,
     "image_dominant_color": SQL_IMAGE_DOMINANT_COLOR,
+    "audio_loudness": SQL_AUDIO_LOUDNESS,
     "pii_redact": SQL_PII_REDACT,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "dup_ngrams": SQL_DUP_NGRAMS,

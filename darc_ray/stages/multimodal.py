@@ -872,6 +872,99 @@ def ensure_audio_meta_fixture(path: str = AUDIO_META_FIXTURE) -> str:
     return path
 
 
+AUDIO_PCM_FIXTURE = "/tmp/darc_ray_fixtures/audio_pcm.parquet"
+
+
+def ensure_audio_pcm_fixture(path: str = AUDIO_PCM_FIXTURE) -> str:
+    """Deterministic PCM16 WAV corpus for the sample-level loudness
+    family: mono and stereo tones at several amplitudes, a planted
+    all-zero silence row (``-silent``), a planted near-full-scale row
+    (``-clip``), and one row with an odd-length LIST chunk before
+    ``data`` (the PCM offset differs, proving the SQL walk finds it).
+    Fixed path + atomic write + always rewritten, sf-independent —
+    same contract as ``ensure_audio_meta_fixture``."""
+    import os
+    import struct
+    import tempfile
+
+    from darc_ray.functions.audio import wav_encode
+
+    rows = {"audio_id": [], "bytes": []}
+    for i in range(8):
+        rng = np.random.default_rng(9300 + i)
+        sr = (8000, 16000)[i % 2]
+        n = int(rng.integers(600, 2400))
+        t = np.arange(n)
+        amp = 700 + 400 * i
+        s = (amp * np.sin(2 * np.pi * (130 + 11 * i) * t / sr)
+             + rng.integers(-120, 121, n)).astype(np.int16)
+        if i % 3 == 2:
+            s = np.stack([s, (s // 3).astype(np.int16)], axis=1)
+        rows["audio_id"].append(f"pcm-{i:02d}")
+        rows["bytes"].append(wav_encode(s, sr))
+    rows["audio_id"].append("pcm-silent")
+    rows["bytes"].append(wav_encode(np.zeros(1500, np.int16), 8000))
+    sq = (np.where(np.arange(1200) % 50 < 25, 32760, -32760)
+          .astype(np.int16))
+    rows["audio_id"].append("pcm-clip")
+    rows["bytes"].append(wav_encode(sq, 16000))
+    # odd LIST chunk between fmt and data (shifts the PCM offset)
+    base = wav_encode((900 * np.sin(np.arange(800) / 9)).astype(np.int16),
+                      8000)
+    info = b"INFOpcm fixture padding?"            # 24 bytes... make odd
+    info = info[:-1]                              # 23, odd
+    extra = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+    patched = (b"RIFF" + struct.pack("<I", len(base) - 8 + len(extra))
+               + base[8:36] + extra + base[36:])
+    rows["audio_id"].append("pcm-list")
+    rows["bytes"].append(patched)
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("audio_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def audio_loudness_batch(batch: "pa.Table") -> "pa.Table":
+    """Sample-level integer loudness scan over PCM16 WAV payloads:
+    ``mean_square`` = Σv²//n (the exact-integer RMS² twin), ``peak`` =
+    max|v|, ``clip_count`` = samples at ≥32000 absolute, ``silent`` =
+    mean-square below a floor — the silence/clipping junk gate of an
+    audio curation pass.  Channel-interleaved order is irrelevant to
+    these aggregates, so the kernel flattens; all-integer → bit-exact
+    vs the DuckDB oracle's little-endian hex sample walk.  Stateless
+    ``map_batches``, no shuffle."""
+    from darc_ray.functions.audio import wav_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "audio_id", "n_int16", "mean_square", "peak", "clip_count",
+        "silent")}
+    for aid, payload in zip(batch.column("audio_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        samples, _sr = wav_decode(payload)
+        v = samples.reshape(-1).astype(np.int64)   # cast BEFORE abs:
+        n = len(v)                                  # |int16 -32768| wraps
+        ms = int((v * v).sum()) // n
+        out["audio_id"].append(aid)
+        out["n_int16"].append(n)
+        out["mean_square"].append(ms)
+        out["peak"].append(int(np.abs(v).max()))
+        out["clip_count"].append(int((np.abs(v) >= 32000).sum()))
+        out["silent"].append(int(ms < 10000))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("audio_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_int16", "mean_square", "peak",
+                                  "clip_count", "silent")]))
+
+
 def audio_meta_batch(batch: "pa.Table") -> "pa.Table":
     """Header-only WAV metadata over a binary column (no PCM decode);
     stateless task ``map_batches``."""
