@@ -51,6 +51,7 @@ def _ensure_fixture_files() -> None:
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
                                             ensure_audio_pcm_fixture,
                                             ensure_image_borders_fixture,
+                                            ensure_image_caption_fixture,
                                             ensure_image_meta_fixture,
                                             ensure_image_pixels_fixture,
                                             ensure_video_meta_fixture)
@@ -58,6 +59,7 @@ def _ensure_fixture_files() -> None:
     ensure_image_meta_fixture()
     ensure_image_pixels_fixture()
     ensure_image_borders_fixture()
+    ensure_image_caption_fixture()
     ensure_audio_meta_fixture()
     ensure_audio_pcm_fixture()
     ensure_video_meta_fixture()

@@ -1051,3 +1051,243 @@ def video_meta_batch(batch: "pa.Table") -> "pa.Table":
         out["frame_bytes"].append(sum(ln for _, ln in spans))
         out["max_frame_bytes"].append(max(ln for _, ln in spans))
     return pa.Table.from_pydict(out)
+
+
+CAPTION_FIXTURE = "/tmp/darc_ray_fixtures/image_caption.parquet"
+
+
+def ensure_image_caption_fixture(path: str = CAPTION_FIXTURE) -> str:
+    """Deterministic image+caption PAIR corpus in the full input_hint
+    schema ``(image_id, bytes, w, h, fmt, caption, phash)`` for the
+    caption-axis families (the LAION/DataComp text-side filters and
+    the cross-modal pair-consistency dedup).  Planted flavors, cycling
+    ``i % 8``: clean caption / URL spam / too-short / ALL-CAPS shout /
+    low-alpha junk / SAME-CAPTION-different-image / same-image-
+    DIFFERENT-CAPTION / 40-word overlong — plus two exact full-pair
+    duplicates of row 0.  All captions are ASCII (char-count semantics
+    identical between pyarrow and DuckDB).  Fixed path + atomic write
+    + ALWAYS rewritten, sf-independent — same contract as
+    ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    nouns = ["harbor", "meadow", "bridge", "lantern", "orchard", "dune",
+             "plaza", "glacier"]
+    places = ["river bend", "old town", "north shore", "market square",
+              "pine ridge", "salt flat", "stone pier", "fern valley"]
+
+    def content(i: int) -> np.ndarray:
+        hh, ww = 12 + i % 5, 12 + (3 * i) % 7
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        v = (30 + (29 * xx + 13 * yy + 11 * i) % 180).astype(np.uint8)
+        g = (30 + (29 * xx + 13 * yy + 11 * i + 41) % 180).astype(np.uint8)
+        b = (30 + (29 * xx + 13 * yy + 11 * i + 82) % 180).astype(np.uint8)
+        return np.stack([v, g, b], axis=2)
+
+    rows: dict[str, list] = {k: [] for k in
+                             ("image_id", "bytes", "w", "h", "fmt",
+                              "caption", "phash")}
+    caps: list[str] = []
+    pixes: list[np.ndarray] = []
+
+    def add(iid: str, pix: np.ndarray, caption: str) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+        rows["w"].append(pix.shape[1])
+        rows["h"].append(pix.shape[0])
+        rows["fmt"].append("raw")
+        rows["caption"].append(caption)
+        rows["phash"].append(img.phash64(pix))
+
+    for i in range(40):
+        flavor = i % 8
+        pix = content(i)
+        cap = (f"Photo {i:02d} of a {nouns[i % 8]} beside the "
+               f"{places[(i // 8) % 8]} after rain")
+        if flavor == 1:
+            cap = f"download now at http://img{i}.example.test/full size"
+        elif flavor == 2:
+            cap = "img"
+        elif flavor == 3:
+            cap = f"STOCK PHOTO {i:02d} SALE BANNER BUY NOW"
+        elif flavor == 4:
+            cap = f"$$$ 12345 --- 999 !!! {i} ### 777"
+        elif flavor == 5 and i >= 5:
+            cap = caps[i - 5]               # same caption, new pixels
+        elif flavor == 6 and i >= 6:
+            pix = pixes[i - 6]              # same pixels, new caption
+            cap = f"alternate crop {i:02d} of the {nouns[(i + 3) % 8]}"
+        elif flavor == 7:
+            cap = " ".join(f"tag{k}" for k in range(40))
+        caps.append(cap)
+        pixes.append(pix)
+        add(f"cap-{i:02d}", pix, cap)
+    # exact full-pair duplicates (same caption AND same pixels as row 0)
+    add("cap-99-pairdup-a", pixes[0], caps[0])
+    add("cap-99-pairdup-b", pixes[0], caps[0])
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary()),
+                                ("w", pa.int32()), ("h", pa.int32()),
+                                ("fmt", pa.string()),
+                                ("caption", pa.string()),
+                                ("phash", pa.int64())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def caption_gate_batch(batch: "pa.Table") -> "pa.Table":
+    """LAION/DataComp-style caption filters as ONE stateless vectorized
+    pass (pyarrow regex-count kernels + numpy integer ratios, no
+    per-row Python): char/word counts, alpha and uppercase per-mille,
+    URL-spam flag, and the composed ``keep`` gate (2–32 words, no URL,
+    ≥50% letters, ≤70% of letters uppercase).  All-integer so the
+    DuckDB oracle (regexp_extract_all lengths) agrees bit-for-bit."""
+    import pyarrow.compute as pc
+
+    cap = batch.column("caption")
+    n_chars = pc.utf8_length(cap).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = pc.count_substring_regex(cap, r"\S+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    alpha = pc.count_substring_regex(cap, "[A-Za-z]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    upper = pc.count_substring_regex(cap, "[A-Z]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    has_url = pc.match_substring_regex(
+        cap, r"(http://|https://|www\.)").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    alpha_milli = np.where(n_chars > 0,
+                           alpha * 1000 // np.maximum(n_chars, 1), 0)
+    upper_milli = np.where(alpha > 0,
+                           upper * 1000 // np.maximum(alpha, 1), 0)
+    keep = ((n_words >= 2) & (n_words <= 32) & (has_url == 0)
+            & (alpha_milli >= 500) & (upper_milli <= 700)).astype(np.int64)
+    return pa.Table.from_pydict({
+        "image_id": batch.column("image_id"),
+        "n_chars": n_chars, "n_words": n_words,
+        "alpha_milli": alpha_milli.astype(np.int64),
+        "upper_milli": upper_milli.astype(np.int64),
+        "has_url": has_url, "keep": keep})
+
+
+TILES_FIXTURE = "/tmp/darc_ray_fixtures/image_tiles.parquet"
+
+
+def ensure_image_tiles_fixture(path: str = TILES_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the within-image tile-
+    repetition family: textured rows (every 8×8 tile unique), planted
+    COLLAGE rows (one tile repeated in a grid), banded screenshot-like
+    rows (tiles repeat along each band row), and a half-collage.  All
+    pixel values exact integers; fixed path + atomic write + ALWAYS
+    rewritten, sf-independent — same contract as
+    ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def texture(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        # xx*yy term breaks tile-translation symmetry → unique tiles
+        v = (20 + (23 * xx + 41 * yy + (xx * yy) % 97 + 5 * i) % 200)
+        g = (20 + (23 * xx + 41 * yy + (xx * yy) % 89 + 5 * i + 31) % 200)
+        b = (20 + (23 * xx + 41 * yy + (xx * yy) % 83 + 5 * i + 62) % 200)
+        return np.stack([v, g, b], axis=2).astype(np.uint8)
+
+    for i in range(6):
+        hh, ww = 24 + (8 * i) % 17, 26 + (5 * i) % 15
+        add(f"tile-{i}-tex", texture(hh, ww, i))
+    for i in range(4):
+        # pure collage: one 8x8 tile repeated 3x4 (plus ragged margins)
+        t = texture(8, 8, 100 + i)
+        pix = np.tile(t, (3, 4, 1))
+        pad = texture(3 + i, pix.shape[1], 200 + i)
+        pix = np.concatenate([pix, pad], axis=0)
+        add(f"tile-{i}-collage", pix)
+    for i in range(3):
+        # banded: each 8-row band is one tile repeated horizontally,
+        # bands differ → distinct == n_tile_rows
+        bands = [np.tile(texture(8, 8, 300 + 7 * i + k), (1, 5, 1))
+                 for k in range(3)]
+        add(f"tile-{i}-banded", np.concatenate(bands, axis=0))
+    # half-collage: left half repeated tile, right half texture
+    t = texture(8, 8, 400)
+    left = np.tile(t, (3, 2, 1))
+    right = texture(24, 16, 401)
+    add("tile-half", np.concatenate([left, right], axis=1))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_tile_dups_batch(batch: "pa.Table") -> "pa.Table":
+    """Within-image 8×8 tile repetition — the collage / tiled-
+    background / screenshot junk signal: exact tile-content counts
+    (full tiles only; ragged margins ignored), distinct-tile ratio and
+    top-tile share in per-mille, and the composed ``tiled`` flag
+    (≤50% distinct or one tile ≥25%).  numpy reshape + void-view
+    grouping per image (no per-pixel Python); the DuckDB oracle
+    re-derives tile keys by string-agg'ing the hex pixel walk in
+    tile-local order, so counts match bit-for-bit."""
+    out: dict[str, list] = {"image_id": [], "n_tiles": [],
+                            "distinct_tiles": [], "top_tile_count": [],
+                            "distinct_milli": [], "top_share_milli": [],
+                            "tiled": []}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = img.raw_decode(payload)
+        hh, ww = pix.shape[0], pix.shape[1]
+        th, tw = hh // 8, ww // 8
+        n = th * tw
+        if n == 0:
+            out["image_id"].append(iid)
+            out["n_tiles"].append(0)
+            out["distinct_tiles"].append(0)
+            out["top_tile_count"].append(0)
+            out["distinct_milli"].append(0)
+            out["top_share_milli"].append(0)
+            out["tiled"].append(0)
+            continue
+        tiles = (pix[:th * 8, :tw * 8]
+                 .reshape(th, 8, tw, 8, 3).transpose(0, 2, 1, 3, 4)
+                 .reshape(n, 8 * 8 * 3))
+        keys = np.ascontiguousarray(tiles).view(
+            np.dtype((np.void, tiles.shape[1]))).ravel()
+        _, counts = np.unique(keys, return_counts=True)
+        distinct = int(len(counts))
+        top = int(counts.max())
+        dm = distinct * 1000 // n
+        ts = top * 1000 // n
+        out["image_id"].append(iid)
+        out["n_tiles"].append(n)
+        out["distinct_tiles"].append(distinct)
+        out["top_tile_count"].append(top)
+        out["distinct_milli"].append(dm)
+        out["top_share_milli"].append(ts)
+        out["tiled"].append(int(dm <= 500 or ts >= 250))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_tiles", "distinct_tiles",
+                                  "top_tile_count", "distinct_milli",
+                                  "top_share_milli", "tiled")]))

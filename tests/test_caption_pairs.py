@@ -1,0 +1,94 @@
+"""Planted-property tests for the caption-axis pair families
+(`caption_gate`, `caption_dedup`): every fixture flavor carries a
+known expected outcome, asserted directly (the DuckDB-parity check
+lives in test_queries.py's ORACLE_SQL parametrization)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from darc_ray.stages.multimodal import (caption_gate_batch,
+                                        ensure_image_caption_fixture)
+
+
+def _gate(captions: list[str]):
+    t = pa.Table.from_pydict({
+        "image_id": [f"t-{i}" for i in range(len(captions))],
+        "caption": captions})
+    return caption_gate_batch(t).to_pandas()
+
+
+def test_gate_clean_caption_keeps():
+    df = _gate(["Photo of a harbor beside the river bend after rain"])
+    assert df["keep"].iloc[0] == 1
+    assert df["has_url"].iloc[0] == 0
+    assert df["n_words"].iloc[0] == 10
+
+
+def test_gate_url_spam_rejected():
+    df = _gate(["download now at http://x.test/full size",
+                "see www.example.test for more",
+                "secure https://a.b/c d e"])
+    assert (df["has_url"] == 1).all()
+    assert (df["keep"] == 0).all()
+
+
+def test_gate_word_count_bounds():
+    df = _gate(["img",                                  # 1 word: too short
+                "two words",                            # boundary keep
+                " ".join(f"tag{k}" for k in range(40)),  # 40 words: too long
+                " ".join(f"tag{k}" for k in range(32))])  # boundary keep
+    assert list(df["keep"]) == [0, 1, 0, 1]
+    assert list(df["n_words"]) == [1, 2, 40, 32]
+
+
+def test_gate_allcaps_and_low_alpha_rejected():
+    df = _gate(["STOCK PHOTO SALE BANNER BUY NOW",
+                "$$$ 12345 --- 999 !!! 7 ### 777",
+                "Mixed Case is perfectly Fine here"])
+    assert list(df["keep"]) == [0, 0, 1]
+    assert df["upper_milli"].iloc[0] == 1000
+    assert df["alpha_milli"].iloc[1] == 0
+
+
+def test_gate_integer_ratios_exact():
+    # "Ab cd" → 5 chars, 4 alpha, 1 upper: 4000//5=800, 1000//4=250
+    df = _gate(["Ab cd"])
+    assert df["alpha_milli"].iloc[0] == 800
+    assert df["upper_milli"].iloc[0] == 250
+
+
+def test_fixture_plants_every_dedup_flavor(ray_session):
+    """The fixture must contain all three duplicate axes, and the
+    cross-modal flags must separate them."""
+    from darc_ray.pipelines.queries import q_caption_dedup
+
+    ensure_image_caption_fixture()
+    df = q_caption_dedup("/root/testdata/sf0.001").set_index("image_id")
+
+    # flavor-5 rows share row i-5's caption with NEW pixels
+    assert df.loc["cap-13", "same_caption_diff_image"] == 1
+    assert df.loc["cap-13", "exact_pair_dup"] == 0
+    assert df.loc["cap-08", "same_caption_diff_image"] == 1  # its partner
+    # flavor-6 rows reuse row i-6's pixels with a NEW caption
+    assert df.loc["cap-14", "same_image_diff_caption"] == 1
+    assert df.loc["cap-14", "exact_pair_dup"] == 0
+    # the explicit full-pair duplicates of row 0
+    for iid in ("cap-00", "cap-99-pairdup-a", "cap-99-pairdup-b"):
+        assert df.loc[iid, "exact_pair_dup"] == 1
+    # keep-one: exactly one keeper per caption group and per phash group
+    assert df.loc["cap-00", "keep"] == 1
+    assert df.loc["cap-99-pairdup-a", "keep"] == 0
+    assert df.loc["cap-99-pairdup-b", "keep"] == 0
+    # counts are exact
+    assert df.loc["cap-00", "pair_n"] == 3
+    assert int(df["keep"].sum()) < len(df)
+
+
+def test_gate_never_reads_bytes_column():
+    """The gate kernel must not require the (huge at 100 TB) bytes
+    column — it runs on a pruned (image_id, caption) projection."""
+    t = pa.Table.from_pydict({"image_id": ["a"], "caption": ["two words"]})
+    out = caption_gate_batch(t).to_pandas()
+    assert out["keep"].iloc[0] == 1
