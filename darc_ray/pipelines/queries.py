@@ -4785,6 +4785,118 @@ FROM t ORDER BY image_id
 """
 
 
+def q_pair_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The image+caption PAIR capstone — the full LAION-style curation
+    pass over the input_hint table with an auditable per-pair
+    DISPOSITION: caption quality gate (`caption_gate` kernel) →
+    cross-modal keep-one over the SURVIVORS ONLY (caption-keyed then
+    phash-keyed first-image_id keepers; losers → 'caption_dup' /
+    'image_dup') → aspect-ratio bucket label for what remains
+    ('bucket_<milli>').  Composes `caption_gate`, `caption_dedup` and
+    `aspect_buckets` under ONE DuckDB oracle.  Shape: the gate is
+    STATELESS (recomputed per stage, no reject broadcast); keepers are
+    two corpus-bounded hash-keyed group tables LEFT-JOINED back onto
+    the full corpus — nothing driver-resident, and the `bytes` column
+    never leaves storage (metadata-only pass)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from darc_ray.stages.multimodal import (caption_gate_batch,
+                                            ensure_image_caption_fixture)
+
+    path = ensure_image_caption_fixture()
+    buckets = np.asarray(ASPECT_BUCKETS_MILLI, dtype=np.int64)
+
+    def survivors_batch(t: pa.Table) -> pa.Table:
+        g = caption_gate_batch(t)
+        mask = pc.equal(g["keep"], pa.scalar(1, type=pa.int64()))
+        return t.filter(mask).select(["image_id", "caption", "phash"])
+
+    cols = ["image_id", "caption", "phash", "w", "h"]
+    survivors = (rd.read_parquet(path, columns=["image_id", "caption",
+                                                "phash"])
+                 .map_batches(survivors_batch, batch_format="pyarrow",
+                              batch_size=4096))
+    cap_first = survivors.groupby("caption").aggregate(
+        Min("image_id", alias_name="cap_first"))
+    ph_first = survivors.groupby("phash").aggregate(
+        Min("image_id", alias_name="ph_first"))
+    j = (rd.read_parquet(path, columns=cols)
+         .join(cap_first, join_type="left_outer", num_partitions=4,
+               on=("caption",)).materialize())
+    j = j.join(ph_first, join_type="left_outer", num_partitions=4,
+               on=("phash",))
+
+    def disposition(df: pd.DataFrame) -> pd.DataFrame:
+        g = caption_gate_batch(pa.Table.from_pydict({
+            "image_id": df["image_id"].tolist(),
+            "caption": df["caption"].tolist()})).to_pandas()
+        keep = g["keep"].to_numpy()
+        iid = df["image_id"].to_numpy()
+        ratio = (df["w"].to_numpy().astype(np.int64) * 1000
+                 // df["h"].to_numpy().astype(np.int64))
+        bidx = np.argmin(np.abs(ratio[:, None] - buckets[None, :]), axis=1)
+        blab = np.array([f"bucket_{b}" for b in buckets[bidx]], dtype=object)
+        cap_f = df["cap_first"].to_numpy()
+        ph_f = df["ph_first"].to_numpy()
+        disp = np.where(keep == 0, "caption",
+                        np.where(iid != cap_f, "caption_dup",
+                                 np.where(iid != ph_f, "image_dup", blab)))
+        return pd.DataFrame({"image_id": iid, "disposition": disp})
+
+    out = (j.map_batches(disposition, batch_format="pandas",
+                         batch_size=65536).to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _sql_pair_curation_pipeline() -> str:
+    bucket_values = ", ".join(f"({v})" for v in ASPECT_BUCKETS_MILLI)
+    return f"""
+WITH s AS (
+  SELECT image_id, caption, phash, w, h,
+         length(caption)::BIGINT AS n_chars,
+         len(regexp_extract_all(caption, '\\S+'))::BIGINT AS n_words,
+         len(regexp_extract_all(caption, '[A-Za-z]'))::BIGINT AS alpha,
+         len(regexp_extract_all(caption, '[A-Z]'))::BIGINT AS uppr,
+         CASE WHEN regexp_matches(caption, 'http://|https://|www\\.')
+              THEN 1 ELSE 0 END::BIGINT AS has_url
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+), g AS (
+  SELECT *, CASE WHEN n_words BETWEEN 2 AND 32 AND has_url = 0
+         AND (CASE WHEN n_chars > 0 THEN alpha * 1000 // n_chars
+              ELSE 0 END) >= 500
+         AND (CASE WHEN alpha > 0 THEN uppr * 1000 // alpha
+              ELSE 0 END) <= 700
+       THEN 1 ELSE 0 END AS keep
+  FROM s
+), surv AS (
+  SELECT * FROM g WHERE keep = 1
+), capf AS (
+  SELECT caption, min(image_id) AS cap_first FROM surv GROUP BY caption
+), phf AS (
+  SELECT phash, min(image_id) AS ph_first FROM surv GROUP BY phash
+), b(bucket) AS (
+  VALUES {bucket_values}
+), bk AS (
+  SELECT image_id, bucket,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY abs((w * 1000) // h - bucket), bucket)
+         AS brn
+  FROM g CROSS JOIN b
+)
+SELECT g.image_id,
+  CASE WHEN g.keep = 0 THEN 'caption'
+       WHEN g.image_id <> capf.cap_first THEN 'caption_dup'
+       WHEN g.image_id <> phf.ph_first THEN 'image_dup'
+       ELSE 'bucket_' || CAST(bkk.bucket AS VARCHAR) END AS disposition
+FROM g
+LEFT JOIN capf ON g.caption = capf.caption
+LEFT JOIN phf ON g.phash = phf.phash
+JOIN (SELECT image_id, bucket FROM bk WHERE brn = 1) bkk USING (image_id)
+ORDER BY g.image_id
+"""
+
+
 def q_image_tile_dups(sf_dir: str) -> pd.DataFrame:
     """Within-image 8×8 tile-repetition gate over the planted-collage
     RAW-pixel fixture — the collage/tiled-background/screenshot junk
@@ -6288,15 +6400,16 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quantiles_sketch": q_quantiles_sketch,
     "paragraph_dedup": q_paragraph_dedup,
     "hll_distinct": q_hll_distinct,
+    "pair_curation_pipeline": q_pair_curation_pipeline,
     "pagerank": q_pagerank,
     "degree_hist": q_degree_hist,
-    "lsh_partition": q_lsh_partition,
     "dedup_clusters": q_dedup_clusters,
     # ---- slot 51+: below the observed driver-correctness window ----
     # (still SQL-oracled + repo-harness-checked where an entry exists
-    # in ORACLE_SQL; driver-green in earlier rounds; kmeans_assign and
-    # decontaminate rotated out r5 — both r04★ — to make room for the
-    # caption-axis pair families)
+    # in ORACLE_SQL; driver-green in earlier rounds; kmeans_assign,
+    # decontaminate and lsh_partition rotated out r5 — all r04★ — to
+    # make room for the caption-axis pair families + pair capstone)
+    "lsh_partition": q_lsh_partition,
     "kmeans_assign": q_kmeans_assign,
     "decontaminate": q_decontaminate,
     "shuffle_join": q_shuffle_join,
@@ -6423,6 +6536,7 @@ ORACLE_SQL: dict[str, str] = {
     "audio_loudness": SQL_AUDIO_LOUDNESS,
     "caption_gate": SQL_CAPTION_GATE,
     "caption_dedup": SQL_CAPTION_DEDUP,
+    "pair_curation_pipeline": _sql_pair_curation_pipeline(),
     "pii_redact": SQL_PII_REDACT,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "dup_ngrams": SQL_DUP_NGRAMS,

@@ -92,3 +92,25 @@ def test_gate_never_reads_bytes_column():
     t = pa.Table.from_pydict({"image_id": ["a"], "caption": ["two words"]})
     out = caption_gate_batch(t).to_pandas()
     assert out["keep"].iloc[0] == 1
+
+
+def test_pair_capstone_dispositions(ray_session):
+    """Composed pair-curation pass: gate rejects label 'caption',
+    cross-modal losers label by axis, keepers get an aspect bucket."""
+    from darc_ray.pipelines.queries import q_pair_curation_pipeline
+
+    df = (q_pair_curation_pipeline("/root/testdata/sf0.001")
+          .set_index("image_id")["disposition"])
+    assert df.loc["cap-01"] == "caption"          # URL spam
+    assert df.loc["cap-02"] == "caption"          # too short
+    assert df.loc["cap-03"] == "caption"          # ALL CAPS
+    assert df.loc["cap-00"].startswith("bucket_")  # clean keeper
+    # full-pair duplicates of cap-00 lose on the caption axis
+    assert df.loc["cap-99-pairdup-a"] == "caption_dup"
+    assert df.loc["cap-99-pairdup-b"] == "caption_dup"
+    # flavor-6 rows (same pixels, different caption) lose on the image
+    # axis when their caption passes the gate
+    assert df.loc["cap-06"] == "image_dup"
+    # every category appears and each (caption, phash) pair keeps ≤ 1
+    assert {"caption", "caption_dup", "image_dup"} <= set(df.unique())
+    assert any(d.startswith("bucket_") for d in df.unique())
