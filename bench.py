@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "image_letterbox", "image_color_stats", "image_edge_density",
     "image_dominant_color", "audio_loudness",
     "caption_gate", "caption_dedup", "image_tile_dups",
-    "pair_curation_pipeline",
+    "pair_curation_pipeline", "audio_silence_spans",
     # dedup_clusters_dataset (the always-distributed CC rung) is in the
     # driver correctness window but NOT benched: its fixed per-iteration
     # shuffle overhead (~24 s at sf0.1) would double-count the chain

@@ -5279,6 +5279,107 @@ FROM smp GROUP BY audio_id ORDER BY audio_id
 """
 
 
+def q_audio_silence_spans(sf_dir: str) -> pd.DataFrame:
+    """Windowed silence-span scan (VAD-style trim pass) over the PCM16
+    fixture: full 400-sample windows flagged silent below the loudness
+    floor, with leading/trailing/max-run span accounting; the DuckDB
+    oracle re-walks the RIFF container to the PCM offset, reads every
+    little-endian int16 from hex, windows by sample index and derives
+    runs with gaps-and-islands."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (audio_silence_spans_batch,
+                                            ensure_audio_pcm_fixture)
+
+    path = ensure_audio_pcm_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(audio_silence_spans_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+SQL_AUDIO_SILENCE_SPANS = """
+WITH RECURSIVE raw AS (
+  SELECT audio_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/audio_pcm.parquet')
+), walk AS (
+  SELECT audio_id, h, 12::BIGINT AS o,
+         -1::BIGINT AS data_bytes, -1::BIGINT AS header_bytes,
+         FALSE AS done
+  FROM raw
+  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+  UNION ALL
+  SELECT audio_id, h,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461' THEN o
+              ELSE o + 8
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT % 2
+              END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                    || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+              ELSE data_bytes END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN o + 8 ELSE -1 END,
+         substr(h, 2*o+1, 8) = '64617461'
+  FROM walk WHERE NOT done
+), pcm AS (
+  SELECT audio_id, h, header_bytes AS off, data_bytes // 2 AS ns
+  FROM walk WHERE done
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(ns) FROM pcm) - 1)) AS k
+), smp AS (
+  SELECT u.audio_id, u.k, u.ns,
+         CASE WHEN u.uv >= 32768 THEN u.uv - 65536 ELSE u.uv END AS v
+  FROM (
+    SELECT p.audio_id, s.k, p.ns,
+           ('0x' || substr(p.h, 2 * (p.off + 2 * s.k) + 3, 2)
+                 || substr(p.h, 2 * (p.off + 2 * s.k) + 1, 2))::BIGINT AS uv
+    FROM pcm p JOIN series s ON s.k < p.ns
+  ) u
+), win AS (
+  SELECT audio_id, k // 400 AS j,
+         (sum(v * v) // 400)::BIGINT AS wms
+  FROM smp WHERE k < (ns // 400) * 400
+  GROUP BY audio_id, k // 400
+), fl AS (
+  SELECT audio_id, j, CASE WHEN wms < 10000 THEN 1 ELSE 0 END AS s
+  FROM win
+), agg AS (
+  SELECT audio_id, count(*)::BIGINT AS nw, sum(s)::BIGINT AS sw,
+         min(j) FILTER (WHERE s = 0) AS first_ns,
+         max(j) FILTER (WHERE s = 0) AS last_ns
+  FROM fl GROUP BY audio_id
+), grp AS (
+  SELECT audio_id, j,
+         j - row_number() OVER (PARTITION BY audio_id ORDER BY j) AS g
+  FROM fl WHERE s = 1
+), runs AS (
+  SELECT audio_id, g, count(*)::BIGINT AS rl
+  FROM grp GROUP BY audio_id, g
+), mx AS (
+  SELECT audio_id, max(rl)::BIGINT AS mr FROM runs GROUP BY audio_id
+)
+SELECT a.audio_id, a.nw AS n_windows, a.sw AS silent_windows,
+       (CASE WHEN a.first_ns IS NULL THEN a.nw
+             ELSE a.first_ns END)::BIGINT AS leading_silent,
+       (CASE WHEN a.last_ns IS NULL THEN a.nw
+             ELSE a.nw - 1 - a.last_ns END)::BIGINT AS trailing_silent,
+       coalesce(m.mr, 0)::BIGINT AS max_silent_run,
+       ((a.nw - a.sw) * 1000 // a.nw)::BIGINT AS active_milli,
+       CASE WHEN (CASE WHEN a.first_ns IS NULL THEN a.nw
+                       ELSE a.first_ns END) > 0
+              OR (CASE WHEN a.last_ns IS NULL THEN a.nw
+                       ELSE a.nw - 1 - a.last_ns END) > 0
+            THEN 1 ELSE 0 END::BIGINT AS trimmed
+FROM agg a LEFT JOIN mx m USING (audio_id)
+ORDER BY a.audio_id
+"""
+
+
 def q_video_metadata(sf_dir: str) -> pd.DataFrame:
     """Header+index-only video metadata (completing the image/audio/
     video header-scan trilogy): FVID container header + frame-span
@@ -6457,6 +6558,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_dominant_color": q_image_dominant_color,
     "image_tile_dups": q_image_tile_dups,
     "audio_loudness": q_audio_loudness,
+    "audio_silence_spans": q_audio_silence_spans,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -6533,6 +6635,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_edge_density": SQL_IMAGE_EDGE_DENSITY,
     "image_dominant_color": SQL_IMAGE_DOMINANT_COLOR,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
+    "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
     "audio_loudness": SQL_AUDIO_LOUDNESS,
     "caption_gate": SQL_CAPTION_GATE,
     "caption_dedup": SQL_CAPTION_DEDUP,

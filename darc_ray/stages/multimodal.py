@@ -918,6 +918,16 @@ def ensure_audio_pcm_fixture(path: str = AUDIO_PCM_FIXTURE) -> str:
                + base[8:36] + extra + base[36:])
     rows["audio_id"].append("pcm-list")
     rows["bytes"].append(patched)
+    # planted silence SPANS: 1 silent window, 2 loud, 1 silent-ish gap,
+    # 2 loud, 2 silent (window = 400 samples) — exercises leading /
+    # trailing / interior runs in the windowed family
+    tone = (9000 * np.sin(2 * np.pi * 170 * np.arange(800) / 8000)
+            ).astype(np.int16)
+    spans = np.concatenate([np.zeros(400, np.int16), tone,
+                            np.full(400, 40, np.int16), tone,
+                            np.zeros(800, np.int16)])
+    rows["audio_id"].append("pcm-spans")
+    rows["bytes"].append(wav_encode(spans, 8000))
 
     table = pa.Table.from_pydict(
         rows, schema=pa.schema([("audio_id", pa.string()),
@@ -1291,3 +1301,54 @@ def image_tile_dups_batch(batch: "pa.Table") -> "pa.Table":
                                  ("n_tiles", "distinct_tiles",
                                   "top_tile_count", "distinct_milli",
                                   "top_share_milli", "tiled")]))
+
+
+def audio_silence_spans_batch(batch: "pa.Table") -> "pa.Table":
+    """Windowed silence-span scan over PCM16 WAV payloads — the
+    VAD-style trim/junk pass of an audio curation pipeline: the
+    flattened int16 stream is cut into FULL 400-sample windows, each
+    window's exact integer mean-square (Σv²//400) is flagged silent
+    below the loudness family's floor (10 000), and the span report is
+    (n_windows, silent_windows, leading/trailing silent runs, max
+    silent run, active per-mille, trimmed flag).  All-integer →
+    bit-exact vs the DuckDB oracle's hex sample walk + gaps-and-islands
+    run aggregation.  Stateless ``map_batches``, no shuffle."""
+    from darc_ray.functions.audio import wav_decode
+
+    W, FLOOR = 400, 10000
+    out: dict[str, list] = {k: [] for k in (
+        "audio_id", "n_windows", "silent_windows", "leading_silent",
+        "trailing_silent", "max_silent_run", "active_milli", "trimmed")}
+    for aid, payload in zip(batch.column("audio_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        v = wav_decode(payload)[0].reshape(-1).astype(np.int64)
+        nw = len(v) // W
+        if nw == 0:
+            continue                       # no full window: no row (the
+        w = v[:nw * W].reshape(nw, W)      # SQL GROUP BY emits none too)
+        s = ((w * w).sum(axis=1) // W < FLOOR)
+        nz = np.flatnonzero(~s)
+        if len(nz) == 0:
+            lead, trail, mx = nw, nw, nw
+        else:
+            lead, trail = int(nz[0]), int(nw - 1 - nz[-1])
+            # max consecutive run of silent windows
+            mx, run = 0, 0
+            for flag in s:
+                run = run + 1 if flag else 0
+                mx = max(mx, run)
+        out["audio_id"].append(aid)
+        out["n_windows"].append(nw)
+        out["silent_windows"].append(int(s.sum()))
+        out["leading_silent"].append(lead)
+        out["trailing_silent"].append(trail)
+        out["max_silent_run"].append(int(mx))
+        out["active_milli"].append(int((nw - int(s.sum())) * 1000 // nw))
+        out["trimmed"].append(int(lead > 0 or trail > 0))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("audio_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_windows", "silent_windows",
+                                  "leading_silent", "trailing_silent",
+                                  "max_silent_run", "active_milli",
+                                  "trimmed")]))
