@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "image_dominant_color", "audio_loudness",
     "caption_gate", "caption_dedup", "image_tile_dups",
     "pair_curation_pipeline", "audio_silence_spans",
+    "video_cut_candidates",
     # dedup_clusters_dataset (the always-distributed CC rung) is in the
     # driver correctness window but NOT benched: its fixed per-iteration
     # shuffle overhead (~24 s at sf0.1) would double-count the chain

@@ -5435,6 +5435,76 @@ ORDER BY d.video_id
 """
 
 
+def q_video_cut_candidates(sf_dir: str) -> pd.DataFrame:
+    """Compressed-domain scene-cut proxy — frame-size deltas from the
+    FVID index walk, ZERO frame decode (the cheap shot-detection pass
+    before any decode budget is spent); cut where the delta is ≥ 300‰
+    of the larger neighbor.  Planted ``vid-cut-*`` fixture rows switch
+    from smooth gradients to dense noise at a known index; the DuckDB
+    oracle re-walks the index with a recursive CTE + lag()."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_video_meta_fixture,
+                                            video_cut_candidates_batch)
+
+    path = ensure_video_meta_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(video_cut_candidates_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("video_id").reset_index(drop=True)
+
+
+SQL_VIDEO_CUT_CANDIDATES = """
+WITH RECURSIVE raw AS (
+  SELECT video_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/video_meta.parquet')
+), hdr AS (
+  SELECT video_id, h,
+         ('0x' || substr(h, 13, 8))::BIGINT AS n_frames
+  FROM raw WHERE substr(h, 1, 8) = '46564944'
+), walk AS (
+  SELECT video_id, h, n_frames, 0::BIGINT AS i, 10::BIGINT AS o,
+         0::BIGINT AS len
+  FROM hdr
+  UNION ALL
+  SELECT video_id, h, n_frames, i + 1,
+         o + 4 + ('0x' || substr(h, 2*o+1, 8))::BIGINT,
+         ('0x' || substr(h, 2*o+1, 8))::BIGINT
+  FROM walk WHERE i < n_frames
+), fr AS (
+  SELECT video_id, (i - 1)::BIGINT AS frame_idx, len AS flen
+  FROM walk WHERE i >= 1
+), d AS (
+  SELECT video_id, frame_idx, flen,
+         lag(flen) OVER (PARTITION BY video_id ORDER BY frame_idx) AS prev
+  FROM fr
+), c AS (
+  SELECT video_id, frame_idx,
+         (abs(flen - prev) * 1000 // greatest(flen, prev))::BIGINT AS dm
+  FROM d WHERE prev IS NOT NULL
+), base AS (
+  SELECT video_id, count(*)::BIGINT AS n,
+         (sum(flen) // count(*))::BIGINT AS mean_frame_bytes
+  FROM fr GROUP BY video_id
+), cs AS (
+  SELECT video_id,
+         sum(CASE WHEN dm >= 300 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+         min(frame_idx) FILTER (WHERE dm >= 300) AS first_cut,
+         max(dm)::BIGINT AS mx
+  FROM c GROUP BY video_id
+)
+SELECT b.video_id, b.n AS n_frames, b.mean_frame_bytes,
+       coalesce(cs.n_cuts, 0)::BIGINT AS n_cuts,
+       coalesce(cs.first_cut, -1)::BIGINT AS first_cut_idx,
+       coalesce(cs.mx, 0)::BIGINT AS max_delta_milli,
+       CASE WHEN coalesce(cs.n_cuts, 0) > 0 THEN 1 ELSE 0 END::BIGINT
+           AS has_cut
+FROM base b LEFT JOIN cs ON cs.video_id = b.video_id
+ORDER BY b.video_id
+"""
+
+
 def q_video_frames(sf_dir: str) -> pd.DataFrame:
     """Multimodal video: synth FVID clips (real PNG frames) seeded by
     doc ids → actor-pool frame-sample stage (every-2nd frame, ≤ 4 per
@@ -6559,6 +6629,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_tile_dups": q_image_tile_dups,
     "audio_loudness": q_audio_loudness,
     "audio_silence_spans": q_audio_silence_spans,
+    "video_cut_candidates": q_video_cut_candidates,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -6636,6 +6707,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_dominant_color": SQL_IMAGE_DOMINANT_COLOR,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
+    "video_cut_candidates": SQL_VIDEO_CUT_CANDIDATES,
     "audio_loudness": SQL_AUDIO_LOUDNESS,
     "caption_gate": SQL_CAPTION_GATE,
     "caption_dedup": SQL_CAPTION_DEDUP,

@@ -1022,6 +1022,29 @@ def ensure_video_meta_fixture(path: str = VIDEO_META_FIXTURE) -> str:
                                   0, 255).astype(np.uint8))
         rows["video_id"].append(f"vid-{i:02d}")
         rows["bytes"].append(video_encode(frames, fps))
+    # planted SCENE CUTS for the frame-size-delta family: smooth
+    # gradient frames (tiny PNGs) switch to dense noise (large PNGs)
+    # at a known index — the compressed-size jump IS the cut signal
+    for j in range(3):
+        rng = np.random.default_rng(8700 + j)
+        hh, ww = 20 + 2 * j, 24 + 3 * j
+        cut_at = 2 + j
+        frames = []
+        for f in range(6):
+            if f < cut_at:
+                yy, xx = np.mgrid[0:hh, 0:ww]
+                frames.append(np.repeat(
+                    ((xx + yy + f) % 7).astype(np.uint8)[..., None] * 30,
+                    3, axis=2))
+            else:
+                frames.append(rng.integers(0, 256, (hh, ww, 3))
+                              .astype(np.uint8))
+        rows["video_id"].append(f"vid-cut-{j}")
+        rows["bytes"].append(video_encode(frames, 8))
+    # flat clip: every frame byte-identical → zero deltas
+    still = np.full((16, 16, 3), 90, np.uint8)
+    rows["video_id"].append("vid-flat")
+    rows["bytes"].append(video_encode([still] * 4, 4))
     table = pa.Table.from_pydict(
         rows, schema=pa.schema([("video_id", pa.string()),
                                 ("bytes", pa.binary())]))
@@ -1352,3 +1375,45 @@ def audio_silence_spans_batch(batch: "pa.Table") -> "pa.Table":
                                   "leading_silent", "trailing_silent",
                                   "max_silent_run", "active_milli",
                                   "trimmed")]))
+
+
+def video_cut_candidates_batch(batch: "pa.Table") -> "pa.Table":
+    """Compressed-domain scene-cut proxy over the FVID frame INDEX —
+    zero frame decode: per-frame byte length from the span walk, cut
+    candidate where the size delta vs the previous frame is ≥ 300‰ of
+    the larger of the two (PNG/real-codec frame sizes jump at content
+    changes; the classic cheap shot-detection pass a sampling stage
+    runs before spending any decode budget).  All-integer; the DuckDB
+    oracle re-walks the index with a recursive CTE and lag()."""
+    from darc_ray.functions.video import video_index
+
+    out: dict[str, list] = {k: [] for k in (
+        "video_id", "n_frames", "mean_frame_bytes", "n_cuts",
+        "first_cut_idx", "max_delta_milli", "has_cut")}
+    for vid, payload in zip(batch.column("video_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        _fps, spans = video_index(payload)
+        lens = np.array([ln for _off, ln in spans], dtype=np.int64)
+        n = len(lens)
+        if n >= 2:
+            prev, cur = lens[:-1], lens[1:]
+            dm = np.abs(cur - prev) * 1000 // np.maximum(prev, cur)
+            cuts = np.flatnonzero(dm >= 300)
+            n_cuts = int(len(cuts))
+            first = int(cuts[0] + 1) if n_cuts else -1
+            mx = int(dm.max())
+        else:
+            n_cuts, first, mx = 0, -1, 0
+        out["video_id"].append(vid)
+        out["n_frames"].append(n)
+        out["mean_frame_bytes"].append(int(lens.sum()) // n)
+        out["n_cuts"].append(n_cuts)
+        out["first_cut_idx"].append(first)
+        out["max_delta_milli"].append(mx)
+        out["has_cut"].append(int(n_cuts > 0))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("video_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_frames", "mean_frame_bytes", "n_cuts",
+                                  "first_cut_idx", "max_delta_milli",
+                                  "has_cut")]))
