@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "caption_gate", "caption_dedup", "image_tile_dups",
     "pair_curation_pipeline", "audio_silence_spans",
     "video_cut_candidates",
+    # previously-missing SQL-oracled families (cheap; complete the sweep)
+    "host_alive", "host_since", "gate_filter", "fingerprint",
+    "round_metrics", "image_quality_gate", "image_thumbs_pooled",
+    "rolling_fingerprint",
     # dedup_clusters_dataset (the always-distributed CC rung) is in the
     # driver correctness window but NOT benched: its fixed per-iteration
     # shuffle overhead (~24 s at sf0.1) would double-count the chain
