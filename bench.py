@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "image_dominant_color", "audio_loudness",
     "caption_gate", "caption_dedup", "image_tile_dups",
     "pair_curation_pipeline", "audio_silence_spans",
-    "video_cut_candidates",
+    "video_cut_candidates", "format_mix",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -4897,6 +4897,81 @@ ORDER BY g.image_id
 """
 
 
+def q_format_mix(sf_dir: str) -> pd.DataFrame:
+    """Dataset-card FORMAT MIX report over the input_hint pair table —
+    the (fmt × aspect-bucket) composition stats a LAION-style release
+    publishes: per cell n_images, total/mean payload bytes, and corpus
+    share in per-mille.  Shape: one stateless metadata pass computing
+    per-batch PARTIAL aggregates (fmt|bucket keyed), then a
+    cell-keyed global sum — cells are format×ladder bounded (tiny), so
+    the combine is a classic pre-aggregated groupby with no
+    data-proportional shuffle; payload length comes from the Arrow
+    binary offsets (``pc.binary_length``), the bytes are never
+    materialized into Python."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from darc_ray.stages.multimodal import ensure_image_caption_fixture
+
+    path = ensure_image_caption_fixture()
+    buckets = np.asarray(ASPECT_BUCKETS_MILLI, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ratio = (t.column("w").to_numpy().astype(np.int64) * 1000
+                 // t.column("h").to_numpy().astype(np.int64))
+        best = buckets[np.argmin(np.abs(ratio[:, None] - buckets[None, :]),
+                                 axis=1)]
+        blen = pc.binary_length(t.column("bytes")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"fmt": t.column("fmt").to_pylist(),
+                           "bucket_milli": best, "b": blen})
+        return (df.assign(n=np.ones(len(df), dtype=np.int64))
+                .groupby(["fmt", "bucket_milli"], as_index=False)
+                .agg(n=("n", "sum"), total_bytes=("b", "sum")))
+
+    agg = (rd.read_parquet(path, columns=["fmt", "w", "h", "bytes"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby(["fmt", "bucket_milli"])
+           .aggregate(Sum("n", alias_name="n_images"),
+                      Sum("total_bytes", alias_name="total_bytes"))
+           .to_pandas())
+    total = int(agg["n_images"].sum())
+    agg["mean_bytes"] = (agg["total_bytes"] // agg["n_images"]).astype("int64")
+    agg["share_milli"] = (agg["n_images"] * 1000 // total).astype("int64")
+    agg = agg[["fmt", "bucket_milli", "n_images", "total_bytes",
+               "mean_bytes", "share_milli"]]
+    return (agg.sort_values(["fmt", "bucket_milli"])
+            .reset_index(drop=True))
+
+
+SQL_FORMAT_MIX = f"""
+WITH img AS (
+  SELECT fmt, (w * 1000) // h AS ratio_milli, octet_length(bytes) AS b
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+), bk(bucket) AS (
+  VALUES {', '.join(f'({v})' for v in ASPECT_BUCKETS_MILLI)}
+), assigned AS (
+  SELECT fmt, bucket AS bucket_milli, b,
+         row_number() OVER (PARTITION BY fmt, ratio_milli, b, rowid
+                            ORDER BY abs(ratio_milli - bucket), bucket)
+         AS brn
+  FROM (SELECT fmt, ratio_milli, b,
+               row_number() OVER () AS rowid FROM img)
+  CROSS JOIN bk
+), cell AS (
+  SELECT fmt, bucket_milli, count(*)::BIGINT AS n_images,
+         sum(b)::BIGINT AS total_bytes
+  FROM assigned WHERE brn = 1
+  GROUP BY fmt, bucket_milli
+)
+SELECT fmt, bucket_milli::BIGINT AS bucket_milli, n_images, total_bytes,
+       (total_bytes // n_images)::BIGINT AS mean_bytes,
+       (n_images * 1000 // (SELECT sum(n_images) FROM cell))::BIGINT
+           AS share_milli
+FROM cell ORDER BY fmt, bucket_milli
+"""
+
+
 def q_image_tile_dups(sf_dir: str) -> pd.DataFrame:
     """Within-image 8×8 tile-repetition gate over the planted-collage
     RAW-pixel fixture — the collage/tiled-background/screenshot junk
@@ -6630,6 +6705,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "audio_loudness": q_audio_loudness,
     "audio_silence_spans": q_audio_silence_spans,
     "video_cut_candidates": q_video_cut_candidates,
+    "format_mix": q_format_mix,
     # rows-only from here down
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -6708,6 +6784,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
     "video_cut_candidates": SQL_VIDEO_CUT_CANDIDATES,
+    "format_mix": SQL_FORMAT_MIX,
     "audio_loudness": SQL_AUDIO_LOUDNESS,
     "caption_gate": SQL_CAPTION_GATE,
     "caption_dedup": SQL_CAPTION_DEDUP,

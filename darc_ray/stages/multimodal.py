@@ -1128,7 +1128,10 @@ def ensure_image_caption_fixture(path: str = CAPTION_FIXTURE) -> str:
         rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
         rows["w"].append(pix.shape[1])
         rows["h"].append(pix.shape[0])
-        rows["fmt"].append("raw")
+        # declared source format (metadata label, the payload itself is
+        # the engine's RAWI container): varied so the format-mix report
+        # family has a non-trivial fmt axis
+        rows["fmt"].append(("raw", "png", "jpeg", "webp")[len(caps) % 4])
         rows["caption"].append(caption)
         rows["phash"].append(img.phash64(pix))
 

@@ -114,3 +114,22 @@ def test_pair_capstone_dispositions(ray_session):
     # every category appears and each (caption, phash) pair keeps ≤ 1
     assert {"caption", "caption_dup", "image_dup"} <= set(df.unique())
     assert any(d.startswith("bucket_") for d in df.unique())
+
+
+def test_format_mix_partitions_the_corpus(ray_session):
+    """Dataset-card report: cells partition the corpus exactly, byte
+    totals come from Arrow offsets, shares are integer per-mille."""
+    import pyarrow.parquet as pq
+
+    from darc_ray.pipelines.queries import q_format_mix
+    from darc_ray.stages.multimodal import ensure_image_caption_fixture
+
+    t = pq.read_table(ensure_image_caption_fixture())
+    df = q_format_mix("/root/testdata/sf0.001")
+    assert int(df["n_images"].sum()) == t.num_rows
+    assert int(df["total_bytes"].sum()) == sum(
+        len(b) for b in t.column("bytes").to_pylist())
+    assert set(df["fmt"]) == set(t.column("fmt").to_pylist())
+    assert (df["mean_bytes"] == df["total_bytes"] // df["n_images"]).all()
+    assert (df["share_milli"]
+            == df["n_images"] * 1000 // t.num_rows).all()
