@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "caption_gate", "caption_dedup", "image_tile_dups",
     "pair_curation_pipeline", "audio_silence_spans",
     "video_cut_candidates", "format_mix",
+    "image_dhash", "clip_alignment", "semdedup",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

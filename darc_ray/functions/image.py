@@ -299,6 +299,35 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (gradient hash), ALL-INTEGER so a SQL
+    oracle can re-derive it bit-for-bit from raw bytes: per-pixel
+    milli-luma ``299r + 587g + 114b`` → floor-banded box pool onto an
+    8×9 grid (pixel row ``rr`` lands in band ``rr*8//h``, column
+    ``cc`` in band ``cc*9//w``; cell mean = sum // count) → bit
+    ``k = r*8 + c`` set iff ``m[r][c] > m[r][c+1]`` → little-endian
+    bit-pack into signed int64.  Complements :func:`phash64` (DCT):
+    dHash keys on local gradients, so the union of the two hash
+    modalities improves near-dup recall.  Requires h ≥ 8 and w ≥ 9
+    (every grid cell non-empty) — raises loudly otherwise, same
+    discipline as the thumbs box-pool."""
+    h, w = pixels.shape[:2]
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash64 needs h>=8 and w>=9, got {h}x{w}")
+    p = pixels.astype(np.int64)
+    luma = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+    br = (np.arange(h, dtype=np.int64) * 8) // h
+    bc = (np.arange(w, dtype=np.int64) * 9) // w
+    cell = (br[:, None] * 9 + bc[None, :]).ravel()
+    sums = np.bincount(cell, weights=luma.ravel().astype(np.float64),
+                       minlength=72).astype(np.int64)
+    cnts = np.bincount(cell, minlength=72).astype(np.int64)
+    m = (sums // cnts).reshape(8, 9)
+    bits = (m[:, :8] > m[:, 1:]).astype(np.uint64).ravel()
+    value = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return value - (1 << 64) if value >= (1 << 63) else value  # signed int64
+
+
 # --------------------------------------------------------------------------
 # Geometric transforms + per-image statistics (training-data prep ops)
 # --------------------------------------------------------------------------

@@ -460,7 +460,7 @@ ORDER BY query_id, rank
 KMEANS_K = 8
 
 
-def _kmeans_labels(ds) -> "Any":
+def _kmeans_labels(ds, carry: list | None = None) -> "Any":
     """Shared assignment kernel for `kmeans_assign` / `cluster_profile`
     (ONE implementation so the tie-break can never drift between the
     two oracled families): broadcast the sorted K·d centroid matrix
@@ -488,10 +488,16 @@ def _kmeans_labels(ds) -> "Any":
         d2 = ((e * e).sum(axis=1, keepdims=True)
               - 2 * (e @ c.T)
               + (c * c).sum(axis=1))
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "vec_id": df["vec_id"].to_numpy().astype(np.int64),
             "cluster": ids[np.argmin(d2, axis=1)],
         })
+        for col in (carry or []):
+            # list columns can't ride an Arrow hash join (non-key list
+            # field) — consumers that need the vectors alongside the
+            # label carry them through the assignment scan instead
+            out[col] = df[col].to_numpy()
+        return out
 
     return ds.map_batches(assign, batch_format="pandas", batch_size=4096)
 
@@ -6581,6 +6587,279 @@ FROM (
 """
 
 
+def q_image_dhash(sf_dir: str) -> pd.DataFrame:
+    """Difference-hash (dHash) near-dup gate — the second perceptual-
+    hash MODALITY next to ``image_dedup``'s DCT phash (union of the
+    two improves near-dup recall; dHash keys on local gradients, so
+    crops/recompressions that shift DCT coefficients but keep edge
+    structure still collide): per-image integer 8×9-box-pool gradient
+    hash, banded-prefix blocking (pigeonhole-exact at hamming ≤ 6),
+    distinct partner count + canonical keep-one flag.  Shape: one
+    stateless hash scan, ONE (band, band_bits)-keyed shuffle for the
+    pair stream, pair-keyed distinct + id-keyed aggregate, hash join
+    back onto the hash table — nothing driver-resident.  The DuckDB
+    oracle re-derives the full hash from raw hex bytes (luma box-pool,
+    gradient bits, signed-int64 wrap) and brute-forces all pairs."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.stages.dedup import hash_near_pairs_ds
+    from darc_ray.stages.multimodal import (ensure_image_dhash_fixture,
+                                            image_dhash_batch)
+
+    path = ensure_image_dhash_fixture()
+    hs = (rd.read_parquet(path)
+          .map_batches(image_dhash_batch, batch_format="pyarrow",
+                       batch_size=16)).materialize()
+    pairs = hash_near_pairs_ds(hs, max_hamming=6, id_col="image_id",
+                               hash_col="dhash")
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        # per-band duplicates dropped locally (combiner) before the
+        # id-keyed shuffle; both directions so each side sees its
+        # partner list
+        a = df["a"].astype(str)
+        b = df["b"].astype(str)
+        out = pd.DataFrame({"image_id": pd.concat([a, b]),
+                            "partner": pd.concat([b, a])})
+        return out.drop_duplicates(["image_id", "partner"])
+
+    # ONE id-keyed hash shuffle co-locates each id's partners; the
+    # per-partition pandas final dedups across bands and aggregates
+    parts = (pairs.map_batches(both_dirs, batch_format="pandas",
+                               batch_size=65536)
+             .repartition(num_blocks=4, keys=["image_id"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def per_id(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["image_id", "partner"])
+        return (d.groupby("image_id", as_index=False)
+                .agg(n_near=("partner", "count"),
+                     min_partner=("partner", "min")))
+
+    dist = parts.map_batches(per_id, batch_format="pandas",
+                             batch_size=None)
+    j = hs.join(dist, join_type="left_outer", num_partitions=4,
+                on=("image_id",))
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        n_near = df["n_near"].fillna(0).astype(np.int64)
+        mp = df["min_partner"]
+        iid = df["image_id"]
+        keep = (mp.isna() | (mp > iid)).astype(np.int64)
+        return pd.DataFrame({"image_id": iid,
+                             "dhash": df["dhash"].astype(np.int64),
+                             "n_near": n_near, "keep": keep})
+
+    out = (j.map_batches(flags, batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_DHASH = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_dhash.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id,
+         ((s.i // r.w) * 8) // r.ht AS br,
+         ((s.i % r.w) * 9) // r.w AS bc,
+         299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+       + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+       + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT
+         AS luma
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), cell AS (
+  SELECT image_id, br, bc,
+         (sum(luma) // count(*))::BIGINT AS m
+  FROM px GROUP BY image_id, br, bc
+), bits AS (
+  SELECT a.image_id, a.br * 8 + a.bc AS k,
+         CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+  FROM cell a JOIN cell b
+    ON b.image_id = a.image_id AND b.br = a.br AND b.bc = a.bc + 1
+  WHERE a.bc <= 7
+), hv AS (
+  SELECT image_id,
+         (sum(CASE WHEN k < 63 THEN bit::BIGINT * (1::BIGINT << k)
+                   ELSE 0 END)
+          + CASE WHEN max(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
+                 THEN -9223372036854775808 ELSE 0 END)::BIGINT AS dhash
+  FROM bits GROUP BY image_id
+), pairs AS (
+  SELECT x.image_id AS a, y.image_id AS b
+  FROM hv x JOIN hv y ON x.image_id <> y.image_id
+  WHERE bit_count(xor(x.dhash, y.dhash)) <= 6
+)
+SELECT h.image_id, h.dhash, count(p.b)::BIGINT AS n_near,
+       CASE WHEN min(p.b) IS NULL OR min(p.b) > h.image_id
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM hv h LEFT JOIN pairs p ON p.a = h.image_id
+GROUP BY h.image_id, h.dhash
+ORDER BY h.image_id
+"""
+
+
+def q_clip_alignment(sf_dir: str) -> pd.DataFrame:
+    """Cross-modal alignment scoring over the input_hint image+caption
+    pair table — the LAION CLIP-score filter's exact pipeline SHAPE
+    with a deterministic hashing-trick text tower standing in for the
+    model (see ``ClipAlignStub``; swap the two towers for real
+    encoders and nothing else changes): a stateful actor-pool
+    ``map_batches`` stage (token-hash cache built once per actor),
+    integer ±1 sign-vector dot against the image's phash bits, and the
+    ``aligned`` gate.  Shape: pure streaming scan, no shuffle, the
+    ``bytes`` column never leaves storage; at 100 TB this is the
+    batched-GPU-inference stage with ``concurrency``×``num_cpus``
+    sized to the fleet."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ClipAlignStub,
+                                            ensure_image_caption_fixture)
+
+    path = ensure_image_caption_fixture()
+    out = (rd.read_parquet(path, columns=["image_id", "caption", "phash"])
+           .map_batches(ClipAlignStub, batch_format="pyarrow",
+                        batch_size=64, concurrency=2)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_CLIP_ALIGNMENT = """
+WITH src AS (
+  SELECT image_id, caption, phash
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+), tok AS (
+  SELECT image_id, unnest(regexp_extract_all(caption, '\\S+')) AS t
+  FROM src
+), th AS (
+  SELECT image_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
+  FROM tok
+), dims AS (
+  SELECT unnest(generate_series(0, 63)) AS j
+), votes AS (
+  SELECT th.image_id, d.j,
+         sum(CASE WHEN (hv >> d.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN dims d GROUP BY th.image_id, d.j
+), sc AS (
+  SELECT s.image_id,
+         sum((CASE WHEN v.v > 0 THEN 1 WHEN v.v < 0 THEN -1 ELSE 0 END)
+             * (CASE WHEN (s.phash >> v.j) & 1 = 1 THEN 1 ELSE -1 END))
+         AS score
+  FROM votes v JOIN src s ON s.image_id = v.image_id
+  GROUP BY s.image_id
+)
+SELECT s.image_id,
+       len(regexp_extract_all(s.caption, '\\S+'))::BIGINT AS n_tokens,
+       coalesce(sc.score, 0)::BIGINT AS score,
+       CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE 0 END::BIGINT
+           AS aligned
+FROM src s LEFT JOIN sc ON sc.image_id = s.image_id
+ORDER BY s.image_id
+"""
+
+
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper) — semantic dedup as
+    cluster-then-dedup: k-means assignment (the shared
+    ``_kmeans_labels`` milli-quantized integer kernel, centroids
+    broadcast once) routes every embedding to a cluster, then
+    WITHIN-cluster pairwise cosine at 0.95 marks each vector a dup of
+    its smallest-id partner (the paper's keep-one-per-semantic-dup
+    rule).  The corpus is augmented with planted exact copies
+    (``vec_id + 1e6``, the ``embedding_dups_lsh`` convention) so both
+    classes exist.  Shape: centroid broadcast + ONE cluster-keyed
+    shuffle + per-cluster O(n_c²) verify — exactly the paper's scale
+    design (K grows with the corpus so clusters stay small); output is
+    all-integer, cosine only ever COMPARED (copy pairs sit at ~1.0 vs
+    a ≲0.5 background, so float ulp noise cannot flip the gate)."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["vec_id"], pa.scalar(50)))
+        return pa.table({"vec_id": pc.add(sub["vec_id"],
+                                          pa.scalar(1_000_000)),
+                         "embedding": sub["embedding"]})
+
+    aug = ds.union(ds.map_batches(planted, batch_format="pyarrow"))
+    # assignment scan CARRIES the embedding (a list column can't ride
+    # an Arrow hash join as a non-key field), so the only shuffle is
+    # the cluster-keyed one below
+    j = _kmeans_labels(aug, carry=["embedding"])
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack(df["embedding"].to_numpy())[order].astype(np.float64)
+        nrm = np.linalg.norm(v, axis=1)
+        nrm[nrm == 0] = 1.0
+        u = v / nrm[:, None]
+        sim = u @ u.T
+        n = len(ids)
+        lower = np.arange(n)[:, None] < np.arange(n)[None, :]
+        hit = (sim >= 0.95) & lower
+        is_dup = hit.any(axis=0)
+        dup_of = np.where(is_dup, ids[np.argmax(hit, axis=0)], -1)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": df["cluster"].to_numpy().astype(np.int64)[order],
+            "is_dup": is_dup.astype(np.int64),
+            "dup_of": dup_of.astype(np.int64),
+            "keep": (~is_dup).astype(np.int64)})
+
+    out = (j.groupby("cluster")
+           .map_groups(per_cluster, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_SEMDEDUP = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id < 50
+), c AS (
+  SELECT vec_id AS cid, embedding AS ce
+  FROM embeddings WHERE vec_id < {{K}}
+), ranked AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_sum(list_transform(
+                                list_zip(e.embedding, c.ce),
+                                x -> (CAST(floor(x[1]*1000 + 0.5) AS BIGINT)
+                                      - CAST(floor(x[2]*1000 + 0.5) AS BIGINT))**2)),
+                            c.cid) AS rn
+  FROM aug e CROSS JOIN c
+), asg AS (
+  SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1
+), pairs AS (
+  SELECT y.vec_id AS b, min(x.vec_id) AS dup_of
+  FROM aug x
+  JOIN asg ax ON ax.vec_id = x.vec_id
+  JOIN aug y ON x.vec_id < y.vec_id
+  JOIN asg ay ON ay.vec_id = y.vec_id AND ay.cluster = ax.cluster
+  WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+                               y.embedding::DOUBLE[]) >= 0.95
+  GROUP BY y.vec_id
+)
+SELECT a.vec_id, g.cluster,
+       CASE WHEN p.dup_of IS NULL THEN 0 ELSE 1 END::BIGINT AS is_dup,
+       coalesce(p.dup_of, -1)::BIGINT AS dup_of,
+       CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END::BIGINT AS keep
+FROM aug a JOIN asg g ON g.vec_id = a.vec_id
+LEFT JOIN pairs p ON p.b = a.vec_id
+ORDER BY a.vec_id
+""".replace("{K}", str(KMEANS_K))
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6612,9 +6891,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_curation_pipeline": q_image_curation_pipeline,
     "dedup_exact": q_dedup_exact,
     "normalized_dedup": q_normalized_dedup,
-    "ann_brute": q_ann_brute,
-    "postings": q_postings,
-    "aspect_buckets": q_aspect_buckets,
+    "image_dhash": q_image_dhash,
+    "clip_alignment": q_clip_alignment,
+    "semdedup": q_semdedup,
     "cluster_profile": q_cluster_profile,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -6653,8 +6932,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # ---- slot 51+: below the observed driver-correctness window ----
     # (still SQL-oracled + repo-harness-checked where an entry exists
     # in ORACLE_SQL; driver-green in earlier rounds; kmeans_assign,
-    # decontaminate and lsh_partition rotated out r5 — all r04★ — to
+    # decontaminate, lsh_partition and later ann_brute, postings,
+    # aspect_buckets rotated out r5 — all r04★ — to
     # make room for the caption-axis pair families + pair capstone)
+    "ann_brute": q_ann_brute,
+    "postings": q_postings,
+    "aspect_buckets": q_aspect_buckets,
     "lsh_partition": q_lsh_partition,
     "kmeans_assign": q_kmeans_assign,
     "decontaminate": q_decontaminate,
@@ -6775,6 +7058,9 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "image_metadata": SQL_IMAGE_METADATA,
     "image_dedup": SQL_IMAGE_DEDUP,
+    "image_dhash": SQL_IMAGE_DHASH,
+    "clip_alignment": SQL_CLIP_ALIGNMENT,
+    "semdedup": SQL_SEMDEDUP,
     "image_quality_gate": SQL_IMAGE_QUALITY_GATE,
     "image_thumbs_pooled": SQL_IMAGE_THUMBS_POOLED,
     "image_letterbox": SQL_IMAGE_LETTERBOX,

@@ -1420,3 +1420,137 @@ def video_cut_candidates_batch(batch: "pa.Table") -> "pa.Table":
                                  ("n_frames", "mean_frame_bytes", "n_cuts",
                                   "first_cut_idx", "max_delta_milli",
                                   "has_cut")]))
+
+
+DHASH_FIXTURE = "/tmp/darc_ray_fixtures/image_dhash.parquet"
+
+
+def ensure_image_dhash_fixture(path: str = DHASH_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the dHash (gradient-hash)
+    near-dup family: six distinct textures (``xx*yy`` terms break
+    translational symmetry), two planted NEAR-dups (+60 luma bump on
+    exactly the top-left 8×9-grid cell → hamming ≤ 1 vs the base),
+    and one exact pixel copy (hamming 0).  Base pixel values stay
+    ≤ 190 so the bump never clips.  Fixed path + atomic write +
+    ALWAYS rewritten, sf-independent — same contract as
+    ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows: dict[str, list] = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def texture(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (15 + (23 * xx + 41 * yy + (xx * yy) % 97 + 9 * i) % 175)
+        g = (15 + (31 * xx + 17 * yy + (xx * yy) % 89 + 9 * i + 37) % 175)
+        b = (15 + (13 * xx + 29 * yy + (xx * yy) % 83 + 9 * i + 74) % 175)
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+    bases: list[np.ndarray] = []
+    for i in range(6):
+        hh, ww = 16 + (5 * i) % 9, 18 + (7 * i) % 13
+        pix = texture(hh, ww, i)
+        bases.append(pix)
+        add(f"dh-{i}-tex", pix)
+    for i in range(2):
+        # near-dup: bump the region pooled into grid cell (0,0) — only
+        # bit 0's comparison can flip, so hamming(base, near) ≤ 1
+        pix = bases[i].copy().astype(np.int64)
+        hh, ww = pix.shape[0], pix.shape[1]
+        r1 = int(np.searchsorted((np.arange(hh) * 8) // hh, 1))
+        c1 = int(np.searchsorted((np.arange(ww) * 9) // ww, 1))
+        pix[:r1, :c1, :] += 60
+        add(f"dh-{i}-near", pix.astype(np.uint8))
+    add("dh-2-copy", bases[2])
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_dhash_batch(batch: "pa.Table") -> "pa.Table":
+    """Per-image 64-bit difference hash (``functions.image.dhash64``):
+    decode the RAWI payload, integer 8×9 box-pool, gradient bit-pack.
+    Per-pixel work is vectorized numpy inside the hash; the loop is
+    per-IMAGE (decode boundary), same shape as the other pixel
+    kernels."""
+    ids, hashes = [], []
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        ids.append(iid)
+        hashes.append(img.dhash64(img.raw_decode(payload)))
+    return pa.Table.from_pydict(
+        {"image_id": ids, "dhash": hashes},
+        schema=pa.schema([("image_id", pa.string()),
+                          ("dhash", pa.int64())]))
+
+
+class ClipAlignStub:
+    """Deterministic stand-in for a CLIP-style cross-modal alignment
+    scorer — the LAION core filter's SHAPE (batched two-tower scoring
+    in a stateful actor-pool ``map_batches`` stage) with the model
+    replaced by a hashing-trick text tower so the score is exactly
+    reproducible in SQL (real CLIP weights can't load in this
+    sandbox; swap :meth:`_token_hash` + the phash tower for real
+    encoders on a GPU cluster and the Ray plumbing is unchanged).
+
+    Text tower: caption tokens (``\\S+``) → md5-prefix uint64 per
+    token → per-dimension ±1 votes from the 64 hash bits → sign
+    vector.  Image tower: the precomputed ``phash`` bits as ±1.
+    Score = integer dot product in {-64..64}; ``aligned = score > 0``.
+    The token-hash cache is BUILT ONCE PER ACTOR in ``__init__`` and
+    warms across batches — the model-load / tokenizer-load pattern."""
+
+    def __init__(self) -> None:
+        import re
+
+        self._re = re.compile(r"\S+")
+        self._cache: dict[str, int] = {}
+        self._shifts = np.arange(64, dtype=np.uint64)
+
+    def _token_hash(self, tok: str) -> int:
+        hv = self._cache.get(tok)
+        if hv is None:
+            import hashlib
+
+            hv = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "big")
+            self._cache[tok] = hv
+        return hv
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        caps = batch.column("caption").to_pylist()
+        ph = (batch.column("phash").to_numpy(zero_copy_only=False)
+              .astype(np.int64).view(np.uint64))
+        img_pm = (((ph[:, None] >> self._shifts[None, :])
+                   & np.uint64(1)).astype(np.int64) * 2 - 1)
+        n = len(caps)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        scores = np.zeros(n, dtype=np.int64)
+        for i, cap in enumerate(caps):
+            toks = self._re.findall(cap)
+            n_tokens[i] = len(toks)
+            if not toks:
+                continue
+            hv = np.array([self._token_hash(t) for t in toks],
+                          dtype=np.uint64)
+            bits = ((hv[:, None] >> self._shifts[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            scores[i] = int((np.sign(votes) * img_pm[i]).sum())
+        return pa.Table.from_pydict({
+            "image_id": batch.column("image_id"),
+            "n_tokens": n_tokens, "score": scores,
+            "aligned": (scores > 0).astype(np.int64)})

@@ -1,0 +1,118 @@
+"""Planted-property tests for the late-round-5 families: `image_dhash`
+(gradient-hash near-dup gate), `clip_alignment` (deterministic CLIP-
+stub cross-modal scorer) and `semdedup` (cluster-then-dedup).  DuckDB
+parity lives in test_queries.py's ORACLE_SQL parametrization; these
+assert the planted semantics directly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from darc_ray.functions import image as img
+from darc_ray.stages.multimodal import (ClipAlignStub,
+                                        ensure_image_dhash_fixture,
+                                        image_dhash_batch)
+
+
+def _fixture_hashes() -> dict[str, int]:
+    t = pq.read_table(ensure_image_dhash_fixture())
+    out = image_dhash_batch(t).to_pandas()
+    return dict(zip(out["image_id"], out["dhash"]))
+
+
+def test_dhash_planted_near_dups_within_radius():
+    hs = _fixture_hashes()
+    assert img.hamming64(hs["dh-0-tex"], hs["dh-0-near"]) <= 1
+    assert img.hamming64(hs["dh-1-tex"], hs["dh-1-near"]) <= 1
+    assert hs["dh-2-copy"] == hs["dh-2-tex"]
+
+
+def test_dhash_distinct_textures_far_apart():
+    hs = _fixture_hashes()
+    tex = [hs[f"dh-{i}-tex"] for i in range(6)]
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert img.hamming64(tex[i], tex[j]) > 6, (i, j)
+
+
+def test_dhash_exercises_signed_bit63():
+    # at least one fixture hash must have bit 63 set (negative int64)
+    # so the SQL oracle's signed wrap is actually covered
+    hs = _fixture_hashes()
+    assert any(v < 0 for v in hs.values())
+    assert any(v >= 0 for v in hs.values())
+
+
+def test_dhash_brightness_shift_invariance():
+    # uniform +k luma shifts every cell mean equally → same hash; the
+    # property that makes dHash a useful second modality next to phash
+    yy, xx = np.mgrid[0:16, 0:18]
+    base = np.stack([(10 + (7 * xx + 5 * yy + (xx * yy) % 31) % 150)] * 3,
+                    axis=2).astype(np.uint8)
+    assert img.dhash64(base) == img.dhash64(base + 40)
+
+
+def test_dhash_rejects_tiny_images():
+    with pytest.raises(ValueError):
+        img.dhash64(np.zeros((7, 20, 3), np.uint8))
+    with pytest.raises(ValueError):
+        img.dhash64(np.zeros((20, 8, 3), np.uint8))
+
+
+def _clip(rows: list[tuple[str, str, int]]):
+    t = pa.Table.from_pydict({
+        "image_id": [r[0] for r in rows],
+        "caption": [r[1] for r in rows],
+        "phash": pa.array([r[2] for r in rows], type=pa.int64())})
+    return ClipAlignStub()(t).to_pandas().set_index("image_id")
+
+
+def test_clip_stub_deterministic_and_bounded():
+    rows = [("a", "harbor at dusk", 1234567), ("b", "", -42),
+            ("c", "one", 2**62)]
+    d1, d2 = _clip(rows), _clip(rows)
+    assert (d1["score"] == d2["score"]).all()
+    assert (d1["score"].abs() <= 64).all()
+    assert d1.loc["b", "score"] == 0 and d1.loc["b", "n_tokens"] == 0
+    assert d1.loc["b", "aligned"] == 0  # score > 0 gate
+
+
+def test_clip_stub_score_flips_with_image_tower():
+    # same caption against phash h and ~h (all 64 bits flipped) must
+    # give exactly opposite scores: the image tower is ±1 per bit
+    h = 987654321
+    flipped = ~h
+    d = _clip([("a", "stone pier after rain", h),
+               ("b", "stone pier after rain", flipped)])
+    assert d.loc["a", "score"] == -d.loc["b", "score"]
+
+
+def test_clip_stub_token_cache_warms():
+    stub = ClipAlignStub()
+    t = pa.Table.from_pydict({
+        "image_id": ["a"], "caption": ["pine ridge pine ridge"],
+        "phash": pa.array([77], type=pa.int64())})
+    stub(t)
+    assert set(stub._cache) == {"pine", "ridge"}
+
+
+def test_semdedup_planted_copies_are_dups(ray_session):
+    from darc_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["semdedup"]("/root/testdata/sf0.001")
+    by_id = out.set_index("vec_id")
+    planted = by_id[by_id.index >= 1_000_000]
+    assert len(planted) == 50
+    # every planted exact copy is marked dup of its original
+    assert (planted["is_dup"] == 1).all()
+    assert (planted["dup_of"] == planted.index - 1_000_000).all()
+    assert (planted["keep"] == 0).all()
+    # originals stay keepers (no lower-id partner at cosine >= .95)
+    originals = by_id.loc[sorted(set(planted.index - 1_000_000))]
+    assert (originals["keep"] == 1).all()
+    # copy and original land in the SAME cluster (identical vectors)
+    for v in planted.index:
+        assert by_id.loc[v, "cluster"] == by_id.loc[v - 1_000_000, "cluster"]
