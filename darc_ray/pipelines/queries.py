@@ -6860,6 +6860,198 @@ ORDER BY a.vec_id
 """.replace("{K}", str(KMEANS_K))
 
 
+def q_image_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Byte-level exact image dedup over the input_hint image+caption
+    pair table — the FIRST pass of every image-corpus dedup funnel
+    (LAION dedups exact payload bytes before any perceptual hash):
+    content fingerprint = md5 of the payload's UPPERCASE-hex encoding
+    (DuckDB's ``md5`` is VARCHAR-only, so both sides hash ``hex(bytes)``
+    — injective, so equality semantics are identical to hashing the
+    raw bytes), per-fingerprint keeper (min image_id) + copy count
+    joined back.  Shape: stateless hash scan → ONE fingerprint-keyed
+    aggregate → hash join; at 100 TB the 16-byte fingerprints shuffle
+    instead of the payloads (``bytes`` is read once, never moves)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from darc_ray.stages.multimodal import ensure_image_caption_fixture
+
+    path = ensure_image_caption_fixture()
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        md5s = [hashlib.md5(b.hex().upper().encode()).hexdigest()
+                for b in t.column("bytes").to_pylist()]
+        return pa.Table.from_pydict(
+            {"image_id": t.column("image_id"),
+             "payload_md5": pa.array(md5s, type=pa.string())})
+
+    hs = (rd.read_parquet(path, columns=["image_id", "bytes"])
+          .map_batches(add_hash, batch_format="pyarrow", batch_size=64)
+          ).materialize()
+    g = hs.groupby("payload_md5").aggregate(
+        Min("image_id", alias_name="keeper"),
+        Count(alias_name="n_copies"))
+    j = hs.join(g, join_type="inner", num_partitions=4,
+                on=("payload_md5",))
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "image_id": df["image_id"],
+            "payload_md5": df["payload_md5"],
+            "keeper": df["keeper"],
+            "n_copies": df["n_copies"].astype(np.int64),
+            "is_dup": (df["image_id"] != df["keeper"]).astype(np.int64)})
+
+    out = (j.map_batches(flags, batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_EXACT_DEDUP = """
+WITH t AS (
+  SELECT image_id, md5(hex(bytes)) AS payload_md5
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+), g AS (
+  SELECT payload_md5, min(image_id) AS keeper, count(*)::BIGINT AS n_copies
+  FROM t GROUP BY payload_md5
+)
+SELECT t.image_id, t.payload_md5, g.keeper, g.n_copies,
+       CASE WHEN t.image_id = g.keeper THEN 0 ELSE 1 END::BIGINT AS is_dup
+FROM t JOIN g USING (payload_md5)
+ORDER BY t.image_id
+"""
+
+
+def q_image_corner_logo(sf_dir: str) -> pd.DataFrame:
+    """Corner-logo / watermark overlay gate — the stock-photo junk
+    signal an image-curation funnel runs next to the letterbox and
+    tile gates: each 8×8 corner block flagged iff exactly uniform AND
+    its milli-luma mean contrasts ≥ 50 000 with the global mean (see
+    ``image_corner_logo_batch``).  Stateless integer scan, no shuffle;
+    the DuckDB oracle re-derives corner uniformity + both means from
+    the hex pixel walk."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_logo_fixture,
+                                            image_corner_logo_batch)
+
+    path = ensure_image_logo_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_corner_logo_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_CORNER_LOGO = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_logo.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht, s.i // r.w AS rr, s.i % r.w AS cc,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT AS pr,
+         ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT AS pg,
+         ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS pb
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), lum AS (
+  SELECT image_id, w, ht, rr, cc, pr, pg, pb,
+         299 * pr + 587 * pg + 114 * pb AS luma,
+         CASE WHEN rr < 8 AND cc < 8 THEN 'tl'
+              WHEN rr < 8 AND cc >= w - 8 THEN 'tr'
+              WHEN rr >= ht - 8 AND cc < 8 THEN 'bl'
+              WHEN rr >= ht - 8 AND cc >= w - 8 THEN 'br'
+              ELSE NULL END AS corner
+  FROM px
+), gl AS (
+  SELECT image_id, (sum(luma) // count(*))::BIGINT AS gmean
+  FROM lum GROUP BY image_id
+), corn AS (
+  SELECT image_id, corner,
+         CASE WHEN min(pr) = max(pr) AND min(pg) = max(pg)
+               AND min(pb) = max(pb) THEN 1 ELSE 0 END AS uniform,
+         (sum(luma) // 64)::BIGINT AS cmean
+  FROM lum WHERE corner IS NOT NULL
+  GROUP BY image_id, corner
+), flags AS (
+  SELECT c.image_id, c.corner,
+         CASE WHEN c.uniform = 1 AND abs(c.cmean - g.gmean) >= 50000
+              THEN 1 ELSE 0 END AS logo
+  FROM corn c JOIN gl g ON g.image_id = c.image_id
+)
+SELECT g.image_id,
+       max(CASE WHEN f.corner = 'tl' THEN f.logo END)::BIGINT AS tl_logo,
+       max(CASE WHEN f.corner = 'tr' THEN f.logo END)::BIGINT AS tr_logo,
+       max(CASE WHEN f.corner = 'bl' THEN f.logo END)::BIGINT AS bl_logo,
+       max(CASE WHEN f.corner = 'br' THEN f.logo END)::BIGINT AS br_logo,
+       any_value(g.gmean) AS global_mluma,
+       sum(f.logo)::BIGINT AS n_logo_corners,
+       CASE WHEN sum(f.logo) > 0 THEN 1 ELSE 0 END::BIGINT
+           AS has_corner_logo
+FROM gl g JOIN flags f ON f.image_id = g.image_id
+GROUP BY g.image_id
+ORDER BY g.image_id
+"""
+
+
+def q_token_length_hist(sf_dir: str) -> pd.DataFrame:
+    """Token-length histogram over the documents corpus — the
+    dataset-card view a tokenizer/packing stage is planned from (BPE
+    vocab sizing, sequence-pack window budgeting): whitespace-token
+    char lengths bucketed at ``min(len, 16)``, counts + per-mille
+    share.  Shape: vectorized Arrow split + flatten per batch →
+    17-row partials → tiny bucket-keyed combine; nothing scales with
+    corpus size past the partials."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        toks = pc2.list_flatten(
+            pc2.split_pattern_regex(t.column("text").cast(pa.string()),
+                                    r"\s+"))
+        ln = pc2.utf8_length(toks).to_numpy(zero_copy_only=False)
+        ln = ln[ln > 0]  # split artifacts at string boundaries
+        bucket = np.minimum(ln, 16).astype(np.int64)
+        counts = np.bincount(bucket, minlength=17)
+        nz = np.flatnonzero(counts)
+        return pa.Table.from_pydict({
+            "len_bucket": pa.array(nz, type=pa.int64()),
+            "n_tokens": pa.array(counts[nz], type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=4096)
+           .groupby("len_bucket")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas())
+    total = int(agg["n_tokens"].sum())
+    agg["n_tokens"] = agg["n_tokens"].astype(np.int64)
+    agg["share_milli"] = (agg["n_tokens"] * 1000 // total).astype(np.int64)
+    return agg.sort_values("len_bucket").reset_index(drop=True)
+
+
+SQL_TOKEN_LENGTH_HIST = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+), b AS (
+  SELECT least(length(t), 16)::BIGINT AS len_bucket,
+         count(*)::BIGINT AS n_tokens
+  FROM tok GROUP BY 1
+), tot AS (SELECT sum(n_tokens) AS s FROM b)
+SELECT len_bucket, n_tokens,
+       (n_tokens * 1000 // (SELECT s FROM tot))::BIGINT AS share_milli
+FROM b ORDER BY len_bucket
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6895,9 +7087,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "clip_alignment": q_clip_alignment,
     "semdedup": q_semdedup,
     "cluster_profile": q_cluster_profile,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "rolling_fingerprint": q_rolling_fingerprint,
+    "image_exact_dedup": q_image_exact_dedup,
+    "image_corner_logo": q_image_corner_logo,
+    "token_length_hist": q_token_length_hist,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "minhash_dedup": q_minhash_dedup,
@@ -6938,6 +7130,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_brute": q_ann_brute,
     "postings": q_postings,
     "aspect_buckets": q_aspect_buckets,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "lsh_partition": q_lsh_partition,
     "kmeans_assign": q_kmeans_assign,
     "decontaminate": q_decontaminate,
@@ -7061,6 +7256,9 @@ ORACLE_SQL: dict[str, str] = {
     "image_dhash": SQL_IMAGE_DHASH,
     "clip_alignment": SQL_CLIP_ALIGNMENT,
     "semdedup": SQL_SEMDEDUP,
+    "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
+    "image_corner_logo": SQL_IMAGE_CORNER_LOGO,
+    "token_length_hist": SQL_TOKEN_LENGTH_HIST,
     "image_quality_gate": SQL_IMAGE_QUALITY_GATE,
     "image_thumbs_pooled": SQL_IMAGE_THUMBS_POOLED,
     "image_letterbox": SQL_IMAGE_LETTERBOX,

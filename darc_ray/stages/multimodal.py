@@ -1554,3 +1554,111 @@ class ClipAlignStub:
             "image_id": batch.column("image_id"),
             "n_tokens": n_tokens, "score": scores,
             "aligned": (scores > 0).astype(np.int64)})
+
+
+LOGO_FIXTURE = "/tmp/darc_ray_fixtures/image_logo.parquet"
+
+
+def ensure_image_logo_fixture(path: str = LOGO_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the corner-logo / watermark
+    gate: dark textured rows (luma well below 128 000 milli), planted
+    rows with a SOLID bright 8×8 box in one corner (uniform + high
+    contrast vs the global mean — the stock-photo corner-logo
+    signature), a two-corner row, and a low-contrast uniform corner
+    that must NOT trip the gate (uniform but close to the global
+    mean).  All dims ≥ 16×16 so the four corner blocks are disjoint.
+    Fixed path + atomic write + ALWAYS rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    rows: dict[str, list] = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def texture(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (10 + (19 * xx + 37 * yy + (xx * yy) % 61 + 7 * i) % 110)
+        g = (10 + (29 * xx + 11 * yy + (xx * yy) % 53 + 7 * i + 23) % 110)
+        b = (10 + (17 * xx + 31 * yy + (xx * yy) % 47 + 7 * i + 46) % 110)
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+    for i in range(4):
+        hh, ww = 18 + (5 * i) % 9, 20 + (7 * i) % 11
+        add(f"logo-{i}-clean", texture(hh, ww, i))
+    corners = {"tl": (slice(0, 8), slice(0, 8)),
+               "tr": (slice(0, 8), slice(-8, None)),
+               "bl": (slice(-8, None), slice(0, 8)),
+               "br": (slice(-8, None), slice(-8, None))}
+    for j, cname in enumerate(corners):
+        pix = texture(19 + j, 22 + j, 10 + j)
+        pix[corners[cname]] = (240, 235, 230)
+        add(f"logo-{j}-{cname}", pix)
+    pix = texture(24, 24, 20)
+    pix[corners["tl"]] = (245, 245, 245)
+    pix[corners["br"]] = (250, 240, 235)
+    add("logo-two-corners", pix)
+    # uniform corner NEAR the global mean: must not flag (contrast
+    # gate, not just uniformity)
+    pix = texture(20, 20, 30)
+    mean_rgb = tuple(int(v) for v in pix.reshape(-1, 3).mean(axis=0))
+    pix[corners["tr"]] = mean_rgb
+    add("logo-lowcontrast", pix)
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_corner_logo_batch(batch: "pa.Table") -> "pa.Table":
+    """Corner-logo / watermark gate — the stock-photo overlay junk
+    signal: each of the four 8×8 corner blocks is flagged a LOGO
+    corner iff it is exactly uniform (min = max per channel) AND its
+    integer milli-luma mean contrasts with the whole image's mean by
+    ≥ 50 000 (so uniform-but-blended corners pass).  All-integer
+    (luma = 299r+587g+114b, means are floor divisions) → bit-exact vs
+    the DuckDB hex-walk oracle."""
+    names = ("tl", "tr", "bl", "br")
+    out: dict[str, list] = {"image_id": []}
+    for k in names:
+        out[f"{k}_logo"] = []
+    for k in ("global_mluma", "n_logo_corners", "has_corner_logo"):
+        out[k] = []
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = img.raw_decode(payload).astype(np.int64)
+        hh, ww = pix.shape[0], pix.shape[1]
+        luma = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        gmean = int(luma.sum()) // (hh * ww)
+        blocks = {"tl": (slice(0, 8), slice(0, 8)),
+                  "tr": (slice(0, 8), slice(ww - 8, ww)),
+                  "bl": (slice(hh - 8, hh), slice(0, 8)),
+                  "br": (slice(hh - 8, hh), slice(ww - 8, ww))}
+        n_logo = 0
+        out["image_id"].append(iid)
+        for k in names:
+            blk = pix[blocks[k]]
+            uniform = all(int(blk[..., c].min()) == int(blk[..., c].max())
+                          for c in range(3))
+            cmean = int(luma[blocks[k]].sum()) // 64
+            flag = int(uniform and abs(cmean - gmean) >= 50_000)
+            n_logo += flag
+            out[f"{k}_logo"].append(flag)
+        out["global_mluma"].append(gmean)
+        out["n_logo_corners"].append(n_logo)
+        out["has_corner_logo"].append(int(n_logo > 0))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("tl_logo", "tr_logo", "bl_logo",
+                                  "br_logo", "global_mluma",
+                                  "n_logo_corners", "has_corner_logo")]))

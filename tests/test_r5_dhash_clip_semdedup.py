@@ -116,3 +116,49 @@ def test_semdedup_planted_copies_are_dups(ray_session):
     # copy and original land in the SAME cluster (identical vectors)
     for v in planted.index:
         assert by_id.loc[v, "cluster"] == by_id.loc[v - 1_000_000, "cluster"]
+
+
+def test_corner_logo_planted_flavors():
+    import pyarrow.parquet as pq
+
+    from darc_ray.stages.multimodal import (ensure_image_logo_fixture,
+                                            image_corner_logo_batch)
+
+    t = pq.read_table(ensure_image_logo_fixture())
+    df = image_corner_logo_batch(t).to_pandas().set_index("image_id")
+    for i in range(4):
+        assert df.loc[f"logo-{i}-clean", "has_corner_logo"] == 0
+    assert df.loc["logo-0-tl", "tl_logo"] == 1
+    assert df.loc["logo-1-tr", "tr_logo"] == 1
+    assert df.loc["logo-2-bl", "bl_logo"] == 1
+    assert df.loc["logo-3-br", "br_logo"] == 1
+    assert df.loc["logo-two-corners", "n_logo_corners"] == 2
+    # uniform corner near the global mean must NOT flag: the gate is
+    # uniformity AND contrast, not uniformity alone
+    assert df.loc["logo-lowcontrast", "has_corner_logo"] == 0
+
+
+def test_image_exact_dedup_planted_pairdups(ray_session):
+    from darc_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["image_exact_dedup"]("/root/testdata/sf0.001")
+    by_id = out.set_index("image_id")
+    # the two exact full-pair duplicate rows share row 0's pixels
+    assert by_id.loc["cap-99-pairdup-a", "keeper"] == "cap-00"
+    assert by_id.loc["cap-99-pairdup-b", "keeper"] == "cap-00"
+    assert by_id.loc["cap-99-pairdup-a", "is_dup"] == 1
+    assert by_id.loc["cap-00", "is_dup"] == 0
+    assert by_id.loc["cap-00", "n_copies"] >= 3
+    # flavor-6 rows reuse the pixels of row i-6 → byte-identical
+    assert by_id.loc["cap-06", "keeper"] == "cap-00"
+
+
+def test_token_length_hist_shares_sum_to_thousand_ish(ray_session):
+    from darc_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["token_length_hist"]("/root/testdata/sf0.001")
+    assert (out["len_bucket"] >= 1).all() and (out["len_bucket"] <= 16).all()
+    assert out["n_tokens"].sum() > 0
+    # floor division: shares sum to 1000 - (#buckets - 1) at worst
+    s = out["share_milli"].sum()
+    assert 1000 - len(out) < s <= 1000
