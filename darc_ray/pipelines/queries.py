@@ -7052,6 +7052,147 @@ FROM b ORDER BY len_bucket
 """
 
 
+def q_image_size_gate(sf_dir: str) -> pd.DataFrame:
+    """Resolution / aspect-ratio gate over the input_hint image+caption
+    pair table — the cheapest LAION-style filter and the FIRST stage
+    of the image funnel because it needs only the metadata columns
+    (``bytes`` never leaves storage; at 100 TB this is a column-pruned
+    scan over a few int32s): pixel count, milli-aspect ``w*1000//h``,
+    min-side and composed keep (min side ≥ 12, aspect within [1/3, 3]
+    — thresholds scaled to the fixture's dims the way LAION uses 256).
+    Stateless, zero shuffle."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import ensure_image_caption_fixture
+
+    path = ensure_image_caption_fixture()
+
+    def gate(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_pixels = w * h
+        aspect_milli = w * 1000 // h
+        min_side = np.minimum(w, h)
+        keep = ((min_side >= 12) & (aspect_milli >= 333)
+                & (aspect_milli <= 3000)).astype(np.int64)
+        return pa.Table.from_pydict({
+            "image_id": t.column("image_id"),
+            "w": w, "h": h, "n_pixels": n_pixels,
+            "aspect_milli": aspect_milli,
+            "min_side": min_side.astype(np.int64), "keep": keep})
+
+    out = (rd.read_parquet(path, columns=["image_id", "w", "h"])
+           .map_batches(gate, batch_format="pyarrow", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_SIZE_GATE = """
+SELECT image_id, w::BIGINT AS w, h::BIGINT AS h,
+       (w::BIGINT * h)::BIGINT AS n_pixels,
+       (w::BIGINT * 1000 // h)::BIGINT AS aspect_milli,
+       least(w, h)::BIGINT AS min_side,
+       CASE WHEN least(w, h) >= 12
+             AND w::BIGINT * 1000 // h BETWEEN 333 AND 3000
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+ORDER BY image_id
+"""
+
+
+def q_hash_consensus_dedup(sf_dir: str) -> pd.DataFrame:
+    """Multi-modality near-dup consensus over the pair table — the
+    recall argument for carrying TWO perceptual hashes: candidate
+    pairs from the stored DCT phash and from the gradient dHash
+    (re-derived from the pixels) at hamming ≤ 6 each, unioned with
+    per-modality provenance flags (``by_phash`` / ``by_dhash`` /
+    ``both``).  Shape: one pixel scan adds the dhash, two banded-
+    blocking pair streams (each ONE keyed shuffle), union + pair-keyed
+    max-combine; the DuckDB oracle re-derives the dHash from hex bytes
+    and brute-forces both hamming joins."""
+    import ray.data as rd
+
+    from darc_ray.stages.dedup import hash_near_pairs
+    from darc_ray.stages.multimodal import (ensure_image_caption_fixture,
+                                            image_dhash_batch)
+
+    path = ensure_image_caption_fixture()
+    base = rd.read_parquet(path, columns=["image_id", "bytes", "phash"])
+
+    def add_dhash(t: pa.Table) -> pa.Table:
+        d = image_dhash_batch(t)
+        return t.drop_columns(["bytes"]).append_column(
+            "dhash", d.column("dhash"))
+
+    hs = base.map_batches(add_dhash, batch_format="pyarrow",
+                          batch_size=16).materialize()
+    pp = hash_near_pairs(hs, max_hamming=6, id_col="image_id",
+                         hash_col="phash")
+    dp = hash_near_pairs(hs, max_hamming=6, id_col="image_id",
+                         hash_col="dhash")
+    pp = pp.assign(by_phash=np.int64(1), by_dhash=np.int64(0))
+    dp = dp.assign(by_phash=np.int64(0), by_dhash=np.int64(1))
+    u = (pd.concat([pp[["a", "b", "by_phash", "by_dhash"]],
+                    dp[["a", "b", "by_phash", "by_dhash"]]])
+         .groupby(["a", "b"], as_index=False)
+         .agg(by_phash=("by_phash", "max"), by_dhash=("by_dhash", "max")))
+    u["both_hashes"] = (u["by_phash"] & u["by_dhash"]).astype(np.int64)
+    u["by_phash"] = u["by_phash"].astype(np.int64)
+    u["by_dhash"] = u["by_dhash"].astype(np.int64)
+    return u.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_HASH_CONSENSUS_DEDUP = """
+WITH raw AS (
+  SELECT image_id, phash, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id,
+         ((s.i // r.w) * 8) // r.ht AS br,
+         ((s.i % r.w) * 9) // r.w AS bc,
+         299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+       + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+       + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT
+         AS luma
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), cell AS (
+  SELECT image_id, br, bc, (sum(luma) // count(*))::BIGINT AS m
+  FROM px GROUP BY image_id, br, bc
+), bits AS (
+  SELECT a.image_id, a.br * 8 + a.bc AS k,
+         CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+  FROM cell a JOIN cell b
+    ON b.image_id = a.image_id AND b.br = a.br AND b.bc = a.bc + 1
+  WHERE a.bc <= 7
+), hv AS (
+  SELECT b.image_id, r.phash,
+         (sum(CASE WHEN b.k < 63 THEN b.bit::BIGINT * (1::BIGINT << b.k)
+                   ELSE 0 END)
+          + CASE WHEN max(CASE WHEN b.k = 63 THEN b.bit ELSE 0 END) = 1
+                 THEN -9223372036854775808 ELSE 0 END)::BIGINT AS dhash
+  FROM bits b JOIN raw r ON r.image_id = b.image_id
+  GROUP BY b.image_id, r.phash
+)
+SELECT x.image_id AS a, y.image_id AS b,
+       max(CASE WHEN bit_count(xor(x.phash, y.phash)) <= 6
+                THEN 1 ELSE 0 END)::BIGINT AS by_phash,
+       max(CASE WHEN bit_count(xor(x.dhash, y.dhash)) <= 6
+                THEN 1 ELSE 0 END)::BIGINT AS by_dhash,
+       max(CASE WHEN bit_count(xor(x.phash, y.phash)) <= 6
+                 AND bit_count(xor(x.dhash, y.dhash)) <= 6
+                THEN 1 ELSE 0 END)::BIGINT AS both_hashes
+FROM hv x JOIN hv y ON x.image_id < y.image_id
+WHERE bit_count(xor(x.phash, y.phash)) <= 6
+   OR bit_count(xor(x.dhash, y.dhash)) <= 6
+GROUP BY x.image_id, y.image_id
+ORDER BY a, b
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7087,11 +7228,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "clip_alignment": q_clip_alignment,
     "semdedup": q_semdedup,
     "cluster_profile": q_cluster_profile,
+    "image_size_gate": q_image_size_gate,
+    "hash_consensus_dedup": q_hash_consensus_dedup,
     "image_exact_dedup": q_image_exact_dedup,
     "image_corner_logo": q_image_corner_logo,
     "token_length_hist": q_token_length_hist,
-    "simhash": q_simhash,
-    "simhash_pairs": q_simhash_pairs,
     "minhash_dedup": q_minhash_dedup,
     "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard": q_ngram_jaccard,
@@ -7133,6 +7274,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "lsh_partition": q_lsh_partition,
     "kmeans_assign": q_kmeans_assign,
     "decontaminate": q_decontaminate,
@@ -7257,6 +7400,8 @@ ORACLE_SQL: dict[str, str] = {
     "clip_alignment": SQL_CLIP_ALIGNMENT,
     "semdedup": SQL_SEMDEDUP,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
+    "image_size_gate": SQL_IMAGE_SIZE_GATE,
+    "hash_consensus_dedup": SQL_HASH_CONSENSUS_DEDUP,
     "image_corner_logo": SQL_IMAGE_CORNER_LOGO,
     "token_length_hist": SQL_TOKEN_LENGTH_HIST,
     "image_quality_gate": SQL_IMAGE_QUALITY_GATE,

@@ -162,3 +162,29 @@ def test_token_length_hist_shares_sum_to_thousand_ish(ray_session):
     # floor division: shares sum to 1000 - (#buckets - 1) at worst
     s = out["share_milli"].sum()
     assert 1000 - len(out) < s <= 1000
+
+
+def test_image_size_gate_metadata_only(ray_session):
+    from darc_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["image_size_gate"]("/root/testdata/sf0.001")
+    assert (out["n_pixels"] == out["w"] * out["h"]).all()
+    assert (out["min_side"] == out[["w", "h"]].min(axis=1)).all()
+    # fixture dims are 12-18 px per side → every row passes the gate
+    assert (out["keep"] == 1).all()
+
+
+def test_hash_consensus_exact_pixel_dups_hit_both(ray_session):
+    from darc_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["hash_consensus_dedup"]("/root/testdata/sf0.001")
+    pairs = {(r.a, r.b): r for r in out.itertuples()}
+    # exact-pixel duplicates collide under BOTH hash modalities
+    for a, b in [("cap-00", "cap-06"), ("cap-00", "cap-99-pairdup-a"),
+                 ("cap-99-pairdup-a", "cap-99-pairdup-b")]:
+        assert (a, b) in pairs, (a, b)
+        assert pairs[(a, b)].both_hashes == 1
+    # provenance flags are consistent with the union semantics
+    assert ((out["by_phash"] | out["by_dhash"]) == 1).all()
+    assert (out["both_hashes"] <= out["by_phash"]).all()
+    assert (out["both_hashes"] <= out["by_dhash"]).all()
