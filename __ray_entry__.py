@@ -52,14 +52,20 @@ def _ensure_fixture_files() -> None:
                                             ensure_audio_pcm_fixture,
                                             ensure_image_borders_fixture,
                                             ensure_image_caption_fixture,
+                                            ensure_image_dhash_fixture,
+                                            ensure_image_logo_fixture,
                                             ensure_image_meta_fixture,
                                             ensure_image_pixels_fixture,
+                                            ensure_image_tiles_fixture,
                                             ensure_video_meta_fixture)
 
     ensure_image_meta_fixture()
     ensure_image_pixels_fixture()
     ensure_image_borders_fixture()
     ensure_image_caption_fixture()
+    ensure_image_dhash_fixture()
+    ensure_image_logo_fixture()
+    ensure_image_tiles_fixture()
     ensure_audio_meta_fixture()
     ensure_audio_pcm_fixture()
     ensure_video_meta_fixture()
