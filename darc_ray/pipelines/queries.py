@@ -7193,6 +7193,187 @@ ORDER BY a, b
 """
 
 
+def q_pair_curation_v2(sf_dir: str) -> pd.DataFrame:
+    """The FOURTH composed capstone — the full production-ordered
+    image+caption curation funnel with an auditable per-pair
+    disposition, composing the late-round families end-to-end under
+    ONE DuckDB oracle: size/aspect gate (`image_size_gate`, metadata
+    only) → caption gate (`caption_gate`) → byte-level exact dedup
+    (`image_exact_dedup` md5 keep-one among gate SURVIVORS) →
+    perceptual keep-one (phash, among survivors of all prior stages —
+    catches the near-dup whose bytes differ but whose phash matches)
+    → cross-modal alignment gate (`clip_alignment` stub, LAST because
+    production model scoring is the expensive stage and never runs on
+    rejects/duplicates) → aspect bucket.  Dispositions: 'size' /
+    'caption' / 'exact_dup' / 'image_dup' / 'misaligned' /
+    'bucket_<milli>'.  Shape: one flag scan (stateful actor pool for
+    the scorer), two corpus-bounded keep-one group tables LEFT-JOINED
+    back — nothing driver-resident."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from darc_ray.stages.multimodal import ensure_image_caption_fixture
+
+    path = ensure_image_caption_fixture()
+    buckets = np.asarray(ASPECT_BUCKETS_MILLI, dtype=np.int64)
+
+    class PairFlags:
+        """One pass computing every stateless stage's flag (+ the
+        payload fingerprint and the stub alignment score)."""
+
+        def __init__(self) -> None:
+            from darc_ray.stages.multimodal import ClipAlignStub
+
+            self._stub = ClipAlignStub()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import hashlib
+
+            from darc_ray.stages.multimodal import caption_gate_batch
+
+            w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+            h = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+            aspect = w * 1000 // h
+            size_ok = ((np.minimum(w, h) >= 13) & (aspect >= 333)
+                       & (aspect <= 3000)).astype(np.int64)
+            cap_ok = caption_gate_batch(t).column("keep")
+            md5s = [hashlib.md5(b.hex().upper().encode()).hexdigest()
+                    for b in t.column("bytes").to_pylist()]
+            score = self._stub(t).column("score")
+            bidx = np.argmin(np.abs(aspect[:, None] - buckets[None, :]),
+                             axis=1)
+            return pa.Table.from_pydict({
+                "image_id": t.column("image_id"),
+                "phash": t.column("phash"),
+                "payload_md5": pa.array(md5s, type=pa.string()),
+                "size_ok": size_ok, "cap_ok": cap_ok, "score": score,
+                "bucket": pa.array(buckets[bidx], type=pa.int64())})
+
+    flags = (rd.read_parquet(path)
+             .map_batches(PairFlags, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)).materialize()
+
+    def s12(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["size_ok"] == 1) & (df["cap_ok"] == 1)
+        return df.loc[m, ["image_id", "payload_md5"]]
+
+    exf = (flags.map_batches(s12, batch_format="pandas", batch_size=65536)
+           .groupby("payload_md5")
+           .aggregate(Min("image_id", alias_name="md5_first")))
+    j = flags.join(exf, join_type="left_outer", num_partitions=4,
+                   on=("payload_md5",)).materialize()
+
+    def s13(df: pd.DataFrame) -> pd.DataFrame:
+        m = ((df["size_ok"] == 1) & (df["cap_ok"] == 1)
+             & (df["image_id"] == df["md5_first"]))
+        return df.loc[m, ["image_id", "phash"]]
+
+    phf = (j.map_batches(s13, batch_format="pandas", batch_size=65536)
+           .groupby("phash")
+           .aggregate(Min("image_id", alias_name="ph_first")))
+    jj = j.join(phf, join_type="left_outer", num_partitions=4,
+                on=("phash",))
+
+    def disposition(df: pd.DataFrame) -> pd.DataFrame:
+        iid = df["image_id"].to_numpy()
+        blab = np.array([f"bucket_{b}" for b in df["bucket"]], dtype=object)
+        md5_f = df["md5_first"].to_numpy()
+        ph_f = df["ph_first"].to_numpy()
+        disp = np.where(
+            df["size_ok"].to_numpy() == 0, "size",
+            np.where(df["cap_ok"].to_numpy() == 0, "caption",
+                     np.where(iid != md5_f, "exact_dup",
+                              np.where(iid != ph_f, "image_dup",
+                                       np.where(df["score"].to_numpy() <= 0,
+                                                "misaligned", blab)))))
+        return pd.DataFrame({"image_id": iid, "disposition": disp})
+
+    out = (jj.map_batches(disposition, batch_format="pandas",
+                          batch_size=65536).to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _sql_pair_curation_v2() -> str:
+    bucket_values = ", ".join(f"({v})" for v in ASPECT_BUCKETS_MILLI)
+    return f"""
+WITH base AS (
+  SELECT image_id, caption, phash, w, h,
+         md5(hex(bytes)) AS payload_md5,
+         (w::BIGINT * 1000) // h AS aspect,
+         least(w, h)::BIGINT AS min_side,
+         length(caption)::BIGINT AS n_chars,
+         len(regexp_extract_all(caption, '\\S+'))::BIGINT AS n_words,
+         len(regexp_extract_all(caption, '[A-Za-z]'))::BIGINT AS alpha,
+         len(regexp_extract_all(caption, '[A-Z]'))::BIGINT AS uppr,
+         CASE WHEN regexp_matches(caption, 'http://|https://|www\\.')
+              THEN 1 ELSE 0 END::BIGINT AS has_url
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+), g AS (
+  SELECT *,
+         CASE WHEN min_side >= 13 AND aspect BETWEEN 333 AND 3000
+              THEN 1 ELSE 0 END AS size_ok,
+         CASE WHEN n_words BETWEEN 2 AND 32 AND has_url = 0
+               AND (CASE WHEN n_chars > 0 THEN alpha * 1000 // n_chars
+                    ELSE 0 END) >= 500
+               AND (CASE WHEN alpha > 0 THEN uppr * 1000 // alpha
+                    ELSE 0 END) <= 700
+              THEN 1 ELSE 0 END AS cap_ok
+  FROM base
+), tok AS (
+  SELECT image_id, unnest(regexp_extract_all(caption, '\\S+')) AS t
+  FROM base
+), th AS (
+  SELECT image_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok
+), dims AS (SELECT unnest(generate_series(0, 63)) AS j
+), votes AS (
+  SELECT th.image_id, d.j,
+         sum(CASE WHEN (hv >> d.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN dims d GROUP BY th.image_id, d.j
+), sc AS (
+  SELECT s.image_id,
+         sum((CASE WHEN v.v > 0 THEN 1 WHEN v.v < 0 THEN -1 ELSE 0 END)
+             * (CASE WHEN (s.phash >> v.j) & 1 = 1 THEN 1 ELSE -1 END))
+         AS score
+  FROM votes v JOIN base s ON s.image_id = v.image_id
+  GROUP BY s.image_id
+), scg AS (
+  SELECT g.*, coalesce(sc.score, 0) AS score
+  FROM g LEFT JOIN sc ON sc.image_id = g.image_id
+), s12 AS (
+  SELECT * FROM scg WHERE size_ok = 1 AND cap_ok = 1
+), exf AS (
+  SELECT payload_md5, min(image_id) AS md5_first FROM s12 GROUP BY 1
+), s13 AS (
+  SELECT s12.* FROM s12 JOIN exf USING (payload_md5)
+  WHERE s12.image_id = exf.md5_first
+), phf AS (
+  SELECT phash, min(image_id) AS ph_first FROM s13 GROUP BY 1
+), b(bucket) AS (
+  VALUES {bucket_values}
+), bk AS (
+  SELECT image_id, bucket,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY abs(aspect - bucket), bucket) AS brn
+  FROM scg CROSS JOIN b
+)
+SELECT scg.image_id,
+       CASE WHEN scg.size_ok = 0 THEN 'size'
+            WHEN scg.cap_ok = 0 THEN 'caption'
+            WHEN scg.image_id <> exf.md5_first THEN 'exact_dup'
+            WHEN scg.image_id <> phf.ph_first THEN 'image_dup'
+            WHEN scg.score <= 0 THEN 'misaligned'
+            ELSE 'bucket_' || bkk.bucket::VARCHAR END AS disposition
+FROM scg
+LEFT JOIN exf USING (payload_md5)
+LEFT JOIN phf USING (phash)
+JOIN (SELECT image_id, bucket FROM bk WHERE brn = 1) bkk USING (image_id)
+ORDER BY scg.image_id
+"""
+
+
+SQL_PAIR_CURATION_V2 = _sql_pair_curation_v2()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7229,12 +7410,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "semdedup": q_semdedup,
     "cluster_profile": q_cluster_profile,
     "image_size_gate": q_image_size_gate,
+    "pair_curation_v2": q_pair_curation_v2,
     "hash_consensus_dedup": q_hash_consensus_dedup,
     "image_exact_dedup": q_image_exact_dedup,
     "image_corner_logo": q_image_corner_logo,
     "token_length_hist": q_token_length_hist,
     "minhash_dedup": q_minhash_dedup,
-    "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -7274,6 +7455,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "lsh_partition": q_lsh_partition,
@@ -7401,6 +7583,7 @@ ORACLE_SQL: dict[str, str] = {
     "semdedup": SQL_SEMDEDUP,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "image_size_gate": SQL_IMAGE_SIZE_GATE,
+    "pair_curation_v2": SQL_PAIR_CURATION_V2,
     "hash_consensus_dedup": SQL_HASH_CONSENSUS_DEDUP,
     "image_corner_logo": SQL_IMAGE_CORNER_LOGO,
     "token_length_hist": SQL_TOKEN_LENGTH_HIST,

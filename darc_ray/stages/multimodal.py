@@ -1161,6 +1161,16 @@ def ensure_image_caption_fixture(path: str = CAPTION_FIXTURE) -> str:
     # exact full-pair duplicates (same caption AND same pixels as row 0)
     add("cap-99-pairdup-a", pixes[0], caps[0])
     add("cap-99-pairdup-b", pixes[0], caps[0])
+    # near-dup with DIFFERENT bytes but the SAME phash (one blue LSB
+    # flipped — below the DCT hash's threshold margins): the row the
+    # byte-level md5 pass canNOT catch but the perceptual keep-one
+    # must.  Asserted here so fixture drift fails loudly at build time.
+    near = pixes[8].copy()          # cap-08: clean caption, passes gates
+    near[-1, -1, 2] ^= 1
+    assert not np.array_equal(near, pixes[8])
+    assert img.phash64(near) == img.phash64(pixes[8])
+    add("cap-98-neardup", near,
+        "weathered footbridge crossing the fern valley stream")
 
     table = pa.Table.from_pydict(
         rows, schema=pa.schema([("image_id", pa.string()),

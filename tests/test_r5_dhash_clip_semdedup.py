@@ -188,3 +188,26 @@ def test_hash_consensus_exact_pixel_dups_hit_both(ray_session):
     assert ((out["by_phash"] | out["by_dhash"]) == 1).all()
     assert (out["both_hashes"] <= out["by_phash"]).all()
     assert (out["both_hashes"] <= out["by_dhash"]).all()
+
+
+def test_pair_curation_v2_every_stage_fires(ray_session):
+    """Production-ordered funnel: every disposition class must appear,
+    and the planted rows land exactly where the stage order says."""
+    from darc_ray.pipelines.queries import q_pair_curation_v2
+
+    df = (q_pair_curation_v2("/root/testdata/sf0.001")
+          .set_index("image_id")["disposition"])
+    # planted landings
+    assert df.loc["cap-00"] == "size"             # 12x12 fails min-side 13
+    assert df.loc["cap-01"] == "caption"          # URL spam (size-ok dims)
+    assert df.loc["cap-22"] == "exact_dup"        # byte-copy of cap-16
+    # the near-dup whose BYTES differ but phash matches cap-08: the md5
+    # pass cannot catch it, the perceptual keep-one must
+    assert df.loc["cap-98-neardup"] == "image_dup"
+    # dedup precedes scoring: cap-08 keeps its phash group, then fails
+    # the alignment gate
+    assert df.loc["cap-08"] == "misaligned"
+    cats = set(df.unique())
+    assert {"size", "caption", "exact_dup", "image_dup",
+            "misaligned"} <= cats
+    assert any(d.startswith("bucket_") for d in cats)
