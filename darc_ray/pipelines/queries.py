@@ -7374,6 +7374,79 @@ ORDER BY scg.image_id
 SQL_PAIR_CURATION_V2 = _sql_pair_curation_v2()
 
 
+def q_image_channel_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level per-channel normalization constants — the
+    ImageNet-mean/std computation every vision training run needs,
+    over the planted-borders RAW corpus: per channel, exact pixel
+    count, sum, sum of squares, and integer milli mean/variance
+    (``mean_milli = sum*1000//n``; ``var_milli = (sumsq -
+    sum²//n)*1000//n``).  Shape: the canonical partial-aggregate — 12
+    integers per BATCH leave the scan, a 3-row driver combine
+    finishes; nothing scales with corpus size.  All-integer, so the
+    DuckDB hex-walk oracle agrees bit-for-bit."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import ensure_image_borders_fixture
+
+    path = ensure_image_borders_fixture()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from darc_ray.functions import image as img
+
+        sums = np.zeros(3, np.int64)
+        sqs = np.zeros(3, np.int64)
+        n = np.zeros(3, np.int64)
+        for payload in t.column("bytes").to_pylist():
+            pix = img.raw_decode(payload).astype(np.int64)
+            sums += pix.sum(axis=(0, 1))
+            sqs += (pix * pix).sum(axis=(0, 1))
+            n += pix.shape[0] * pix.shape[1]
+        return pd.DataFrame({"channel": np.arange(3, dtype=np.int64),
+                             "n_pixels": n, "psum": sums, "sumsq": sqs})
+
+    parts = (rd.read_parquet(path, columns=["bytes"])
+             .map_batches(partial, batch_format="pyarrow", batch_size=16)
+             .to_pandas())
+    agg = (parts.groupby("channel", as_index=False)
+           .agg(n_pixels=("n_pixels", "sum"), psum=("psum", "sum"),
+                sumsq=("sumsq", "sum")))
+    n = agg["n_pixels"].to_numpy()
+    s = agg["psum"].to_numpy()
+    q = agg["sumsq"].to_numpy()
+    agg["mean_milli"] = s * 1000 // n
+    agg["var_milli"] = (q - s * s // n) * 1000 // n
+    for c in agg.columns:
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("channel").reset_index(drop=True)
+
+
+SQL_IMAGE_CHANNEL_STATS = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_borders.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT c.channel,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i + c.channel) + 1, 2))::BIGINT
+             AS v
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS channel) c
+), agg AS (
+  SELECT channel, count(*)::BIGINT AS n_pixels,
+         sum(v)::BIGINT AS psum, sum(v * v)::BIGINT AS sumsq
+  FROM px GROUP BY channel
+)
+SELECT channel, n_pixels, psum, sumsq,
+       (psum * 1000 // n_pixels)::BIGINT AS mean_milli,
+       ((sumsq - psum * psum // n_pixels) * 1000 // n_pixels)::BIGINT
+           AS var_milli
+FROM agg ORDER BY channel
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7411,12 +7484,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cluster_profile": q_cluster_profile,
     "image_size_gate": q_image_size_gate,
     "pair_curation_v2": q_pair_curation_v2,
+    "image_channel_stats": q_image_channel_stats,
     "hash_consensus_dedup": q_hash_consensus_dedup,
     "image_exact_dedup": q_image_exact_dedup,
     "image_corner_logo": q_image_corner_logo,
     "token_length_hist": q_token_length_hist,
     "minhash_dedup": q_minhash_dedup,
-    "ngram_jaccard": q_ngram_jaccard,
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_metadata": q_image_metadata,
@@ -7456,6 +7529,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality": q_quality,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_signatures": q_minhash_signatures,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "lsh_partition": q_lsh_partition,
@@ -7584,6 +7658,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "image_size_gate": SQL_IMAGE_SIZE_GATE,
     "pair_curation_v2": SQL_PAIR_CURATION_V2,
+    "image_channel_stats": SQL_IMAGE_CHANNEL_STATS,
     "hash_consensus_dedup": SQL_HASH_CONSENSUS_DEDUP,
     "image_corner_logo": SQL_IMAGE_CORNER_LOGO,
     "token_length_hist": SQL_TOKEN_LENGTH_HIST,

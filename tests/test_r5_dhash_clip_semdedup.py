@@ -211,3 +211,27 @@ def test_pair_curation_v2_every_stage_fires(ray_session):
     assert {"size", "caption", "exact_dup", "image_dup",
             "misaligned"} <= cats
     assert any(d.startswith("bucket_") for d in cats)
+
+
+def test_image_channel_stats_identities(ray_session):
+    import pyarrow.parquet as pq
+
+    from darc_ray.functions import image as img
+    from darc_ray.pipelines.queries import QUERIES
+    from darc_ray.stages.multimodal import ensure_image_borders_fixture
+
+    out = QUERIES["image_channel_stats"]("/root/testdata/sf0.001")
+    assert list(out["channel"]) == [0, 1, 2]
+    # cross-check channel 0 against a direct numpy pass
+    t = pq.read_table(ensure_image_borders_fixture())
+    import numpy as np
+    s = n = q = 0
+    for payload in t.column("bytes").to_pylist():
+        pix = img.raw_decode(payload).astype(np.int64)
+        s += int(pix[..., 0].sum())
+        q += int((pix[..., 0] ** 2).sum())
+        n += pix.shape[0] * pix.shape[1]
+    r = out.set_index("channel").loc[0]
+    assert (r["psum"], r["sumsq"], r["n_pixels"]) == (s, q, n)
+    assert r["mean_milli"] == s * 1000 // n
+    assert r["var_milli"] == (q - s * s // n) * 1000 // n
