@@ -50,6 +50,7 @@ def _ensure_fixture_files() -> None:
                                          ensure_repetition_fixture)
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
                                             ensure_audio_pcm_fixture,
+                                            ensure_image_blocky_fixture,
                                             ensure_image_borders_fixture,
                                             ensure_image_caption_fixture,
                                             ensure_image_dhash_fixture,
@@ -62,6 +63,7 @@ def _ensure_fixture_files() -> None:
     ensure_image_meta_fixture()
     ensure_image_pixels_fixture()
     ensure_image_borders_fixture()
+    ensure_image_blocky_fixture()
     ensure_image_caption_fixture()
     ensure_image_dhash_fixture()
     ensure_image_logo_fixture()

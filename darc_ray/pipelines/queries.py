@@ -7447,6 +7447,118 @@ FROM agg ORDER BY channel
 """
 
 
+def q_image_blockiness(sf_dir: str) -> pd.DataFrame:
+    """JPEG compression-artifact (blockiness) gate over the planted
+    blocky/smooth fixture — the pre-scoring compression-quality filter
+    of a DataComp/LAION-class image funnel: horizontal milli-luma
+    gradients split into 8-aligned DCT-boundary columns vs interior
+    columns; a boundary/interior mean ratio ≥ 1.3 (cross-multiplied in
+    int64) flags block-coded junk.  Stateless ``map_batches``, no
+    shuffle; all-integer so the DuckDB hex-walk oracle (neighbor byte
+    at offset i+1, CASE on x % 8) is bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_blocky_fixture,
+                                            image_blockiness_batch)
+
+    path = ensure_image_blocky_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_blockiness_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_BLOCKINESS = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_blocky.parquet')
+), series AS (
+  SELECT unnest(generate_series(
+      0, (SELECT max((w - 1) * ht) FROM raw) - 1)) AS j
+), e AS (
+  SELECT r.image_id, r.w, r.ht, s.j % (r.w - 1) AS x,
+         abs((299 * ('0x' || substr(r.hx, 2 * (12 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1))) + 1, 2))::BIGINT
+              + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1))) + 1, 2))::BIGINT
+              + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1))) + 1, 2))::BIGINT)
+             - (299 * ('0x' || substr(r.hx, 2 * (12 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1) + 1)) + 1, 2))::BIGINT
+              + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1) + 1)) + 1, 2))::BIGINT
+              + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * (s.j // (r.w - 1) * r.w + s.j % (r.w - 1) + 1)) + 1, 2))::BIGINT)) AS g
+  FROM raw r JOIN series s ON s.j < (r.w - 1) * r.ht
+), st AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht,
+         sum(CASE WHEN x % 8 = 7 THEN g ELSE 0 END)::BIGINT AS sb,
+         sum(CASE WHEN x % 8 = 7 THEN 1 ELSE 0 END)::BIGINT AS nb,
+         sum(CASE WHEN x % 8 <> 7 THEN g ELSE 0 END)::BIGINT AS si,
+         sum(CASE WHEN x % 8 <> 7 THEN 1 ELSE 0 END)::BIGINT AS ni
+  FROM e GROUP BY image_id
+)
+SELECT image_id, w AS width, ht AS height,
+       (sb * 1000 // nb)::BIGINT AS boundary_milli,
+       (si * 1000 // ni)::BIGINT AS interior_milli,
+       CASE WHEN sb > 0 AND sb * ni * 10 >= si * nb * 13
+            THEN 1 ELSE 0 END::BIGINT AS blocky
+FROM st ORDER BY image_id
+"""
+
+
+def q_image_mirror_symmetry(sf_dir: str) -> pd.DataFrame:
+    """Horizontal mirror-symmetry gate over the planted blocky/smooth
+    fixture — the graphics/logo/template-junk signal (rendered
+    graphics are often palindromic, photos almost never): per-column
+    milli-luma profiles, summed |P(x) − P(w−1−x)| over the left half,
+    normalized to ``asym_milli``; near-zero flags ``mirror_sym``.
+    Column sums keep the oracle a flat GROUP BY + self-join on the
+    mirrored index.  Stateless, all-integer, no shuffle."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_blocky_fixture,
+                                            image_mirror_symmetry_batch)
+
+    path = ensure_image_blocky_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_mirror_symmetry_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_MIRROR_SYMMETRY = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_blocky.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht, s.i % r.w AS x,
+         299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+         + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+         + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS ml
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), prof AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht, x,
+         sum(ml)::BIGINT AS p
+  FROM px GROUP BY image_id, x
+), halves AS (
+  SELECT a.image_id, any_value(a.w) AS w, any_value(a.ht) AS ht,
+         sum(abs(a.p - b.p))::BIGINT AS score
+  FROM prof a JOIN prof b
+    ON b.image_id = a.image_id AND b.x = a.w - 1 - a.x
+  WHERE a.x < a.w // 2
+  GROUP BY a.image_id
+)
+SELECT image_id, w AS width, ht AS height,
+       (score * 1000 // (ht * (w // 2)))::BIGINT AS asym_milli,
+       CASE WHEN score * 1000 // (ht * (w // 2)) < 1000
+            THEN 1 ELSE 0 END::BIGINT AS mirror_sym
+FROM halves ORDER BY image_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7578,6 +7690,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "image_edge_density": q_image_edge_density,
     "image_dominant_color": q_image_dominant_color,
+    "image_blockiness": q_image_blockiness,
+    "image_mirror_symmetry": q_image_mirror_symmetry,
     "image_tile_dups": q_image_tile_dups,
     "audio_loudness": q_audio_loudness,
     "audio_silence_spans": q_audio_silence_spans,
@@ -7668,6 +7782,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_color_stats": SQL_IMAGE_COLOR_STATS,
     "image_edge_density": SQL_IMAGE_EDGE_DENSITY,
     "image_dominant_color": SQL_IMAGE_DOMINANT_COLOR,
+    "image_blockiness": SQL_IMAGE_BLOCKINESS,
+    "image_mirror_symmetry": SQL_IMAGE_MIRROR_SYMMETRY,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
     "video_cut_candidates": SQL_VIDEO_CUT_CANDIDATES,

@@ -1672,3 +1672,152 @@ def image_corner_logo_batch(batch: "pa.Table") -> "pa.Table":
                                  ("tl_logo", "tr_logo", "bl_logo",
                                   "br_logo", "global_mluma",
                                   "n_logo_corners", "has_corner_logo")]))
+
+
+BLOCKY_FIXTURE = "/tmp/darc_ray_fixtures/image_blocky.parquet"
+
+
+def ensure_image_blocky_fixture(path: str = BLOCKY_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the compression-artifact and
+    mirror-symmetry families: ``-blocky`` rows are piecewise-constant
+    8x8 tiles (the decoded-JPEG-at-low-quality shape: zero gradient
+    inside a block, a step at every 8-aligned boundary), ``-smooth``
+    rows are the same both-axis integer gradient the borders fixture
+    uses (boundary and interior column gradients statistically equal),
+    ``-sym`` rows are smooth content mirrored left-to-right around the
+    center (column-profile palindromes), and one ``-solid`` row pins
+    the all-zero-gradient / trivially-symmetric edge case.  All pixel
+    values are exact integers so the DuckDB hex-walk oracles re-derive
+    the kernels bit-for-bit.  Fixed path + atomic write + ALWAYS
+    rewritten, sf-independent — same contract as
+    ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def smooth(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (40 + (31 * xx + 17 * yy + 7 * i) % 160).astype(np.uint8)
+        g = (40 + (31 * xx + 17 * yy + 7 * i + 35) % 160).astype(np.uint8)
+        b = (40 + (31 * xx + 17 * yy + 7 * i + 70) % 160).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    def blocky(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        bx, by = xx // 8, yy // 8
+        r = (40 + (29 * bx + 13 * by + 7 * i) % 160).astype(np.uint8)
+        g = (40 + (29 * bx + 13 * by + 7 * i + 35) % 160).astype(np.uint8)
+        b = (40 + (29 * bx + 13 * by + 7 * i + 70) % 160).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(15):
+        hh, ww = 20 + (5 * i) % 21, 24 + (7 * i) % 17
+        flavor = i % 3
+        if flavor == 0:
+            add(f"blk-{i:02d}-blocky", blocky(hh, ww, i))
+        elif flavor == 1:
+            add(f"blk-{i:02d}-smooth", smooth(hh, ww, i))
+        else:
+            pix = smooth(hh, ww, i)
+            pix[:, ww - ww // 2:] = pix[:, :ww // 2][:, ::-1]
+            add(f"blk-{i:02d}-sym", pix)
+    add("blk-solid", np.full((24, 32, 3), 96, np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_blockiness_batch(batch: "pa.Table") -> "pa.Table":
+    """Integer JPEG-artifact (blockiness) gate over raw-pixel payloads
+    — the compression-quality proxy the DataComp/LAION-class funnels
+    apply before model scoring: horizontal milli-luma gradient
+    g(y, x) = |L(y, x+1) − L(y, x)|, split into 8-ALIGNED BOUNDARY
+    columns (x % 8 == 7, where DCT block edges land) vs interior
+    columns; ``boundary_milli`` / ``interior_milli`` = Σg·1000 //
+    count per side and ``blocky`` flags a boundary/interior mean
+    ratio ≥ 1.3 (cross-multiplied in int64 — no division, no float).
+    A heavily-quantized re-encode has near-zero interior gradient but
+    visible block steps, so the ratio separates cleanly; smooth
+    content scores ~1.  All-integer → bit-exact vs the DuckDB
+    hex-walk oracle reading neighbor bytes at offset i+1.  Stateless
+    ``map_batches``, no shuffle — embarrassingly parallel at 100 TB."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "boundary_milli",
+        "interior_milli", "blocky")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        if w < 9:
+            raise ValueError(f"image {iid}: width {w} < 9 has no "
+                             "8-aligned boundary column")
+        luma = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        gx = np.abs(luma[:, 1:] - luma[:, :-1])
+        bmask = (np.arange(w - 1) % 8) == 7
+        sb = int(gx[:, bmask].sum())
+        si = int(gx[:, ~bmask].sum())
+        nb = int(bmask.sum()) * h
+        ni = int((~bmask).sum()) * h
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["boundary_milli"].append(sb * 1000 // nb)
+        out["interior_milli"].append(si * 1000 // ni)
+        out["blocky"].append(int(sb > 0 and sb * ni * 10 >= si * nb * 13))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "boundary_milli",
+                                  "interior_milli", "blocky")]))
+
+
+def image_mirror_symmetry_batch(batch: "pa.Table") -> "pa.Table":
+    """Horizontal mirror-symmetry score over raw-pixel payloads — the
+    graphics/logo/synthetic-junk signal (natural photos are rarely
+    palindromic; rendered logos, borders and template graphics often
+    are): per column x, profile P(x) = Σ_y milli-luma(y, x); score =
+    Σ_{x < w//2} |P(x) − P(w−1−x)|, normalized per compared pixel to
+    ``asym_milli`` = score·1000 // (h·(w//2)); ``mirror_sym`` flags
+    asym_milli below a tight threshold (a true palindrome is exactly
+    0; the flag tolerates sub-pixel-scale noise).  Column sums rather
+    than per-pixel compare keep the SQL oracle a flat GROUP BY x +
+    self-join on w−1−x.  All-integer, stateless, no shuffle."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "asym_milli", "mirror_sym")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        luma = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        prof = luma.sum(axis=0)
+        half = w // 2
+        score = int(np.abs(prof[:half] - prof[w - 1 - np.arange(half)]).sum())
+        asym = score * 1000 // (h * half)
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["asym_milli"].append(asym)
+        out["mirror_sym"].append(int(asym < 1000))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "asym_milli",
+                                  "mirror_sym")]))
