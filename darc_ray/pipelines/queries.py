@@ -7605,8 +7605,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_metadata": q_image_metadata,
-    "audio_metadata": q_audio_metadata,
-    "video_metadata": q_video_metadata,
+    "image_blockiness": q_image_blockiness,
+    "image_mirror_symmetry": q_image_mirror_symmetry,
     "image_quality_gate": q_image_quality_gate,
     "image_thumbs_pooled": q_image_thumbs_pooled,
     "image_dedup": q_image_dedup,
@@ -7633,8 +7633,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # in ORACLE_SQL; driver-green in earlier rounds; kmeans_assign,
     # decontaminate, lsh_partition and later ann_brute, postings,
     # aspect_buckets rotated out r5 — all r04★ — to
-    # make room for the caption-axis pair families + pair capstone)
+    # make room for the caption-axis pair families + pair capstone;
+    # audio_metadata/video_metadata (r04★ stateless header scans)
+    # rotated out late-r5 for image_blockiness/image_mirror_symmetry)
     "ann_brute": q_ann_brute,
+    "audio_metadata": q_audio_metadata,
+    "video_metadata": q_video_metadata,
     "postings": q_postings,
     "aspect_buckets": q_aspect_buckets,
     "lang_id": q_lang_id,
@@ -7690,8 +7694,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "image_edge_density": q_image_edge_density,
     "image_dominant_color": q_image_dominant_color,
-    "image_blockiness": q_image_blockiness,
-    "image_mirror_symmetry": q_image_mirror_symmetry,
     "image_tile_dups": q_image_tile_dups,
     "audio_loudness": q_audio_loudness,
     "audio_silence_spans": q_audio_silence_spans,
