@@ -7559,6 +7559,140 @@ FROM halves ORDER BY image_id
 """
 
 
+def q_image_exposure(sf_dir: str) -> pd.DataFrame:
+    """Exposure-clipping gate over the planted blown/crushed fixture —
+    the highlight/shadow-clipping filter a DataComp/LAION-class funnel
+    runs alongside the brightness-mean gate (a half-blown frame can
+    have a PERFECT mean; only the clipped-pixel share catches it):
+    per-mille shares of pixels with ALL channels ≥ 250 (blown) or
+    ≤ 5 (crushed), flags at ≥ 200.  Stateless ``map_batches``, no
+    shuffle; all-integer so the DuckDB hex-walk oracle
+    (LEAST/GREATEST over the three channel bytes) is bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_exposure_fixture,
+                                            image_exposure_batch)
+
+    path = ensure_image_exposure_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_exposure_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_EXPOSURE = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_exposure.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT AS rv,
+         ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT AS gv,
+         ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS bv
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), st AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht,
+         sum(CASE WHEN least(rv, gv, bv) >= 250 THEN 1 ELSE 0 END)::BIGINT
+             AS blown,
+         sum(CASE WHEN greatest(rv, gv, bv) <= 5 THEN 1 ELSE 0 END)::BIGINT
+             AS crushed,
+         count(*)::BIGINT AS n
+  FROM px GROUP BY image_id
+)
+SELECT image_id, w AS width, ht AS height,
+       (blown * 1000 // n)::BIGINT AS hi_milli,
+       (crushed * 1000 // n)::BIGINT AS lo_milli,
+       CASE WHEN blown * 1000 // n >= 200 THEN 1 ELSE 0 END::BIGINT
+           AS overexposed,
+       CASE WHEN crushed * 1000 // n >= 200 THEN 1 ELSE 0 END::BIGINT
+           AS underexposed,
+       CASE WHEN blown * 1000 // n < 200 AND crushed * 1000 // n < 200
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM st ORDER BY image_id
+"""
+
+
+WDS_N_SHARDS = 16
+
+
+def q_wds_shards(sf_dir: str) -> pd.DataFrame:
+    """WebDataset-style SHARD MANIFEST over the input_hint pair table —
+    the packing step that closes a LAION-class curation funnel: every
+    surviving pair is assigned a shard by a deterministic md5-prefix
+    hash of its ``image_id`` (mod ``WDS_N_SHARDS``), and the manifest
+    reports per shard the pair count, total image payload bytes, total
+    caption chars, and the lexicographic first/last member (the
+    resume/audit keys a 100 TB writer records per ``.tar``).  Shape:
+    the shard id is a stateless hash (the writer itself would be a
+    shard-keyed ``write_parquet`` partition — NO shuffle beyond the
+    hash partition it already needs), and the manifest is per-batch
+    PARTIAL aggregates combined by a shard-count-bounded groupby —
+    nothing data-proportional reaches the driver.  Payload length
+    comes from the Arrow binary offsets (``pc.binary_length``); the
+    bytes are never materialized into Python."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from darc_ray.stages.multimodal import ensure_image_caption_fixture
+
+    path = ensure_image_caption_fixture()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("image_id").to_pylist()
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+             for s in ids), dtype=np.uint64, count=len(ids))
+        shard = (hv % WDS_N_SHARDS).astype(np.int64)
+        blen = pc.binary_length(t.column("bytes")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        clen = pc.utf8_length(t.column("caption")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"shard": shard, "image_id": ids,
+                           "b": blen, "c": clen,
+                           "n": np.ones(len(ids), dtype=np.int64)})
+        return (df.groupby("shard", as_index=False)
+                .agg(n_pairs=("n", "sum"), image_bytes=("b", "sum"),
+                     caption_chars=("c", "sum"),
+                     first_id=("image_id", "min"),
+                     last_id=("image_id", "max")))
+
+    agg = (rd.read_parquet(path, columns=["image_id", "bytes", "caption"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("shard")
+           .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                      Sum("image_bytes", alias_name="image_bytes"),
+                      Sum("caption_chars", alias_name="caption_chars"),
+                      Min("first_id", alias_name="first_id"),
+                      Max("last_id", alias_name="last_id"))
+           .to_pandas())
+    for c in ("shard", "n_pairs", "image_bytes", "caption_chars"):
+        agg[c] = agg[c].astype(np.int64)
+    agg = agg[["shard", "n_pairs", "image_bytes", "caption_chars",
+               "first_id", "last_id"]]
+    return agg.sort_values("shard").reset_index(drop=True)
+
+
+SQL_WDS_SHARDS = f"""
+WITH assigned AS (
+  SELECT (('0x' || substr(md5(image_id), 1, 16))::UBIGINT
+          % {WDS_N_SHARDS})::BIGINT AS shard,
+         image_id, octet_length(bytes) AS b, length(caption) AS c
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+)
+SELECT shard, count(*)::BIGINT AS n_pairs,
+       sum(b)::BIGINT AS image_bytes, sum(c)::BIGINT AS caption_chars,
+       min(image_id) AS first_id, max(image_id) AS last_id
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7604,10 +7738,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_dedup": q_minhash_dedup,
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,
-    "image_metadata": q_image_metadata,
+    "image_exposure": q_image_exposure,
     "image_blockiness": q_image_blockiness,
     "image_mirror_symmetry": q_image_mirror_symmetry,
-    "image_quality_gate": q_image_quality_gate,
+    "wds_shards": q_wds_shards,
     "image_thumbs_pooled": q_image_thumbs_pooled,
     "image_dedup": q_image_dedup,
     "caption_gate": q_caption_gate,
@@ -7635,10 +7769,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # aspect_buckets rotated out r5 — all r04★ — to
     # make room for the caption-axis pair families + pair capstone;
     # audio_metadata/video_metadata (r04★ stateless header scans)
-    # rotated out late-r5 for image_blockiness/image_mirror_symmetry)
+    # rotated out late-r5 for image_blockiness/image_mirror_symmetry;
+    # image_metadata/image_quality_gate (r04★) rotated out for
+    # image_exposure/wds_shards)
     "ann_brute": q_ann_brute,
     "audio_metadata": q_audio_metadata,
     "video_metadata": q_video_metadata,
+    "image_metadata": q_image_metadata,
+    "image_quality_gate": q_image_quality_gate,
     "postings": q_postings,
     "aspect_buckets": q_aspect_buckets,
     "lang_id": q_lang_id,
@@ -7786,6 +7924,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_dominant_color": SQL_IMAGE_DOMINANT_COLOR,
     "image_blockiness": SQL_IMAGE_BLOCKINESS,
     "image_mirror_symmetry": SQL_IMAGE_MIRROR_SYMMETRY,
+    "image_exposure": SQL_IMAGE_EXPOSURE,
+    "wds_shards": SQL_WDS_SHARDS,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
     "video_cut_candidates": SQL_VIDEO_CUT_CANDIDATES,

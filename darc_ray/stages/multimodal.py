@@ -1821,3 +1821,108 @@ def image_mirror_symmetry_batch(batch: "pa.Table") -> "pa.Table":
                               + [(k, pa.int64()) for k in
                                  ("width", "height", "asym_milli",
                                   "mirror_sym")]))
+
+
+EXPOSURE_FIXTURE = "/tmp/darc_ray_fixtures/image_exposure.parquet"
+
+
+def ensure_image_exposure_fixture(path: str = EXPOSURE_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the exposure-clipping gate:
+    ``-normal`` rows are the mid-range both-axis gradient (no channel
+    ever reaches the clip thresholds), ``-blown`` rows have their top
+    third hard-clipped to 255 on all channels (the washed-out-sky /
+    flash-burn shape), ``-crushed`` rows have their bottom third at 0
+    (the underexposed-shadow shape), ``-both`` rows carry one clipped
+    band of each, and two solid rows pin the all-blown / all-crushed
+    edge cases (share = 1000 exactly).  All pixel values are exact
+    integers so the DuckDB hex-walk oracle re-derives the kernel
+    bit-for-bit.  Fixed path + atomic write + ALWAYS rewritten,
+    sf-independent — same contract as ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def midrange(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (30 + (23 * xx + 19 * yy + 7 * i) % 190).astype(np.uint8)
+        g = (30 + (23 * xx + 19 * yy + 7 * i + 37) % 190).astype(np.uint8)
+        b = (30 + (23 * xx + 19 * yy + 7 * i + 74) % 190).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(14):
+        hh, ww = 18 + (5 * i) % 13, 21 + (7 * i) % 11
+        pix = midrange(hh, ww, i)
+        flavor = i % 4
+        if flavor == 1:
+            pix[: hh // 3] = 255
+            add(f"exp-{i:02d}-blown", pix)
+        elif flavor == 2:
+            pix[hh - hh // 3:] = 0
+            add(f"exp-{i:02d}-crushed", pix)
+        elif flavor == 3:
+            pix[: hh // 4] = 255
+            pix[hh - hh // 4:] = 0
+            add(f"exp-{i:02d}-both", pix)
+        else:
+            add(f"exp-{i:02d}-normal", pix)
+    add("exp-solid-blown", np.full((16, 20, 3), 255, np.uint8))
+    add("exp-solid-crushed", np.zeros((16, 20, 3), np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_exposure_batch(batch: "pa.Table") -> "pa.Table":
+    """Integer exposure-clipping gate over raw-pixel payloads — the
+    blown-highlight / crushed-shadow filter a DataComp/LAION-class
+    funnel runs alongside the brightness-mean gate (a half-blown image
+    can have a PERFECT mean; only the clipped-pixel share catches it):
+    a pixel is ``blown`` when ALL three channels ≥ 250 and ``crushed``
+    when ALL three ≤ 5; ``hi_milli`` / ``lo_milli`` are the per-mille
+    clipped shares and the flags fire at ≥ 200 (a fifth of the frame
+    gone).  All-integer → bit-exact vs the DuckDB hex-walk oracle
+    (LEAST/GREATEST over the three channel bytes).  Stateless
+    ``map_batches``, no shuffle — embarrassingly parallel at 100 TB."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "hi_milli", "lo_milli",
+        "overexposed", "underexposed", "keep")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        n = h * w
+        blown = int((pix.min(axis=2) >= 250).sum())
+        crushed = int((pix.max(axis=2) <= 5).sum())
+        hi = blown * 1000 // n
+        lo = crushed * 1000 // n
+        over, under = int(hi >= 200), int(lo >= 200)
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["hi_milli"].append(hi)
+        out["lo_milli"].append(lo)
+        out["overexposed"].append(over)
+        out["underexposed"].append(under)
+        out["keep"].append(int(not over and not under))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "hi_milli",
+                                  "lo_milli", "overexposed",
+                                  "underexposed", "keep")]))
