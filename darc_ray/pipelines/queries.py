@@ -7617,6 +7617,72 @@ FROM st ORDER BY image_id
 """
 
 
+def q_aesthetic_gate(sf_dir: str) -> pd.DataFrame:
+    """Aesthetic-proxy model scoring over the planted good/washed/dark
+    fixture — the LAION-aesthetics stage of an image funnel collapsed
+    to an auditable fixed linear model over three per-image pixel
+    statistics (saturation, contrast-vs-reference, exposure
+    centering); the Ray-side shape is exactly the learned-scorer
+    deployment (stateless per-batch scoring, zero shuffle, model
+    constants resident per worker), with integer arithmetic so the
+    DuckDB hex-walk oracle re-derives every score bit-for-bit.
+    Planted flavors separate cleanly: ``-good`` keeps (≥ 400),
+    ``-washed``/``-dark``/near-solid reject."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (aesthetic_gate_batch,
+                                            ensure_image_aesthetic_fixture)
+
+    path = ensure_image_aesthetic_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(aesthetic_gate_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_AESTHETIC_GATE = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_aesthetic.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT AS rv,
+         ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT AS gv,
+         ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS bv
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), st AS (
+  SELECT image_id, count(*)::BIGINT AS n,
+         sum(299 * rv + 587 * gv + 114 * bv)::BIGINT AS sum_l,
+         sum((299 * rv + 587 * gv + 114 * bv)
+             * (299 * rv + 587 * gv + 114 * bv))::BIGINT AS sum_l2,
+         sum(greatest(rv, gv, bv) - least(rv, gv, bv))::BIGINT AS sum_sat
+  FROM px GROUP BY image_id
+), scored AS (
+  SELECT image_id,
+         sum_l * 1000 // (n * 255000) AS bright_milli,
+         sum_sat * 1000 // (n * 255) AS sat_milli,
+         least(1000, ((sum_l2 - sum_l * sum_l // n) // n) // 4096000)
+             AS contrast_milli
+  FROM st
+)
+SELECT image_id, bright_milli::BIGINT AS bright_milli,
+       sat_milli::BIGINT AS sat_milli,
+       contrast_milli::BIGINT AS contrast_milli,
+       ((3 * sat_milli + 3 * contrast_milli
+         + 4 * (1000 - 2 * abs(bright_milli - 500))) // 10)::BIGINT
+           AS aesthetic_milli,
+       CASE WHEN (3 * sat_milli + 3 * contrast_milli
+                  + 4 * (1000 - 2 * abs(bright_milli - 500))) // 10 >= 400
+            THEN 1 ELSE 0 END::BIGINT AS aesthetic_keep
+FROM scored ORDER BY image_id
+"""
+
+
 WDS_N_SHARDS = 16
 
 
@@ -7739,10 +7805,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dups": q_embedding_dups,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_exposure": q_image_exposure,
+    "aesthetic_gate": q_aesthetic_gate,
     "image_blockiness": q_image_blockiness,
     "image_mirror_symmetry": q_image_mirror_symmetry,
     "wds_shards": q_wds_shards,
-    "image_thumbs_pooled": q_image_thumbs_pooled,
     "image_dedup": q_image_dedup,
     "caption_gate": q_caption_gate,
     "caption_dedup": q_caption_dedup,
@@ -7770,13 +7836,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # make room for the caption-axis pair families + pair capstone;
     # audio_metadata/video_metadata (r04★ stateless header scans)
     # rotated out late-r5 for image_blockiness/image_mirror_symmetry;
-    # image_metadata/image_quality_gate (r04★) rotated out for
-    # image_exposure/wds_shards)
+    # image_metadata/image_quality_gate/image_thumbs_pooled (r04★)
+    # rotated out for image_exposure/wds_shards/aesthetic_gate)
     "ann_brute": q_ann_brute,
     "audio_metadata": q_audio_metadata,
     "video_metadata": q_video_metadata,
     "image_metadata": q_image_metadata,
     "image_quality_gate": q_image_quality_gate,
+    "image_thumbs_pooled": q_image_thumbs_pooled,
     "postings": q_postings,
     "aspect_buckets": q_aspect_buckets,
     "lang_id": q_lang_id,
@@ -7926,6 +7993,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_mirror_symmetry": SQL_IMAGE_MIRROR_SYMMETRY,
     "image_exposure": SQL_IMAGE_EXPOSURE,
     "wds_shards": SQL_WDS_SHARDS,
+    "aesthetic_gate": SQL_AESTHETIC_GATE,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
     "video_cut_candidates": SQL_VIDEO_CUT_CANDIDATES,

@@ -1926,3 +1926,111 @@ def image_exposure_batch(batch: "pa.Table") -> "pa.Table":
                                  ("width", "height", "hi_milli",
                                   "lo_milli", "overexposed",
                                   "underexposed", "keep")]))
+
+
+AESTHETIC_FIXTURE = "/tmp/darc_ray_fixtures/image_aesthetic.parquet"
+
+
+def ensure_image_aesthetic_fixture(path: str = AESTHETIC_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the aesthetic-proxy scorer:
+    ``-good`` rows are colorful mid-brightness gradients (high
+    saturation, healthy contrast, centered exposure — the shape a
+    learned aesthetic model rewards), ``-washed`` rows are narrow-range
+    grayscale (zero saturation, low contrast — scanner/doc junk),
+    ``-dark`` rows are deep-shadow gradients (off-center exposure),
+    and two near-solid rows pin the zero-saturation / zero-contrast
+    edge cases just under the keep threshold.  All pixel values exact
+    integers; the DuckDB hex-walk oracle re-derives every score
+    bit-for-bit.  Fixed path + atomic write + ALWAYS rewritten,
+    sf-independent — same contract as ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    for i in range(14):
+        hh, ww = 17 + (5 * i) % 12, 20 + (7 * i) % 13
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        flavor = i % 3
+        if flavor == 0:
+            r = (60 + (23 * xx + 17 * yy + 7 * i) % 140).astype(np.uint8)
+            g = (60 + (23 * xx + 17 * yy + 7 * i + 47) % 140).astype(np.uint8)
+            b = (60 + (23 * xx + 17 * yy + 7 * i + 94) % 140).astype(np.uint8)
+            add(f"aes-{i:02d}-good", np.stack([r, g, b], axis=2))
+        elif flavor == 1:
+            v = (120 + (13 * xx + 11 * yy + 5 * i) % 30).astype(np.uint8)
+            add(f"aes-{i:02d}-washed", np.stack([v, v, v], axis=2))
+        else:
+            r = (5 + (9 * xx + 7 * yy + 3 * i) % 55).astype(np.uint8)
+            g = (5 + (9 * xx + 7 * yy + 3 * i + 18) % 55).astype(np.uint8)
+            b = (5 + (9 * xx + 7 * yy + 3 * i + 36) % 55).astype(np.uint8)
+            add(f"aes-{i:02d}-dark", np.stack([r, g, b], axis=2))
+    add("aes-solid-mid", np.full((18, 22, 3), 127, np.uint8))
+    add("aes-solid-dim", np.full((18, 22, 3), 96, np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def aesthetic_gate_batch(batch: "pa.Table") -> "pa.Table":
+    """Integer AESTHETIC-PROXY scorer over raw-pixel payloads — the
+    model-scoring stage of a LAION-aesthetics-class funnel collapsed
+    to a fixed linear model over three per-image pixel statistics
+    (the real pipeline broadcasts a learned scorer to an actor pool;
+    the Ray-side shape here is identical — stateless per-batch scoring,
+    no shuffle — with an auditable integer model so the DuckDB oracle
+    re-derives every score bit-for-bit):
+
+    * ``bright_milli``  — mean milli-luma scaled to [0, 1000];
+      ``centered`` = 1000 − 2·|bright − 500| rewards mid-exposure
+    * ``sat_milli``     — mean (max−min) channel spread / 255
+    * ``contrast_milli``— luma variance against a reference variance
+      of (64 luma levels)² = 4.096e9 milli² (documented constant),
+      clamped to 1000
+
+    score = (3·sat + 3·contrast + 4·centered) // 10, keep at ≥ 400.
+    All sums fit int64 at megapixel scale (sum L² ≤ n·255000²)."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "bright_milli", "sat_milli", "contrast_milli",
+        "aesthetic_milli", "aesthetic_keep")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        n = pix.shape[0] * pix.shape[1]
+        luma = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        sum_l = int(luma.sum())
+        sum_l2 = int((luma * luma).sum())
+        sum_sat = int((pix.max(axis=2) - pix.min(axis=2)).sum())
+        bright = sum_l * 1000 // (n * 255000)
+        centered = 1000 - 2 * abs(bright - 500)
+        sat = sum_sat * 1000 // (n * 255)
+        var = (sum_l2 - sum_l * sum_l // n) // n
+        contrast = min(1000, var // 4_096_000)
+        score = (3 * sat + 3 * contrast + 4 * centered) // 10
+        out["image_id"].append(iid)
+        out["bright_milli"].append(bright)
+        out["sat_milli"].append(sat)
+        out["contrast_milli"].append(contrast)
+        out["aesthetic_milli"].append(score)
+        out["aesthetic_keep"].append(int(score >= 400))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("bright_milli", "sat_milli",
+                                  "contrast_milli", "aesthetic_milli",
+                                  "aesthetic_keep")]))

@@ -95,3 +95,40 @@ def test_wds_shards_manifest_matches_pure_python(ray_session):
         assert (int(r.n_pairs), int(r.image_bytes),
                 int(r.caption_chars), r.first_id, r.last_id) == \
             (n, ib, cc, lo, hi)
+
+
+def test_aesthetic_gate_exact_handbuilt():
+    from darc_ray.stages.multimodal import aesthetic_gate_batch
+
+    # solid mid-gray: sat = 0, var = 0, bright = 127000*1000//255000
+    pix = np.full((3, 5, 3), 127, np.uint8)
+    row = aesthetic_gate_batch(_one("s", pix)).to_pandas().iloc[0]
+    assert row.bright_milli == 127 * 1000000 // 255000
+    assert (row.sat_milli, row.contrast_milli) == (0, 0)
+    assert row.aesthetic_milli == \
+        4 * (1000 - 2 * abs(row.bright_milli - 500)) // 10
+    assert row.aesthetic_keep == 0
+    # full-saturation half-black/half-white checkering maxes contrast
+    pix2 = np.zeros((2, 4, 3), np.uint8)
+    pix2[:, ::2] = 255
+    row2 = aesthetic_gate_batch(_one("c", pix2)).to_pandas().iloc[0]
+    assert row2.contrast_milli == 1000          # var = 127500^2 >> ref
+    assert row2.sat_milli == 0                  # grayscale extremes
+    assert row2.bright_milli == 500             # perfectly centered
+    assert row2.aesthetic_milli == (3 * 0 + 3 * 1000 + 4 * 1000) // 10
+    assert row2.aesthetic_keep == 1
+
+
+def test_aesthetic_fixture_flavors_separate():
+    from darc_ray.stages.multimodal import (aesthetic_gate_batch,
+                                            ensure_image_aesthetic_fixture)
+
+    out = aesthetic_gate_batch(
+        pq.read_table(ensure_image_aesthetic_fixture())).to_pandas()
+    for _, r in out.iterrows():
+        want = 1 if r["image_id"].endswith("-good") else 0
+        assert r.aesthetic_keep == want, (r["image_id"], r.aesthetic_milli)
+    # washed rows reject on saturation, dark rows on exposure centering
+    byid = out.set_index("image_id")
+    assert byid.loc["aes-01-washed", "sat_milli"] == 0
+    assert byid.loc["aes-02-dark", "bright_milli"] < 200
