@@ -50,10 +50,12 @@ def _ensure_fixture_files() -> None:
                                          ensure_repetition_fixture)
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
                                             ensure_audio_pcm_fixture,
+                                            ensure_image_aesthetic_fixture,
                                             ensure_image_blocky_fixture,
                                             ensure_image_borders_fixture,
                                             ensure_image_caption_fixture,
                                             ensure_image_dhash_fixture,
+                                            ensure_image_exposure_fixture,
                                             ensure_image_logo_fixture,
                                             ensure_image_meta_fixture,
                                             ensure_image_pixels_fixture,
@@ -64,6 +66,8 @@ def _ensure_fixture_files() -> None:
     ensure_image_pixels_fixture()
     ensure_image_borders_fixture()
     ensure_image_blocky_fixture()
+    ensure_image_exposure_fixture()
+    ensure_image_aesthetic_fixture()
     ensure_image_caption_fixture()
     ensure_image_dhash_fixture()
     ensure_image_logo_fixture()

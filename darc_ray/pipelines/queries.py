@@ -7683,6 +7683,128 @@ FROM scored ORDER BY image_id
 """
 
 
+def q_phash_bitstats(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash HEALTH CHECK over the input_hint pair table —
+    the corpus-level QA a dedup pipeline runs before trusting its
+    banded-LSH blocking: per phash bit, the population share of ones
+    (a healthy DCT hash is ~balanced; a stuck bit collapses whole LSH
+    bands and silently halves recall).  Shape: per-batch PARTIAL
+    64-row popcount tables (vectorized ``(ph >> b) & 1``) combined by
+    a bit-keyed groupby — output is 64 rows regardless of corpus
+    size, nothing data-proportional anywhere.  DuckDB's ``>>`` on
+    BIGINT is the same arithmetic shift as numpy int64 (verified
+    incl. the sign bit), so the oracle is bit-exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from darc_ray.stages.multimodal import ensure_image_caption_fixture
+
+    path = ensure_image_caption_fixture()
+    bits = np.arange(64, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ph = t.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
+        ones = ((ph[:, None] >> bits[None, :]) & 1).sum(axis=0)
+        return pd.DataFrame({"bit": bits, "ones": ones.astype(np.int64),
+                             "n": np.int64(len(ph))})
+
+    agg = (rd.read_parquet(path, columns=["phash"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("bit")
+           .aggregate(Sum("ones", alias_name="ones"),
+                      Sum("n", alias_name="n_hashes"))
+           .to_pandas())
+    agg["share_milli"] = agg["ones"] * 1000 // agg["n_hashes"]
+    agg["balanced"] = (np.abs(agg["share_milli"] - 500) <= 300).astype(int)
+    for c in agg.columns:
+        agg[c] = agg[c].astype(np.int64)
+    return (agg[["bit", "ones", "n_hashes", "share_milli", "balanced"]]
+            .sort_values("bit").reset_index(drop=True))
+
+
+SQL_PHASH_BITSTATS = """
+WITH bits AS (
+  SELECT unnest(generate_series(0, 63)) AS bit
+), src AS (
+  SELECT phash
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+)
+SELECT b.bit,
+       sum((s.phash >> b.bit) & 1)::BIGINT AS ones,
+       count(*)::BIGINT AS n_hashes,
+       (sum((s.phash >> b.bit) & 1) * 1000 // count(*))::BIGINT
+           AS share_milli,
+       CASE WHEN abs(sum((s.phash >> b.bit) & 1) * 1000 // count(*)
+                     - 500) <= 300
+            THEN 1 ELSE 0 END::BIGINT AS balanced
+FROM bits b CROSS JOIN src s
+GROUP BY b.bit ORDER BY b.bit
+"""
+
+
+def q_stratified_split(sf_dir: str) -> pd.DataFrame:
+    """STRATIFIED train/val manifest over the input_hint pair table —
+    the eval-set construction step a global md5 split gets wrong on
+    rare strata (a 1 %-of-corpus format can land zero validation rows
+    under a global 10 % draw; per-stratum accounting makes the gap
+    auditable): assignment is the same content-free md5-prefix modulo
+    as ``dataset_split`` (stable under corpus growth), reported per
+    stratum (``fmt``) with train/val counts, the realized val
+    per-mille, and a ``has_val`` coverage flag.  Shape: stateless
+    hash assignment, per-batch PARTIAL counts, stratum-bounded
+    groupby — nothing data-proportional reaches the driver."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from darc_ray.stages.multimodal import ensure_image_caption_fixture
+
+    path = ensure_image_caption_fixture()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("image_id").to_pylist()
+        u = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                            "big") % 10 for s in ids),
+            dtype=np.int64, count=len(ids))
+        df = pd.DataFrame({"stratum": t.column("fmt").to_pylist(),
+                           "v": (u == 0).astype(np.int64),
+                           "t": (u != 0).astype(np.int64)})
+        return (df.groupby("stratum", as_index=False)
+                .agg(n_train=("t", "sum"), n_val=("v", "sum")))
+
+    agg = (rd.read_parquet(path, columns=["image_id", "fmt"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("stratum")
+           .aggregate(Sum("n_train", alias_name="n_train"),
+                      Sum("n_val", alias_name="n_val"))
+           .to_pandas())
+    n = agg["n_train"] + agg["n_val"]
+    agg["val_milli"] = agg["n_val"] * 1000 // n
+    agg["has_val"] = (agg["n_val"] > 0).astype(int)
+    for c in ("n_train", "n_val", "val_milli", "has_val"):
+        agg[c] = agg[c].astype(np.int64)
+    return (agg[["stratum", "n_train", "n_val", "val_milli", "has_val"]]
+            .sort_values("stratum").reset_index(drop=True))
+
+
+SQL_STRATIFIED_SPLIT = """
+WITH assigned AS (
+  SELECT fmt AS stratum,
+         CASE WHEN ('0x' || substr(md5(image_id), 1, 16))::UBIGINT
+                   % 10 = 0 THEN 1 ELSE 0 END AS is_val
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_caption.parquet')
+)
+SELECT stratum,
+       sum(1 - is_val)::BIGINT AS n_train,
+       sum(is_val)::BIGINT AS n_val,
+       (sum(is_val) * 1000 // count(*))::BIGINT AS val_milli,
+       CASE WHEN sum(is_val) > 0 THEN 1 ELSE 0 END::BIGINT AS has_val
+FROM assigned GROUP BY stratum ORDER BY stratum
+"""
+
+
 WDS_N_SHARDS = 16
 
 
@@ -7809,17 +7931,17 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_blockiness": q_image_blockiness,
     "image_mirror_symmetry": q_image_mirror_symmetry,
     "wds_shards": q_wds_shards,
+    "phash_bitstats": q_phash_bitstats,
+    "stratified_split": q_stratified_split,
     "image_dedup": q_image_dedup,
     "caption_gate": q_caption_gate,
     "caption_dedup": q_caption_dedup,
-    "pii_redact": q_pii_redact,
     "boilerplate_strip": q_boilerplate_strip,
     "image_letterbox": q_image_letterbox,
     "bigram_lm": q_bigram_lm,
     "image_phash_clusters": q_image_phash_clusters,
     "image_color_stats": q_image_color_stats,
     "cms_topk": q_cms_topk,
-    "sequence_pack": q_sequence_pack,
     "dedup_keep_best": q_dedup_keep_best,
     "quantiles_sketch": q_quantiles_sketch,
     "paragraph_dedup": q_paragraph_dedup,
@@ -7836,14 +7958,17 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # make room for the caption-axis pair families + pair capstone;
     # audio_metadata/video_metadata (r04★ stateless header scans)
     # rotated out late-r5 for image_blockiness/image_mirror_symmetry;
-    # image_metadata/image_quality_gate/image_thumbs_pooled (r04★)
-    # rotated out for image_exposure/wds_shards/aesthetic_gate)
+    # image_metadata/image_quality_gate/image_thumbs_pooled/pii_redact/
+    # sequence_pack (all r04★) rotated out for image_exposure/
+    # wds_shards/aesthetic_gate/phash_bitstats/stratified_split)
     "ann_brute": q_ann_brute,
     "audio_metadata": q_audio_metadata,
     "video_metadata": q_video_metadata,
     "image_metadata": q_image_metadata,
     "image_quality_gate": q_image_quality_gate,
     "image_thumbs_pooled": q_image_thumbs_pooled,
+    "pii_redact": q_pii_redact,
+    "sequence_pack": q_sequence_pack,
     "postings": q_postings,
     "aspect_buckets": q_aspect_buckets,
     "lang_id": q_lang_id,
@@ -7994,6 +8119,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_exposure": SQL_IMAGE_EXPOSURE,
     "wds_shards": SQL_WDS_SHARDS,
     "aesthetic_gate": SQL_AESTHETIC_GATE,
+    "phash_bitstats": SQL_PHASH_BITSTATS,
+    "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
     "video_cut_candidates": SQL_VIDEO_CUT_CANDIDATES,

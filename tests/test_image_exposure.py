@@ -132,3 +132,47 @@ def test_aesthetic_fixture_flavors_separate():
     byid = out.set_index("image_id")
     assert byid.loc["aes-01-washed", "sat_milli"] == 0
     assert byid.loc["aes-02-dark", "bright_milli"] < 200
+
+
+def test_phash_bitstats_matches_pure_python(ray_session):
+    from darc_ray.pipelines.queries import q_phash_bitstats
+
+    got = q_phash_bitstats("/root/testdata/sf0.001")
+    t = pq.read_table(ensure_image_caption_fixture(), columns=["phash"])
+    ph = [int(x) for x in t.column("phash").to_pylist()]
+    assert len(got) == 64
+    for _, r in got.iterrows():
+        b = int(r["bit"])
+        ones = sum((v >> b) & 1 for v in ph)
+        assert int(r.ones) == ones, b
+        assert int(r.n_hashes) == len(ph)
+        assert int(r.share_milli) == ones * 1000 // len(ph)
+        assert int(r.balanced) == int(abs(ones * 1000 // len(ph) - 500)
+                                      <= 300)
+    # the sign bit (63) is covered and the arithmetic-shift semantics
+    # agree between numpy int64 and pure-Python ints
+    assert 63 in set(got["bit"])
+
+
+def test_stratified_split_matches_pure_python(ray_session):
+    from darc_ray.pipelines.queries import q_stratified_split
+
+    got = q_stratified_split("/root/testdata/sf0.001")
+    t = pq.read_table(ensure_image_caption_fixture(),
+                      columns=["image_id", "fmt"])
+    strata: dict = {}
+    for iid, fmt in zip(t.column("image_id").to_pylist(),
+                        t.column("fmt").to_pylist()):
+        u = int.from_bytes(hashlib.md5(iid.encode()).digest()[:8],
+                           "big") % 10
+        tr, va = strata.get(fmt, (0, 0))
+        strata[fmt] = (tr + (u != 0), va + (u == 0))
+    assert len(got) == len(strata)
+    for _, r in got.iterrows():
+        tr, va = strata[r["stratum"]]
+        assert (int(r.n_train), int(r.n_val)) == (tr, va), r["stratum"]
+        assert int(r.val_milli) == va * 1000 // (tr + va)
+        assert int(r.has_val) == int(va > 0)
+    # the fixture plants the rare-stratum gap the manifest exists to
+    # surface: at least one stratum has zero validation rows
+    assert (got["has_val"] == 0).any()

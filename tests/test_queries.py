@@ -131,3 +131,12 @@ def test_quantiles_sketch_within_bin_error(ray_session):
         for p in ("p50", "p90", "p99"):
             err = abs(float(approx.loc[et, p]) - float(exact.loc[et, p]))
             assert err <= tol, (et, p, err, tol)
+
+
+def test_driver_window_is_fully_sql_oracled():
+    """The driver's correctness harness records only the FIRST 50
+    registry entries; a rows-only family in a window slot silently
+    downgrades that slot's evidence.  Guard the rotation discipline."""
+    window = list(QUERIES)[:50]
+    missing = [n for n in window if n not in ORACLE_SQL]
+    assert not missing, missing
