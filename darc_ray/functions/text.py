@@ -325,3 +325,51 @@ def ensure_html_fixture(path: str = HTML_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+CAPTION_LANG_FIXTURE = "/tmp/darc_ray_fixtures/caption_lang.parquet"
+
+
+def ensure_caption_lang_fixture(path: str = CAPTION_LANG_FIXTURE) -> str:
+    """Deterministic multilingual caption corpus for the language-mix
+    dataset-card family: 26 captions cycling five planted languages —
+    en / de / fr / es (each with an unambiguous stopword majority for
+    the ``lang_id`` argmax, respecting the shared fr/es tokens) and zh
+    (CJK chars trip the first branch) — plus one stopword-free junk
+    caption that exercises the en default.  Fixed path + atomic write
+    + ALWAYS rewritten, sf-independent (same contract as the other
+    text fixtures)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    templates = [
+        "the harbor of a quiet town in the rain and it is calm for hours",
+        "der alte turm und die laterne ist nicht ein traum ich gehe zu "
+        "abend mit freude",
+        "le vieux pont et les toits est un reve des artistes que "
+        "pour toujours",
+        "el mercado los farolillos las flores es una tarde que por "
+        "para siempre",
+        "城市的黄昏有一座桥",
+    ]
+    fillers = ["photo", "view", "scene", "shot", "frame"]
+    rows_id, rows_cap = [], []
+    for i in range(25):
+        rows_id.append(f"lang-{i:02d}")
+        rows_cap.append(f"{fillers[(i // 5) % 5]} {i:02d} "
+                        f"{templates[i % 5]}")
+    rows_id.append("lang-99-junk")
+    rows_cap.append("zzz qqq 12345 ---")
+    table = pa.Table.from_pydict({
+        "image_id": pa.array(rows_id, pa.string()),
+        "caption": pa.array(rows_cap, pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

@@ -7881,6 +7881,86 @@ FROM assigned GROUP BY shard ORDER BY shard
 """
 
 
+def q_caption_lang_mix(sf_dir: str) -> pd.DataFrame:
+    """Dataset-card LANGUAGE MIX report over the multilingual caption
+    fixture — the language-composition table a LAION/CCNet-style
+    release publishes: per predicted language n_captions, total/mean
+    whitespace words, and corpus share in per-mille.  Shape: one
+    stateless ``map_batches`` running the stopword/CJK ``lang_id``
+    heuristic and emitting per-batch PARTIAL (lang-keyed) aggregates,
+    then a lang-keyed global sum — the key space is the fixed language
+    inventory (5 codes), so the combine is a classic pre-aggregated
+    groupby with no data-proportional shuffle; at 100 TB the only
+    all-to-all traffic is O(batches × langs) partial rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from darc_ray.functions.text import ensure_caption_lang_fixture, lang_id
+
+    path = ensure_caption_lang_fixture()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "lang": lang_id(df["caption"]),
+            "w": df["caption"].str.split().map(len).astype("int64"),
+            "n": np.ones(len(df), dtype=np.int64),
+        })
+        return (out.groupby("lang", as_index=False)
+                .agg(n=("n", "sum"), w=("w", "sum")))
+
+    agg = (rd.read_parquet(path, columns=["caption"])
+           .map_batches(partial, batch_format="pandas", batch_size=4096)
+           .groupby("lang")
+           .aggregate(Sum("n", alias_name="n_captions"),
+                      Sum("w", alias_name="total_words"))
+           .to_pandas())
+    total = int(agg["n_captions"].sum())
+    agg["mean_words"] = (agg["total_words"] // agg["n_captions"]).astype("int64")
+    agg["share_milli"] = (agg["n_captions"] * 1000 // total).astype("int64")
+    for c in ("n_captions", "total_words"):
+        agg[c] = agg[c].astype("int64")
+    agg = agg[["lang", "n_captions", "total_words", "mean_words",
+               "share_milli"]]
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
+# same stopword-argmax CTE as SQL_LANG_ID (en-first tie order), over
+# the caption fixture; word count = whitespace split of the trimmed
+# caption (fixture captions are non-empty, no leading/trailing blanks)
+SQL_CAPTION_LANG_MIX = """
+WITH w AS (
+  SELECT regexp_matches(substring(caption, 1, 400), '[一-鿿]') AS cjk,
+         list_distinct(string_split_regex(lower(caption), '\\s+')) AS words,
+         len(string_split_regex(trim(caption), '\\s+')) AS n_words
+  FROM read_parquet('/tmp/darc_ray_fixtures/caption_lang.parquet')
+), c AS (
+  SELECT cjk, n_words,
+    len(list_intersect(words, ['the','a','and','of','to','in','is','that','it','for'])) AS n_en,
+    len(list_intersect(words, ['der','die','das','und','ist','nicht','ein','zu','mit','ich'])) AS n_de,
+    len(list_intersect(words, ['le','la','les','et','est','un','une','des','que','pour'])) AS n_fr,
+    len(list_intersect(words, ['el','la','los','las','es','un','una','que','por','para'])) AS n_es
+  FROM w
+), tagged AS (
+  SELECT CASE
+    WHEN cjk THEN 'zh'
+    WHEN n_es > n_en AND n_es > n_de AND n_es > n_fr THEN 'es'
+    WHEN n_fr > n_en AND n_fr > n_de THEN 'fr'
+    WHEN n_de > n_en THEN 'de'
+    ELSE 'en' END AS lang, n_words
+  FROM c
+), cell AS (
+  SELECT lang, count(*)::BIGINT AS n_captions,
+         sum(n_words)::BIGINT AS total_words
+  FROM tagged GROUP BY lang
+)
+SELECT lang, n_captions, total_words,
+       (total_words // n_captions)::BIGINT AS mean_words,
+       (n_captions * 1000 // (SELECT sum(n_captions) FROM cell))::BIGINT
+           AS share_milli
+FROM cell ORDER BY lang
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7911,7 +7991,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "curation_pipeline": q_curation_pipeline,
     "image_curation_pipeline": q_image_curation_pipeline,
     "dedup_exact": q_dedup_exact,
-    "normalized_dedup": q_normalized_dedup,
+    "caption_lang_mix": q_caption_lang_mix,
     "image_dhash": q_image_dhash,
     "clip_alignment": q_clip_alignment,
     "semdedup": q_semdedup,
@@ -7960,7 +8040,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # rotated out late-r5 for image_blockiness/image_mirror_symmetry;
     # image_metadata/image_quality_gate/image_thumbs_pooled/pii_redact/
     # sequence_pack (all r04★) rotated out for image_exposure/
-    # wds_shards/aesthetic_gate/phash_bitstats/stratified_split)
+    # wds_shards/aesthetic_gate/phash_bitstats/stratified_split;
+    # normalized_dedup (r04★) rotated out for caption_lang_mix)
+    "normalized_dedup": q_normalized_dedup,
     "ann_brute": q_ann_brute,
     "audio_metadata": q_audio_metadata,
     "video_metadata": q_video_metadata,
@@ -8120,6 +8202,7 @@ ORACLE_SQL: dict[str, str] = {
     "wds_shards": SQL_WDS_SHARDS,
     "aesthetic_gate": SQL_AESTHETIC_GATE,
     "phash_bitstats": SQL_PHASH_BITSTATS,
+    "caption_lang_mix": SQL_CAPTION_LANG_MIX,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

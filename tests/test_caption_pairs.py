@@ -133,3 +133,22 @@ def test_format_mix_partitions_the_corpus(ray_session):
     assert (df["mean_bytes"] == df["total_bytes"] // df["n_images"]).all()
     assert (df["share_milli"]
             == df["n_images"] * 1000 // t.num_rows).all()
+
+
+# ---------------------------------------------------------------------------
+# caption_lang_mix: planted language composition of the dedicated fixture
+# ---------------------------------------------------------------------------
+
+def test_caption_lang_mix_planted_composition(ray_session):
+    from darc_ray.pipelines.queries import q_caption_lang_mix
+
+    df = q_caption_lang_mix("unused").set_index("lang")
+    # 5 planted captions per language; the stopword-free junk caption
+    # falls through to the en default -> 6
+    assert df["n_captions"].to_dict() == {
+        "en": 6, "de": 5, "fr": 5, "es": 5, "zh": 5}
+    assert int(df["n_captions"].sum()) == 26
+    # shares are floor per-mille of 26
+    assert df.loc["en", "share_milli"] == 6 * 1000 // 26
+    assert (df.loc[["de", "fr", "es", "zh"], "share_milli"]
+            == 5 * 1000 // 26).all()
