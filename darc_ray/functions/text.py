@@ -373,3 +373,60 @@ def ensure_caption_lang_fixture(path: str = CAPTION_LANG_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+CAPTION_TEMPLATE_FIXTURE = "/tmp/darc_ray_fixtures/caption_template.parquet"
+
+
+def ensure_caption_template_fixture(path: str = CAPTION_TEMPLATE_FIXTURE) -> str:
+    """Deterministic caption corpus for the template-spam family: a
+    planted mix of alt-text boilerplate groups — 12 ``stock photo of
+    …`` rows (10 distinct tails + 2 exact repeats), 6 distinct
+    ``royalty free image …`` rows, 4 byte-identical ``click to
+    enlarge`` rows, 4 identical single-token ``new`` rows (the
+    shorter-than-prefix path) — plus sub-threshold noise: 3 ``best
+    wallpaper hd …`` rows (n=3 < 4) and 8 one-off unique captions.
+    Case/whitespace variants are planted so the lower/trim
+    normalization is load-bearing.  Fixed path + atomic write +
+    ALWAYS rewritten, sf-independent (same contract as the other text
+    fixtures)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    caps: list[str] = []
+    nouns = ["harbor", "bridge", "market", "forest", "tower",
+             "lantern", "garden", "canyon", "library", "station"]
+    for k, n in enumerate(nouns):
+        caps.append(f"Stock Photo of {n} at dusk {k}")
+    caps.append("stock photo of harbor at dusk 0")      # exact repeat
+    caps.append("  stock photo of harbor at dusk 0  ")  # trim variant
+    for k in range(6):
+        caps.append(f"royalty free image number {k}")
+    caps.extend(["click to enlarge"] * 4)
+    caps.extend(["new"] * 4)
+    for k in range(3):
+        caps.append(f"best wallpaper hd {k}")
+    caps.extend([
+        "a quiet sunrise over the bay",
+        "two dogs playing in fresh snow",
+        "vintage bicycle leaning on a wall",
+        "macro shot of a dew covered leaf",
+        "night skyline reflected in the river",
+        "children flying kites on the beach",
+        "old map spread across a desk",
+        "steam rising from a mountain hut",
+    ])
+    table = pa.Table.from_pydict({
+        "image_id": pa.array([f"tpl-{i:02d}" for i in range(len(caps))],
+                             pa.string()),
+        "caption": pa.array(caps, pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

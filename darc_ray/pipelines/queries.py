@@ -7961,6 +7961,174 @@ FROM cell ORDER BY lang
 """
 
 
+def q_image_text_overlay(sf_dir: str) -> pd.DataFrame:
+    """Text-overlay (OCR-junk) gate over the planted text-band fixture
+    — the meme/subtitle/banner filter a LAION/DataComp-class funnel
+    runs before caption-alignment scoring: per-row strong-edge density
+    (≥ 60 000 milli-luma steps over ≥ 180/1000 of a row's columns)
+    marks TEXT rows; ``has_text_overlay`` fires when ≥ 150/1000 of
+    rows are text.  Stateless all-integer ``map_batches``, no shuffle;
+    the DuckDB oracle hex-walks neighbor bytes and re-derives the
+    two-level density test bit-for-bit."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_textband_fixture,
+                                            image_text_overlay_batch)
+
+    path = ensure_image_textband_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_text_overlay_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_TEXT_OVERLAY = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_textband.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), gx AS (
+  SELECT r.image_id, r.w, r.ht, s.i // r.w AS y,
+         abs(299 * ('0x' || substr(r.hx, 2 * (12 + 3 * (s.i + 1)) + 1, 2))::BIGINT
+           + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * (s.i + 1)) + 1, 2))::BIGINT
+           + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * (s.i + 1)) + 1, 2))::BIGINT
+           - 299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+           - 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+           - 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT)
+             AS g
+  FROM raw r JOIN series s ON s.i < r.w * r.ht AND s.i % r.w < r.w - 1
+), rowcnt AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht, y,
+         sum(CASE WHEN g >= 60000 THEN 1 ELSE 0 END)::BIGINT AS strong
+  FROM gx GROUP BY image_id, y
+), st AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht,
+         sum(CASE WHEN strong * 1000 >= 180 * (w - 1)
+                  THEN 1 ELSE 0 END)::BIGINT AS text_rows
+  FROM rowcnt GROUP BY image_id
+)
+SELECT image_id, w AS width, ht AS height, text_rows,
+       (text_rows * 1000 // ht)::BIGINT AS text_milli,
+       CASE WHEN text_rows * 1000 // ht >= 150
+            THEN 1 ELSE 0 END::BIGINT AS has_text_overlay
+FROM st ORDER BY image_id
+"""
+
+
+def q_image_row_dups(sf_dir: str) -> pd.DataFrame:
+    """Repeated-scanline corruption gate over the planted row-dup
+    fixture — the truncated-decode / buffer-repeat / bad-deinterlace
+    QA check: adjacent byte-identical row pairs per-mille, flagged at
+    ≥ 250.  Stateless all-integer ``map_batches``, no shuffle; the
+    DuckDB oracle extracts each scanline as a hex substring and
+    self-joins it against y+1 — byte equality, bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_rowdup_fixture,
+                                            image_row_dups_batch)
+
+    path = ensure_image_rowdup_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_row_dups_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_ROW_DUPS = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_rowdup.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(ht) FROM raw) - 1)) AS y
+), rows_hex AS (
+  SELECT r.image_id, r.w, r.ht, s.y,
+         substr(r.hx, 2 * (12 + 3 * r.w * s.y) + 1, 6 * r.w) AS rh
+  FROM raw r JOIN series s ON s.y < r.ht
+), st AS (
+  SELECT a.image_id, any_value(a.w) AS w, any_value(a.ht) AS ht,
+         sum(CASE WHEN a.rh = b.rh THEN 1 ELSE 0 END)::BIGINT AS dups
+  FROM rows_hex a JOIN rows_hex b
+    ON b.image_id = a.image_id AND b.y = a.y + 1
+  GROUP BY a.image_id
+)
+SELECT image_id, w AS width, ht AS height, dups AS dup_adjacent,
+       (dups * 1000 // (ht - 1))::BIGINT AS dup_milli,
+       CASE WHEN dups * 1000 // (ht - 1) >= 250
+            THEN 1 ELSE 0 END::BIGINT AS row_corrupt
+FROM st ORDER BY image_id
+"""
+
+
+def q_caption_prefix_templates(sf_dir: str) -> pd.DataFrame:
+    """Template-spam report over the planted caption fixture — the
+    alt-text boilerplate detector a web-scale pair funnel runs before
+    caption dedup ("stock photo of …", "click to enlarge" dominate
+    crawled alt text and carry zero alignment signal): group by the
+    lower/trim-normalized first-3-token prefix, report groups with
+    ≥ 4 captions (count, distinct normalized captions, corpus share
+    per-mille).  Shape: one stateless ``map_batches`` emitting
+    (prefix, norm-caption)-keyed PARTIAL counts, a (prefix, caption)
+    groupby collapsing exact repeats, then a prefix-keyed groupby —
+    partials pre-aggregate inside batches so the all-to-all traffic
+    is O(distinct pairs), and the final key space is template-bounded;
+    only the template-sized report lands on the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from darc_ray.functions.text import ensure_caption_template_fixture
+
+    path = ensure_caption_template_fixture()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        norm = df["caption"].str.strip().str.lower()
+        prefix = norm.str.split().str[:3].str.join(" ")
+        out = pd.DataFrame({"prefix": prefix, "norm_caption": norm,
+                            "n": np.ones(len(df), dtype=np.int64)})
+        return (out.groupby(["prefix", "norm_caption"], as_index=False)
+                .agg(n=("n", "sum")))
+
+    pairs = (rd.read_parquet(path, columns=["caption"])
+             .map_batches(partial, batch_format="pandas", batch_size=4096)
+             .groupby(["prefix", "norm_caption"])
+             .aggregate(Sum("n", alias_name="n"))
+             .groupby("prefix")
+             .aggregate(Sum("n", alias_name="n_captions"),
+                        Count(alias_name="n_unique"))
+             .to_pandas())
+    total = int(pairs["n_captions"].sum())
+    out = pairs[pairs["n_captions"] >= 4].copy()
+    for c in ("n_captions", "n_unique"):
+        out[c] = out[c].astype("int64")
+    out["share_milli"] = (out["n_captions"] * 1000 // total).astype("int64")
+    out = out[["prefix", "n_captions", "n_unique", "share_milli"]]
+    return out.sort_values("prefix").reset_index(drop=True)
+
+
+SQL_CAPTION_PREFIX_TEMPLATES = """
+WITH t AS (
+  SELECT array_to_string(
+           list_slice(string_split_regex(lower(trim(caption)), '\\s+'),
+                      1, 3), ' ') AS prefix,
+         lower(trim(caption)) AS norm_caption
+  FROM read_parquet('/tmp/darc_ray_fixtures/caption_template.parquet')
+), g AS (
+  SELECT prefix, count(*)::BIGINT AS n_captions,
+         count(DISTINCT norm_caption)::BIGINT AS n_unique
+  FROM t GROUP BY prefix
+)
+SELECT prefix, n_captions, n_unique,
+       (n_captions * 1000 // (SELECT count(*) FROM t))::BIGINT AS share_milli
+FROM g WHERE n_captions >= 4 ORDER BY prefix
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7985,8 +8153,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "incremental_dedup": q_incremental_dedup,
     "dedup_clusters_dataset": q_dedup_clusters_dataset,
     "frontier_pop": q_frontier_pop,
-    "first_seen": q_first_seen,
-    "host_alive": q_host_alive,
+    "image_text_overlay": q_image_text_overlay,
+    "image_row_dups": q_image_row_dups,
     "quality_funnel": q_quality_funnel,
     "curation_pipeline": q_curation_pipeline,
     "image_curation_pipeline": q_image_curation_pipeline,
@@ -8004,7 +8172,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_corner_logo": q_image_corner_logo,
     "token_length_hist": q_token_length_hist,
     "minhash_dedup": q_minhash_dedup,
-    "embedding_dups": q_embedding_dups,
+    "caption_prefix_templates": q_caption_prefix_templates,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_exposure": q_image_exposure,
     "aesthetic_gate": q_aesthetic_gate,
@@ -8041,7 +8209,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # image_metadata/image_quality_gate/image_thumbs_pooled/pii_redact/
     # sequence_pack (all r04★) rotated out for image_exposure/
     # wds_shards/aesthetic_gate/phash_bitstats/stratified_split;
-    # normalized_dedup (r04★) rotated out for caption_lang_mix)
+    # normalized_dedup (r04★) rotated out for caption_lang_mix;
+    # first_seen/host_alive (r04★ + e2e-covered) and embedding_dups
+    # (r04★ exact rung; the LSH rung stays in-window) rotated out for
+    # image_text_overlay/image_row_dups/caption_prefix_templates)
+    "first_seen": q_first_seen,
+    "host_alive": q_host_alive,
+    "embedding_dups": q_embedding_dups,
     "normalized_dedup": q_normalized_dedup,
     "ann_brute": q_ann_brute,
     "audio_metadata": q_audio_metadata,
@@ -8203,6 +8377,9 @@ ORACLE_SQL: dict[str, str] = {
     "aesthetic_gate": SQL_AESTHETIC_GATE,
     "phash_bitstats": SQL_PHASH_BITSTATS,
     "caption_lang_mix": SQL_CAPTION_LANG_MIX,
+    "image_text_overlay": SQL_IMAGE_TEXT_OVERLAY,
+    "image_row_dups": SQL_IMAGE_ROW_DUPS,
+    "caption_prefix_templates": SQL_CAPTION_PREFIX_TEMPLATES,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

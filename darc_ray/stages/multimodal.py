@@ -2034,3 +2034,220 @@ def aesthetic_gate_batch(batch: "pa.Table") -> "pa.Table":
                                  ("bright_milli", "sat_milli",
                                   "contrast_milli", "aesthetic_milli",
                                   "aesthetic_keep")]))
+
+
+TEXTBAND_FIXTURE = "/tmp/darc_ray_fixtures/image_textband.parquet"
+
+
+def ensure_image_textband_fixture(path: str = TEXTBAND_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the text-overlay (OCR-junk)
+    gate: ``-clean`` rows are a LOW-contrast both-axis gradient whose
+    adjacent-column milli-luma step never reaches the strong-edge
+    threshold (per-channel step 3 inside a 40-value band, so even the
+    modular wrap is a ≤ 39 000 milli jump), ``-text`` rows plant a
+    meme/subtitle-style band — h//3 rows of period-2 dark/light
+    vertical strokes (every adjacent pair is a 224 000 milli edge, the
+    alternating fg/bg shape of rendered glyphs), ``-busy`` rows are
+    period-8 stripes over the WHOLE frame (strong edges, but only one
+    per 8 columns — a graphics texture the row-density test must NOT
+    confuse with text), one ``txt-full`` row is stroke texture
+    everywhere (text_milli = 1000) and one ``txt-solid`` row pins the
+    zero-gradient case.  All pixel values are exact integers so the
+    DuckDB hex-walk oracle re-derives the kernel bit-for-bit.  Fixed
+    path + atomic write + ALWAYS rewritten, sf-independent — same
+    contract as ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def lowcontrast(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (40 + (3 * xx + 2 * yy + 7 * i) % 40).astype(np.uint8)
+        g = (40 + (3 * xx + 2 * yy + 7 * i + 13) % 40).astype(np.uint8)
+        b = (40 + (3 * xx + 2 * yy + 7 * i + 26) % 40).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    def strokes(pix: np.ndarray, ys: slice) -> None:
+        xx = np.arange(pix.shape[1])
+        band = np.where((xx % 2)[None, :, None] == 0, 240, 16)
+        pix[ys] = band.astype(np.uint8)
+
+    for i in range(15):
+        hh, ww = 18 + (5 * i) % 13, 22 + (7 * i) % 11
+        pix = lowcontrast(hh, ww, i)
+        flavor = i % 3
+        if flavor == 1:
+            strokes(pix, slice(hh // 3, hh // 3 + max(3, hh // 3)))
+            add(f"txt-{i:02d}-text", pix)
+        elif flavor == 2:
+            xx = np.arange(ww)
+            stripe = np.where((xx // 8 % 2)[None, :, None] == 0, 200, 40)
+            add(f"txt-{i:02d}-busy",
+                np.broadcast_to(stripe, (hh, ww, 3)).astype(np.uint8))
+        else:
+            add(f"txt-{i:02d}-clean", pix)
+    full = np.zeros((16, 24, 3), np.uint8)
+    strokes(full, slice(0, 16))
+    add("txt-full", full)
+    add("txt-solid", np.full((14, 20, 3), 128, np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_text_overlay_batch(batch: "pa.Table") -> "pa.Table":
+    """Integer text-overlay (OCR-junk) gate over raw-pixel payloads —
+    the meme/subtitle/banner filter a LAION/DataComp-class funnel runs
+    before caption-alignment scoring (rendered text dominates the
+    caption signal and poisons contrastive training): per row y count
+    STRONG horizontal milli-luma edges (|L(y,x+1)−L(y,x)| ≥ 60 000 —
+    glyph strokes alternate fg/bg every few pixels, natural gradients
+    do not); a row is a TEXT row when strong edges cover ≥ 180/1000 of
+    its w−1 steps; ``text_milli`` is the per-mille share of text rows
+    and ``has_text_overlay`` fires at ≥ 150 (a subtitle band is ~⅙ of
+    the frame).  Row DENSITY (not the global edge sum) is what
+    separates text from blocky graphics: period-8 stripes have strong
+    edges in every row but only ~125/1000 density.  All-integer →
+    bit-exact vs the DuckDB hex-walk oracle; stateless ``map_batches``,
+    no shuffle — embarrassingly parallel at 100 TB."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "text_rows", "text_milli",
+        "has_text_overlay")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        if w < 2:
+            raise ValueError(f"image {iid}: width {w} < 2 has no "
+                             "horizontal step")
+        luma = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        strong = np.abs(luma[:, 1:] - luma[:, :-1]) >= 60_000
+        per_row = strong.sum(axis=1)
+        text_rows = int((per_row * 1000 >= 180 * (w - 1)).sum())
+        milli = text_rows * 1000 // h
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["text_rows"].append(text_rows)
+        out["text_milli"].append(milli)
+        out["has_text_overlay"].append(int(milli >= 150))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "text_rows",
+                                  "text_milli", "has_text_overlay")]))
+
+
+ROWDUP_FIXTURE = "/tmp/darc_ray_fixtures/image_rowdup.parquet"
+
+
+def ensure_image_rowdup_fixture(path: str = ROWDUP_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the repeated-scanline
+    corruption gate: ``-clean`` rows are the low-contrast gradient
+    (adjacent rows always differ — per-channel step 2 inside a
+    40-value band never yields equality), ``-blockdup`` rows freeze a
+    middle band of max(3, h//3) rows to byte-identical copies (the
+    truncated-decode / buffer-repeat corruption shape), ``-interlace``
+    rows duplicate every even row into the next one (the bad-deinterlace
+    shape: h//2 adjacent-duplicate pairs), and one ``dup-solid`` row
+    pins dup_milli = 1000.  All pixel values are exact integers so the
+    DuckDB hex-walk oracle (per-row hex substring, self-joined at
+    y+1) re-derives the kernel bit-for-bit.  Fixed path + atomic write
+    + ALWAYS rewritten, sf-independent — same contract as
+    ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def lowcontrast(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (40 + (3 * xx + 2 * yy + 7 * i) % 40).astype(np.uint8)
+        g = (40 + (3 * xx + 2 * yy + 7 * i + 13) % 40).astype(np.uint8)
+        b = (40 + (3 * xx + 2 * yy + 7 * i + 26) % 40).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(14):
+        hh, ww = 16 + (5 * i) % 13, 20 + (7 * i) % 11
+        pix = lowcontrast(hh, ww, i)
+        flavor = i % 3
+        if flavor == 1:
+            k = max(3, hh // 3)
+            pix[hh // 3: hh // 3 + k] = pix[hh // 3]
+            add(f"dup-{i:02d}-blockdup", pix)
+        elif flavor == 2:
+            pix[1::2] = pix[0::2][: pix[1::2].shape[0]]
+            add(f"dup-{i:02d}-interlace", pix)
+        else:
+            add(f"dup-{i:02d}-clean", pix)
+    add("dup-solid", np.full((12, 18, 3), 77, np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_row_dups_batch(batch: "pa.Table") -> "pa.Table":
+    """Repeated-scanline corruption gate over raw-pixel payloads — the
+    truncated-decode / buffer-repeat / bad-deinterlace QA check a
+    crawl-scale image funnel runs on every decoded frame (a decoder
+    that runs out of stream repeats its last scanline; the frame still
+    parses, so only a pixel-level check catches it): count adjacent
+    byte-identical row pairs, ``dup_milli`` = dups·1000 // (h−1), and
+    ``row_corrupt`` fires at ≥ 250 (a quarter of the scanline steps
+    frozen).  Byte equality (not luma equality) keeps the DuckDB
+    oracle a per-row hex-substring self-join at y+1 — bit-exact.
+    Stateless ``map_batches``, no shuffle — embarrassingly parallel."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "dup_adjacent", "dup_milli",
+        "row_corrupt")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload)
+        h, w = pix.shape[:2]
+        if h < 2:
+            raise ValueError(f"image {iid}: height {h} < 2 has no "
+                             "adjacent row pair")
+        dups = int((pix[1:] == pix[:-1]).all(axis=(1, 2)).sum())
+        milli = dups * 1000 // (h - 1)
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["dup_adjacent"].append(dups)
+        out["dup_milli"].append(milli)
+        out["row_corrupt"].append(int(milli >= 250))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "dup_adjacent",
+                                  "dup_milli", "row_corrupt")]))

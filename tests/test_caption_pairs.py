@@ -152,3 +152,29 @@ def test_caption_lang_mix_planted_composition(ray_session):
     assert df.loc["en", "share_milli"] == 6 * 1000 // 26
     assert (df.loc[["de", "fr", "es", "zh"], "share_milli"]
             == 5 * 1000 // 26).all()
+
+
+# ---------------------------------------------------------------------------
+# caption_prefix_templates: planted boilerplate groups
+# ---------------------------------------------------------------------------
+
+def test_caption_prefix_templates_planted_groups(ray_session):
+    from darc_ray.pipelines.queries import q_caption_prefix_templates
+
+    df = q_caption_prefix_templates("unused").set_index("prefix")
+    # only the four planted >=4 groups survive; the n=3 wallpaper
+    # group and the 8 one-offs are below threshold
+    assert sorted(df.index) == ["click to enlarge", "new",
+                                "royalty free image", "stock photo of"]
+    assert df.loc["stock photo of", "n_captions"] == 12
+    # 10 distinct tails; case/trim variants collapse onto tail 0
+    assert df.loc["stock photo of", "n_unique"] == 10
+    assert df.loc["royalty free image", ["n_captions", "n_unique"]]\
+        .tolist() == [6, 6]
+    assert df.loc["click to enlarge", ["n_captions", "n_unique"]]\
+        .tolist() == [4, 1]
+    # single-token captions: prefix is the whole caption
+    assert df.loc["new", ["n_captions", "n_unique"]].tolist() == [4, 1]
+    total = 37                 # 12 stock + 6 royalty + 4 click + 4 new
+    assert (df["share_milli"]  # + 3 wallpaper + 8 one-offs
+            == df["n_captions"] * 1000 // total).all()
