@@ -8129,6 +8129,96 @@ FROM g WHERE n_captions >= 4 ORDER BY prefix
 """
 
 
+def q_pair_manifest_qa(sf_dir: str) -> pd.DataFrame:
+    """Manifest-vs-payload consistency gate over the planted pair-table
+    fixture — the trust-but-verify ingest pass: RAWI header dims vs
+    the manifest (w, h) columns, payload length vs the header-implied
+    12 + 3wh (truncation / trailing-junk detection).  Header-only
+    (no pixel decode), stateless ``map_batches``, no shuffle; the
+    DuckDB oracle reads the same header fields via hex substrings and
+    ``octet_length`` — bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_pair_manifest_fixture,
+                                            pair_manifest_qa_batch)
+
+    path = ensure_pair_manifest_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(pair_manifest_qa_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_PAIR_MANIFEST_QA = """
+WITH st AS (
+  SELECT image_id, w::BIGINT AS decl_w, h::BIGINT AS decl_h,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS hdr_w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS hdr_h,
+         octet_length(bytes)::BIGINT AS payload_bytes
+  FROM read_parquet('/tmp/darc_ray_fixtures/pair_manifest.parquet')
+)
+SELECT image_id, decl_w, decl_h, hdr_w, hdr_h, payload_bytes,
+       (12 + 3 * hdr_w * hdr_h)::BIGINT AS expected_bytes,
+       CASE WHEN decl_w = hdr_w AND decl_h = hdr_h
+            THEN 1 ELSE 0 END::BIGINT AS dims_ok,
+       CASE WHEN payload_bytes = 12 + 3 * hdr_w * hdr_h
+            THEN 1 ELSE 0 END::BIGINT AS complete,
+       CASE WHEN decl_w = hdr_w AND decl_h = hdr_h
+             AND payload_bytes = 12 + 3 * hdr_w * hdr_h
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM st ORDER BY image_id
+"""
+
+
+def q_video_frame_manifest(sf_dir: str) -> pd.DataFrame:
+    """Frame-extraction seek plan over the FVID video fixture — one
+    row per stride-3 sampled frame with its byte offset + length, so
+    decode workers can range-read sampled frames without re-walking
+    containers.  Index-only ``map_batches`` (rows out > rows in), no
+    shuffle; the DuckDB oracle re-walks the length-prefixed container
+    with a recursive CTE — bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_video_meta_fixture,
+                                            video_frame_manifest_batch)
+
+    path = ensure_video_meta_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(video_frame_manifest_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return (out.sort_values(["video_id", "frame_idx"])
+            .reset_index(drop=True))
+
+
+SQL_VIDEO_FRAME_MANIFEST = """
+WITH RECURSIVE raw AS (
+  SELECT video_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/video_meta.parquet')
+), hdr AS (
+  SELECT video_id, h,
+         ('0x' || substr(h, 13, 8))::BIGINT AS n_frames
+  FROM raw WHERE substr(h, 1, 8) = '46564944'
+), walk AS (
+  SELECT video_id, h, n_frames, 0::BIGINT AS i, 10::BIGINT AS o,
+         0::BIGINT AS len, 0::BIGINT AS doff
+  FROM hdr
+  UNION ALL
+  SELECT video_id, h, n_frames, i + 1,
+         o + 4 + ('0x' || substr(h, 2*o+1, 8))::BIGINT,
+         ('0x' || substr(h, 2*o+1, 8))::BIGINT,
+         o + 4
+  FROM walk WHERE i < n_frames
+)
+SELECT video_id, (i - 1)::BIGINT AS frame_idx,
+       ((i - 1) // 3)::BIGINT AS sample_rank,
+       doff AS byte_off, len AS frame_bytes
+FROM walk WHERE i >= 1 AND (i - 1) % 3 = 0
+ORDER BY video_id, frame_idx
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8158,12 +8248,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_funnel": q_quality_funnel,
     "curation_pipeline": q_curation_pipeline,
     "image_curation_pipeline": q_image_curation_pipeline,
-    "dedup_exact": q_dedup_exact,
+    "pair_manifest_qa": q_pair_manifest_qa,
     "caption_lang_mix": q_caption_lang_mix,
     "image_dhash": q_image_dhash,
     "clip_alignment": q_clip_alignment,
     "semdedup": q_semdedup,
-    "cluster_profile": q_cluster_profile,
+    "video_frame_manifest": q_video_frame_manifest,
     "image_size_gate": q_image_size_gate,
     "pair_curation_v2": q_pair_curation_v2,
     "image_channel_stats": q_image_channel_stats,
@@ -8212,7 +8302,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # normalized_dedup (r04★) rotated out for caption_lang_mix;
     # first_seen/host_alive (r04★ + e2e-covered) and embedding_dups
     # (r04★ exact rung; the LSH rung stays in-window) rotated out for
-    # image_text_overlay/image_row_dups/caption_prefix_templates)
+    # image_text_overlay/image_row_dups/caption_prefix_templates;
+    # dedup_exact (r04★ + r1-3★ + e2e seen-set coverage) and
+    # cluster_profile (r04★; its hash-join pattern is now exercised
+    # in-window by the CC-label joins) rotated out for
+    # pair_manifest_qa/video_frame_manifest)
+    "dedup_exact": q_dedup_exact,
+    "cluster_profile": q_cluster_profile,
     "first_seen": q_first_seen,
     "host_alive": q_host_alive,
     "embedding_dups": q_embedding_dups,
@@ -8380,6 +8476,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_text_overlay": SQL_IMAGE_TEXT_OVERLAY,
     "image_row_dups": SQL_IMAGE_ROW_DUPS,
     "caption_prefix_templates": SQL_CAPTION_PREFIX_TEMPLATES,
+    "pair_manifest_qa": SQL_PAIR_MANIFEST_QA,
+    "video_frame_manifest": SQL_VIDEO_FRAME_MANIFEST,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

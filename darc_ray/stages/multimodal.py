@@ -2251,3 +2251,150 @@ def image_row_dups_batch(batch: "pa.Table") -> "pa.Table":
                               + [(k, pa.int64()) for k in
                                  ("width", "height", "dup_adjacent",
                                   "dup_milli", "row_corrupt")]))
+
+
+PAIR_MANIFEST_FIXTURE = "/tmp/darc_ray_fixtures/pair_manifest.parquet"
+
+
+def ensure_pair_manifest_fixture(path: str = PAIR_MANIFEST_FIXTURE) -> str:
+    """Deterministic manifest-vs-payload corpus for the pair-table QA
+    gate: ``-clean`` rows have manifest (w, h) columns equal to the
+    RAWI header and a byte-complete payload, ``-swap`` rows carry the
+    transposed dims in the manifest (the classic width/height column
+    mix-up; w ≠ h everywhere so the swap is always detectable),
+    ``-trunc`` rows lose their last 5 payload bytes (the interrupted-
+    download shape — header intact, body short), ``-pad`` rows carry 7
+    trailing junk bytes (the concatenated-stream shape), and one
+    ``man-badw`` row is off by one column.  Fixed path + atomic write
+    + ALWAYS rewritten, sf-independent — same contract as
+    ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows: dict[str, list] = {k: [] for k in
+                             ("image_id", "bytes", "w", "h", "fmt")}
+
+    def add(iid: str, payload: bytes, w: int, h: int) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(payload)
+        rows["w"].append(w)
+        rows["h"].append(h)
+        rows["fmt"].append("raw")
+
+    def content(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (30 + (29 * xx + 13 * yy + 11 * i) % 180).astype(np.uint8)
+        g = (30 + (29 * xx + 13 * yy + 11 * i + 41) % 180).astype(np.uint8)
+        b = (30 + (29 * xx + 13 * yy + 11 * i + 82) % 180).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(16):
+        hh, ww = 10 + i % 5, 14 + (3 * i) % 7      # hh < ww always
+        payload = img.raw_encode(content(hh, ww, i))
+        flavor = i % 4
+        if flavor == 1:
+            add(f"man-{i:02d}-swap", payload, hh, ww)
+        elif flavor == 2:
+            add(f"man-{i:02d}-trunc", payload[:-5], ww, hh)
+        elif flavor == 3:
+            add(f"man-{i:02d}-pad", payload + b"\x00JUNK\x00!", ww, hh)
+        else:
+            add(f"man-{i:02d}-clean", payload, ww, hh)
+    add("man-badw", img.raw_encode(content(12, 20, 99)), 21, 12)
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary()),
+                                ("w", pa.int32()), ("h", pa.int32()),
+                                ("fmt", pa.string())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def pair_manifest_qa_batch(batch: "pa.Table") -> "pa.Table":
+    """Manifest-vs-payload consistency gate over the pair table — the
+    trust-but-verify pass a crawl-scale funnel runs on every ingested
+    (bytes, w, h) row before spending decode cycles (upstream manifest
+    columns come from HTML attributes or a third-party index and are
+    ROUTINELY wrong; a width/height mix-up silently poisons every
+    aspect-ratio bucket downstream): parse ONLY the 12-byte RAWI
+    header (no pixel decode — this stage is I/O-shaped at 100 TB),
+    compare header dims against the manifest columns, and compare
+    actual payload length against the header-implied 12 + 3wh
+    (truncated download / concatenated-stream detection).  ``keep``
+    requires both.  Stateless ``map_batches``, no shuffle."""
+    import struct
+
+    from darc_ray.functions.image import RAW_MAGIC
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "decl_w", "decl_h", "hdr_w", "hdr_h",
+        "payload_bytes", "expected_bytes", "dims_ok", "complete",
+        "keep")}
+    for iid, payload, w, h in zip(batch.column("image_id").to_pylist(),
+                                  batch.column("bytes").to_pylist(),
+                                  batch.column("w").to_pylist(),
+                                  batch.column("h").to_pylist()):
+        if len(payload) < 12 or payload[:4] != RAW_MAGIC:
+            raise ValueError(f"image {iid}: not a RAWI header")
+        hw, hh = struct.unpack_from(">II", payload, 4)
+        expected = 12 + 3 * hw * hh
+        dims_ok = int(int(w) == hw and int(h) == hh)
+        complete = int(len(payload) == expected)
+        out["image_id"].append(iid)
+        out["decl_w"].append(int(w))
+        out["decl_h"].append(int(h))
+        out["hdr_w"].append(hw)
+        out["hdr_h"].append(hh)
+        out["payload_bytes"].append(len(payload))
+        out["expected_bytes"].append(expected)
+        out["dims_ok"].append(dims_ok)
+        out["complete"].append(complete)
+        out["keep"].append(int(dims_ok and complete))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("decl_w", "decl_h", "hdr_w", "hdr_h",
+                                  "payload_bytes", "expected_bytes",
+                                  "dims_ok", "complete", "keep")]))
+
+
+FRAME_SAMPLE_STRIDE = 3
+
+
+def video_frame_manifest_batch(batch: "pa.Table") -> "pa.Table":
+    """Frame-extraction manifest over FVID payloads — the seek plan a
+    video training pipeline precomputes so decode workers can slice
+    sampled frames straight out of object-store byte ranges without
+    walking the container again (one row per SAMPLED frame: byte
+    offset + length at stride 3): parses the length-prefixed frame
+    index only (``video_index`` — no pixel decode, I/O-shaped at
+    100 TB).  Stateless ``flat``-shaped ``map_batches`` (rows out >
+    rows in), no shuffle; the DuckDB oracle re-walks the container
+    with a recursive CTE, bit-exact."""
+    from darc_ray.functions.video import video_index
+
+    out: dict[str, list] = {k: [] for k in (
+        "video_id", "frame_idx", "sample_rank", "byte_off",
+        "frame_bytes")}
+    for vid, payload in zip(batch.column("video_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        _, spans = video_index(payload)
+        for idx in range(0, len(spans), FRAME_SAMPLE_STRIDE):
+            off, length = spans[idx]
+            out["video_id"].append(vid)
+            out["frame_idx"].append(idx)
+            out["sample_rank"].append(idx // FRAME_SAMPLE_STRIDE)
+            out["byte_off"].append(off)
+            out["frame_bytes"].append(length)
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("video_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("frame_idx", "sample_rank",
+                                  "byte_off", "frame_bytes")]))
