@@ -62,7 +62,8 @@ BENCH_QUERIES = [
     "image_exposure", "wds_shards", "aesthetic_gate", "phash_bitstats",
     "stratified_split", "caption_lang_mix", "image_text_overlay",
     "image_row_dups", "caption_prefix_templates", "pair_manifest_qa",
-    "video_frame_manifest",
+    "video_frame_manifest", "image_upscale_detect", "source_skew",
+    "cohort_retention",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

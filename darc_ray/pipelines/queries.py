@@ -8219,6 +8219,194 @@ ORDER BY video_id, frame_idx
 """
 
 
+def q_image_upscale_detect(sf_dir: str) -> pd.DataFrame:
+    """Nearest-neighbor-upscale (effective-resolution) gate over the
+    planted upscale fixture — per-pixel twin shares on even column /
+    row pairs; 2× upscales score 1000/1000, one-axis stretches flag
+    only their axis, native content ~0.  Stateless all-integer
+    ``map_batches``, no shuffle; the DuckDB oracle compares 6-hex-char
+    pixel triplets at i vs i+1 (columns) and i vs i+w (rows) —
+    bit-exact byte equality."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_upscale_fixture,
+                                            image_upscale_detect_batch)
+
+    path = ensure_image_upscale_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_upscale_detect_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_UPSCALE_DETECT = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_upscale.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), st AS (
+  SELECT r.image_id, any_value(r.w) AS w, any_value(r.ht) AS ht,
+         sum(CASE WHEN (s.i % r.w) % 2 = 0
+                   AND (s.i % r.w) < 2 * (r.w // 2)
+                   AND substr(r.hx, 2 * (12 + 3 * s.i) + 1, 6)
+                     = substr(r.hx, 2 * (12 + 3 * (s.i + 1)) + 1, 6)
+                  THEN 1 ELSE 0 END)::BIGINT AS col_eq,
+         sum(CASE WHEN (s.i // r.w) % 2 = 0
+                   AND (s.i // r.w) < 2 * (r.ht // 2)
+                   AND substr(r.hx, 2 * (12 + 3 * s.i) + 1, 6)
+                     = substr(r.hx, 2 * (12 + 3 * (s.i + r.w)) + 1, 6)
+                  THEN 1 ELSE 0 END)::BIGINT AS row_eq
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+  GROUP BY r.image_id
+), m AS (
+  SELECT image_id, w, ht,
+         (col_eq * 1000 // (ht * (w // 2)))::BIGINT AS cm,
+         (row_eq * 1000 // (w * (ht // 2)))::BIGINT AS rm
+  FROM st
+)
+SELECT image_id, w AS width, ht AS height,
+       cm AS col_twin_milli, rm AS row_twin_milli,
+       CASE WHEN cm >= 900 AND rm >= 900 THEN 1 ELSE 0 END::BIGINT
+           AS upscaled,
+       CASE WHEN NOT (cm >= 900 AND rm >= 900)
+             AND (cm >= 900 OR rm >= 900) THEN 1 ELSE 0 END::BIGINT
+           AS stretched
+FROM m ORDER BY image_id
+"""
+
+
+def q_source_skew(sf_dir: str) -> pd.DataFrame:
+    """Source-skew report over the REAL ``documents`` table — the
+    partition-skew diagnosis a pipeline runs before any source-keyed
+    shuffle (one hot source turns an even exchange into a straggler;
+    the report is what decides salting): per source n_docs /
+    total_chars / mean_chars / corpus share per-mille, and
+    ``hot_source`` flags a source holding ≥ 2× the even share.
+    Shape: per-batch source-keyed PARTIAL aggregates, then a global
+    source-keyed sum — the combine key space is the source inventory,
+    so all-to-all traffic is O(batches × sources) and only the
+    source-bounded report reaches the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"source": df["source"],
+                            "c": df["n_chars"].astype("int64"),
+                            "n": np.ones(len(df), dtype=np.int64)})
+        return (out.groupby("source", as_index=False)
+                .agg(n=("n", "sum"), c=("c", "sum")))
+
+    agg = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "n_chars"])
+           .map_batches(partial, batch_format="pandas", batch_size=8192)
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n_docs"),
+                      Sum("c", alias_name="total_chars"))
+           .to_pandas())
+    total = int(agg["n_docs"].sum())
+    n_sources = len(agg)
+    for c in ("n_docs", "total_chars"):
+        agg[c] = agg[c].astype("int64")
+    agg["mean_chars"] = (agg["total_chars"] // agg["n_docs"]).astype("int64")
+    agg["share_milli"] = (agg["n_docs"] * 1000 // total).astype("int64")
+    agg["hot_source"] = (agg["n_docs"] * n_sources
+                         >= 2 * total).astype("int64")
+    agg = agg[["source", "n_docs", "total_chars", "mean_chars",
+               "share_milli", "hot_source"]]
+    return agg.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_SKEW = """
+WITH g AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       (total_chars // n_docs)::BIGINT AS mean_chars,
+       (n_docs * 1000 // (SELECT sum(n_docs) FROM g))::BIGINT
+           AS share_milli,
+       CASE WHEN n_docs * (SELECT count(*) FROM g)
+              >= 2 * (SELECT sum(n_docs) FROM g)
+            THEN 1 ELSE 0 END::BIGINT AS hot_source
+FROM g ORDER BY source
+"""
+
+
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort-retention matrix over the REAL ``events`` table — the
+    classic signup-cohort analysis (users grouped by their first
+    active day; per day-offset, how many came back): emits one row
+    per (cohort_day, day_offset) with the distinct-user count and the
+    per-mille retention vs the cohort's day-0 size.  Shape: distinct
+    (user, day) partials inside batches, ONE user-keyed shuffle whose
+    ``map_groups`` derives each user's cohort and offsets in a single
+    pass, then a (cohort, offset)-keyed count — per-user state never
+    leaves its group task and the driver holds only the
+    day-span-bounded matrix."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["ts"].values.astype("datetime64[D]")
+             .astype("int64"))
+        out = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                            "d": d})
+        return out.drop_duplicates()
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ds = np.unique(g["d"].values)
+        cohort = int(ds[0])
+        return pd.DataFrame({
+            "cohort_day": np.full(len(ds), cohort, dtype=np.int64),
+            "day_offset": ds - cohort,
+            "n": np.ones(len(ds), dtype=np.int64)})
+
+    mat = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"])
+           .map_batches(days, batch_format="pandas", batch_size=8192)
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .groupby(["cohort_day", "day_offset"])
+           .aggregate(Sum("n", alias_name="n_users"))
+           .to_pandas())
+    mat["n_users"] = mat["n_users"].astype("int64")
+    base = (mat.loc[mat["day_offset"] == 0]
+            .set_index("cohort_day")["n_users"])
+    mat["retained_milli"] = (mat["n_users"] * 1000
+                             // mat["cohort_day"].map(base)).astype("int64")
+    mat = mat[["cohort_day", "day_offset", "n_users", "retained_milli"]]
+    return (mat.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))
+
+
+SQL_COHORT_RETENTION = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', ts::DATE) AS d
+  FROM events
+), c AS (
+  SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id
+), r AS (
+  SELECT c.cohort, ud.d - c.cohort AS osd,
+         count(*)::BIGINT AS n_users
+  FROM ud JOIN c USING (user_id)
+  GROUP BY c.cohort, ud.d - c.cohort
+), base AS (
+  SELECT cohort, n_users AS cohort_size FROM r WHERE osd = 0
+)
+SELECT r.cohort::BIGINT AS cohort_day, r.osd::BIGINT AS day_offset,
+       r.n_users, (r.n_users * 1000 // b.cohort_size)::BIGINT
+           AS retained_milli
+FROM r JOIN base b ON b.cohort = r.cohort
+ORDER BY cohort_day, day_offset
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8242,7 +8430,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "html_text": q_html_text,
     "incremental_dedup": q_incremental_dedup,
     "dedup_clusters_dataset": q_dedup_clusters_dataset,
-    "frontier_pop": q_frontier_pop,
+    "image_upscale_detect": q_image_upscale_detect,
     "image_text_overlay": q_image_text_overlay,
     "image_row_dups": q_image_row_dups,
     "quality_funnel": q_quality_funnel,
@@ -8261,7 +8449,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_exact_dedup": q_image_exact_dedup,
     "image_corner_logo": q_image_corner_logo,
     "token_length_hist": q_token_length_hist,
-    "minhash_dedup": q_minhash_dedup,
+    "source_skew": q_source_skew,
     "caption_prefix_templates": q_caption_prefix_templates,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_exposure": q_image_exposure,
@@ -8282,7 +8470,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cms_topk": q_cms_topk,
     "dedup_keep_best": q_dedup_keep_best,
     "quantiles_sketch": q_quantiles_sketch,
-    "paragraph_dedup": q_paragraph_dedup,
+    "cohort_retention": q_cohort_retention,
     "hll_distinct": q_hll_distinct,
     "pair_curation_pipeline": q_pair_curation_pipeline,
     "pagerank": q_pagerank,
@@ -8306,7 +8494,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # dedup_exact (r04★ + r1-3★ + e2e seen-set coverage) and
     # cluster_profile (r04★; its hash-join pattern is now exercised
     # in-window by the CC-label joins) rotated out for
-    # pair_manifest_qa/video_frame_manifest)
+    # pair_manifest_qa/video_frame_manifest; frontier_pop (r04★ +
+    # exact e2e-ordering coverage), minhash_dedup and paragraph_dedup
+    # (both r04★, unchanged this round) rotated out for
+    # image_upscale_detect/source_skew/cohort_retention)
+    "frontier_pop": q_frontier_pop,
+    "minhash_dedup": q_minhash_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "dedup_exact": q_dedup_exact,
     "cluster_profile": q_cluster_profile,
     "first_seen": q_first_seen,
@@ -8478,6 +8672,9 @@ ORACLE_SQL: dict[str, str] = {
     "caption_prefix_templates": SQL_CAPTION_PREFIX_TEMPLATES,
     "pair_manifest_qa": SQL_PAIR_MANIFEST_QA,
     "video_frame_manifest": SQL_VIDEO_FRAME_MANIFEST,
+    "image_upscale_detect": SQL_IMAGE_UPSCALE_DETECT,
+    "source_skew": SQL_SOURCE_SKEW,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -2398,3 +2398,113 @@ def video_frame_manifest_batch(batch: "pa.Table") -> "pa.Table":
                               + [(k, pa.int64()) for k in
                                  ("frame_idx", "sample_rank",
                                   "byte_off", "frame_bytes")]))
+
+
+UPSCALE_FIXTURE = "/tmp/darc_ray_fixtures/image_upscale.parquet"
+
+
+def ensure_image_upscale_fixture(path: str = UPSCALE_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the nearest-neighbor-upscale
+    detector: ``-native`` rows are the low-contrast gradient (adjacent
+    pixels never equal — per-channel step 3 inside a 40-value band),
+    ``-up2`` rows are a half-res gradient repeated 2× on BOTH axes
+    (every even column equals its right neighbor and every even row
+    its lower — the effective-resolution-halving shape), ``-upcols`` /
+    ``-uprows`` stretch one axis only (anamorphic/letterbox-fill
+    resizes), ``-up2-noisy`` flips one pixel of an upscale (twin
+    shares just under 1000, still ≥ the 900 flag), and one
+    ``up-solid`` row pins both shares at 1000.  All dims even so the
+    pair grid is exact.  Fixed path + atomic write + ALWAYS rewritten,
+    sf-independent — same contract as ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def lowcontrast(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (40 + (3 * xx + 2 * yy + 7 * i) % 40).astype(np.uint8)
+        g = (40 + (3 * xx + 2 * yy + 7 * i + 13) % 40).astype(np.uint8)
+        b = (40 + (3 * xx + 2 * yy + 7 * i + 26) % 40).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(15):
+        hh, ww = 8 + 2 * (i % 4), 10 + 2 * (i % 3)     # even half-dims
+        flavor = i % 5
+        if flavor == 1:
+            add(f"up-{i:02d}-up2",
+                lowcontrast(hh, ww, i).repeat(2, 0).repeat(2, 1))
+        elif flavor == 2:
+            add(f"up-{i:02d}-upcols", lowcontrast(hh, ww, i).repeat(2, 1))
+        elif flavor == 3:
+            add(f"up-{i:02d}-uprows", lowcontrast(hh, ww, i).repeat(2, 0))
+        elif flavor == 4:
+            pix = lowcontrast(hh, ww, i).repeat(2, 0).repeat(2, 1)
+            pix[1, 1] = (7, 7, 7)
+            add(f"up-{i:02d}-up2-noisy", pix)
+        else:
+            add(f"up-{i:02d}-native", lowcontrast(2 * hh, 2 * ww, i))
+    add("up-solid", np.full((12, 16, 3), 60, np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_upscale_detect_batch(batch: "pa.Table") -> "pa.Table":
+    """Nearest-neighbor-upscale detector over raw-pixel payloads — the
+    effective-resolution gate a DataComp/LAION-class funnel runs so a
+    250×250 crawl thumbnail blown up to 1000×1000 does not pass the
+    min-size filter it actually fails: per-PIXEL twin shares
+    ``col_twin_milli`` (even column x equal to x+1, all three
+    channels) and ``row_twin_milli`` (even row y equal to y+1) over
+    the ⌊w/2⌋·h resp. w·⌊h/2⌋ pair grids; a 2× nearest-neighbor
+    upscale scores 1000/1000, native content ~0, one-axis stretches
+    flag only their axis.  ``upscaled`` fires when BOTH shares ≥ 900
+    (tolerates post-upscale noise/sharpening), ``stretched`` when
+    exactly one does.  All-integer byte equality → bit-exact vs the
+    DuckDB hex-walk oracle.  Stateless ``map_batches``, no shuffle."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "col_twin_milli",
+        "row_twin_milli", "upscaled", "stretched")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload)
+        h, w = pix.shape[:2]
+        if w < 2 or h < 2:
+            raise ValueError(f"image {iid}: {w}x{h} has no pixel pair")
+        cw, rh = w // 2, h // 2
+        col_eq = int((pix[:, 0:2 * cw:2] == pix[:, 1:2 * cw:2])
+                     .all(axis=2).sum())
+        row_eq = int((pix[0:2 * rh:2] == pix[1:2 * rh:2])
+                     .all(axis=2).sum())
+        cm = col_eq * 1000 // (h * cw)
+        rm = row_eq * 1000 // (w * rh)
+        up = int(cm >= 900 and rm >= 900)
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["col_twin_milli"].append(cm)
+        out["row_twin_milli"].append(rm)
+        out["upscaled"].append(up)
+        out["stretched"].append(int(not up and (cm >= 900 or rm >= 900)))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "col_twin_milli",
+                                  "row_twin_milli", "upscaled",
+                                  "stretched")]))
