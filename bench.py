@@ -63,7 +63,8 @@ BENCH_QUERIES = [
     "stratified_split", "caption_lang_mix", "image_text_overlay",
     "image_row_dups", "caption_prefix_templates", "pair_manifest_qa",
     "video_frame_manifest", "image_upscale_detect", "source_skew",
-    "cohort_retention",
+    "cohort_retention", "caption_dim_spam", "caption_deletion_dups",
+    "audio_dc_offset",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -430,3 +430,102 @@ def ensure_caption_template_fixture(path: str = CAPTION_TEMPLATE_FIXTURE) -> str
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+CAPTION_DIMS_FIXTURE = "/tmp/darc_ray_fixtures/caption_dims.parquet"
+
+
+def ensure_caption_dims_fixture(path: str = CAPTION_DIMS_FIXTURE) -> str:
+    """Deterministic (image_id, w, h, caption) manifest for the
+    resolution-spam gate: ``-match`` rows mention exactly their
+    manifest dims ("wallpaper 1920x1080"), ``-lie`` rows advertise a
+    resolution the manifest contradicts (the wallpaper-spam shape),
+    ``-none`` rows have no WxH mention, one ``dim-lego`` row contains
+    "2x4" (single digits — below the 2-digit floor, must NOT match)
+    and one ``dim-small`` row mentions "12x34" (2 digits — must
+    match).  Fixed path + atomic write + ALWAYS rewritten,
+    sf-independent (same contract as the other text fixtures)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, ws, hs, caps = [], [], [], []
+
+    def add(iid: str, w: int, h: int, cap: str) -> None:
+        ids.append(iid)
+        ws.append(w)
+        hs.append(h)
+        caps.append(cap)
+
+    dims = [(1920, 1080), (1280, 720), (3840, 2160), (800, 600),
+            (1024, 768), (640, 480)]
+    for i, (w, h) in enumerate(dims):
+        if i % 3 == 0:
+            add(f"dim-{i:02d}-match", w, h,
+                f"free desktop wallpaper {w}x{h} hd download")
+        elif i % 3 == 1:
+            add(f"dim-{i:02d}-lie", 320, 240,
+                f"ultra hd wallpaper {w}x{h} best quality")
+        else:
+            add(f"dim-{i:02d}-none", w, h,
+                f"a painted {i:02d} landscape with hills and a river")
+    add("dim-lego", 400, 300, "macro photo of a 2x4 lego brick")
+    add("dim-small", 200, 100, "seamless 12x34 tile pattern swatch")
+
+    table = pa.Table.from_pydict({
+        "image_id": pa.array(ids, pa.string()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "caption": pa.array(caps, pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path
+
+
+CAPTION_EDITDUP_FIXTURE = "/tmp/darc_ray_fixtures/caption_editdup.parquet"
+
+
+def ensure_caption_editdup_fixture(path: str = CAPTION_EDITDUP_FIXTURE) -> str:
+    """Deterministic caption corpus for the deletion-1 neighborhood
+    join: planted groups at token-level edit distance ≤ 1 — an exact
+    duplicate, a one-token SUBSTITUTION pair (dawn/dusk), a one-token
+    DELETION pair (leading article dropped), a second substitution
+    pair (over/under), two single-token captions plus their two-token
+    superset (the empty-variant trap: "cat" and "dog" must NOT pair
+    with each other, both must pair with "cat dog"), and unrelated
+    singletons.  Fixed path + atomic write + ALWAYS rewritten,
+    sf-independent (same contract as the other text fixtures)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    caps = {
+        "ed-0": "a quiet harbor at dawn",
+        "ed-1": "a quiet harbor at dusk",
+        "ed-2": "quiet harbor at dawn",
+        "ed-3": "a quiet harbor at dawn",
+        "ed-4": "the old stone bridge over water",
+        "ed-5": "the old stone bridge under water",
+        "ed-6": "totally unrelated caption here",
+        "ed-7": "cat",
+        "ed-8": "cat dog",
+        "ed-9": "dog",
+    }
+    table = pa.Table.from_pydict({
+        "image_id": pa.array(list(caps), pa.string()),
+        "caption": pa.array(list(caps.values()), pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

@@ -8407,6 +8407,221 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_caption_dim_spam(sf_dir: str) -> pd.DataFrame:
+    """Resolution-spam gate over the planted (w, h, caption) manifest
+    — the cross-modal wallpaper-spam filter (alt text advertising
+    "1920x1080" glued to a 320×240 thumbnail is a high-precision spam
+    signal LAION-class funnels exploit): extract the first WxH mention
+    (2-5 digit sides), compare against the manifest dims;
+    ``res_spam`` = mentioned-but-contradicted.  Stateless vectorized
+    ``map_batches`` (pandas ``str.extract``), no shuffle; the DuckDB
+    oracle mirrors the regex with ``regexp_extract`` — both engines
+    take the leftmost match of the same ASCII pattern."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import ensure_caption_dims_fixture
+
+    path = ensure_caption_dims_fixture()
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        ext = df["caption"].str.extract(r"(\d{2,5})x(\d{2,5})")
+        has = ext[0].notna()
+        mw = ext[0].fillna("-1").astype("int64")
+        mh = ext[1].fillna("-1").astype("int64")
+        w = df["w"].astype("int64")
+        h = df["h"].astype("int64")
+        match = has & (mw == w) & (mh == h)
+        return pd.DataFrame({
+            "image_id": df["image_id"],
+            "w": w, "h": h, "mention_w": mw, "mention_h": mh,
+            "has_mention": has.astype("int64"),
+            "dims_match": match.astype("int64"),
+            "res_spam": (has & ~match).astype("int64")})
+
+    out = (rd.read_parquet(path)
+           .map_batches(gate, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_CAPTION_DIM_SPAM = """
+WITH m AS (
+  SELECT image_id, w::BIGINT AS w, h::BIGINT AS h,
+         regexp_matches(caption, '(\\d{2,5})x(\\d{2,5})') AS has,
+         CASE WHEN regexp_matches(caption, '(\\d{2,5})x(\\d{2,5})')
+              THEN regexp_extract(caption,
+                                  '(\\d{2,5})x(\\d{2,5})', 1)::BIGINT
+              ELSE -1 END AS mention_w,
+         CASE WHEN regexp_matches(caption, '(\\d{2,5})x(\\d{2,5})')
+              THEN regexp_extract(caption,
+                                  '(\\d{2,5})x(\\d{2,5})', 2)::BIGINT
+              ELSE -1 END AS mention_h
+  FROM read_parquet('/tmp/darc_ray_fixtures/caption_dims.parquet')
+)
+SELECT image_id, w, h, mention_w, mention_h,
+       CASE WHEN has THEN 1 ELSE 0 END::BIGINT AS has_mention,
+       CASE WHEN has AND mention_w = w AND mention_h = h
+            THEN 1 ELSE 0 END::BIGINT AS dims_match,
+       CASE WHEN has AND NOT (mention_w = w AND mention_h = h)
+            THEN 1 ELSE 0 END::BIGINT AS res_spam
+FROM m ORDER BY image_id
+"""
+
+
+def q_caption_deletion_dups(sf_dir: str) -> pd.DataFrame:
+    """Deletion-1 neighborhood join over the planted caption corpus —
+    the classic fuzzy-duplicate primitive (SpamAssassin / FuzzyJoin
+    shape): each caption emits its normalized identity plus every
+    one-token-deletion variant (empty variants dropped — the
+    single-token trap); captions sharing a variant are within one
+    token substitution / insertion / deletion and become a pair.
+    Shape: a flat ``map_batches`` explode (≤ n_tokens+1 variant rows
+    per caption), ONE variant-keyed shuffle whose ``map_groups``
+    emits bucket pairs, then a pair-keyed distinct — bucket sizes are
+    spam-cluster-bounded (at 100 TB the same loud ``max_df``-style
+    bucket cap as ``ngram_jaccard`` applies before pair explosion)."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import ensure_caption_editdup_fixture
+
+    path = ensure_caption_editdup_fixture()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[str] = []
+        vrs: list[str] = []
+        for iid, cap in zip(df["image_id"], df["caption"]):
+            toks = cap.strip().lower().split()
+            variants = {" ".join(toks)}
+            for i in range(len(toks)):
+                variants.add(" ".join(toks[:i] + toks[i + 1:]))
+            variants.discard("")
+            for v in sorted(variants):
+                ids.append(iid)
+                vrs.append(v)
+        return pd.DataFrame({"vr": vrs, "image_id": ids})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["image_id"]))
+        a: list[str] = []
+        b: list[str] = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    out = (rd.read_parquet(path)
+           .map_batches(explode, batch_format="pandas", batch_size=4096)
+           .groupby("vr")
+           .map_groups(pairs, batch_format="pandas")
+           .groupby(["id_a", "id_b"])
+           .count()
+           .to_pandas())[["id_a", "id_b"]]
+    return (out.sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
+SQL_CAPTION_DELETION_DUPS = """
+WITH t AS (
+  SELECT image_id,
+         string_split_regex(lower(trim(caption)), '\\s+') AS tok
+  FROM read_parquet('/tmp/darc_ray_fixtures/caption_editdup.parquet')
+), ex AS (
+  SELECT image_id, tok,
+         unnest(generate_series(0, len(tok))) AS i
+  FROM t
+), v AS (
+  SELECT DISTINCT image_id,
+         CASE WHEN i = 0 THEN array_to_string(tok, ' ')
+              ELSE array_to_string(
+                     list_concat(list_slice(tok, 1, i - 1),
+                                 list_slice(tok, i + 1, len(tok))), ' ')
+              END AS vr
+  FROM ex
+)
+SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+FROM v a JOIN v b ON a.vr = b.vr AND a.image_id < b.image_id
+WHERE a.vr <> ''
+ORDER BY id_a, id_b
+"""
+
+
+def q_audio_dc_offset(sf_dir: str) -> pd.DataFrame:
+    """DC-offset gate over the planted square-wave WAV fixture — the
+    broken-ADC / bad-trim audio QA check: exact integer sample sum,
+    |Σv|·1000 // n magnitude, sign, flag at ≥ 50 000 milli-sample
+    units.  Stateless all-integer ``map_batches``, no shuffle; the
+    DuckDB oracle re-walks the RIFF chunks to the PCM offset and sums
+    every little-endian int16 — bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (audio_dc_offset_batch,
+                                            ensure_audio_dc_fixture)
+
+    path = ensure_audio_dc_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(audio_dc_offset_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+SQL_AUDIO_DC_OFFSET = """
+WITH RECURSIVE raw AS (
+  SELECT audio_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/audio_dc.parquet')
+), walk AS (
+  SELECT audio_id, h, 12::BIGINT AS o,
+         -1::BIGINT AS data_bytes, -1::BIGINT AS header_bytes,
+         FALSE AS done
+  FROM raw
+  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+  UNION ALL
+  SELECT audio_id, h,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461' THEN o
+              ELSE o + 8
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT % 2
+              END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                    || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+              ELSE data_bytes END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN o + 8 ELSE -1 END,
+         substr(h, 2*o+1, 8) = '64617461'
+  FROM walk WHERE NOT done
+), pcm AS (
+  SELECT audio_id, h, header_bytes AS off, data_bytes // 2 AS ns
+  FROM walk WHERE done
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(ns) FROM pcm) - 1)) AS k
+), smp AS (
+  SELECT u.audio_id, u.ns,
+         CASE WHEN u.uv >= 32768 THEN u.uv - 65536 ELSE u.uv END AS v
+  FROM (
+    SELECT p.audio_id, p.ns,
+           ('0x' || substr(p.h, 2 * (p.off + 2 * s.k) + 3, 2)
+                 || substr(p.h, 2 * (p.off + 2 * s.k) + 1, 2))::BIGINT AS uv
+    FROM pcm p JOIN series s ON s.k < p.ns
+  ) u
+), st AS (
+  SELECT audio_id, any_value(ns)::BIGINT AS n_int16,
+         sum(v)::BIGINT AS sum_v
+  FROM smp GROUP BY audio_id
+)
+SELECT audio_id, n_int16, sum_v,
+       (abs(sum_v) * 1000 // n_int16)::BIGINT AS dc_abs_milli,
+       CASE WHEN sum_v > 0 THEN 1 WHEN sum_v < 0 THEN -1
+            ELSE 0 END::BIGINT AS dc_sign,
+       CASE WHEN abs(sum_v) * 1000 // n_int16 >= 50000
+            THEN 1 ELSE 0 END::BIGINT AS dc_biased
+FROM st ORDER BY audio_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8427,13 +8642,13 @@ ORDER BY cohort_day, day_offset
 # over ORACLE_SQL).
 QUERIES: dict[str, Callable[[str], Any]] = {
     "pricing_summary": q_pricing_summary,
-    "html_text": q_html_text,
+    "caption_dim_spam": q_caption_dim_spam,
     "incremental_dedup": q_incremental_dedup,
     "dedup_clusters_dataset": q_dedup_clusters_dataset,
     "image_upscale_detect": q_image_upscale_detect,
     "image_text_overlay": q_image_text_overlay,
     "image_row_dups": q_image_row_dups,
-    "quality_funnel": q_quality_funnel,
+    "caption_deletion_dups": q_caption_deletion_dups,
     "curation_pipeline": q_curation_pipeline,
     "image_curation_pipeline": q_image_curation_pipeline,
     "pair_manifest_qa": q_pair_manifest_qa,
@@ -8474,7 +8689,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct": q_hll_distinct,
     "pair_curation_pipeline": q_pair_curation_pipeline,
     "pagerank": q_pagerank,
-    "degree_hist": q_degree_hist,
+    "audio_dc_offset": q_audio_dc_offset,
     "dedup_clusters": q_dedup_clusters,
     # ---- slot 51+: below the observed driver-correctness window ----
     # (still SQL-oracled + repo-harness-checked where an entry exists
@@ -8497,7 +8712,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # pair_manifest_qa/video_frame_manifest; frontier_pop (r04★ +
     # exact e2e-ordering coverage), minhash_dedup and paragraph_dedup
     # (both r04★, unchanged this round) rotated out for
-    # image_upscale_detect/source_skew/cohort_retention)
+    # image_upscale_detect/source_skew/cohort_retention; html_text,
+    # quality_funnel and degree_hist (all r04★, unchanged this round;
+    # the funnel's stages stay in-window via both capstones, the graph
+    # path via pagerank) rotated out for caption_dim_spam/
+    # caption_deletion_dups/audio_dc_offset)
+    "html_text": q_html_text,
+    "quality_funnel": q_quality_funnel,
+    "degree_hist": q_degree_hist,
     "frontier_pop": q_frontier_pop,
     "minhash_dedup": q_minhash_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -8675,6 +8897,9 @@ ORACLE_SQL: dict[str, str] = {
     "image_upscale_detect": SQL_IMAGE_UPSCALE_DETECT,
     "source_skew": SQL_SOURCE_SKEW,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "caption_dim_spam": SQL_CAPTION_DIM_SPAM,
+    "caption_deletion_dups": SQL_CAPTION_DELETION_DUPS,
+    "audio_dc_offset": SQL_AUDIO_DC_OFFSET,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -2508,3 +2508,98 @@ def image_upscale_detect_batch(batch: "pa.Table") -> "pa.Table":
                                  ("width", "height", "col_twin_milli",
                                   "row_twin_milli", "upscaled",
                                   "stretched")]))
+
+
+AUDIO_DC_FIXTURE = "/tmp/darc_ray_fixtures/audio_dc.parquet"
+
+
+def ensure_audio_dc_fixture(path: str = AUDIO_DC_FIXTURE) -> str:
+    """Deterministic PCM16 WAV corpus for the DC-offset gate, built
+    from square waves so every sample SUM is exact by construction:
+    ``-centered`` rows alternate ±A in equal halves (sum exactly 0),
+    ``-pos`` / ``-neg`` rows add a constant +500 / −300 bias (sum =
+    n·bias exactly), ``-dc-only`` is a constant 80 (pure offset, the
+    broken-ADC shape), and one stereo row biases only the second
+    channel (the aggregate still sees it).  Fixed path + atomic write
+    + ALWAYS rewritten, sf-independent — same contract as
+    ``ensure_audio_pcm_fixture``."""
+    import os
+    import tempfile
+
+    from darc_ray.functions.audio import wav_encode
+
+    rows = {"audio_id": [], "bytes": []}
+
+    def square(n: int, amp: int, bias: int) -> np.ndarray:
+        s = np.where(np.arange(n) % 2 == 0, amp, -amp) + bias
+        return s.astype(np.int16)
+
+    for i in range(9):
+        n = 800 + 100 * i                       # even -> halves balance
+        amp = 2000 + 500 * i
+        flavor = i % 3
+        if flavor == 1:
+            rows["audio_id"].append(f"dc-{i:02d}-pos")
+            rows["bytes"].append(wav_encode(square(n, amp, 500),
+                                            (8000, 16000)[i % 2]))
+        elif flavor == 2:
+            rows["audio_id"].append(f"dc-{i:02d}-neg")
+            rows["bytes"].append(wav_encode(square(n, amp, -300),
+                                            (8000, 16000)[i % 2]))
+        else:
+            rows["audio_id"].append(f"dc-{i:02d}-centered")
+            rows["bytes"].append(wav_encode(square(n, amp, 0),
+                                            (8000, 16000)[i % 2]))
+    rows["audio_id"].append("dc-only")
+    rows["bytes"].append(wav_encode(np.full(1000, 80, np.int16), 8000))
+    st = np.stack([square(1200, 3000, 0), square(1200, 3000, 400)], axis=1)
+    rows["audio_id"].append("dc-stereo-pos")
+    rows["bytes"].append(wav_encode(st, 16000))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("audio_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def audio_dc_offset_batch(batch: "pa.Table") -> "pa.Table":
+    """DC-offset gate over PCM16 WAV payloads — the broken-ADC /
+    bad-trim QA check an audio curation pass runs before windowed
+    features (a constant bias poisons every RMS window and clips one
+    polarity early): exact integer sample sum, magnitude per-mille
+    ``dc_abs_milli`` = |Σv|·1000 // n (milli-sample units — kept as
+    sign + magnitude so floor-vs-truncate division semantics never
+    diverge between numpy and SQL), sign, and ``dc_biased`` at
+    ≥ 50 000 (a 50-sample-unit bias).  All-integer → bit-exact vs the
+    DuckDB little-endian hex sample walk.  Stateless ``map_batches``,
+    no shuffle."""
+    from darc_ray.functions.audio import wav_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "audio_id", "n_int16", "sum_v", "dc_abs_milli", "dc_sign",
+        "dc_biased")}
+    for aid, payload in zip(batch.column("audio_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        samples, _sr = wav_decode(payload)
+        v = samples.reshape(-1).astype(np.int64)
+        n = len(v)
+        sv = int(v.sum())
+        mag = abs(sv) * 1000 // n
+        out["audio_id"].append(aid)
+        out["n_int16"].append(n)
+        out["sum_v"].append(sv)
+        out["dc_abs_milli"].append(mag)
+        out["dc_sign"].append((sv > 0) - (sv < 0))
+        out["dc_biased"].append(int(mag >= 50_000))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("audio_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_int16", "sum_v", "dc_abs_milli",
+                                  "dc_sign", "dc_biased")]))
