@@ -64,7 +64,8 @@ BENCH_QUERIES = [
     "image_row_dups", "caption_prefix_templates", "pair_manifest_qa",
     "video_frame_manifest", "image_upscale_detect", "source_skew",
     "cohort_retention", "caption_dim_spam", "caption_deletion_dups",
-    "audio_dc_offset",
+    "audio_dc_offset", "image_hot_pixels", "image_checkerboard",
+    "caption_keyword_stuffing",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

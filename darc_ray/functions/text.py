@@ -529,3 +529,45 @@ def ensure_caption_editdup_fixture(path: str = CAPTION_EDITDUP_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+CAPTION_STUFFING_FIXTURE = "/tmp/darc_ray_fixtures/caption_stuffing.parquet"
+
+
+def ensure_caption_stuffing_fixture(path: str = CAPTION_STUFFING_FIXTURE) -> str:
+    """Deterministic caption corpus for the keyword-stuffing gate:
+    ``-stuffed`` rows repeat one token 3-5 times ("cheap cheap cheap
+    …" — the SEO shape), ``-lowuniq`` rows alternate two tokens (no
+    single token hits the repeat floor but the unique ratio collapses),
+    ``-clean`` rows are all-distinct, one ``stf-case`` row repeats
+    with case variants (normalization is load-bearing), and one
+    ``stf-single`` single-token row pins the n=1 edge (ratio 1000,
+    never flagged).  Fixed path + atomic write + ALWAYS rewritten,
+    sf-independent (same contract as the other text fixtures)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    caps: dict[str, str] = {}
+    for i in range(4):
+        caps[f"stf-{i:02d}-stuffed"] = (
+            f"buy {'cheap ' * (3 + i)}designer watches online {i}")
+    for i in range(3):
+        caps[f"stf-{i:02d}-lowuniq"] = (f"tone{i} ring{i} " * 2).strip()
+    for i in range(5):
+        caps[f"stf-{i:02d}-clean"] = (
+            f"a painted landscape number {i} with hills beside the river")
+    caps["stf-case"] = "SALE sale Sale final clearance"
+    caps["stf-single"] = "minimalism"
+    table = pa.Table.from_pydict({
+        "image_id": pa.array(list(caps), pa.string()),
+        "caption": pa.array(list(caps.values()), pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

@@ -8622,6 +8622,202 @@ FROM st ORDER BY audio_id
 """
 
 
+def q_image_hot_pixels(sf_dir: str) -> pd.DataFrame:
+    """Hot-pixel (stuck-photosite) detector over the planted fixture —
+    interior pixels differing from ALL four 4-neighbors by ≥ 100 000
+    milli-luma in the same direction; lines and border spikes stay
+    silent.  Stateless all-integer ``map_batches``, no shuffle; the
+    DuckDB oracle joins each interior pixel against its four
+    neighbors on the hex walk — bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_hotpixel_fixture,
+                                            image_hot_pixels_batch)
+
+    path = ensure_image_hotpixel_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_hot_pixels_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_HOT_PIXELS = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_hotpixel.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), ml AS (
+  SELECT r.image_id, r.w, r.ht, s.i,
+         299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+         + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+         + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT
+             AS v
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), hot AS (
+  SELECT c.image_id, any_value(c.w) AS w, any_value(c.ht) AS ht,
+         sum(CASE WHEN
+               (c.v - n.v >= 100000 AND c.v - s.v >= 100000
+                AND c.v - wn.v >= 100000 AND c.v - e.v >= 100000)
+            OR (c.v - n.v <= -100000 AND c.v - s.v <= -100000
+                AND c.v - wn.v <= -100000 AND c.v - e.v <= -100000)
+              THEN 1 ELSE 0 END)::BIGINT AS n_hot
+  FROM ml c
+  JOIN ml n  ON n.image_id = c.image_id AND n.i = c.i - c.w
+  JOIN ml s  ON s.image_id = c.image_id AND s.i = c.i + c.w
+  JOIN ml wn ON wn.image_id = c.image_id AND wn.i = c.i - 1
+  JOIN ml e  ON e.image_id = c.image_id AND e.i = c.i + 1
+  WHERE (c.i % c.w) BETWEEN 1 AND c.w - 2
+    AND (c.i // c.w) BETWEEN 1 AND c.ht - 2
+  GROUP BY c.image_id
+)
+SELECT image_id, w AS width, ht AS height, n_hot,
+       (n_hot * 1000 // ((w - 2) * (ht - 2)))::BIGINT AS hot_milli,
+       CASE WHEN n_hot >= 1 THEN 1 ELSE 0 END::BIGINT AS sensor_defect
+FROM hot ORDER BY image_id
+"""
+
+
+def q_image_checkerboard(sf_dir: str) -> pd.DataFrame:
+    """Checkerboard-artifact (GAN / transposed-convolution) detector
+    over the planted fixture — period-2 sign-alternating strong steps
+    on both axes; monotone gradients and one-axis stripes separate.
+    Stateless all-integer ``map_batches``, no shuffle; the DuckDB
+    oracle evaluates the same two-step sign test on the hex walk —
+    bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_checker_fixture,
+                                            image_checkerboard_batch)
+
+    path = ensure_image_checker_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_checkerboard_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_CHECKERBOARD = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_checker.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), ml AS (
+  SELECT r.image_id, r.w, r.ht, s.i,
+         299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+         + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+         + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT
+             AS v
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), zx AS (
+  SELECT a.image_id,
+         sum(CASE WHEN (b.v - a.v >= 20000 AND c.v - b.v <= -20000)
+                    OR (b.v - a.v <= -20000 AND c.v - b.v >= 20000)
+                  THEN 1 ELSE 0 END)::BIGINT AS z
+  FROM ml a
+  JOIN ml b ON b.image_id = a.image_id AND b.i = a.i + 1
+  JOIN ml c ON c.image_id = a.image_id AND c.i = a.i + 2
+  WHERE (a.i % a.w) < a.w - 2
+  GROUP BY a.image_id
+), zy AS (
+  SELECT a.image_id,
+         sum(CASE WHEN (b.v - a.v >= 20000 AND c.v - b.v <= -20000)
+                    OR (b.v - a.v <= -20000 AND c.v - b.v >= 20000)
+                  THEN 1 ELSE 0 END)::BIGINT AS z
+  FROM ml a
+  JOIN ml b ON b.image_id = a.image_id AND b.i = a.i + a.w
+  JOIN ml c ON c.image_id = a.image_id AND c.i = a.i + 2 * a.w
+  WHERE (a.i // a.w) < a.ht - 2
+  GROUP BY a.image_id
+), m AS (
+  SELECT r.image_id, r.w, r.ht,
+         (zx.z * 1000 // (r.ht * (r.w - 2)))::BIGINT AS xm,
+         (zy.z * 1000 // (r.w * (r.ht - 2)))::BIGINT AS ym
+  FROM raw r
+  JOIN zx ON zx.image_id = r.image_id
+  JOIN zy ON zy.image_id = r.image_id
+)
+SELECT image_id, w AS width, ht AS height,
+       xm AS zigzag_x_milli, ym AS zigzag_y_milli,
+       CASE WHEN xm >= 500 AND ym >= 500 THEN 1 ELSE 0 END::BIGINT
+           AS checkerboard,
+       CASE WHEN NOT (xm >= 500 AND ym >= 500)
+             AND (xm >= 500 OR ym >= 500) THEN 1 ELSE 0 END::BIGINT
+           AS striped
+FROM m ORDER BY image_id
+"""
+
+
+def q_caption_keyword_stuffing(sf_dir: str) -> pd.DataFrame:
+    """Keyword-stuffing gate over the planted caption corpus — the SEO
+    spam filter (a token repeated 3+ times, or a collapsed unique
+    ratio, marks machine-generated alt text): per caption the max
+    normalized-token count, distinct-token count and per-mille unique
+    ratio; ``kw_stuffed`` = max_count ≥ 3 OR unique_milli ≤ 500.
+    Per-row token counting is a stateless vectorized ``map_batches``
+    (Counter per caption — token state never crosses rows, so there
+    is NO shuffle at any scale); the DuckDB oracle unnests tokens and
+    groups per (caption, token) — bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import ensure_caption_stuffing_fixture
+
+    path = ensure_caption_stuffing_fixture()
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        n_tok, n_uniq, mx = [], [], []
+        for cap in df["caption"]:
+            cnt = Counter(cap.strip().lower().split())
+            n = sum(cnt.values())
+            n_tok.append(n)
+            n_uniq.append(len(cnt))
+            mx.append(max(cnt.values()))
+        out = pd.DataFrame({
+            "image_id": df["image_id"],
+            "n_tokens": pd.array(n_tok, dtype="int64"),
+            "n_unique": pd.array(n_uniq, dtype="int64"),
+            "max_count": pd.array(mx, dtype="int64")})
+        out["unique_milli"] = out["n_unique"] * 1000 // out["n_tokens"]
+        out["kw_stuffed"] = ((out["max_count"] >= 3)
+                             | (out["unique_milli"] <= 500)).astype("int64")
+        return out
+
+    out = (rd.read_parquet(path)
+           .map_batches(gate, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_CAPTION_KEYWORD_STUFFING = """
+WITH t AS (
+  SELECT image_id,
+         unnest(string_split_regex(lower(trim(caption)), '\\s+')) AS tok
+  FROM read_parquet('/tmp/darc_ray_fixtures/caption_stuffing.parquet')
+), c AS (
+  SELECT image_id, tok, count(*)::BIGINT AS n FROM t
+  GROUP BY image_id, tok
+), st AS (
+  SELECT image_id, sum(n)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_unique, max(n)::BIGINT AS max_count
+  FROM c GROUP BY image_id
+)
+SELECT image_id, n_tokens, n_unique, max_count,
+       (n_unique * 1000 // n_tokens)::BIGINT AS unique_milli,
+       CASE WHEN max_count >= 3 OR n_unique * 1000 // n_tokens <= 500
+            THEN 1 ELSE 0 END::BIGINT AS kw_stuffed
+FROM st ORDER BY image_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8666,7 +8862,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_length_hist": q_token_length_hist,
     "source_skew": q_source_skew,
     "caption_prefix_templates": q_caption_prefix_templates,
-    "embedding_dups_lsh": q_embedding_dups_lsh,
+    "image_hot_pixels": q_image_hot_pixels,
     "image_exposure": q_image_exposure,
     "aesthetic_gate": q_aesthetic_gate,
     "image_blockiness": q_image_blockiness,
@@ -8674,7 +8870,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "wds_shards": q_wds_shards,
     "phash_bitstats": q_phash_bitstats,
     "stratified_split": q_stratified_split,
-    "image_dedup": q_image_dedup,
+    "image_checkerboard": q_image_checkerboard,
     "caption_gate": q_caption_gate,
     "caption_dedup": q_caption_dedup,
     "boilerplate_strip": q_boilerplate_strip,
@@ -8686,7 +8882,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "quantiles_sketch": q_quantiles_sketch,
     "cohort_retention": q_cohort_retention,
-    "hll_distinct": q_hll_distinct,
+    "caption_keyword_stuffing": q_caption_keyword_stuffing,
     "pair_curation_pipeline": q_pair_curation_pipeline,
     "pagerank": q_pagerank,
     "audio_dc_offset": q_audio_dc_offset,
@@ -8716,7 +8912,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # quality_funnel and degree_hist (all r04★, unchanged this round;
     # the funnel's stages stay in-window via both capstones, the graph
     # path via pagerank) rotated out for caption_dim_spam/
-    # caption_deletion_dups/audio_dc_offset)
+    # caption_deletion_dups/audio_dc_offset; embedding_dups_lsh and
+    # image_dedup (both r04★, unchanged) and hll_distinct (r1-3★;
+    # cms_topk + quantiles_sketch keep the sketch subsystem in-window)
+    # rotated out for image_hot_pixels/image_checkerboard/
+    # caption_keyword_stuffing)
+    "embedding_dups_lsh": q_embedding_dups_lsh,
+    "image_dedup": q_image_dedup,
+    "hll_distinct": q_hll_distinct,
     "html_text": q_html_text,
     "quality_funnel": q_quality_funnel,
     "degree_hist": q_degree_hist,
@@ -8900,6 +9103,9 @@ ORACLE_SQL: dict[str, str] = {
     "caption_dim_spam": SQL_CAPTION_DIM_SPAM,
     "caption_deletion_dups": SQL_CAPTION_DELETION_DUPS,
     "audio_dc_offset": SQL_AUDIO_DC_OFFSET,
+    "image_hot_pixels": SQL_IMAGE_HOT_PIXELS,
+    "image_checkerboard": SQL_IMAGE_CHECKERBOARD,
+    "caption_keyword_stuffing": SQL_CAPTION_KEYWORD_STUFFING,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -2603,3 +2603,225 @@ def audio_dc_offset_batch(batch: "pa.Table") -> "pa.Table":
                               + [(k, pa.int64()) for k in
                                  ("n_int16", "sum_v", "dc_abs_milli",
                                   "dc_sign", "dc_biased")]))
+
+
+HOTPIXEL_FIXTURE = "/tmp/darc_ray_fixtures/image_hotpixel.parquet"
+
+
+def ensure_image_hotpixel_fixture(path: str = HOTPIXEL_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the hot-pixel (sensor-defect)
+    detector: ``-clean`` rows are the low-contrast gradient (every
+    4-neighbor milli-luma delta ≤ 39 000, far under the 100 000 spike
+    threshold), ``-hot`` rows plant 1-3 isolated saturated pixels at
+    interior positions (each differs from ALL four neighbors by ≥ the
+    threshold — the stuck-photosite shape), ``-edgecase`` rows plant a
+    saturated pixel on the border (border pixels have no complete
+    4-neighborhood and must NOT count), and ``-line`` rows plant a
+    bright vertical line 2 px wide (bright NEIGHBORS — a feature, not
+    a defect — so the detector must stay silent).  All-integer; the
+    DuckDB hex-walk oracle compares the same four neighbor triplets.
+    Fixed path + atomic write + ALWAYS rewritten, sf-independent —
+    same contract as ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def lowcontrast(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (40 + (3 * xx + 2 * yy + 7 * i) % 40).astype(np.uint8)
+        g = (40 + (3 * xx + 2 * yy + 7 * i + 13) % 40).astype(np.uint8)
+        b = (40 + (3 * xx + 2 * yy + 7 * i + 26) % 40).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(14):
+        hh, ww = 14 + (5 * i) % 11, 17 + (7 * i) % 9
+        pix = lowcontrast(hh, ww, i)
+        flavor = i % 4
+        if flavor == 1:
+            k = 1 + i % 3
+            for j in range(k):                 # isolated interior spikes
+                pix[2 + 3 * j, 2 + 4 * j] = 255
+            add(f"hot-{i:02d}-hot", pix)
+        elif flavor == 2:
+            pix[0, 3] = 255                     # border spike: no count
+            add(f"hot-{i:02d}-edgecase", pix)
+        elif flavor == 3:
+            pix[:, 5:7] = 250                   # 2-px line: neighbors hot
+            add(f"hot-{i:02d}-line", pix)
+        else:
+            add(f"hot-{i:02d}-clean", pix)
+    add("hot-solid", np.full((12, 14, 3), 90, np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_hot_pixels_batch(batch: "pa.Table") -> "pa.Table":
+    """Hot-pixel (stuck-photosite) detector over raw-pixel payloads —
+    the sensor-defect QA a crawl-scale funnel runs on camera-sourced
+    frames (a stuck pixel survives resize and poisons patch statistics
+    downstream): an INTERIOR pixel is HOT when its milli-luma differs
+    from ALL four 4-neighbors by ≥ 100 000 in the same direction
+    (min over neighbors of |Δ| with a common sign — a 2-px line has a
+    like-valued neighbor and stays silent, as does a border pixel,
+    which has no complete neighborhood).  Emits the count and a
+    per-megapixel-style per-mille over interior pixels plus the flag
+    at ≥ 1 hot pixel.  All-integer → bit-exact vs the DuckDB
+    hex-walk oracle.  Stateless ``map_batches``, no shuffle."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "n_hot", "hot_milli",
+        "sensor_defect")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        if h < 3 or w < 3:
+            raise ValueError(f"image {iid}: {w}x{h} has no interior")
+        luma = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        c = luma[1:-1, 1:-1]
+        dn = c - luma[:-2, 1:-1]
+        ds = c - luma[2:, 1:-1]
+        dw = c - luma[1:-1, :-2]
+        de = c - luma[1:-1, 2:]
+        thr = 100_000
+        hot = (((dn >= thr) & (ds >= thr) & (dw >= thr) & (de >= thr))
+               | ((dn <= -thr) & (ds <= -thr) & (dw <= -thr)
+                  & (de <= -thr)))
+        n_hot = int(hot.sum())
+        interior = (h - 2) * (w - 2)
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["n_hot"].append(n_hot)
+        out["hot_milli"].append(n_hot * 1000 // interior)
+        out["sensor_defect"].append(int(n_hot >= 1))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "n_hot",
+                                  "hot_milli", "sensor_defect")]))
+
+
+CHECKER_FIXTURE = "/tmp/darc_ray_fixtures/image_checker.parquet"
+
+
+def ensure_image_checker_fixture(path: str = CHECKER_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the checkerboard-artifact
+    (GAN/deconvolution) detector: ``-clean`` rows are the low-contrast
+    monotone-step gradient (no sign alternation), ``-checker`` rows
+    superimpose a ±30 period-2 alternation on BOTH axes over the
+    gradient (the classic transposed-convolution grid), ``-hstripe``
+    rows alternate on x only, and one ``chk-solid`` row pins the
+    zero-gradient case.  All-integer; the DuckDB oracle reads two
+    neighbor triplets per pixel.  Fixed path + atomic write + ALWAYS
+    rewritten, sf-independent — same contract as
+    ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def lowcontrast(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (80 + (3 * xx + 2 * yy + 7 * i) % 40).astype(np.int64)
+        g = (80 + (3 * xx + 2 * yy + 7 * i + 13) % 40).astype(np.int64)
+        b = (80 + (3 * xx + 2 * yy + 7 * i + 26) % 40).astype(np.int64)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(12):
+        hh, ww = 14 + (5 * i) % 11, 18 + (7 * i) % 9
+        base = lowcontrast(hh, ww, i)
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        flavor = i % 3
+        if flavor == 1:
+            grid = 30 * ((xx + yy) % 2 * 2 - 1)
+            add(f"chk-{i:02d}-checker",
+                np.clip(base + grid[..., None], 0, 255).astype(np.uint8))
+        elif flavor == 2:
+            grid = 30 * (xx % 2 * 2 - 1)
+            add(f"chk-{i:02d}-hstripe",
+                np.clip(base + grid[..., None], 0, 255).astype(np.uint8))
+        else:
+            add(f"chk-{i:02d}-clean", base.astype(np.uint8))
+    add("chk-solid", np.full((12, 16, 3), 120, np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_checkerboard_batch(batch: "pa.Table") -> "pa.Table":
+    """Checkerboard-artifact (GAN / transposed-convolution) detector
+    over raw-pixel payloads — the synthetic-image QA a modern pair
+    funnel runs now that generated images flood the crawl: a pixel x
+    ZIGZAGS when the two consecutive horizontal milli-luma steps
+    L(x+1)−L(x) and L(x+2)−L(x+1) have opposite signs and BOTH
+    magnitudes ≥ 20 000 (period-2 alternation; monotone gradients and
+    8-px block steps do not); ``zigzag_x_milli`` / ``zigzag_y_milli``
+    are per-mille shares over the (w−2)·h resp. w·(h−2) triple grids
+    and ``checkerboard`` fires when BOTH axes ≥ 500 (``striped`` when
+    exactly one).  All-integer → bit-exact vs the DuckDB hex-walk
+    oracle.  Stateless ``map_batches``, no shuffle."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "zigzag_x_milli",
+        "zigzag_y_milli", "checkerboard", "striped")}
+    thr = 20_000
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        if h < 3 or w < 3:
+            raise ValueError(f"image {iid}: {w}x{h} has no step triple")
+        luma = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        gx = luma[:, 1:] - luma[:, :-1]
+        zx = int((((gx[:, :-1] >= thr) & (gx[:, 1:] <= -thr))
+                  | ((gx[:, :-1] <= -thr) & (gx[:, 1:] >= thr))).sum())
+        gy = luma[1:, :] - luma[:-1, :]
+        zy = int((((gy[:-1, :] >= thr) & (gy[1:, :] <= -thr))
+                  | ((gy[:-1, :] <= -thr) & (gy[1:, :] >= thr))).sum())
+        xm = zx * 1000 // (h * (w - 2))
+        ym = zy * 1000 // (w * (h - 2))
+        both = int(xm >= 500 and ym >= 500)
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["zigzag_x_milli"].append(xm)
+        out["zigzag_y_milli"].append(ym)
+        out["checkerboard"].append(both)
+        out["striped"].append(int(not both and (xm >= 500 or ym >= 500)))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "zigzag_x_milli",
+                                  "zigzag_y_milli", "checkerboard",
+                                  "striped")]))
