@@ -8755,6 +8755,160 @@ FROM m ORDER BY image_id
 """
 
 
+def q_image_qa_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Composed image-QA capstone over the planted defect fixture —
+    the production-ordered gate stack (manifest → scanline corruption
+    → sensor defects → GAN checkerboard → nearest-neighbor upscale),
+    cheapest first, later stages −1-masked for rows an earlier stage
+    rejected (never evaluated in production).  One stateless
+    ``map_batches``; the DuckDB oracle re-derives all five stages AND
+    the masking from the same bytes in one composed query — proving
+    the gates agree end-to-end under a single oracle."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_qa_fixture,
+                                            image_qa_funnel_batch)
+
+    path = ensure_image_qa_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_qa_funnel_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_QA_PIPELINE = """
+WITH hdr AS (
+  SELECT image_id, hex(bytes) AS hx,
+         w::BIGINT AS decl_w, h::BIGINT AS decl_h,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS hw,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS hh,
+         octet_length(bytes)::BIGINT AS plen
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_qa.parquet')
+), man AS (
+  SELECT *, CASE WHEN decl_w = hw AND decl_h = hh
+                  AND plen = 12 + 3 * hw * hh
+                 THEN 1 ELSE 0 END AS man_ok
+  FROM hdr
+), ok AS (
+  SELECT image_id, hx, hw AS w, hh AS ht FROM man WHERE man_ok = 1
+), yseries AS (
+  SELECT unnest(generate_series(0, (SELECT max(ht) FROM ok) - 1)) AS y
+), rows_hex AS (
+  SELECT o.image_id, o.ht, s.y,
+         substr(o.hx, 2 * (12 + 3 * o.w * s.y) + 1, 6 * o.w) AS rh
+  FROM ok o JOIN yseries s ON s.y < o.ht
+), scan AS (
+  SELECT a.image_id,
+         max(CASE WHEN a.rh = b.rh AND b.rh = c.rh
+                  THEN 1 ELSE 0 END)::BIGINT AS bad
+  FROM rows_hex a
+  JOIN rows_hex b ON b.image_id = a.image_id AND b.y = a.y + 1
+  JOIN rows_hex c ON c.image_id = a.image_id AND c.y = a.y + 2
+  GROUP BY a.image_id
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM ok) - 1)) AS i
+), ml AS (
+  SELECT o.image_id, o.w, o.ht, s.i,
+         299 * ('0x' || substr(o.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+         + 587 * ('0x' || substr(o.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+         + 114 * ('0x' || substr(o.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT
+             AS v,
+         substr(o.hx, 2 * (12 + 3 * s.i) + 1, 6) AS px
+  FROM ok o JOIN series s ON s.i < o.w * o.ht
+), hot AS (
+  SELECT c.image_id,
+         max(CASE WHEN
+               (c.v - n.v >= 100000 AND c.v - s.v >= 100000
+                AND c.v - wn.v >= 100000 AND c.v - e.v >= 100000)
+            OR (c.v - n.v <= -100000 AND c.v - s.v <= -100000
+                AND c.v - wn.v <= -100000 AND c.v - e.v <= -100000)
+              THEN 1 ELSE 0 END)::BIGINT AS bad
+  FROM ml c
+  JOIN ml n  ON n.image_id = c.image_id AND n.i = c.i - c.w
+  JOIN ml s  ON s.image_id = c.image_id AND s.i = c.i + c.w
+  JOIN ml wn ON wn.image_id = c.image_id AND wn.i = c.i - 1
+  JOIN ml e  ON e.image_id = c.image_id AND e.i = c.i + 1
+  WHERE (c.i % c.w) BETWEEN 1 AND c.w - 2
+    AND (c.i // c.w) BETWEEN 1 AND c.ht - 2
+  GROUP BY c.image_id
+), zx AS (
+  SELECT a.image_id,
+         sum(CASE WHEN (b.v - a.v >= 20000 AND c.v - b.v <= -20000)
+                    OR (b.v - a.v <= -20000 AND c.v - b.v >= 20000)
+                  THEN 1 ELSE 0 END)::BIGINT AS z
+  FROM ml a
+  JOIN ml b ON b.image_id = a.image_id AND b.i = a.i + 1
+  JOIN ml c ON c.image_id = a.image_id AND c.i = a.i + 2
+  WHERE (a.i % a.w) < a.w - 2
+  GROUP BY a.image_id
+), zy AS (
+  SELECT a.image_id,
+         sum(CASE WHEN (b.v - a.v >= 20000 AND c.v - b.v <= -20000)
+                    OR (b.v - a.v <= -20000 AND c.v - b.v >= 20000)
+                  THEN 1 ELSE 0 END)::BIGINT AS z
+  FROM ml a
+  JOIN ml b ON b.image_id = a.image_id AND b.i = a.i + a.w
+  JOIN ml c ON c.image_id = a.image_id AND c.i = a.i + 2 * a.w
+  WHERE (a.i // a.w) < a.ht - 2
+  GROUP BY a.image_id
+), chk AS (
+  SELECT o.image_id,
+         CASE WHEN zx.z * 1000 // (o.ht * (o.w - 2)) >= 500
+               AND zy.z * 1000 // (o.w * (o.ht - 2)) >= 500
+              THEN 1 ELSE 0 END::BIGINT AS bad
+  FROM ok o
+  JOIN zx ON zx.image_id = o.image_id
+  JOIN zy ON zy.image_id = o.image_id
+), up AS (
+  SELECT a.image_id, any_value(a.w) AS w, any_value(a.ht) AS ht,
+         sum(CASE WHEN (a.i % a.w) % 2 = 0
+                   AND (a.i % a.w) < 2 * (a.w // 2)
+                   AND a.px = b.px THEN 1 ELSE 0 END)::BIGINT AS col_eq,
+         sum(CASE WHEN (a.i // a.w) % 2 = 0
+                   AND (a.i // a.w) < 2 * (a.ht // 2)
+                   AND a.px = r.px THEN 1 ELSE 0 END)::BIGINT AS row_eq
+  FROM ml a
+  LEFT JOIN ml b ON b.image_id = a.image_id AND b.i = a.i + 1
+  LEFT JOIN ml r ON r.image_id = a.image_id AND r.i = a.i + a.w
+  GROUP BY a.image_id
+), upf AS (
+  SELECT image_id,
+         CASE WHEN col_eq * 1000 // (ht * (w // 2)) >= 900
+               AND row_eq * 1000 // (w * (ht // 2)) >= 900
+              THEN 1 ELSE 0 END::BIGINT AS bad
+  FROM up
+), f AS (
+  SELECT m.image_id, m.decl_w, m.decl_h, m.man_ok::BIGINT AS manifest_ok,
+         CASE WHEN m.man_ok = 0 THEN -1 ELSE sc.bad END AS scan_bad,
+         CASE WHEN m.man_ok = 0 OR sc.bad = 1 THEN -1
+              ELSE ho.bad END AS sensor_bad,
+         CASE WHEN m.man_ok = 0 OR sc.bad = 1 OR ho.bad = 1 THEN -1
+              ELSE ch.bad END AS synth_bad,
+         CASE WHEN m.man_ok = 0 OR sc.bad = 1 OR ho.bad = 1
+               OR ch.bad = 1 THEN -1 ELSE uf.bad END AS upscaled
+  FROM man m
+  LEFT JOIN scan sc ON sc.image_id = m.image_id
+  LEFT JOIN hot ho ON ho.image_id = m.image_id
+  LEFT JOIN chk ch ON ch.image_id = m.image_id
+  LEFT JOIN upf uf ON uf.image_id = m.image_id
+)
+SELECT image_id, decl_w, decl_h, manifest_ok,
+       scan_bad::BIGINT AS scan_bad, sensor_bad::BIGINT AS sensor_bad,
+       synth_bad::BIGINT AS synth_bad, upscaled::BIGINT AS upscaled,
+       CASE WHEN manifest_ok = 1 AND scan_bad = 0 AND sensor_bad = 0
+             AND synth_bad = 0 AND upscaled = 0
+            THEN 1 ELSE 0 END::BIGINT AS keep,
+       CASE WHEN manifest_ok = 0 THEN 'manifest'
+            WHEN scan_bad = 1 THEN 'scanlines'
+            WHEN sensor_bad = 1 THEN 'sensor'
+            WHEN synth_bad = 1 THEN 'synthetic'
+            WHEN upscaled = 1 THEN 'resolution'
+            ELSE 'keep' END AS reject_stage
+FROM f ORDER BY image_id
+"""
+
+
 def q_caption_keyword_stuffing(sf_dir: str) -> pd.DataFrame:
     """Keyword-stuffing gate over the planted caption corpus — the SEO
     spam filter (a token repeated 3+ times, or a collapsed unique
@@ -8875,7 +9029,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "caption_dedup": q_caption_dedup,
     "boilerplate_strip": q_boilerplate_strip,
     "image_letterbox": q_image_letterbox,
-    "bigram_lm": q_bigram_lm,
+    "image_qa_pipeline": q_image_qa_pipeline,
     "image_phash_clusters": q_image_phash_clusters,
     "image_color_stats": q_image_color_stats,
     "cms_topk": q_cms_topk,
@@ -8916,7 +9070,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # image_dedup (both r04★, unchanged) and hll_distinct (r1-3★;
     # cms_topk + quantiles_sketch keep the sketch subsystem in-window)
     # rotated out for image_hot_pixels/image_checkerboard/
-    # caption_keyword_stuffing)
+    # caption_keyword_stuffing; bigram_lm (r04★; its r5 over-cap rung
+    # is repo-harness-forced, invisible to the sf0.01 driver anyway)
+    # rotated out for the image_qa_pipeline capstone)
+    "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
     "hll_distinct": q_hll_distinct,
@@ -9106,6 +9263,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_hot_pixels": SQL_IMAGE_HOT_PIXELS,
     "image_checkerboard": SQL_IMAGE_CHECKERBOARD,
     "caption_keyword_stuffing": SQL_CAPTION_KEYWORD_STUFFING,
+    "image_qa_pipeline": SQL_IMAGE_QA_PIPELINE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

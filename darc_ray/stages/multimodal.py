@@ -2825,3 +2825,178 @@ def image_checkerboard_batch(batch: "pa.Table") -> "pa.Table":
                                  ("width", "height", "zigzag_x_milli",
                                   "zigzag_y_milli", "checkerboard",
                                   "striped")]))
+
+
+IMAGE_QA_FIXTURE = "/tmp/darc_ray_fixtures/image_qa.parquet"
+
+
+def ensure_image_qa_fixture(path: str = IMAGE_QA_FIXTURE) -> str:
+    """Deterministic (image_id, bytes, w, h) corpus for the composed
+    image-QA funnel: per flavor exactly ONE stage rejects — ``-swap``
+    / ``-trunc`` (manifest stage), ``-rowdup`` (a 5-row frozen band:
+    triple-scanline corruption), ``-hot`` (two stuck photosites),
+    ``-checker`` (±30 period-2 grid), ``-up2`` (2× nearest-neighbor
+    upscale, which the TRIPLE scanline test deliberately passes —
+    pair-duplicates are resampling, runs are corruption) — plus
+    ``-good`` rows that pass everything and one ``qa-multi`` row that
+    is both truncated and defective (must reject at the FIRST stage).
+    Fixed path + atomic write + ALWAYS rewritten, sf-independent —
+    same contract as ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows: dict[str, list] = {k: [] for k in ("image_id", "bytes", "w", "h")}
+
+    def add(iid: str, payload: bytes, w: int, h: int) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(payload)
+        rows["w"].append(w)
+        rows["h"].append(h)
+
+    def lowcontrast(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (80 + (3 * xx + 2 * yy + 7 * i) % 40).astype(np.int64)
+        g = (80 + (3 * xx + 2 * yy + 7 * i + 13) % 40).astype(np.int64)
+        b = (80 + (3 * xx + 2 * yy + 7 * i + 26) % 40).astype(np.int64)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(15):
+        hh, ww = 12 + 2 * (i % 4), 14 + 2 * (i % 3)    # even, >= 12
+        pix = lowcontrast(hh, ww, i).astype(np.uint8)
+        flavor = i % 7
+        if flavor == 1:
+            add(f"qa-{i:02d}-swap", img.raw_encode(pix), hh, ww)
+        elif flavor == 2:
+            add(f"qa-{i:02d}-trunc", img.raw_encode(pix)[:-5], ww, hh)
+        elif flavor == 3:
+            pix[4:9] = pix[4]                           # 5 frozen rows
+            add(f"qa-{i:02d}-rowdup", img.raw_encode(pix), ww, hh)
+        elif flavor == 4:
+            pix[3, 3] = 255
+            pix[7, 9] = 255
+            add(f"qa-{i:02d}-hot", img.raw_encode(pix), ww, hh)
+        elif flavor == 5:
+            yy, xx = np.mgrid[0:hh, 0:ww]
+            grid = 30 * ((xx + yy) % 2 * 2 - 1)
+            chk = np.clip(lowcontrast(hh, ww, i) + grid[..., None],
+                          0, 255).astype(np.uint8)
+            add(f"qa-{i:02d}-checker", img.raw_encode(chk), ww, hh)
+        elif flavor == 6:
+            up = pix.repeat(2, 0).repeat(2, 1)
+            add(f"qa-{i:02d}-up2", img.raw_encode(up), 2 * ww, 2 * hh)
+        else:
+            add(f"qa-{i:02d}-good", img.raw_encode(pix), ww, hh)
+    bad = lowcontrast(12, 14, 99).astype(np.uint8)
+    bad[3, 3] = 255                                     # hot AND truncated
+    add("qa-multi", img.raw_encode(bad)[:-5], 14, 12)
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary()),
+                                ("w", pa.int32()), ("h", pa.int32())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_qa_funnel_batch(batch: "pa.Table") -> "pa.Table":
+    """Composed image-QA funnel in PRODUCTION ORDER — the defect gate
+    stack a crawl-scale ingest runs before any model scoring, cheapest
+    first and never decoding a row an earlier stage rejected:
+    (1) manifest (12-byte header vs (w, h) columns + exact payload
+    length — no decode), then per decoded frame (2) scanlines (≥ 3
+    identical CONSECUTIVE rows = corruption; pair-duplicates pass —
+    that's resampling, handled by stage 5), (3) sensor (≥ 1 hot
+    pixel), (4) synthetic (checkerboard zigzag ≥ 500 both axes),
+    (5) resolution (2× nearest-neighbor twin shares ≥ 900 both axes).
+    Stage flags are −1 for stages after the rejecting one (never
+    evaluated in production; the single decode here is masked
+    identically so the DuckDB oracle can reproduce the exact table).
+    ``reject_stage`` names the first failure or 'keep'.  Stateless
+    ``map_batches``, no shuffle — the funnel composes five proven
+    per-row kernels under one oracle."""
+    import struct
+
+    from darc_ray.functions.image import RAW_MAGIC, raw_decode
+
+    names = ("image_id", "decl_w", "decl_h", "manifest_ok", "scan_bad",
+             "sensor_bad", "synth_bad", "upscaled", "keep")
+    out: dict[str, list] = {k: [] for k in names}
+    out["reject_stage"] = []
+    for iid, payload, w, h in zip(batch.column("image_id").to_pylist(),
+                                  batch.column("bytes").to_pylist(),
+                                  batch.column("w").to_pylist(),
+                                  batch.column("h").to_pylist()):
+        if len(payload) < 12 or payload[:4] != RAW_MAGIC:
+            raise ValueError(f"image {iid}: not a RAWI header")
+        hw, hh = struct.unpack_from(">II", payload, 4)
+        man_ok = int(int(w) == hw and int(h) == hh
+                     and len(payload) == 12 + 3 * hw * hh)
+        scan = sensor = synth = up = -1
+        stage = "manifest"
+        if man_ok:
+            pix = raw_decode(payload)
+            p64 = pix.astype(np.int64)
+            luma = (299 * p64[..., 0] + 587 * p64[..., 1]
+                    + 114 * p64[..., 2])
+            eq_next = (pix[1:] == pix[:-1]).all(axis=(1, 2))
+            scan = int(bool((eq_next[1:] & eq_next[:-1]).any()))
+            if scan:
+                stage = "scanlines"
+            else:
+                c = luma[1:-1, 1:-1]
+                dn, ds = c - luma[:-2, 1:-1], c - luma[2:, 1:-1]
+                dw, de = c - luma[1:-1, :-2], c - luma[1:-1, 2:]
+                t = 100_000
+                sensor = int(bool(
+                    (((dn >= t) & (ds >= t) & (dw >= t) & (de >= t))
+                     | ((dn <= -t) & (ds <= -t) & (dw <= -t)
+                        & (de <= -t))).any()))
+                if sensor:
+                    stage = "sensor"
+                else:
+                    thr = 20_000
+                    gx = luma[:, 1:] - luma[:, :-1]
+                    zx = int((((gx[:, :-1] >= thr) & (gx[:, 1:] <= -thr))
+                              | ((gx[:, :-1] <= -thr)
+                                 & (gx[:, 1:] >= thr))).sum())
+                    gy = luma[1:, :] - luma[:-1, :]
+                    zy = int((((gy[:-1, :] >= thr) & (gy[1:, :] <= -thr))
+                              | ((gy[:-1, :] <= -thr)
+                                 & (gy[1:, :] >= thr))).sum())
+                    synth = int(zx * 1000 // (hh * (hw - 2)) >= 500
+                                and zy * 1000 // (hw * (hh - 2)) >= 500)
+                    if synth:
+                        stage = "synthetic"
+                    else:
+                        cw, rh = hw // 2, hh // 2
+                        ce = int((pix[:, 0:2 * cw:2] == pix[:, 1:2 * cw:2])
+                                 .all(axis=2).sum())
+                        re = int((pix[0:2 * rh:2] == pix[1:2 * rh:2])
+                                 .all(axis=2).sum())
+                        up = int(ce * 1000 // (hh * cw) >= 900
+                                 and re * 1000 // (hw * rh) >= 900)
+                        stage = "resolution" if up else "keep"
+        keep = int(stage == "keep")
+        out["image_id"].append(iid)
+        out["decl_w"].append(int(w))
+        out["decl_h"].append(int(h))
+        out["manifest_ok"].append(man_ok)
+        out["scan_bad"].append(scan)
+        out["sensor_bad"].append(sensor)
+        out["synth_bad"].append(synth)
+        out["upscaled"].append(up)
+        out["keep"].append(keep)
+        out["reject_stage"].append(stage)
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("decl_w", "decl_h", "manifest_ok",
+                                  "scan_bad", "sensor_bad", "synth_bad",
+                                  "upscaled", "keep")]
+                              + [("reject_stage", pa.string())]))

@@ -117,3 +117,38 @@ def test_keyword_stuffing_planted_flavors(ray_session):
     assert df.loc["stf-case", ["max_count", "kw_stuffed"]].tolist() == [3, 1]
     assert df.loc["stf-single", ["n_tokens", "unique_milli",
                                  "kw_stuffed"]].tolist() == [1, 1000, 0]
+
+
+# ---------------------------------------------------------------------------
+# image_qa_pipeline capstone: per-flavor reject stage + masking
+# ---------------------------------------------------------------------------
+
+def test_image_qa_pipeline_flavor_routing(ray_session):
+    from darc_ray.pipelines.queries import q_image_qa_pipeline
+
+    df = q_image_qa_pipeline("unused").set_index("image_id")
+    assert len(df) == 16
+    want_stage = {"-swap": "manifest", "-trunc": "manifest",
+                  "-rowdup": "scanlines", "-hot": "sensor",
+                  "-checker": "synthetic", "-up2": "resolution",
+                  "-good": "keep"}
+    for iid, r in df.iterrows():
+        if iid == "qa-multi":
+            continue
+        stage = next(v for k, v in want_stage.items() if iid.endswith(k))
+        assert r.reject_stage == stage, (iid, r.reject_stage)
+        assert r.keep == int(stage == "keep"), iid
+    # a truncated AND defective row rejects at the FIRST stage, and
+    # every later stage is -1 (never evaluated)
+    multi = df.loc["qa-multi"]
+    assert multi.reject_stage == "manifest"
+    assert (multi[["scan_bad", "sensor_bad", "synth_bad",
+                   "upscaled"]] == -1).all()
+    # masking cascade: a scanline reject leaves sensor/synth/up at -1
+    rd_row = df[df.index.str.endswith("-rowdup")].iloc[0]
+    assert rd_row.scan_bad == 1
+    assert (rd_row[["sensor_bad", "synth_bad", "upscaled"]] == -1).all()
+    # keeps evaluate everything to 0
+    good = df[df.index.str.endswith("-good")]
+    assert (good[["scan_bad", "sensor_bad", "synth_bad",
+                  "upscaled"]] == 0).all().all()
