@@ -65,7 +65,8 @@ BENCH_QUERIES = [
     "video_frame_manifest", "image_upscale_detect", "source_skew",
     "cohort_retention", "caption_dim_spam", "caption_deletion_dups",
     "audio_dc_offset", "image_hot_pixels", "image_checkerboard",
-    "caption_keyword_stuffing", "image_qa_pipeline",
+    "caption_keyword_stuffing", "image_qa_pipeline", "image_vignette",
+    "embedding_qa",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -8972,6 +8972,120 @@ FROM st ORDER BY image_id
 """
 
 
+def q_image_vignette(sf_dir: str) -> pd.DataFrame:
+    """Vignette (corner-falloff) detector over the planted fixture —
+    signed center-vs-corner block-mean contrast: dark corners flag
+    ``vignetted`` (≥ 300 falloff per-mille), bright corners flag
+    ``corner_hot`` (≤ −200).  Stateless all-integer ``map_batches``,
+    no shuffle; the DuckDB oracle re-derives the 4×4 block means on
+    the hex walk — bit-exact (signed score emitted as
+    sign × magnitude so floor-vs-truncate division never diverges)."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_vignette_fixture,
+                                            image_vignette_batch)
+
+    path = ensure_image_vignette_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_vignette_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_VIGNETTE = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_vignette.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht, s.i % r.w AS x, s.i // r.w AS y,
+         299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+         + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+         + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT
+             AS v
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), st AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht,
+         sum(CASE WHEN y >= ht // 2 - 2 AND y < ht // 2 + 2
+                   AND x >= w // 2 - 2 AND x < w // 2 + 2
+                  THEN v ELSE 0 END)::BIGINT // 16 AS center,
+         sum(CASE WHEN (x < 4 OR x >= w - 4) AND (y < 4 OR y >= ht - 4)
+                  THEN v ELSE 0 END)::BIGINT // 64 AS corner
+  FROM px GROUP BY image_id
+), m AS (
+  SELECT image_id, w, ht, center, corner,
+         CASE WHEN center >= corner
+              THEN abs(center - corner) * 1000 // greatest(center, 1)
+              ELSE -(abs(center - corner) * 1000 // greatest(center, 1))
+              END AS fall
+  FROM st
+)
+SELECT image_id, w AS width, ht AS height,
+       center AS center_mluma, corner AS corner_mluma,
+       fall::BIGINT AS falloff_milli,
+       CASE WHEN fall >= 300 THEN 1 ELSE 0 END::BIGINT AS vignetted,
+       CASE WHEN fall <= -200 THEN 1 ELSE 0 END::BIGINT AS corner_hot
+FROM m ORDER BY image_id
+"""
+
+
+def q_embedding_qa(sf_dir: str) -> pd.DataFrame:
+    """Embedding-vector QA over the REAL ``embeddings`` table — the
+    sanity pass an ANN/semdedup stage runs before trusting its index
+    (zero/degenerate vectors collapse every cosine to the same bucket;
+    a single NaN poisons a centroid): per vector the dimension, the
+    QUANTIZED squared norm (elements floored at 1e-3 resolution in
+    float64 — deterministic on both engines, so the oracle is
+    bit-exact despite float inputs), the max |quantized| component,
+    and a ``low_norm`` flag.  Stateless vectorized ``map_batches``
+    over the Arrow list column (flatten + reshape, no Python loop),
+    no shuffle — embarrassingly parallel at 100 TB."""
+    import ray.data as rd
+
+    def qa(batch: pa.Table) -> pa.Table:
+        ca = batch.column("embedding").combine_chunks()
+        n = len(ca)
+        flat = ca.flatten().to_numpy(zero_copy_only=False)
+        q = np.floor(flat.astype(np.float64) * 1000).astype(np.int64)
+        q = q.reshape(n, -1)
+        vec = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        qn = (q * q).sum(axis=1)
+        return pa.table({
+            "vec_id": pa.array(vec.astype(np.int64)),
+            "dim": pa.array(np.full(n, q.shape[1], dtype=np.int64)),
+            "qnorm2": pa.array(qn),
+            "max_abs_q": pa.array(np.abs(q).max(axis=1)),
+            "low_norm": pa.array((qn < 100_000).astype(np.int64))})
+
+    out = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+           .map_batches(qa, batch_format="pyarrow", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_EMBEDDING_QA = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
+  FROM embeddings
+), st AS (
+  SELECT vec_id, len(qv)::BIGINT AS dim,
+         list_sum(list_transform(qv, e -> e * e))::BIGINT AS qnorm2,
+         list_max(list_transform(qv, e -> abs(e)))::BIGINT AS max_abs_q
+  FROM q
+)
+SELECT vec_id, dim, qnorm2, max_abs_q,
+       CASE WHEN qnorm2 < 100000 THEN 1 ELSE 0 END::BIGINT AS low_norm
+FROM st ORDER BY vec_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8991,7 +9105,7 @@ FROM st ORDER BY image_id
 # the repo's own DuckDB harness (tests/test_queries.py parametrizes
 # over ORACLE_SQL).
 QUERIES: dict[str, Callable[[str], Any]] = {
-    "pricing_summary": q_pricing_summary,
+    "embedding_qa": q_embedding_qa,
     "caption_dim_spam": q_caption_dim_spam,
     "incremental_dedup": q_incremental_dedup,
     "dedup_clusters_dataset": q_dedup_clusters_dataset,
@@ -9072,7 +9186,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # rotated out for image_hot_pixels/image_checkerboard/
     # caption_keyword_stuffing; bigram_lm (r04★; its r5 over-cap rung
     # is repo-harness-forced, invisible to the sf0.01 driver anyway)
-    # rotated out for the image_qa_pipeline capstone)
+    # rotated out for the image_qa_pipeline capstone; pricing_summary
+    # (★ r1-r4, the most-evidenced family in the repo) rotated out for
+    # embedding_qa — a new real-table axis; image_vignette lands at
+    # 51+ directly, repo-harness-oracled)
+    "pricing_summary": q_pricing_summary,
+    "image_vignette": q_image_vignette,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -9264,6 +9383,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_checkerboard": SQL_IMAGE_CHECKERBOARD,
     "caption_keyword_stuffing": SQL_CAPTION_KEYWORD_STUFFING,
     "image_qa_pipeline": SQL_IMAGE_QA_PIPELINE,
+    "image_vignette": SQL_IMAGE_VIGNETTE,
+    "embedding_qa": SQL_EMBEDDING_QA,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

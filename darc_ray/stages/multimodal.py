@@ -3000,3 +3000,121 @@ def image_qa_funnel_batch(batch: "pa.Table") -> "pa.Table":
                                   "scan_bad", "sensor_bad", "synth_bad",
                                   "upscaled", "keep")]
                               + [("reject_stage", pa.string())]))
+
+
+VIGNETTE_FIXTURE = "/tmp/darc_ray_fixtures/image_vignette.parquet"
+
+
+def ensure_image_vignette_fixture(path: str = VIGNETTE_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the vignette (corner-falloff)
+    detector: ``-flat`` rows are the low-contrast gradient (corner and
+    center mean milli-luma agree within noise), ``-vig`` rows multiply
+    a radial falloff that darkens the four 4×4 corner blocks to
+    ≈ 40% of the center 4×4 block (the lens/Instagram-filter shape),
+    ``-invvig`` rows BRIGHTEN corners (flash hotspot inversion — the
+    signed score separates it), and one ``vig-solid`` row pins the
+    zero-contrast case.  All pixel values are exact integers so the
+    DuckDB hex-walk oracle re-derives the block means bit-for-bit.
+    Fixed path + atomic write + ALWAYS rewritten, sf-independent —
+    same contract as ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def base(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (150 + (3 * xx + 2 * yy + 7 * i) % 40).astype(np.int64)
+        g = (150 + (3 * xx + 2 * yy + 7 * i + 13) % 40).astype(np.int64)
+        b = (150 + (3 * xx + 2 * yy + 7 * i + 26) % 40).astype(np.int64)
+        return np.stack([r, g, b], axis=2)
+
+    def corner_scale(pix: np.ndarray, milli: int) -> np.ndarray:
+        out = pix.copy()
+        for ys in (slice(0, 4), slice(-4, None)):
+            for xs in (slice(0, 4), slice(-4, None)):
+                out[ys, xs] = pix[ys, xs] * milli // 1000
+        return out
+
+    for i in range(12):
+        hh, ww = 14 + (5 * i) % 11, 16 + (7 * i) % 9
+        pix = base(hh, ww, i)
+        flavor = i % 3
+        if flavor == 1:
+            add(f"vig-{i:02d}-vig",
+                corner_scale(pix, 400).astype(np.uint8))
+        elif flavor == 2:
+            add(f"vig-{i:02d}-invvig",
+                np.clip(corner_scale(pix, 1350), 0, 255).astype(np.uint8))
+        else:
+            add(f"vig-{i:02d}-flat", pix.astype(np.uint8))
+    add("vig-solid", np.full((14, 16, 3), 160, np.uint8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_vignette_batch(batch: "pa.Table") -> "pa.Table":
+    """Vignette (corner-falloff) detector over raw-pixel payloads —
+    the lens-defect / filter-effect signal a pair funnel scores
+    alongside the exposure gates (heavy vignettes mark re-edited
+    social-media copies of an original — a near-dup confounder worth
+    a feature of its own): mean milli-luma of the four 4×4 corner
+    blocks vs the center 4×4 block; ``falloff_milli`` =
+    (center − corner_mean)·1000 // center (signed: positive = dark
+    corners, negative = hotspot corners); ``vignetted`` fires at
+    ≥ 300, ``corner_hot`` at ≤ −200.  All-integer floor divisions on
+    non-negative sums → bit-exact vs the DuckDB hex-walk oracle.
+    Stateless ``map_batches``, no shuffle."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "center_mluma", "corner_mluma",
+        "falloff_milli", "vignetted", "corner_hot")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        if h < 12 or w < 12:
+            raise ValueError(f"image {iid}: {w}x{h} too small for "
+                             "disjoint 4x4 corner/center blocks")
+        luma = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        cy, cx = h // 2 - 2, w // 2 - 2
+        center = int(luma[cy:cy + 4, cx:cx + 4].sum()) // 16
+        csum = (int(luma[:4, :4].sum()) + int(luma[:4, -4:].sum())
+                + int(luma[-4:, :4].sum()) + int(luma[-4:, -4:].sum()))
+        corner = csum // 64
+        # signed numerator over positive denominator: python floor
+        # division matches DuckDB // for non-negative divisors only
+        # when the numerator sign is handled symmetrically — emit the
+        # magnitude with an explicit sign to stay floor/trunc-proof
+        diff = center - corner
+        mag = abs(diff) * 1000 // max(center, 1)
+        fall = mag if diff >= 0 else -mag
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["center_mluma"].append(center)
+        out["corner_mluma"].append(corner)
+        out["falloff_milli"].append(fall)
+        out["vignetted"].append(int(fall >= 300))
+        out["corner_hot"].append(int(fall <= -200))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "center_mluma",
+                                  "corner_mluma", "falloff_milli",
+                                  "vignetted", "corner_hot")]))

@@ -152,3 +152,65 @@ def test_image_qa_pipeline_flavor_routing(ray_session):
     good = df[df.index.str.endswith("-good")]
     assert (good[["scan_bad", "sensor_bad", "synth_bad",
                   "upscaled"]] == 0).all().all()
+
+
+# ---------------------------------------------------------------------------
+# image_vignette / embedding_qa
+# ---------------------------------------------------------------------------
+
+def test_vignette_exact_handbuilt():
+    from darc_ray.stages.multimodal import image_vignette_batch
+
+    pix = np.full((16, 20, 3), 200, np.uint8)
+    for ys in (slice(0, 4), slice(-4, None)):
+        for xs in (slice(0, 4), slice(-4, None)):
+            pix[ys, xs] = 100                    # corners at half luma
+    row = image_vignette_batch(_one("v", pix)).to_pandas().iloc[0]
+    assert row.center_mluma == 200 * 1000
+    assert row.corner_mluma == 100 * 1000
+    assert row.falloff_milli == 100000 * 1000 // 200000
+    assert (row.vignetted, row.corner_hot) == (1, 0)
+    # inverted: bright corners -> negative score, corner_hot
+    inv = np.full((16, 20, 3), 100, np.uint8)
+    for ys in (slice(0, 4), slice(-4, None)):
+        for xs in (slice(0, 4), slice(-4, None)):
+            inv[ys, xs] = 200
+    row2 = image_vignette_batch(_one("i", inv)).to_pandas().iloc[0]
+    assert row2.falloff_milli == -1000
+    assert (row2.vignetted, row2.corner_hot) == (0, 1)
+    with pytest.raises(ValueError):
+        image_vignette_batch(_one("s", np.zeros((8, 8, 3), np.uint8)))
+
+
+def test_vignette_fixture_flavors_by_suffix():
+    from darc_ray.stages.multimodal import (ensure_image_vignette_fixture,
+                                            image_vignette_batch)
+
+    path = ensure_image_vignette_fixture()
+    out = image_vignette_batch(pq.read_table(path)).to_pandas()
+    assert len(out) == 13
+    for _, r in out.iterrows():
+        iid = r["image_id"]
+        if iid.endswith("-vig"):
+            assert (r.vignetted, r.corner_hot) == (1, 0), iid
+        elif iid.endswith("-invvig"):
+            assert (r.vignetted, r.corner_hot) == (0, 1), iid
+        else:
+            assert (r.vignetted, r.corner_hot) == (0, 0), iid
+
+
+def test_embedding_qa_matches_numpy(ray_session):
+    from darc_ray.pipelines.queries import q_embedding_qa
+
+    got = q_embedding_qa("/root/testdata/sf0.001")
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    flat = t.column("embedding").combine_chunks().flatten()\
+        .to_numpy(zero_copy_only=False)
+    q = np.floor(flat.astype(np.float64) * 1000).astype(np.int64)
+    q = q.reshape(len(t), -1)
+    want = np.sort((q * q).sum(axis=1))
+    assert (np.sort(got["qnorm2"].values) == want).all()
+    assert (got["dim"] == q.shape[1]).all()
+    # healthy unit-ish embeddings never trip the low-norm flag
+    assert got["low_norm"].sum() == 0
