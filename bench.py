@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "cohort_retention", "caption_dim_spam", "caption_deletion_dups",
     "audio_dc_offset", "image_hot_pixels", "image_checkerboard",
     "caption_keyword_stuffing", "image_qa_pipeline", "image_vignette",
-    "embedding_qa",
+    "embedding_qa", "caption_blocklist_gate", "image_edge_dup",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

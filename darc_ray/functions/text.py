@@ -571,3 +571,52 @@ def ensure_caption_stuffing_fixture(path: str = CAPTION_STUFFING_FIXTURE) -> str
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+CAPTION_BLOCKLIST_FIXTURE = "/tmp/darc_ray_fixtures/caption_blocklist.parquet"
+
+# the policy wordlist itself is part of the family's contract (the
+# SQL oracle inlines the same constant list); a production run would
+# ray.put() the compiled set once and read it in every task
+BLOCKLIST_TERMS = ("casino", "viagra", "torrent", "crack", "warez",
+                   "gamble", "escort", "counterfeit")
+
+
+def ensure_caption_blocklist_fixture(path: str = CAPTION_BLOCKLIST_FIXTURE) -> str:
+    """Deterministic caption corpus for the policy-blocklist gate:
+    ``-hit1`` rows contain one blocklisted term, ``-hit3`` rows stack
+    three, ``-clean`` rows contain none, one ``blk-sub`` row contains
+    a blocklisted term only as a SUBSTRING of a longer token
+    ("cracker" — whole-token matching must NOT flag it) and one
+    ``blk-case`` row hits via case variants.  Fixed path + atomic
+    write + ALWAYS rewritten, sf-independent (same contract as the
+    other text fixtures)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    caps: dict[str, str] = {}
+    for i in range(4):
+        caps[f"blk-{i:02d}-hit1"] = (
+            f"play {BLOCKLIST_TERMS[i]} games online now {i}")
+    for i in range(2):
+        caps[f"blk-{i:02d}-hit3"] = (
+            f"{BLOCKLIST_TERMS[3 * i]} {BLOCKLIST_TERMS[3 * i + 1]} best "
+            f"{BLOCKLIST_TERMS[3 * i + 2]} deals {i}")
+    for i in range(6):
+        caps[f"blk-{i:02d}-clean"] = (
+            f"a watercolor study {i} of boats resting in the harbor")
+    caps["blk-sub"] = "a cracker tin and a tort on the table"
+    caps["blk-case"] = "CASINO lights over the Viagra falls sign"
+    table = pa.Table.from_pydict({
+        "image_id": pa.array(list(caps), pa.string()),
+        "caption": pa.array(list(caps.values()), pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

@@ -9086,6 +9086,124 @@ FROM st ORDER BY vec_id
 """
 
 
+def q_caption_blocklist_gate(sf_dir: str) -> pd.DataFrame:
+    """Policy-blocklist gate over the planted caption corpus — the
+    wordlist content filter every public pair dataset ships (LAION's
+    NSFW/unsafe tag pass is this stage shape): whole-token matches of
+    a fixed term list against the lower/trim-normalized caption;
+    emits hit count, distinct hit count and the blocked flag.  Shape:
+    the compiled term SET is per-actor state (broadcast once at
+    production scale — ``ray.put`` the frozen set, read per task);
+    the per-row membership test is a stateless vectorized map, no
+    shuffle; the DuckDB oracle intersects the same constant list —
+    whole-token semantics, so substrings never flag."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import (BLOCKLIST_TERMS,
+                                         ensure_caption_blocklist_fixture)
+
+    path = ensure_caption_blocklist_fixture()
+    terms = frozenset(BLOCKLIST_TERMS)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["caption"].str.strip().str.lower().str.split()
+        n_hits = toks.map(lambda ws: sum(w in terms for w in ws))
+        n_terms = toks.map(lambda ws: len(set(ws) & terms))
+        return pd.DataFrame({
+            "image_id": df["image_id"],
+            "n_hits": pd.array(n_hits, dtype="int64"),
+            "n_terms": pd.array(n_terms, dtype="int64"),
+            "blocked": pd.array((n_hits > 0).astype("int64"),
+                                dtype="int64")})
+
+    out = (rd.read_parquet(path)
+           .map_batches(gate, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_CAPTION_BLOCKLIST_GATE = """
+WITH bl AS (
+  SELECT ['casino', 'viagra', 'torrent', 'crack', 'warez',
+          'gamble', 'escort', 'counterfeit'] AS terms
+), t AS (
+  SELECT image_id,
+         string_split_regex(lower(trim(caption)), '\\s+') AS tok
+  FROM read_parquet('/tmp/darc_ray_fixtures/caption_blocklist.parquet')
+), m AS (
+  SELECT t.image_id,
+         len(list_filter(t.tok, x -> list_contains(bl.terms, x)))::BIGINT
+             AS n_hits,
+         len(list_intersect(t.tok, bl.terms))::BIGINT AS n_terms
+  FROM t, bl
+)
+SELECT image_id, n_hits, n_terms,
+       CASE WHEN n_hits > 0 THEN 1 ELSE 0 END::BIGINT AS blocked
+FROM m ORDER BY image_id
+"""
+
+
+def q_image_edge_dup(sf_dir: str) -> pd.DataFrame:
+    """Replicated-border detector over the planted fixture — the
+    off-by-one resize / BORDER_REPLICATE leak: each border row/column
+    byte-compared against its inner neighbor.  Stateless
+    ``map_batches``, no shuffle; the DuckDB oracle compares hex
+    substrings (whole rows directly, columns via a per-y min) —
+    bit-exact."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_edgedup_fixture,
+                                            image_edge_dup_batch)
+
+    path = ensure_image_edgedup_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_edge_dup_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_EDGE_DUP = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_edgedup.parquet')
+), rowflags AS (
+  SELECT image_id, w, ht,
+         CASE WHEN substr(hx, 2 * 12 + 1, 6 * w)
+                 = substr(hx, 2 * (12 + 3 * w) + 1, 6 * w)
+              THEN 1 ELSE 0 END::BIGINT AS top_dup,
+         CASE WHEN substr(hx, 2 * (12 + 3 * w * (ht - 1)) + 1, 6 * w)
+                 = substr(hx, 2 * (12 + 3 * w * (ht - 2)) + 1, 6 * w)
+              THEN 1 ELSE 0 END::BIGINT AS bottom_dup
+  FROM raw
+), yseries AS (
+  SELECT unnest(generate_series(0, (SELECT max(ht) FROM raw) - 1)) AS y
+), colflags AS (
+  SELECT r.image_id,
+         min(CASE WHEN substr(r.hx, 2 * (12 + 3 * (s.y * r.w)) + 1, 6)
+                     = substr(r.hx, 2 * (12 + 3 * (s.y * r.w + 1)) + 1, 6)
+                  THEN 1 ELSE 0 END)::BIGINT AS left_dup,
+         min(CASE WHEN substr(r.hx,
+                              2 * (12 + 3 * (s.y * r.w + r.w - 1)) + 1, 6)
+                     = substr(r.hx,
+                              2 * (12 + 3 * (s.y * r.w + r.w - 2)) + 1, 6)
+                  THEN 1 ELSE 0 END)::BIGINT AS right_dup
+  FROM raw r JOIN yseries s ON s.y < r.ht
+  GROUP BY r.image_id
+)
+SELECT rf.image_id, rf.w AS width, rf.ht AS height,
+       rf.top_dup, rf.bottom_dup, cf.left_dup, cf.right_dup,
+       (rf.top_dup + rf.bottom_dup + cf.left_dup + cf.right_dup)::BIGINT
+           AS n_dup_edges,
+       CASE WHEN rf.top_dup + rf.bottom_dup + cf.left_dup + cf.right_dup
+              >= 1 THEN 1 ELSE 0 END::BIGINT AS edge_replicated
+FROM rowflags rf JOIN colflags cf ON cf.image_id = rf.image_id
+ORDER BY rf.image_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9192,6 +9310,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # 51+ directly, repo-harness-oracled)
     "pricing_summary": q_pricing_summary,
     "image_vignette": q_image_vignette,
+    # caption_blocklist_gate / image_edge_dup land at 51+ directly
+    # (repo-harness-oracled; the window already carries 14 families
+    # that are new this round)
+    "caption_blocklist_gate": q_caption_blocklist_gate,
+    "image_edge_dup": q_image_edge_dup,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -9385,6 +9508,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_qa_pipeline": SQL_IMAGE_QA_PIPELINE,
     "image_vignette": SQL_IMAGE_VIGNETTE,
     "embedding_qa": SQL_EMBEDDING_QA,
+    "caption_blocklist_gate": SQL_CAPTION_BLOCKLIST_GATE,
+    "image_edge_dup": SQL_IMAGE_EDGE_DUP,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

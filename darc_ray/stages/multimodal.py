@@ -3118,3 +3118,112 @@ def image_vignette_batch(batch: "pa.Table") -> "pa.Table":
                                  ("width", "height", "center_mluma",
                                   "corner_mluma", "falloff_milli",
                                   "vignetted", "corner_hot")]))
+
+
+EDGEDUP_FIXTURE = "/tmp/darc_ray_fixtures/image_edgedup.parquet"
+
+
+def ensure_image_edgedup_fixture(path: str = EDGEDUP_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the replicated-border
+    detector: ``-clean`` rows are the low-contrast gradient (no border
+    equals its inner neighbor), ``-top`` / ``-bottom`` / ``-left`` /
+    ``-right`` rows copy one border row/column from its inner
+    neighbor (the off-by-one resize / BORDER_REPLICATE leak), and
+    ``-frame`` rows replicate all four.  Fixed path + atomic write +
+    ALWAYS rewritten, sf-independent — same contract as
+    ``ensure_image_borders_fixture``."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def lowcontrast(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (40 + (3 * xx + 2 * yy + 7 * i) % 40).astype(np.uint8)
+        g = (40 + (3 * xx + 2 * yy + 7 * i + 13) % 40).astype(np.uint8)
+        b = (40 + (3 * xx + 2 * yy + 7 * i + 26) % 40).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(12):
+        hh, ww = 12 + (5 * i) % 9, 15 + (7 * i) % 7
+        pix = lowcontrast(hh, ww, i)
+        flavor = i % 6
+        if flavor == 1:
+            pix[0] = pix[1]
+            add(f"edge-{i:02d}-top", pix)
+        elif flavor == 2:
+            pix[-1] = pix[-2]
+            add(f"edge-{i:02d}-bottom", pix)
+        elif flavor == 3:
+            pix[:, 0] = pix[:, 1]
+            add(f"edge-{i:02d}-left", pix)
+        elif flavor == 4:
+            pix[:, -1] = pix[:, -2]
+            add(f"edge-{i:02d}-right", pix)
+        elif flavor == 5:
+            pix[0] = pix[1]
+            pix[-1] = pix[-2]
+            pix[:, 0] = pix[:, 1]
+            pix[:, -1] = pix[:, -2]
+            add(f"edge-{i:02d}-frame", pix)
+        else:
+            add(f"edge-{i:02d}-clean", pix)
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_edge_dup_batch(batch: "pa.Table") -> "pa.Table":
+    """Replicated-border detector over raw-pixel payloads — the
+    off-by-one resize / BORDER_REPLICATE leak QA (a resampler that
+    reads one row short fills the last scanline by replication; the
+    frame still looks fine at a glance, so only a byte compare of
+    each border against its inner neighbor catches it): four flags
+    (top/bottom/left/right byte-identical to the adjacent interior
+    row/column), their count, and ``edge_replicated`` at ≥ 1.  Byte
+    equality → bit-exact vs the DuckDB hex-substring oracle.
+    Stateless ``map_batches``, no shuffle."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "top_dup", "bottom_dup",
+        "left_dup", "right_dup", "n_dup_edges", "edge_replicated")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload)
+        h, w = pix.shape[:2]
+        if h < 2 or w < 2:
+            raise ValueError(f"image {iid}: {w}x{h} has no border pair")
+        t = int((pix[0] == pix[1]).all())
+        b = int((pix[-1] == pix[-2]).all())
+        lf = int((pix[:, 0] == pix[:, 1]).all())
+        rt = int((pix[:, -1] == pix[:, -2]).all())
+        n = t + b + lf + rt
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["top_dup"].append(t)
+        out["bottom_dup"].append(b)
+        out["left_dup"].append(lf)
+        out["right_dup"].append(rt)
+        out["n_dup_edges"].append(n)
+        out["edge_replicated"].append(int(n >= 1))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "top_dup",
+                                  "bottom_dup", "left_dup", "right_dup",
+                                  "n_dup_edges", "edge_replicated")]))

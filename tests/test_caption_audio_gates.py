@@ -102,3 +102,38 @@ def test_dc_offset_fixture_flavors_by_suffix():
     assert solo.loc["dc-only", "dc_abs_milli"] == 80 * 1000
     # stereo: 1200 samples of +400 bias over 2400 interleaved samples
     assert solo.loc["dc-stereo-pos", "sum_v"] == 1200 * 400
+
+
+# ---------------------------------------------------------------------------
+# caption_blocklist_gate / image_edge_dup
+# ---------------------------------------------------------------------------
+
+def test_blocklist_gate_whole_token_semantics(ray_session):
+    from darc_ray.pipelines.queries import q_caption_blocklist_gate
+
+    df = q_caption_blocklist_gate("unused").set_index("image_id")
+    for iid, r in df.iterrows():
+        if iid.endswith("-hit1"):
+            assert (r.n_hits, r.n_terms, r.blocked) == (1, 1, 1), iid
+        elif iid.endswith("-hit3"):
+            assert (r.n_hits, r.n_terms, r.blocked) == (3, 3, 1), iid
+        elif iid.endswith("-clean"):
+            assert (r.n_hits, r.blocked) == (0, 0), iid
+    # substrings of longer tokens never flag; case variants collapse
+    assert df.loc["blk-sub", ["n_hits", "blocked"]].tolist() == [0, 0]
+    assert df.loc["blk-case", ["n_hits", "n_terms",
+                               "blocked"]].tolist() == [2, 2, 1]
+
+
+def test_image_edge_dup_flavors(ray_session):
+    from darc_ray.pipelines.queries import q_image_edge_dup
+
+    df = q_image_edge_dup("unused").set_index("image_id")
+    for iid, r in df.iterrows():
+        if iid.endswith("-clean"):
+            assert (r.n_dup_edges, r.edge_replicated) == (0, 0), iid
+        elif iid.endswith("-frame"):
+            assert r.n_dup_edges == 4 and r.edge_replicated == 1, iid
+        else:
+            side = iid.rsplit("-", 1)[1]
+            assert r[f"{side}_dup"] == 1 and r.n_dup_edges == 1, iid
