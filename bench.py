@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "audio_dc_offset", "image_hot_pixels", "image_checkerboard",
     "caption_keyword_stuffing", "image_qa_pipeline", "image_vignette",
     "embedding_qa", "caption_blocklist_gate", "image_edge_dup",
+    "rolling_active_users",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -9204,6 +9204,86 @@ ORDER BY rf.image_id
 """
 
 
+def q_rolling_active_users(sf_dir: str) -> pd.DataFrame:
+    """DAU / trailing-7-day WAU over the REAL ``events`` table — the
+    rolling-DISTINCT window op (naive per-day distinct unions don't
+    compose; the standard distributed shape is coverage expansion):
+    distinct (user, day) partials inside batches, ONE user-keyed
+    shuffle whose ``map_groups`` expands each user's activity into
+    the distinct trailing-window days it covers (≤ 7 rows per active
+    day, merged per user before emission), then a day-keyed count.
+    DAU comes from the same (user, day) stream.  Only the
+    day-span-bounded table reaches the driver; the observed-day
+    filter is a broadcast of that same tiny set."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].values.astype("datetime64[D]").astype("int64")
+        out = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                            "d": d})
+        return out.drop_duplicates()
+
+    ud = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "ts"])
+          .map_batches(days, batch_format="pandas", batch_size=8192)
+          .groupby(["user_id", "d"])
+          .count())      # extra count column is ignored downstream
+    # observed-day inventory: day-span-bounded, safe on the driver
+    obs = np.sort(ud.groupby("d").count().to_pandas()["d"].values)
+    obs_set = set(int(x) for x in obs)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        act = np.unique(g["d"].values)
+        cov = sorted({int(wd) for d in act for wd in range(d, d + 7)
+                      if int(wd) in obs_set})
+        uid = int(g["user_id"].iloc[0])
+        return pd.DataFrame({
+            "d": np.concatenate([act, np.asarray(cov, dtype=np.int64)]),
+            "kind": np.concatenate([np.zeros(len(act), np.int64),
+                                    np.ones(len(cov), np.int64)]),
+            "n": np.ones(len(act) + len(cov), dtype=np.int64)})
+
+    mat = (ud.groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .groupby(["d", "kind"])
+           .aggregate(Sum("n", alias_name="n_users"))
+           .to_pandas())
+    dau = (mat[mat["kind"] == 0].set_index("d")["n_users"]
+           .astype("int64"))
+    wau = (mat[mat["kind"] == 1].set_index("d")["n_users"]
+           .astype("int64"))
+    out = pd.DataFrame({"day": obs.astype("int64")})
+    out["dau"] = out["day"].map(dau).fillna(0).astype("int64")
+    out["wau7"] = out["day"].map(wau).astype("int64")
+    out["stickiness_milli"] = (out["dau"] * 1000
+                               // out["wau7"]).astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', ts::DATE) AS d
+  FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+), dau AS (
+  SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY d
+), wau AS (
+  SELECT days.d, count(DISTINCT ud.user_id)::BIGINT AS wau7
+  FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+  GROUP BY days.d
+)
+SELECT days.d::BIGINT AS day, dau.dau, wau.wau7,
+       (dau.dau * 1000 // wau.wau7)::BIGINT AS stickiness_milli
+FROM days
+JOIN dau ON dau.d = days.d
+JOIN wau ON wau.d = days.d
+ORDER BY day
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9315,6 +9395,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # that are new this round)
     "caption_blocklist_gate": q_caption_blocklist_gate,
     "image_edge_dup": q_image_edge_dup,
+    "rolling_active_users": q_rolling_active_users,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -9510,6 +9591,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_qa": SQL_EMBEDDING_QA,
     "caption_blocklist_gate": SQL_CAPTION_BLOCKLIST_GATE,
     "image_edge_dup": SQL_IMAGE_EDGE_DUP,
+    "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -126,3 +126,25 @@ def test_cohort_retention_matches_pandas(ray_session):
     # day-0 retention is 1000 by construction; offsets are non-negative
     assert (got.loc[got["day_offset"] == 0, "retained_milli"] == 1000).all()
     assert (got["day_offset"] >= 0).all()
+
+
+def test_rolling_active_users_matches_pandas(ray_session):
+    from darc_ray.pipelines.queries import q_rolling_active_users
+
+    got = q_rolling_active_users(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype("int64")
+    ud = ev[["user_id", "d"]].drop_duplicates()
+    days = np.sort(ud["d"].unique())
+    rows = []
+    for d in days:
+        dau = ud.loc[ud["d"] == d, "user_id"].nunique()
+        wau = ud.loc[ud["d"].between(d - 6, d), "user_id"].nunique()
+        rows.append((d, dau, wau, dau * 1000 // wau))
+    want = pd.DataFrame(rows, columns=["day", "dau", "wau7",
+                                       "stickiness_milli"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # windows accumulate: wau7 >= dau everywhere, equal on day one
+    assert (got["wau7"] >= got["dau"]).all()
+    assert got.iloc[0]["wau7"] == got.iloc[0]["dau"]
