@@ -50,6 +50,7 @@ def _ensure_fixture_files() -> None:
                                          ensure_repetition_fixture)
     from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
                                             ensure_audio_pcm_fixture,
+                                            ensure_caption_tokens_fixture,
                                             ensure_image_aesthetic_fixture,
                                             ensure_image_blocky_fixture,
                                             ensure_image_borders_fixture,
@@ -74,6 +75,7 @@ def _ensure_fixture_files() -> None:
     ensure_image_tiles_fixture()
     ensure_audio_meta_fixture()
     ensure_audio_pcm_fixture()
+    ensure_caption_tokens_fixture()
     ensure_video_meta_fixture()
     ensure_pii_fixture()
     ensure_lines_fixture()

@@ -9284,6 +9284,216 @@ ORDER BY day
 """
 
 
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Session-scoped behavior-model transition matrix: for each
+    user's event stream ordered by (ts, event_id), count consecutive
+    (src_type → dst_type) transitions whose gap is ≤ 30 min (the
+    `sessionize` boundary), and report each edge's count plus its
+    per-mille share of the source type's outgoing transitions — the
+    Markov-chain fit step of a behavior/abuse model.  Shape: ONE hash
+    shuffle by user, a per-PARTITION vectorized shift/mask pass, then
+    a (types × types)-bounded partial-count combine on the driver (the
+    `domain_mix` reduce); nothing row-scaled leaves the partitions."""
+    gap_us = 30 * 60 * 1_000_000
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"src_type": pd.Series([], dtype=str),
+                                 "dst_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy()
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        e = df["event_type"].to_numpy()
+        ok = (u[1:] == u[:-1]) & ((t[1:] - t[:-1]) <= gap_us)
+        g = (pd.DataFrame({"src_type": e[:-1][ok], "dst_type": e[1:][ok]})
+             .groupby(["src_type", "dst_type"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from ray.data.context import ShuffleStrategy
+
+    parts = (_read(sf_dir, "events",
+                   ["user_id", "ts", "event_type", "event_id"])
+             .repartition(num_blocks=8, keys=["user_id"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    partials = (parts.map_batches(per_partition, batch_format="pandas",
+                                  batch_size=None).to_pandas())
+    out = (partials.groupby(["src_type", "dst_type"], as_index=False)["n"]
+           .sum())
+    out["n"] = out["n"].astype("int64")
+    tot = out.groupby("src_type")["n"].transform("sum")
+    out["share_milli"] = (out["n"] * 1000 // tot).astype("int64")
+    return (out.sort_values(["src_type", "dst_type"])
+            .reset_index(drop=True))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS src_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT src_type, event_type AS dst_type, count(*)::BIGINT AS n
+  FROM s WHERE src_type IS NOT NULL AND gap_us <= 1800000000
+  GROUP BY src_type, event_type
+), tot AS (
+  SELECT src_type, sum(n)::BIGINT AS tn FROM t GROUP BY src_type
+)
+SELECT t.src_type, t.dst_type, t.n,
+       (t.n * 1000 // tot.tn)::BIGINT AS share_milli
+FROM t JOIN tot USING (src_type)
+ORDER BY t.src_type, t.dst_type
+"""
+
+
+def q_audio_clipping(sf_dir: str) -> pd.DataFrame:
+    """Clipped-sample QA gate (broken limiter / hot mic) over the
+    PCM16 fixture: per-track peak, clipped-sample count + per-mille,
+    longest consecutive clipped run, composed flag; the DuckDB oracle
+    re-walks the RIFF container to the PCM offset, reads every
+    little-endian int16 from hex and derives runs with
+    gaps-and-islands.  Stateless scan, no shuffle."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (audio_clipping_batch,
+                                            ensure_audio_pcm_fixture)
+
+    path = ensure_audio_pcm_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(audio_clipping_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+SQL_AUDIO_CLIPPING = """
+WITH RECURSIVE raw AS (
+  SELECT audio_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/audio_pcm.parquet')
+), walk AS (
+  SELECT audio_id, h, 12::BIGINT AS o,
+         -1::BIGINT AS data_bytes, -1::BIGINT AS header_bytes,
+         FALSE AS done
+  FROM raw
+  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+  UNION ALL
+  SELECT audio_id, h,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461' THEN o
+              ELSE o + 8
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT % 2
+              END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                    || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+              ELSE data_bytes END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN o + 8 ELSE -1 END,
+         substr(h, 2*o+1, 8) = '64617461'
+  FROM walk WHERE NOT done
+), pcm AS (
+  SELECT audio_id, h, header_bytes AS off, data_bytes // 2 AS ns
+  FROM walk WHERE done
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(ns) FROM pcm) - 1)) AS k
+), smp AS (
+  SELECT u.audio_id, u.k,
+         CASE WHEN u.uv >= 32768 THEN u.uv - 65536 ELSE u.uv END AS v
+  FROM (
+    SELECT p.audio_id, s.k,
+           ('0x' || substr(p.h, 2 * (p.off + 2 * s.k) + 3, 2)
+                 || substr(p.h, 2 * (p.off + 2 * s.k) + 1, 2))::BIGINT AS uv
+    FROM pcm p JOIN series s ON s.k < p.ns
+  ) u
+), st AS (
+  SELECT audio_id, count(*)::BIGINT AS n, max(abs(v))::BIGINT AS peak,
+         sum(CASE WHEN abs(v) >= 32000 THEN 1 ELSE 0 END)::BIGINT AS nc
+  FROM smp GROUP BY audio_id
+), grp AS (
+  SELECT audio_id, k,
+         k - row_number() OVER (PARTITION BY audio_id ORDER BY k) AS g
+  FROM smp WHERE abs(v) >= 32000
+), runs AS (
+  SELECT audio_id, g, count(*)::BIGINT AS rl
+  FROM grp GROUP BY audio_id, g
+), mx AS (
+  SELECT audio_id, max(rl)::BIGINT AS mr FROM runs GROUP BY audio_id
+)
+SELECT s.audio_id, s.n AS n_samples, s.peak, s.nc AS clipped,
+       (s.nc * 1000 // s.n)::BIGINT AS clipped_milli,
+       coalesce(m.mr, 0)::BIGINT AS max_clip_run,
+       CASE WHEN s.nc * 1000 // s.n >= 5 OR coalesce(m.mr, 0) >= 16
+            THEN 1 ELSE 0 END::BIGINT AS clipping
+FROM st s LEFT JOIN mx m USING (audio_id)
+ORDER BY s.audio_id
+"""
+
+
+def q_caption_token_dedup(sf_dir: str) -> pd.DataFrame:
+    """Token-multiset (bag-of-words) caption dedup over a planted
+    fixture — catches word-order-shuffled caption spam that exact and
+    normalized dedup miss (SEO reshuffles, template reorders): the
+    canonical key is the sorted lowercase whitespace-token list; each
+    key group is counted and the first image_id keeps.  Shape:
+    stateless keying scan → ONE key-hash shuffle (groupby count+min)
+    → ONE hash join back onto the corpus; group cardinality is
+    corpus-bounded, nothing driver-resident."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from darc_ray.stages.multimodal import ensure_caption_tokens_fixture
+
+    path = ensure_caption_tokens_fixture()
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ck"] = [" ".join(sorted(c.lower().split()))
+                    for c in df["caption"]]
+        return df[["image_id", "ck"]]
+
+    ds = (rd.read_parquet(path, columns=["image_id", "caption"])
+          .map_batches(add_key, batch_format="pandas", batch_size=4096))
+    g = ds.groupby("ck").aggregate(Count(alias_name="n_group"),
+                                   Min("image_id", alias_name="keeper"))
+    j = ds.join(g, join_type="inner", num_partitions=4, on=("ck",))
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_group"].to_numpy().astype(np.int64)
+        iid = df["image_id"].to_numpy()
+        return pd.DataFrame({
+            "image_id": iid, "n_group": n,
+            "is_dup": (n > 1).astype(np.int64),
+            "keep": (iid == df["keeper"].to_numpy()).astype(np.int64)})
+
+    out = (j.map_batches(flags, batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_CAPTION_TOKEN_DEDUP = """
+WITH c AS (
+  SELECT image_id,
+         array_to_string(list_sort(regexp_extract_all(lower(caption),
+                                                      '\\S+')), ' ') AS ck
+  FROM read_parquet('/tmp/darc_ray_fixtures/caption_tokens.parquet')
+), g AS (
+  SELECT ck, count(*)::BIGINT AS n_group, min(image_id) AS keeper
+  FROM c GROUP BY ck
+)
+SELECT c.image_id, g.n_group,
+       CASE WHEN g.n_group > 1 THEN 1 ELSE 0 END::BIGINT AS is_dup,
+       CASE WHEN c.image_id = g.keeper THEN 1 ELSE 0 END::BIGINT AS keep
+FROM c JOIN g USING (ck) ORDER BY c.image_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9396,6 +9606,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "caption_blocklist_gate": q_caption_blocklist_gate,
     "image_edge_dup": q_image_edge_dup,
     "rolling_active_users": q_rolling_active_users,
+    "event_transitions": q_event_transitions,
+    "audio_clipping": q_audio_clipping,
+    "caption_token_dedup": q_caption_token_dedup,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -9592,6 +9805,9 @@ ORACLE_SQL: dict[str, str] = {
     "caption_blocklist_gate": SQL_CAPTION_BLOCKLIST_GATE,
     "image_edge_dup": SQL_IMAGE_EDGE_DUP,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "audio_clipping": SQL_AUDIO_CLIPPING,
+    "caption_token_dedup": SQL_CAPTION_TOKEN_DEDUP,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -1390,6 +1390,52 @@ def audio_silence_spans_batch(batch: "pa.Table") -> "pa.Table":
                                   "trimmed")]))
 
 
+def audio_clipping_batch(batch: "pa.Table") -> "pa.Table":
+    """Clipped-sample QA scan over PCM16 WAV payloads — the broken-
+    limiter / hot-mic gate of an audio curation pipeline: a sample is
+    clipped when |v| ≥ 32000 (near full scale for int16); the report is
+    (n_samples, peak |v|, clipped count + per-mille, longest
+    consecutive clipped run over the interleaved sample stream,
+    composed ``clipping`` flag: ≥5‰ clipped or a run ≥ 16).
+    All-integer → bit-exact vs the DuckDB oracle's hex sample walk +
+    gaps-and-islands run aggregation.  Stateless ``map_batches``, no
+    shuffle."""
+    from darc_ray.functions.audio import wav_decode
+
+    CLIP = 32000
+    out: dict[str, list] = {k: [] for k in (
+        "audio_id", "n_samples", "peak", "clipped", "clipped_milli",
+        "max_clip_run", "clipping")}
+    for aid, payload in zip(batch.column("audio_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        v = wav_decode(payload)[0].reshape(-1).astype(np.int64)
+        n = len(v)
+        if n == 0:
+            continue                       # no samples: no row (the SQL
+        m = np.abs(v) >= CLIP              # GROUP BY emits none either)
+        nc = int(m.sum())
+        if nc:
+            idx = np.flatnonzero(m)
+            brk = np.flatnonzero(np.diff(idx) > 1)
+            bounds = np.concatenate([[-1], brk, [len(idx) - 1]])
+            mx = int(np.diff(bounds).max())
+        else:
+            mx = 0
+        out["audio_id"].append(aid)
+        out["n_samples"].append(n)
+        out["peak"].append(int(np.abs(v).max()))
+        out["clipped"].append(nc)
+        out["clipped_milli"].append(nc * 1000 // n)
+        out["max_clip_run"].append(mx)
+        out["clipping"].append(int(nc * 1000 // n >= 5 or mx >= 16))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("audio_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_samples", "peak", "clipped",
+                                  "clipped_milli", "max_clip_run",
+                                  "clipping")]))
+
+
 def video_cut_candidates_batch(batch: "pa.Table") -> "pa.Table":
     """Compressed-domain scene-cut proxy over the FVID frame INDEX —
     zero frame decode: per-frame byte length from the span walk, cut
@@ -3227,3 +3273,48 @@ def image_edge_dup_batch(batch: "pa.Table") -> "pa.Table":
                                  ("width", "height", "top_dup",
                                   "bottom_dup", "left_dup", "right_dup",
                                   "n_dup_edges", "edge_replicated")]))
+
+
+TOKDUP_FIXTURE = "/tmp/darc_ray_fixtures/caption_tokens.parquet"
+
+
+def ensure_caption_tokens_fixture(path: str = TOKDUP_FIXTURE) -> str:
+    """Deterministic caption corpus for the token-multiset dedup
+    family (word-order-shuffled caption spam): four 6-row groups, each
+    with a clean base caption, a token-REVERSED duplicate, a CASE-
+    variant duplicate, an extra-WHITESPACE duplicate (double spaces +
+    trailing blank), a near-miss with ONE extra token (must NOT
+    match), and a unique row.  ASCII only (char semantics identical
+    between Python and DuckDB).  Fixed path + atomic write + always
+    rewritten, sf-independent — same contract as
+    ``ensure_image_caption_fixture``."""
+    import os
+    import tempfile
+
+    nouns = ["harbor", "meadow", "bridge", "lantern", "orchard", "dune"]
+    caps: list[str] = []
+    for j in range(4):
+        a, b, c = nouns[j], nouns[(j + 1) % 6], nouns[(j + 2) % 6]
+        base = f"a quiet {a} near the {b} with soft {c} light {j}"
+        toks = base.split()
+        caps += [
+            base,                                   # clean
+            " ".join(toks[::-1]),                   # token-multiset dup
+            base.upper(),                           # case-variant dup
+            "  ".join(toks) + " ",                  # whitespace-variant dup
+            base + " extra",                        # near-miss: NOT a dup
+            f"unique {a} {b} skyline panorama {j}",  # unique
+        ]
+    table = pa.Table.from_pydict(
+        {"image_id": [f"tok-{i:02d}" for i in range(len(caps))],
+         "caption": caps},
+        schema=pa.schema([("image_id", pa.string()),
+                          ("caption", pa.string())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

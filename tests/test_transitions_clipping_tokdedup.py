@@ -1,0 +1,85 @@
+"""Planted-property tests for the final round-5 families:
+`event_transitions` (session-scoped Markov transition counts),
+`audio_clipping` (clipped-sample run gate) and `caption_token_dedup`
+(token-multiset caption dedup).  DuckDB parity lives in
+test_queries.py's ORACLE_SQL parametrization; these assert the planted
+semantics directly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from darc_ray.pipelines.queries import QUERIES
+
+
+def test_event_transitions_hand_built(tmp_path, ray_session):
+    """Two users, hand-placed gaps: u1 view→click (10 min, counts),
+    click→view (2 h, session break — does NOT count), view→purchase
+    (1 min, counts); u2 view→view (29:59, counts — boundary is ≤ 30
+    min inclusive).  The cross-user boundary never counts."""
+    base = 1_700_000_000_000_000            # µs
+    m = 60_000_000
+    rows = [
+        (1, 10, base + 0 * m, "view"),
+        (2, 10, base + 10 * m, "click"),
+        (3, 10, base + 130 * m, "view"),        # 2 h gap: break
+        (4, 10, base + 131 * m, "purchase"),
+        (5, 20, base + 0 * m, "view"),
+        (6, 20, base + 30 * m - 1_000_000, "view"),   # 29:59: counts
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = QUERIES["event_transitions"](str(tmp_path))
+    got = {(r.src_type, r.dst_type): (r.n, r.share_milli)
+           for r in out.itertuples()}
+    # all three surviving transitions share src 'view' → tn = 3
+    assert got == {("view", "click"): (1, 333),
+                   ("view", "purchase"): (1, 333),
+                   ("view", "view"): (1, 333)}
+
+
+def test_event_transitions_shares_sum_per_source(ray_session):
+    out = QUERIES["event_transitions"]("/root/testdata/sf0.001")
+    assert (out["n"] > 0).all()
+    per_src = out.groupby("src_type")
+    # integer floor division: Σ share ∈ (1000 - k, 1000] for k edges
+    for src, g in per_src:
+        s = int(g["share_milli"].sum())
+        assert 1000 - len(g) < s <= 1000, (src, s)
+
+
+def test_audio_clipping_planted_rows(ray_session):
+    out = QUERIES["audio_clipping"]("/root/testdata/sf0.001") \
+        .set_index("audio_id")
+    clip = out.loc["pcm-clip"]
+    # square wave at ±32760 in 25-sample half-periods: every sample
+    # clipped, runs merge across sign flips into one full-length run
+    assert clip["clipping"] == 1
+    assert clip["clipped"] == clip["n_samples"]
+    assert clip["max_clip_run"] == clip["n_samples"]
+    assert clip["peak"] == 32760
+    others = out.drop(index="pcm-clip")
+    assert (others["clipping"] == 0).all()
+    assert (others["clipped"] == 0).all()
+    assert (others["peak"] < 32000).all()
+
+
+def test_caption_token_dedup_planted_groups(ray_session):
+    out = QUERIES["caption_token_dedup"]("/root/testdata/sf0.001") \
+        .set_index("image_id")
+    assert len(out) == 24
+    for j in range(4):
+        ids = [f"tok-{6 * j + k:02d}" for k in range(6)]
+        grp = out.loc[ids]
+        # clean + reversed + case + whitespace variants collapse
+        assert list(grp["n_group"]) == [4, 4, 4, 4, 1, 1]
+        assert list(grp["is_dup"]) == [1, 1, 1, 1, 0, 0]
+        # keeper is the first image_id; near-miss and unique self-keep
+        assert list(grp["keep"]) == [1, 0, 0, 0, 1, 1]
