@@ -9494,6 +9494,151 @@ FROM c JOIN g USING (ck) ORDER BY c.image_id
 """
 
 
+def q_late_ship_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-shaped late-shipment audit: an order is LATE when its
+    latest lineitem shipped more than 90 days after the order date
+    (EXISTS folded into a per-order max); report per-priority order
+    counts, late counts and the per-mille late rate over orders that
+    have lineitems.  Shape: one orderkey-keyed groupby reduce on the
+    big side, ONE orderkey hash join against orders (both sides large
+    — the correct 100 TB exchange), then per-batch priority partials
+    into a priority-bounded driver combine.  All-integer (µs
+    timestamps) → bit-exact."""
+    from ray.data.aggregate import Max
+
+    lim_us = 90 * 86400 * 1_000_000
+
+    def li_key(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+
+    mx = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+          .map_batches(li_key, batch_format="pyarrow", batch_size=65536)
+          .groupby("o_orderkey")
+          .aggregate(Max("ship_us", alias_name="max_ship_us")))
+
+    def o_key(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "od_us": pc.cast(t["o_orderdate"], pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    j = (_read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"])
+         .map_batches(o_key, batch_format="pyarrow", batch_size=65536)
+         .join(mx, join_type="inner", num_partitions=4,
+               on=("o_orderkey",)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(pc.subtract(t["max_ship_us"], t["od_us"]),
+                                  pa.scalar(lim_us, pa.int64())), pa.int64())
+        g = (pa.table({"o_orderpriority": t["o_orderpriority"],
+                       "one": np.ones(len(t), dtype=np.int64),
+                       "late": late})
+             .group_by(["o_orderpriority"])
+             .aggregate([("one", "sum"), ("late", "sum")]))
+        return g.rename_columns(["o_orderpriority", "n_orders", "n_late"])
+
+    parts = (j.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    out = (parts.groupby("o_orderpriority", as_index=False)
+           [["n_orders", "n_late"]].sum())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["n_late"] = out["n_late"].astype("int64")
+    out["late_milli"] = (out["n_late"] * 1000 // out["n_orders"]) \
+        .astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_LATE_SHIP_PRIORITY = """
+WITH mx AS (
+  SELECT l_orderkey AS o_orderkey,
+         max(epoch_us(l_shipdate)) AS max_ship_us
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN mx.max_ship_us - epoch_us(o.o_orderdate)
+                   > 7776000000000
+              THEN 1 ELSE 0 END AS late
+  FROM orders o JOIN mx USING (o_orderkey)
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(late)::BIGINT AS n_late,
+       (sum(late) * 1000 // count(*))::BIGINT AS late_milli
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_promo_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14-shaped promo revenue share per ship month.  The part
+    table is the SMALL side: its PROMO partkeys broadcast once via
+    ``ray.put`` as a sorted int64 array (searchsorted membership per
+    batch — never re-shipped), while lineitem streams through one
+    ``map_batches`` pass.  Revenue is quantized per ROW to integer
+    cents with ONE fixed double expression — identical IEEE evaluation
+    in numpy and DuckDB — so the monthly sums are order-independent
+    integers (the round-4/5 quantization discipline); month-keyed
+    partials combine in a month-bounded driver reduce.  Above a
+    part-count cap the co-shuffled partkey join applies (the
+    `ngram_jaccard` rung pattern)."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    if len(part) > 50_000_000:      # ~400 MB broadcast: co-shuffle instead
+        raise NotImplementedError(
+            "part side exceeds the broadcast cap; use the co-shuffled "
+            "partkey join rung")
+    pk = np.sort(part.loc[part["p_type"] == "PROMO", "p_partkey"]
+                 .to_numpy(np.int64))
+    ref = ray.put(pk)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(b) == 0:
+            promo = np.zeros(len(keys), dtype=bool)
+        else:
+            pos = np.searchsorted(b, keys)
+            promo = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == keys)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        month = pc.strftime(t["l_shipdate"], format="%Y-%m")
+        g = (pa.table({"month": month,
+                       "promo_cents": cents * promo,
+                       "total_cents": cents})
+             .group_by(["month"])
+             .aggregate([("promo_cents", "sum"), ("total_cents", "sum")]))
+        return g.rename_columns(["month", "promo_cents", "total_cents"])
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_partkey", "l_extendedprice", "l_discount",
+                    "l_shipdate"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas())
+    out = (parts.groupby("month", as_index=False)
+           [["promo_cents", "total_cents"]].sum())
+    out["promo_cents"] = out["promo_cents"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    out["promo_milli"] = (out["promo_cents"] * 1000
+                          // out["total_cents"]).astype("int64")
+    return out.sort_values("month").reset_index(drop=True)
+
+
+SQL_PROMO_SHARE = """
+WITH r AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT month, sum(cents * promo)::BIGINT AS promo_cents,
+       sum(cents)::BIGINT AS total_cents,
+       (sum(cents * promo) * 1000 // sum(cents))::BIGINT AS promo_milli
+FROM r GROUP BY month ORDER BY month
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9609,6 +9754,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_transitions": q_event_transitions,
     "audio_clipping": q_audio_clipping,
     "caption_token_dedup": q_caption_token_dedup,
+    "late_ship_priority": q_late_ship_priority,
+    "promo_share": q_promo_share,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -9808,6 +9955,8 @@ ORACLE_SQL: dict[str, str] = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "audio_clipping": SQL_AUDIO_CLIPPING,
     "caption_token_dedup": SQL_CAPTION_TOKEN_DEDUP,
+    "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
+    "promo_share": SQL_PROMO_SHARE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

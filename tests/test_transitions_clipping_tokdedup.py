@@ -71,6 +71,33 @@ def test_audio_clipping_planted_rows(ray_session):
     assert (others["peak"] < 32000).all()
 
 
+def test_late_ship_priority_invariants(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["late_ship_priority"](sf)
+    assert (out["n_late"] <= out["n_orders"]).all()
+    assert (out["late_milli"] <= 1000).all()
+    # every order with ≥1 lineitem is counted exactly once
+    n = duckdb.sql(
+        f"SELECT count(DISTINCT l_orderkey) FROM "
+        f"'{sf}/lineitem.parquet'").fetchone()[0]
+    assert int(out["n_orders"].sum()) == n
+
+
+def test_promo_share_invariants(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["promo_share"](sf)
+    assert (out["promo_cents"] <= out["total_cents"]).all()
+    assert out["month"].str.fullmatch(r"\d{4}-\d{2}").all()
+    total = duckdb.sql(
+        f"SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100"
+        f" + 0.5) AS BIGINT)) FROM '{sf}/lineitem.parquet'").fetchone()[0]
+    assert int(out["total_cents"].sum()) == int(total)
+
+
 def test_caption_token_dedup_planted_groups(ray_session):
     out = QUERIES["caption_token_dedup"]("/root/testdata/sf0.001") \
         .set_index("image_id")
