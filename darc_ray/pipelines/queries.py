@@ -9639,6 +9639,100 @@ FROM r GROUP BY month ORDER BY month
 """
 
 
+def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue per nation: lineitems
+    whose supplier sits in the SAME nation as the ordering customer.
+    Shape: ONE big-big orderkey hash join (lineitem ⋈ orders — the
+    correct 100 TB exchange), the three dimension maps (custkey →
+    nation, suppkey → nation, nationkey → name) broadcast once via
+    ``ray.put`` as sorted key/value arrays (searchsorted per batch,
+    loud cap — above it the documented co-shuffled key join applies),
+    revenue quantized per ROW to integer cents (one fixed double
+    expression, identical IEEE result in numpy and DuckDB), and
+    nation-bounded partial sums combined on the driver."""
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name"]).to_pandas()
+    if max(len(cust), len(supp)) > 50_000_000:
+        raise NotImplementedError(
+            "dimension side exceeds the broadcast cap; use the "
+            "co-shuffled key join rung")
+    ck = np.argsort(cust["c_custkey"].to_numpy())
+    sk = np.argsort(supp["s_suppkey"].to_numpy())
+    refs = ray.put((
+        cust["c_custkey"].to_numpy(np.int64)[ck],
+        cust["c_nationkey"].to_numpy(np.int64)[ck],
+        supp["s_suppkey"].to_numpy(np.int64)[sk],
+        supp["s_nationkey"].to_numpy(np.int64)[sk]))
+
+    def li_key(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"], "cents": cents})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_key, batch_format="pyarrow", batch_size=65536))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner", num_partitions=4,
+                on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cks, cnat, sks, snat = ray.get(refs)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # clipped searchsorted + equality mask = inner-join semantics
+        # (rows with dangling FKs drop, exactly as the SQL join does)
+        cp = np.minimum(np.searchsorted(cks, c), len(cks) - 1)
+        sp = np.minimum(np.searchsorted(sks, s), len(sks) - 1)
+        cn, sn = cnat[cp], snat[sp]
+        keep = (cks[cp] == c) & (sks[sp] == s) & (cn == sn)
+        g = (pa.table({"n_nationkey": cn[keep],
+                       "cents": t["cents"].to_numpy(
+                           zero_copy_only=False)[keep],
+                       "one": np.ones(int(keep.sum()), dtype=np.int64)})
+             .group_by(["n_nationkey"])
+             .aggregate([("cents", "sum"), ("one", "sum")]))
+        return g.rename_columns(["n_nationkey", "revenue_cents",
+                                 "n_items"])
+
+    parts = (j.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    out = (parts.groupby("n_nationkey", as_index=False)
+           [["revenue_cents", "n_items"]].sum()
+           .merge(nat, on="n_nationkey"))
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return (out[["n_name", "revenue_cents", "n_items"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+WITH j AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey = s.s_nationkey
+)
+SELECT n.n_name, sum(j.cents)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM j JOIN nation n ON j.nk = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9756,6 +9850,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "caption_token_dedup": q_caption_token_dedup,
     "late_ship_priority": q_late_ship_priority,
     "promo_share": q_promo_share,
+    "local_supplier_volume": q_local_supplier_volume,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -9957,6 +10052,7 @@ ORACLE_SQL: dict[str, str] = {
     "caption_token_dedup": SQL_CAPTION_TOKEN_DEDUP,
     "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
     "promo_share": SQL_PROMO_SHARE,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
