@@ -9733,6 +9733,118 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def q_running_revenue(sf_dir: str) -> pd.DataFrame:
+    """Cumulative daily revenue — the classic running-total window op
+    (`sum() OVER (ORDER BY day)`): per-batch (day, cents) partials
+    quantized per ROW to integer cents (one fixed double expression,
+    identical IEEE result in numpy and DuckDB), combined in a
+    day-bounded driver reduce, then ONE ordered cumsum over the
+    day-cardinality result (calendar-bounded — thousands of rows no
+    matter the corpus size, the `domain_mix` reduce).  Nothing
+    row-scaled leaves the scan."""
+    def partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        # post-1970 timestamps are positive: integer trunc == floor
+        day = pc.divide(pc.cast(t["l_shipdate"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = (pa.table({"day": day, "cents": cents})
+             .group_by(["day"]).aggregate([("cents", "sum")]))
+        return g.rename_columns(["day", "cents"])
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_extendedprice", "l_discount", "l_shipdate"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas())
+    out = (parts.groupby("day", as_index=False)["cents"].sum()
+           .sort_values("day").reset_index(drop=True))
+    out["day"] = out["day"].astype("int64")
+    out["day_cents"] = out["cents"].astype("int64")
+    out["cum_cents"] = out["day_cents"].cumsum().astype("int64")
+    return out[["day", "day_cents", "cum_cents"]]
+
+
+SQL_RUNNING_REVENUE = """
+WITH d AS (
+  SELECT (epoch_us(l_shipdate) // 86400000000)::BIGINT AS day,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT))::BIGINT AS day_cents
+  FROM lineitem GROUP BY day
+)
+SELECT day, day_cents,
+       (sum(day_cents) OVER (ORDER BY day))::BIGINT AS cum_cents
+FROM d ORDER BY day
+"""
+
+
+def q_gap_hist(sf_dir: str) -> pd.DataFrame:
+    """Per-type inter-event gap histogram on a log2 scale — the
+    arrival-process profile behind politeness budgets and session-gap
+    tuning: for consecutive events of the SAME user (ordered by ts,
+    event_id), the gap in whole seconds is bucketed by its power-of-
+    two magnitude (bucket = #powers-of-two ≤ gap, 0 for sub-second),
+    keyed by the DESTINATION event's type.  Bucketing is exact on
+    both engines: numpy uses searchsorted over [1, 2, 4, …, 2⁶²] and
+    DuckDB uses ``length(bin(gap))`` — no float log2 anywhere.
+    Shape: ONE user-keyed hash shuffle, per-partition shift/mask,
+    then a (types × 63)-bounded driver combine."""
+    pow2 = np.int64(1) << np.arange(63, dtype=np.int64)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                                 "bucket": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy()
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        e = df["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        gap_s = (t[1:] - t[:-1]) // 1_000_000
+        bucket = np.searchsorted(pow2, gap_s, side="right")
+        g = (pd.DataFrame({"event_type": e[1:][same],
+                           "bucket": bucket[same].astype(np.int64)})
+             .groupby(["event_type", "bucket"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from ray.data.context import ShuffleStrategy
+
+    parts = (_read(sf_dir, "events",
+                   ["user_id", "ts", "event_type", "event_id"])
+             .repartition(num_blocks=8, keys=["user_id"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    partials = (parts.map_batches(per_partition, batch_format="pandas",
+                                  batch_size=None).to_pandas())
+    out = (partials.groupby(["event_type", "bucket"], as_index=False)["n"]
+           .sum())
+    out["n"] = out["n"].astype("int64")
+    out["bucket"] = out["bucket"].astype("int64")
+    return (out.sort_values(["event_type", "bucket"])
+            .reset_index(drop=True))
+
+
+SQL_GAP_HIST = """
+WITH s AS (
+  SELECT user_id, event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s,
+         lag(user_id) OVER w AS prev_user
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), b AS (
+  SELECT event_type,
+         CASE WHEN gap_s < 1 THEN 0
+              ELSE length(bin(gap_s::BIGINT)) END::BIGINT AS bucket
+  FROM s WHERE prev_user IS NOT NULL
+)
+SELECT event_type, bucket, count(*)::BIGINT AS n
+FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9851,6 +9963,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "late_ship_priority": q_late_ship_priority,
     "promo_share": q_promo_share,
     "local_supplier_volume": q_local_supplier_volume,
+    "running_revenue": q_running_revenue,
+    "gap_hist": q_gap_hist,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -10053,6 +10167,8 @@ ORACLE_SQL: dict[str, str] = {
     "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
     "promo_share": SQL_PROMO_SHARE,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "running_revenue": SQL_RUNNING_REVENUE,
+    "gap_hist": SQL_GAP_HIST,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -98,6 +98,34 @@ def test_promo_share_invariants(ray_session):
     assert int(out["total_cents"].sum()) == int(total)
 
 
+def test_running_revenue_is_monotone_prefix_sum(ray_session):
+    out = QUERIES["running_revenue"]("/root/testdata/sf0.001")
+    assert out["day"].is_monotonic_increasing
+    assert (out["cum_cents"].to_numpy()
+            == out["day_cents"].cumsum().to_numpy()).all()
+    assert int(out["cum_cents"].iloc[-1]) == int(out["day_cents"].sum())
+
+
+def test_gap_hist_hand_built(tmp_path, ray_session):
+    """One user, gaps of 0 s, 1 s, 3 s, 8 s → buckets 0, 1, 2, 4
+    (bucket = bit_length of the whole-second gap, 0 for sub-second);
+    a second user's first event contributes no gap."""
+    base = 1_700_000_000_000_000
+    rows = [(1, 7, base, "a"), (2, 7, base + 500_000, "a"),      # 0 s
+            (3, 7, base + 1_500_000, "a"),                        # 1 s
+            (4, 7, base + 4_500_000, "a"),                        # 3 s
+            (5, 7, base + 12_500_000, "a"),                       # 8 s
+            (6, 9, base, "a")]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = QUERIES["gap_hist"](str(tmp_path))
+    assert dict(zip(out["bucket"], out["n"])) == {0: 1, 1: 1, 2: 1, 4: 1}
+
+
 def test_caption_token_dedup_planted_groups(ray_session):
     out = QUERIES["caption_token_dedup"]("/root/testdata/sf0.001") \
         .set_index("image_id")
