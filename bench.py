@@ -67,7 +67,9 @@ BENCH_QUERIES = [
     "audio_dc_offset", "image_hot_pixels", "image_checkerboard",
     "caption_keyword_stuffing", "image_qa_pipeline", "image_vignette",
     "embedding_qa", "caption_blocklist_gate", "image_edge_dup",
-    "rolling_active_users",
+    "rolling_active_users", "event_transitions", "audio_clipping",
+    "caption_token_dedup", "late_ship_priority", "promo_share",
+    "local_supplier_volume", "running_revenue", "gap_hist",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

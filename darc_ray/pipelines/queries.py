@@ -9208,15 +9208,16 @@ def q_rolling_active_users(sf_dir: str) -> pd.DataFrame:
     """DAU / trailing-7-day WAU over the REAL ``events`` table — the
     rolling-DISTINCT window op (naive per-day distinct unions don't
     compose; the standard distributed shape is coverage expansion):
-    distinct (user, day) partials inside batches, ONE user-keyed
-    shuffle whose ``map_groups`` expands each user's activity into
-    the distinct trailing-window days it covers (≤ 7 rows per active
-    day, merged per user before emission), then a day-keyed count.
-    DAU comes from the same (user, day) stream.  Only the
-    day-span-bounded table reaches the driver; the observed-day
-    filter is a broadcast of that same tiny set."""
+    distinct (user, day) partials inside batches, ONE user-keyed hash
+    shuffle, then a per-PARTITION vectorized pass (the `sessionize`
+    shape — a partition owns all rows of its users, so per-user
+    dedup is global) that expands each (user, day) into the ≤ 7
+    trailing-window days it covers, dedups per (user, window-day)
+    with a packed-key ``np.unique``, and emits day-keyed partial
+    counts.  Only the day-span-bounded (day, kind, n) table reaches
+    the driver; the observed-day filter happens there (observed ==
+    has DAU), so no broadcast at all."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     def days(df: pd.DataFrame) -> pd.DataFrame:
         d = df["ts"].values.astype("datetime64[D]").astype("int64")
@@ -9224,37 +9225,56 @@ def q_rolling_active_users(sf_dir: str) -> pd.DataFrame:
                             "d": d})
         return out.drop_duplicates()
 
-    ud = (rd.read_parquet(f"{sf_dir}/events.parquet",
-                          columns=["user_id", "ts"])
-          .map_batches(days, batch_format="pandas", batch_size=8192)
-          .groupby(["user_id", "d"])
-          .count())      # extra count column is ignored downstream
-    # observed-day inventory: day-span-bounded, safe on the driver
-    obs = np.sort(ud.groupby("d").count().to_pandas()["d"].values)
-    obs_set = set(int(x) for x in obs)
+    from ray.data.context import ShuffleStrategy
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        act = np.unique(g["d"].values)
-        cov = sorted({int(wd) for d in act for wd in range(d, d + 7)
-                      if int(wd) in obs_set})
-        uid = int(g["user_id"].iloc[0])
+    # ONE user-keyed shuffle: a hash partition owns every row of its
+    # users, so the per-partition pass computes GLOBAL per-user
+    # distincts — no per-key map_groups (~180 s per 10^6 groups, see
+    # `q_sessionize`), no second groupby shuffle.
+    parts = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+             .map_batches(days, batch_format="pandas", batch_size=8192)
+             .repartition(num_blocks=8, keys=["user_id"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"d": pd.Series(dtype="int64"),
+                                 "kind": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        df = df.drop_duplicates()      # global per (user, day)
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        d0 = d.min()
+        assert int(d.max() - d0) < (1 << 20)       # ~2 870-year span
+        # DAU partials: one row per (user, day) already
+        act_d, act_n = np.unique(d, return_counts=True)
+        # WAU coverage: each (u, d) covers days d..d+6; dedup per
+        # (u, wd) with a packed uint64 key — all vectorized
+        uu = np.repeat(u, 7).astype(np.uint64)
+        wd = (np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64),
+                                        len(d)))
+        key = (uu << np.uint64(20)) | (wd - d0).astype(np.uint64)
+        uk = np.unique(key)
+        cov_wd = (uk & np.uint64((1 << 20) - 1)).astype(np.int64) + d0
+        cov_d, cov_n = np.unique(cov_wd, return_counts=True)
         return pd.DataFrame({
-            "d": np.concatenate([act, np.asarray(cov, dtype=np.int64)]),
-            "kind": np.concatenate([np.zeros(len(act), np.int64),
-                                    np.ones(len(cov), np.int64)]),
-            "n": np.ones(len(act) + len(cov), dtype=np.int64)})
+            "d": np.concatenate([act_d, cov_d]),
+            "kind": np.concatenate([np.zeros(len(act_d), np.int64),
+                                    np.ones(len(cov_d), np.int64)]),
+            "n": np.concatenate([act_n, cov_n]).astype(np.int64)})
 
-    mat = (ud.groupby("user_id")
-           .map_groups(per_user, batch_format="pandas")
-           .groupby(["d", "kind"])
-           .aggregate(Sum("n", alias_name="n_users"))
-           .to_pandas())
-    dau = (mat[mat["kind"] == 0].set_index("d")["n_users"]
-           .astype("int64"))
-    wau = (mat[mat["kind"] == 1].set_index("d")["n_users"]
-           .astype("int64"))
+    mat = (parts.map_batches(per_partition, batch_format="pandas",
+                             batch_size=None)
+           .to_pandas()
+           .groupby(["d", "kind"], as_index=False)["n"].sum())
+    dau = mat[mat["kind"] == 0].set_index("d")["n"].astype("int64")
+    wau = mat[mat["kind"] == 1].set_index("d")["n"].astype("int64")
+    # observed days == days with ≥1 active user; coverage rows for
+    # never-observed days are discarded here (day-bounded, driver-safe)
+    obs = np.sort(dau.index.values)
     out = pd.DataFrame({"day": obs.astype("int64")})
-    out["dau"] = out["day"].map(dau).fillna(0).astype("int64")
+    out["dau"] = out["day"].map(dau).astype("int64")
     out["wau7"] = out["day"].map(wau).astype("int64")
     out["stickiness_milli"] = (out["dau"] * 1000
                                // out["wau7"]).astype("int64")
@@ -9499,23 +9519,37 @@ def q_late_ship_priority(sf_dir: str) -> pd.DataFrame:
     latest lineitem shipped more than 90 days after the order date
     (EXISTS folded into a per-order max); report per-priority order
     counts, late counts and the per-mille late rate over orders that
-    have lineitems.  Shape: one orderkey-keyed groupby reduce on the
-    big side, ONE orderkey hash join against orders (both sides large
-    — the correct 100 TB exchange), then per-batch priority partials
-    into a priority-bounded driver combine.  All-integer (µs
-    timestamps) → bit-exact."""
-    from ray.data.aggregate import Max
+    have lineitems.  Shape: per-batch max pre-combine, ONE
+    orderkey-keyed hash repartition with a per-PARTITION local max
+    (the `sessionize` shape — 2× faster than Ray's generic
+    million-group aggregate, measured 5.8 s vs 12.2 s at sf0.1), ONE
+    orderkey hash join against orders (both sides large — the correct
+    100 TB exchange), then per-batch priority partials into a
+    priority-bounded driver combine.  All-integer (µs timestamps) →
+    bit-exact."""
+    from ray.data.context import ShuffleStrategy
 
     lim_us = 90 * 86400 * 1_000_000
 
     def li_key(t: pa.Table) -> pa.Table:
-        return pa.table({"o_orderkey": t["l_orderkey"],
-                         "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+        # per-batch max pre-combine (orders' lineitems cluster in
+        # row order, so this cuts shuffle rows ~|lineitems per order|×)
+        g = (pa.table({"o_orderkey": t["l_orderkey"],
+                       "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+             .group_by(["o_orderkey"]).aggregate([("ship_us", "max")]))
+        return g.rename_columns(["o_orderkey", "ship_us"])
 
-    mx = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    def local_max(t: pa.Table) -> pa.Table:
+        # the hash partition owns every partial of its orderkeys
+        g = t.group_by(["o_orderkey"]).aggregate([("ship_us", "max")])
+        return g.rename_columns(["o_orderkey", "max_ship_us"])
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
           .map_batches(li_key, batch_format="pyarrow", batch_size=65536)
-          .groupby("o_orderkey")
-          .aggregate(Max("ship_us", alias_name="max_ship_us")))
+          .repartition(num_blocks=8, keys=["o_orderkey"], sort=False))
+    li.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    mx = li.map_batches(local_max, batch_format="pyarrow",
+                        batch_size=None)
 
     def o_key(t: pa.Table) -> pa.Table:
         return pa.table({"o_orderkey": t["o_orderkey"],
@@ -9527,6 +9561,9 @@ def q_late_ship_priority(sf_dir: str) -> pd.DataFrame:
          .map_batches(o_key, batch_format="pyarrow", batch_size=65536)
          .join(mx, join_type="inner", num_partitions=4,
                on=("o_orderkey",)))
+    # the executed plan uses the LEFT lineage's context: the keyed
+    # repartition on the mx side needs hash shuffle there too
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
     def partial(t: pa.Table) -> pa.Table:
         late = pc.cast(pc.greater(pc.subtract(t["max_ship_us"], t["od_us"]),
