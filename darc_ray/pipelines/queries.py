@@ -9882,6 +9882,151 @@ FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket
 """
 
 
+def q_image_border_contrast(sf_dir: str) -> pd.DataFrame:
+    """Framed/matted-photo gate over the planted-borders fixture —
+    the curation signal `image_letterbox` (one-axis bars) and
+    `image_vignette` (corner falloff) do NOT catch: a full uniform
+    1-px ring contrasting with the interior.  Stateless integer scan,
+    hex-CTE oracle; no shuffle."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_borders_fixture,
+                                            image_border_contrast_batch)
+
+    path = ensure_image_borders_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_border_contrast_batch,
+                        batch_format="pyarrow", batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_BORDER_CONTRAST = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_borders.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w, r.ht,
+         299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+         + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+         + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT
+             AS luma,
+         CASE WHEN s.i % r.w = 0 OR s.i % r.w = r.w - 1
+                OR s.i // r.w = 0 OR s.i // r.w = r.ht - 1
+              THEN 1 ELSE 0 END AS ring
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+  WHERE r.w >= 3 AND r.ht >= 3
+), st AS (
+  SELECT image_id, any_value(w) AS w, any_value(ht) AS ht,
+         sum(luma) FILTER (WHERE ring = 1)::BIGINT AS rsum,
+         count(*) FILTER (WHERE ring = 1)::BIGINT AS rn,
+         max(luma) FILTER (WHERE ring = 1)::BIGINT AS rmax,
+         min(luma) FILTER (WHERE ring = 1)::BIGINT AS rmin,
+         sum(luma) FILTER (WHERE ring = 0)::BIGINT AS isum,
+         count(*) FILTER (WHERE ring = 0)::BIGINT AS inn
+  FROM px GROUP BY image_id
+)
+SELECT image_id, w AS width, ht AS height,
+       (rsum // rn)::BIGINT AS ring_mean,
+       (isum // inn)::BIGINT AS interior_mean,
+       abs(rsum // rn - isum // inn)::BIGINT AS delta,
+       (rmax - rmin)::BIGINT AS ring_range,
+       CASE WHEN rmax - rmin <= 20000
+             AND abs(rsum // rn - isum // inn) >= 30000
+            THEN 1 ELSE 0 END::BIGINT AS framed
+FROM st ORDER BY image_id
+"""
+
+
+def q_audio_stereo_imbalance(sf_dir: str) -> pd.DataFrame:
+    """Dead/attenuated-channel QA over the PCM16 fixture — channel-0
+    energy share in per-mille, ``imbalanced`` for stereo tracks ≥850‰
+    or ≤150‰; the DuckDB oracle walks the RIFF chunks for BOTH the
+    fmt channel count and the PCM offset, then splits energy by
+    sample-index parity.  Stateless scan, no shuffle."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (audio_stereo_imbalance_batch,
+                                            ensure_audio_pcm_fixture)
+
+    path = ensure_audio_pcm_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(audio_stereo_imbalance_batch,
+                        batch_format="pyarrow", batch_size=8)
+           .to_pandas())
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+SQL_AUDIO_STEREO_IMBALANCE = """
+WITH RECURSIVE raw AS (
+  SELECT audio_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/audio_pcm.parquet')
+), walk AS (
+  SELECT audio_id, h, 12::BIGINT AS o,
+         -1::BIGINT AS data_bytes, -1::BIGINT AS header_bytes,
+         -1::BIGINT AS channels, FALSE AS done
+  FROM raw
+  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+  UNION ALL
+  SELECT audio_id, h,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461' THEN o
+              ELSE o + 8
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT % 2
+              END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                    || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+              ELSE data_bytes END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN o + 8 ELSE -1 END,
+         CASE WHEN substr(h, 2*o+1, 8) = '666D7420'
+              THEN ('0x' || substr(h, 2*(o+11)+1, 2)
+                    || substr(h, 2*(o+10)+1, 2))::BIGINT
+              ELSE channels END,
+         substr(h, 2*o+1, 8) = '64617461'
+  FROM walk WHERE NOT done
+), pcm AS (
+  SELECT audio_id, h, header_bytes AS off, data_bytes // 2 AS ns,
+         channels
+  FROM walk WHERE done
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(ns) FROM pcm) - 1)) AS k
+), smp AS (
+  SELECT u.audio_id, u.k, u.channels,
+         CASE WHEN u.uv >= 32768 THEN u.uv - 65536 ELSE u.uv END AS v
+  FROM (
+    SELECT p.audio_id, s.k, p.channels,
+           ('0x' || substr(p.h, 2 * (p.off + 2 * s.k) + 3, 2)
+                 || substr(p.h, 2 * (p.off + 2 * s.k) + 1, 2))::BIGINT AS uv
+    FROM pcm p JOIN series s ON s.k < p.ns
+  ) u
+), st AS (
+  SELECT audio_id, any_value(channels) AS ch,
+         sum(v * v)::BIGINT AS total,
+         coalesce(sum(v * v) FILTER (WHERE k % channels = 0), 0)::BIGINT
+             AS left_sq
+  FROM smp GROUP BY audio_id
+)
+SELECT audio_id, ch::BIGINT AS n_channels,
+       (CASE WHEN total = 0 THEN 500
+             ELSE left_sq * 1000 // total END)::BIGINT AS left_milli,
+       CASE WHEN ch = 2
+             AND (CASE WHEN total = 0 THEN 500
+                       ELSE left_sq * 1000 // total END >= 850
+                  OR CASE WHEN total = 0 THEN 500
+                          ELSE left_sq * 1000 // total END <= 150)
+            THEN 1 ELSE 0 END::BIGINT AS imbalanced
+FROM st ORDER BY audio_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10002,6 +10147,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "running_revenue": q_running_revenue,
     "gap_hist": q_gap_hist,
+    "image_border_contrast": q_image_border_contrast,
+    "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -10206,6 +10353,8 @@ ORACLE_SQL: dict[str, str] = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "running_revenue": SQL_RUNNING_REVENUE,
     "gap_hist": SQL_GAP_HIST,
+    "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
+    "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -3275,6 +3275,83 @@ def image_edge_dup_batch(batch: "pa.Table") -> "pa.Table":
                                   "n_dup_edges", "edge_replicated")]))
 
 
+def image_border_contrast_batch(batch: "pa.Table") -> "pa.Table":
+    """Framed/matted-photo detector over RAW-pixel payloads — distinct
+    from `image_letterbox` (bars on ONE axis) and `image_vignette`
+    (corner falloff): the outermost 1-px ring's integer luma
+    (299r+587g+114b) is compared to the interior's.  ``framed`` fires
+    when the ring is near-uniform (range ≤ 20 000 luma-milli units)
+    AND contrasts with the interior (mean delta ≥ 30 000) — a solid
+    image has delta 0 and a letterboxed one has a textured ring, so
+    only a full uniform frame trips it.  All-integer (floor-divided
+    means) → bit-exact vs the hex-walk oracle."""
+    from darc_ray.functions import image as img
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "width", "height", "ring_mean", "interior_mean",
+        "delta", "ring_range", "framed")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = img.raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        if h < 3 or w < 3:
+            continue                       # no interior: no row
+        luma = 299 * pix[..., 0] + 587 * pix[..., 1] + 114 * pix[..., 2]
+        ring_mask = np.zeros((h, w), dtype=bool)
+        ring_mask[0, :] = ring_mask[-1, :] = True
+        ring_mask[:, 0] = ring_mask[:, -1] = True
+        ring = luma[ring_mask]
+        inner = luma[~ring_mask]
+        rm = int(ring.sum() // len(ring))
+        im = int(inner.sum() // len(inner))
+        rr = int(ring.max() - ring.min())
+        delta = abs(rm - im)
+        out["image_id"].append(iid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["ring_mean"].append(rm)
+        out["interior_mean"].append(im)
+        out["delta"].append(delta)
+        out["ring_range"].append(rr)
+        out["framed"].append(int(rr <= 20000 and delta >= 30000))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("width", "height", "ring_mean",
+                                  "interior_mean", "delta",
+                                  "ring_range", "framed")]))
+
+
+def audio_stereo_imbalance_batch(batch: "pa.Table") -> "pa.Table":
+    """Dead/attenuated-channel QA over PCM16 WAV payloads: channel-0's
+    share of total sample energy in per-mille (mono → 1000 by
+    definition; an all-silent track → 500, balanced); ``imbalanced``
+    fires only for stereo tracks whose first channel carries ≥ 850‰
+    or ≤ 150‰ of the energy.  All-integer → bit-exact vs the DuckDB
+    oracle's fmt-chunk walk + sample-index-parity energy split."""
+    from darc_ray.functions.audio import wav_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "audio_id", "n_channels", "left_milli", "imbalanced")}
+    for aid, payload in zip(batch.column("audio_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        s, _sr = wav_decode(payload)
+        ch = s.shape[1]
+        v = s.astype(np.int64)
+        total = int((v * v).sum())
+        left = int((v[:, 0] * v[:, 0]).sum())
+        lm = 500 if total == 0 else left * 1000 // total
+        out["audio_id"].append(aid)
+        out["n_channels"].append(ch)
+        out["left_milli"].append(lm)
+        out["imbalanced"].append(int(ch == 2 and (lm >= 850 or lm <= 150)))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("audio_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_channels", "left_milli",
+                                  "imbalanced")]))
+
+
 TOKDUP_FIXTURE = "/tmp/darc_ray_fixtures/caption_tokens.parquet"
 
 

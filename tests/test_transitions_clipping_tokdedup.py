@@ -126,6 +126,30 @@ def test_gap_hist_hand_built(tmp_path, ray_session):
     assert dict(zip(out["bucket"], out["n"])) == {0: 1, 1: 1, 2: 1, 4: 1}
 
 
+def test_image_border_contrast_planted_frames(ray_session):
+    out = QUERIES["image_border_contrast"]("/root/testdata/sf0.001") \
+        .set_index("image_id")
+    boxed = out.index.str.endswith("-box")
+    assert (out.loc[boxed, "framed"] == 1).all()
+    assert (out.loc[~boxed, "framed"] == 0).all()
+    # the solid row has a uniform ring but zero contrast
+    assert out.loc["bdr-solid", "ring_range"] <= 20000
+    assert out.loc["bdr-solid", "delta"] == 0
+
+
+def test_audio_stereo_imbalance_planted_rows(ray_session):
+    out = QUERIES["audio_stereo_imbalance"]("/root/testdata/sf0.001") \
+        .set_index("audio_id")
+    stereo = out[out["n_channels"] == 2]
+    mono = out[out["n_channels"] == 1]
+    # fixture stereo rows carry channel 1 = channel 0 // 3 → ~900‰
+    assert (stereo["imbalanced"] == 1).all() and len(stereo) == 2
+    assert (stereo["left_milli"] >= 850).all()
+    assert (mono["left_milli"] == 1000).drop("pcm-silent").all()
+    assert out.loc["pcm-silent", "left_milli"] == 500
+    assert (mono["imbalanced"] == 0).all()
+
+
 def test_caption_token_dedup_planted_groups(ray_session):
     out = QUERIES["caption_token_dedup"]("/root/testdata/sf0.001") \
         .set_index("image_id")
