@@ -9514,6 +9514,126 @@ FROM c JOIN g USING (ck) ORDER BY c.image_id
 """
 
 
+def q_minhash_band_stats(sf_dir: str) -> pd.DataFrame:
+    """LSH band-health QA over the MinHash layer — the sketch-health
+    companion of `phash_bitstats`: for each of the 4 (r=2) bands, how
+    its buckets are loaded (distinct buckets, largest bucket,
+    singleton count, and the candidate-pair count Σ c·(c−1)/2 the
+    `minhash_dedup` shuffle would enqueue) — the skew advisory that
+    says whether a band needs salting BEFORE you pay the near-dup
+    exchange.  Shape: signature scan (same md5/XOR derivation as
+    `minhash_signatures`) → 4 (band, s0, s1) rows per doc → ONE
+    bucket-keyed groupby count → per-batch band-bounded partials →
+    4-row driver combine."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    n, n_perm = 3, 8
+    masks = np.array([int.from_bytes(hashlib.md5(f"perm:{i}".encode())
+                                     .digest()[:8], "big")
+                      for i in range(n_perm)], dtype=np.uint64)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df.set_index("doc_id")["text"]
+        toks = texts.str.strip()
+        toks = toks[toks != ""].str.split()
+        ids, grams = [], []
+        for doc_id, t in toks.items():
+            if len(t) < n:
+                continue
+            g = {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+            ids.extend([doc_id] * len(g))
+            grams.extend(g)
+        if not ids:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "s0": pd.Series(dtype="int64"),
+                                 "s1": pd.Series(dtype="int64")})
+        uniq = pd.unique(pd.Series(grams))
+        hmap = {s: int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                  "big") for s in uniq}
+        h = np.array([hmap[s] for s in grams], dtype=np.uint64)
+        frame = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64)})
+        for i in range(n_perm):
+            frame[f"sig{i}"] = ((h ^ masks[i]) >> np.uint64(1)) \
+                .astype(np.int64)
+        sig = frame.groupby("doc_id", as_index=False).min()
+        rows = [pd.DataFrame({"band": np.full(len(sig), b, np.int64),
+                              "s0": sig[f"sig{2 * b}"].to_numpy(),
+                              "s1": sig[f"sig{2 * b + 1}"].to_numpy()})
+                for b in range(n_perm // 2)]
+        return pd.concat(rows, ignore_index=True)
+
+    buckets = (_read(sf_dir, "documents", ["doc_id", "text"])
+               .map_batches(band_rows, batch_format="pandas",
+                            batch_size=4096)
+               .groupby(["band", "s0", "s1"])
+               .aggregate(Count(alias_name="c")))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        return (pd.DataFrame({
+                    "band": df["band"].to_numpy(np.int64),
+                    "n_buckets": np.ones(len(c), np.int64),
+                    "max_bucket": c,
+                    "singletons": (c == 1).astype(np.int64),
+                    "candidate_pairs": c * (c - 1) // 2})
+                .groupby("band", as_index=False)
+                .agg(n_buckets=("n_buckets", "sum"),
+                     max_bucket=("max_bucket", "max"),
+                     singletons=("singletons", "sum"),
+                     candidate_pairs=("candidate_pairs", "sum")))
+
+    parts = (buckets.map_batches(partial, batch_format="pandas",
+                                 batch_size=65536).to_pandas())
+    out = (parts.groupby("band", as_index=False)
+           .agg(n_buckets=("n_buckets", "sum"),
+                max_bucket=("max_bucket", "max"),
+                singletons=("singletons", "sum"),
+                candidate_pairs=("candidate_pairs", "sum")))
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out.sort_values("band").reset_index(drop=True)
+
+
+SQL_MINHASH_BAND_STATS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 16))::UBIGINT
+           AS h
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), masks AS (
+  SELECT i,
+         ('0x' || substr(md5('perm:' || i), 1, 16))::UBIGINT AS m
+  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+), mins AS (
+  SELECT g.doc_id, k.i,
+         (min(xor(g.h, k.m)) >> 1)::BIGINT AS sig
+  FROM grams g CROSS JOIN masks k
+  GROUP BY g.doc_id, k.i
+), bands AS (
+  SELECT doc_id, b.b,
+         max(CASE WHEN i = 2 * b.b THEN sig END) AS s0,
+         max(CASE WHEN i = 2 * b.b + 1 THEN sig END) AS s1
+  FROM mins CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+  WHERE i // 2 = b.b
+  GROUP BY doc_id, b.b
+), buckets AS (
+  SELECT b, s0, s1, count(*)::BIGINT AS c
+  FROM bands GROUP BY b, s0, s1
+)
+SELECT b AS band, count(*)::BIGINT AS n_buckets,
+       max(c)::BIGINT AS max_bucket,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS singletons,
+       sum(c * (c - 1) // 2)::BIGINT AS candidate_pairs
+FROM buckets GROUP BY b ORDER BY band
+"""
+
+
 def q_late_ship_priority(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q4-shaped late-shipment audit: an order is LATE when its
     latest lineitem shipped more than 90 days after the order date
@@ -10149,6 +10269,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gap_hist": q_gap_hist,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
+    "minhash_band_stats": q_minhash_band_stats,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -10355,6 +10476,7 @@ ORACLE_SQL: dict[str, str] = {
     "gap_hist": SQL_GAP_HIST,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
+    "minhash_band_stats": SQL_MINHASH_BAND_STATS,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

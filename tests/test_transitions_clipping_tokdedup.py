@@ -150,6 +150,28 @@ def test_audio_stereo_imbalance_planted_rows(ray_session):
     assert (mono["imbalanced"] == 0).all()
 
 
+def test_minhash_band_stats_consistency(ray_session):
+    """Band stats must reconcile with the signature layer itself:
+    4 bands, bucket totals equal the signed-doc count per band, and
+    the planted near-dup docs make candidate_pairs > 0."""
+    out = QUERIES["minhash_band_stats"]("/root/testdata/sf0.001")
+    sig = QUERIES["minhash_signatures"]("/root/testdata/sf0.001")
+    assert list(out["band"]) == [0, 1, 2, 3]
+    assert (out["singletons"] <= out["n_buckets"]).all()
+    assert (out["max_bucket"] >= 1).all()
+    assert (out["candidate_pairs"] > 0).any()
+    # every signed doc lands in exactly one bucket per band
+    for b in range(4):
+        row = out[out["band"] == b].iloc[0]
+        n_docs = len(sig)
+        grouped = sig.groupby([f"sig{2 * b}", f"sig{2 * b + 1}"]).size()
+        assert row["n_buckets"] == len(grouped)
+        assert int(grouped.max()) == row["max_bucket"]
+        assert int((grouped * (grouped - 1) // 2).sum()) \
+            == row["candidate_pairs"]
+        assert int(grouped.sum()) == n_docs
+
+
 def test_caption_token_dedup_planted_groups(ray_session):
     out = QUERIES["caption_token_dedup"]("/root/testdata/sf0.001") \
         .set_index("image_id")
