@@ -9514,6 +9514,57 @@ FROM c JOIN g USING (ck) ORDER BY c.image_id
 """
 
 
+def q_user_activity_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact integer Gini coefficient of per-user event activity —
+    the skew report behind sampling and hot-key decisions.  The rank
+    sum Σ rank·x needs a GLOBAL sort in the naive form; here it
+    decomposes by distinct count VALUE (users sharing a count occupy
+    consecutive ranks, and a group's rank·x sum depends only on its
+    size and offset), so the shape is: ONE user-keyed count reduce →
+    ONE value-keyed count reduce (distinct-count-bounded) → a tiny
+    exact-integer driver formula.  No sort, nothing row-scaled on the
+    driver; milli quantization ((1000·(2T−(n+1)S)) // (nS)) is the
+    same floor expression in DuckDB."""
+    from ray.data.aggregate import Count
+
+    uc = (_read(sf_dir, "events", ["user_id"])
+          .groupby("user_id").aggregate(Count(alias_name="c")))
+    g = (uc.groupby("c").aggregate(Count(alias_name="m")).to_pandas()
+         .sort_values("c").reset_index(drop=True))
+    c = g["c"].to_numpy(np.int64)
+    m = g["m"].to_numpy(np.int64)
+    r = np.concatenate(([0], np.cumsum(m)[:-1]))
+    t = int((c * (m * r + m * (m + 1) // 2)).sum())
+    s = int((c * m).sum())
+    n = int(m.sum())
+    gini = (1000 * (2 * t - (n + 1) * s)) // (n * s)
+    return pd.DataFrame({"n_users": pd.array([n], dtype="int64"),
+                         "total_events": pd.array([s], dtype="int64"),
+                         "gini_milli": pd.array([gini], dtype="int64")})
+
+
+SQL_USER_ACTIVITY_GINI = """
+WITH uc AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id
+), g AS (
+  SELECT c, count(*)::BIGINT AS m FROM uc GROUP BY c
+), o AS (
+  SELECT c, m,
+         coalesce(sum(m) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS r
+  FROM g
+), t AS (
+  SELECT sum(c * (m * r + m * (m + 1) // 2))::BIGINT AS t,
+         sum(c * m)::BIGINT AS s, sum(m)::BIGINT AS n
+  FROM o
+)
+SELECT n AS n_users, s AS total_events,
+       ((1000 * (2 * t - (n + 1) * s)) // (n * s))::BIGINT AS gini_milli
+FROM t
+"""
+
+
 def q_minhash_band_stats(sf_dir: str) -> pd.DataFrame:
     """LSH band-health QA over the MinHash layer — the sketch-health
     companion of `phash_bitstats`: for each of the 4 (r=2) bands, how
@@ -10270,6 +10321,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
+    "user_activity_gini": q_user_activity_gini,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -10477,6 +10529,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
+    "user_activity_gini": SQL_USER_ACTIVITY_GINI,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -150,6 +150,23 @@ def test_audio_stereo_imbalance_planted_rows(ray_session):
     assert (mono["imbalanced"] == 0).all()
 
 
+def test_user_activity_gini_hand_built(tmp_path, ray_session):
+    """Perfect equality → 0‰; a single dominant user over k equal
+    users → the textbook closed form, floor-quantized."""
+    base = 1_700_000_000_000_000
+    # 4 users × 3 events each: perfectly equal
+    rows = [(i, i % 4, base + i * 1_000_000, "view") for i in range(12)]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = QUERIES["user_activity_gini"](str(tmp_path))
+    assert out.iloc[0].to_dict() == {"n_users": 4, "total_events": 12,
+                                     "gini_milli": 0}
+
+
 def test_minhash_band_stats_consistency(ray_session):
     """Band stats must reconcile with the signature layer itself:
     4 bands, bucket totals equal the signed-doc count per band, and
