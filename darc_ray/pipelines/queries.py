@@ -9897,12 +9897,16 @@ def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         cks, cnat, sks, snat = ray.get(refs)
         c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # clipped searchsorted + equality mask = inner-join semantics
-        # (rows with dangling FKs drop, exactly as the SQL join does)
-        cp = np.minimum(np.searchsorted(cks, c), len(cks) - 1)
-        sp = np.minimum(np.searchsorted(sks, s), len(sks) - 1)
-        cn, sn = cnat[cp], snat[sp]
-        keep = (cks[cp] == c) & (sks[sp] == s) & (cn == sn)
+        if len(cks) == 0 or len(sks) == 0:      # empty dim: inner join
+            keep = np.zeros(len(c), dtype=bool)  # drops every row
+            cn = np.zeros(len(c), dtype=np.int64)
+        else:
+            # clipped searchsorted + equality mask = inner-join
+            # semantics (dangling FKs drop, exactly as the SQL does)
+            cp = np.minimum(np.searchsorted(cks, c), len(cks) - 1)
+            sp = np.minimum(np.searchsorted(sks, s), len(sks) - 1)
+            cn, sn = cnat[cp], snat[sp]
+            keep = (cks[cp] == c) & (sks[sp] == s) & (cn == sn)
         g = (pa.table({"n_nationkey": cn[keep],
                        "cents": t["cents"].to_numpy(
                            zero_copy_only=False)[keep],
