@@ -60,6 +60,7 @@ def _ensure_fixture_files() -> None:
                                             ensure_image_logo_fixture,
                                             ensure_image_meta_fixture,
                                             ensure_image_pixels_fixture,
+                                            ensure_image_rot_fixture,
                                             ensure_image_tiles_fixture,
                                             ensure_video_meta_fixture)
 
@@ -72,6 +73,7 @@ def _ensure_fixture_files() -> None:
     ensure_image_caption_fixture()
     ensure_image_dhash_fixture()
     ensure_image_logo_fixture()
+    ensure_image_rot_fixture()
     ensure_image_tiles_fixture()
     ensure_audio_meta_fixture()
     ensure_audio_pcm_fixture()

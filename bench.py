@@ -71,7 +71,7 @@ BENCH_QUERIES = [
     "caption_token_dedup", "late_ship_priority", "promo_share",
     "local_supplier_volume", "running_revenue", "gap_hist",
     "image_border_contrast", "audio_stereo_imbalance",
-    "minhash_band_stats", "user_activity_gini",
+    "minhash_band_stats", "user_activity_gini", "image_rot_dups",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -9514,6 +9514,105 @@ FROM c JOIN g USING (ck) ORDER BY c.image_id
 """
 
 
+def q_image_rot_dups(sf_dir: str) -> pd.DataFrame:
+    """Rotation-invariant image dedup — the LAION dup axis byte-md5
+    and plain phash/dhash grouping MISS: a 90°/180°/270° rotated
+    re-upload hashes differently but is the same asset.  Canonical
+    key = MIN of the four rotation dhashes (computed per image, no
+    rotation ever materialized in the shuffle); then ONE key-hash
+    groupby (count + first-id keeper) and ONE hash join back — the
+    `caption_token_dedup` shape.  The DuckDB oracle re-derives all
+    four dhashes from hex pixels with per-rotation index arithmetic
+    (no rotated copies built there either)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from darc_ray.stages.multimodal import (ensure_image_rot_fixture,
+                                            image_rot_dups_batch)
+
+    path = ensure_image_rot_fixture()
+    ds = (rd.read_parquet(path)
+          .map_batches(image_rot_dups_batch, batch_format="pyarrow",
+                       batch_size=16))
+    g = ds.groupby("canon_hash").aggregate(
+        Count(alias_name="n_group"), Min("image_id", alias_name="keeper"))
+    j = ds.join(g, join_type="inner", num_partitions=4,
+                on=("canon_hash",))
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_group"].to_numpy().astype(np.int64)
+        iid = df["image_id"].to_numpy()
+        return pd.DataFrame({
+            "image_id": iid,
+            "canon_hash": df["canon_hash"].to_numpy().astype(np.int64),
+            "n_group": n,
+            "is_rot_dup": (n > 1).astype(np.int64),
+            "keep": (iid == df["keeper"].to_numpy()).astype(np.int64)})
+
+    out = (j.map_batches(flags, batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_ROT_DUPS = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_rot.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), rots AS (
+  SELECT unnest(generate_series(0, 3)) AS r
+), px AS (
+  SELECT r0.image_id, t.r,
+         CASE t.r
+           WHEN 0 THEN ((s.i // r0.w) * 8) // r0.ht
+           WHEN 1 THEN ((r0.w - 1 - s.i % r0.w) * 8) // r0.w
+           WHEN 2 THEN ((r0.ht - 1 - s.i // r0.w) * 8) // r0.ht
+           ELSE ((s.i % r0.w) * 8) // r0.w END AS br,
+         CASE t.r
+           WHEN 0 THEN ((s.i % r0.w) * 9) // r0.w
+           WHEN 1 THEN ((s.i // r0.w) * 9) // r0.ht
+           WHEN 2 THEN ((r0.w - 1 - s.i % r0.w) * 9) // r0.w
+           ELSE ((r0.ht - 1 - s.i // r0.w) * 9) // r0.ht END AS bc,
+         299 * ('0x' || substr(r0.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+       + 587 * ('0x' || substr(r0.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+       + 114 * ('0x' || substr(r0.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT
+           AS luma
+  FROM raw r0 JOIN series s ON s.i < r0.w * r0.ht CROSS JOIN rots t
+), cell AS (
+  SELECT image_id, r, br, bc, (sum(luma) // count(*))::BIGINT AS m
+  FROM px GROUP BY image_id, r, br, bc
+), bits AS (
+  SELECT a.image_id, a.r, a.br * 8 + a.bc AS k,
+         CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+  FROM cell a JOIN cell b
+    ON b.image_id = a.image_id AND b.r = a.r
+   AND b.br = a.br AND b.bc = a.bc + 1
+  WHERE a.bc <= 7
+), hv AS (
+  SELECT image_id, r,
+         (sum(CASE WHEN k < 63 THEN bit::BIGINT * (1::BIGINT << k)
+                   ELSE 0 END)
+          + CASE WHEN max(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
+                 THEN -9223372036854775808 ELSE 0 END)::BIGINT AS dhash
+  FROM bits GROUP BY image_id, r
+), canon AS (
+  SELECT image_id, min(dhash)::BIGINT AS canon_hash
+  FROM hv GROUP BY image_id
+), g AS (
+  SELECT canon_hash, count(*)::BIGINT AS n_group,
+         min(image_id) AS keeper
+  FROM canon GROUP BY canon_hash
+)
+SELECT c.image_id, c.canon_hash, g.n_group,
+       CASE WHEN g.n_group > 1 THEN 1 ELSE 0 END::BIGINT AS is_rot_dup,
+       CASE WHEN c.image_id = g.keeper THEN 1 ELSE 0 END::BIGINT AS keep
+FROM canon c JOIN g USING (canon_hash) ORDER BY c.image_id
+"""
+
+
 def q_user_activity_gini(sf_dir: str) -> pd.DataFrame:
     """Exact integer Gini coefficient of per-user event activity —
     the skew report behind sampling and hot-key decisions.  The rank
@@ -10326,6 +10425,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
     "user_activity_gini": q_user_activity_gini,
+    "image_rot_dups": q_image_rot_dups,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -10534,6 +10634,7 @@ ORACLE_SQL: dict[str, str] = {
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
     "user_activity_gini": SQL_USER_ACTIVITY_GINI,
+    "image_rot_dups": SQL_IMAGE_ROT_DUPS,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

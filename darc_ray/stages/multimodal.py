@@ -3352,6 +3352,77 @@ def audio_stereo_imbalance_batch(batch: "pa.Table") -> "pa.Table":
                                   "imbalanced")]))
 
 
+ROTDUP_FIXTURE = "/tmp/darc_ray_fixtures/image_rot.parquet"
+
+
+def ensure_image_rot_fixture(path: str = ROTDUP_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the rotation-duplicate
+    family: textured bases plus planted 90°/180°/270° rotated copies
+    (``-r90``/``-r180``/``-r270``), one MIRRORED row (``-mir`` — a
+    flip is NOT a rotation and must NOT join the group) and unique
+    decoys.  All-integer pixels; fixed path + atomic write + always
+    rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def content(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = (25 + (37 * xx + 19 * yy + 13 * i) % 190).astype(np.uint8)
+        g = (25 + (37 * xx + 19 * yy + 13 * i + 47) % 190).astype(np.uint8)
+        b = (25 + (37 * xx + 19 * yy + 13 * i + 94) % 190).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(4):
+        base = content(18 + 3 * i, 24 + 2 * i, i)
+        add(f"rot-{i}-base", base)
+        add(f"rot-{i}-r90", np.rot90(base, 1))
+        if i % 2 == 0:
+            add(f"rot-{i}-r180", np.rot90(base, 2))
+        if i == 0:
+            add(f"rot-{i}-r270", np.rot90(base, 3))
+            add(f"rot-{i}-mir", base[:, ::-1])
+    for i in range(4, 8):
+        add(f"rot-{i}-solo", content(17 + 2 * i, 21 + 3 * i, i))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_rot_dups_batch(batch: "pa.Table") -> "pa.Table":
+    """Rotation-invariant duplicate key: the canonical hash is the MIN
+    of the four 90°-rotation dhashes — pixel-identical rotated copies
+    share it, mirrors and distinct content don't.  Emits (image_id,
+    canon_hash); grouping happens downstream.  Per-pixel work is
+    vectorized inside ``dhash64``; the loop is per-IMAGE (decode
+    boundary), same shape as the other pixel kernels."""
+    ids, canon = [], []
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = img.raw_decode(payload)
+        ids.append(iid)
+        canon.append(min(img.dhash64(np.ascontiguousarray(
+            np.rot90(pix, k))) for k in range(4)))
+    return pa.Table.from_pydict(
+        {"image_id": ids, "canon_hash": canon},
+        schema=pa.schema([("image_id", pa.string()),
+                          ("canon_hash", pa.int64())]))
+
+
 TOKDUP_FIXTURE = "/tmp/darc_ray_fixtures/caption_tokens.parquet"
 
 

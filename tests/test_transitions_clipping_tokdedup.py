@@ -150,6 +150,26 @@ def test_audio_stereo_imbalance_planted_rows(ray_session):
     assert (mono["imbalanced"] == 0).all()
 
 
+def test_image_rot_dups_planted_rotations(ray_session):
+    out = QUERIES["image_rot_dups"]("/root/testdata/sf0.001") \
+        .set_index("image_id")
+    # each base shares its canon hash with every planted rotation
+    for grp, ids in (("rot-0", ["rot-0-base", "rot-0-r90", "rot-0-r180",
+                                "rot-0-r270"]),
+                     ("rot-1", ["rot-1-base", "rot-1-r90"]),
+                     ("rot-2", ["rot-2-base", "rot-2-r90", "rot-2-r180"])):
+        hashes = set(out.loc[ids, "canon_hash"])
+        assert len(hashes) == 1, grp
+        assert (out.loc[ids, "n_group"] == len(ids)).all()
+        assert out.loc[ids, "keep"].sum() == 1
+    # a mirror is not a rotation: it stays out of rot-0's group
+    assert out.loc["rot-0-mir", "canon_hash"] \
+        != out.loc["rot-0-base", "canon_hash"]
+    assert out.loc["rot-0-mir", "is_rot_dup"] == 0
+    solos = out[out.index.str.endswith("-solo")]
+    assert (solos["is_rot_dup"] == 0).all()
+
+
 def test_user_activity_gini_hand_built(tmp_path, ray_session):
     """Perfect equality → 0‰; a single dominant user over k equal
     users → the textbook closed form, floor-quantized."""
