@@ -10312,6 +10312,204 @@ FROM st ORDER BY audio_id
 """
 
 
+def q_big_order_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18-shaped large-volume-customer report: orders whose
+    total lineitem quantity exceeds 250 units, with customer name and
+    order header.  Shape: per-batch quantity pre-combine (int64 after
+    a fixed floor(q+0.5) quantization — quantities are integral by
+    spec), ONE orderkey-keyed hash repartition with a per-partition
+    local sum (the `late_ship_priority` shape), HAVING filter applied
+    inside the partition (only ~2 %% of orders survive, so everything
+    downstream is survivor-sized), then two hash joins: survivor ⋈
+    orders on orderkey and survivor ⋈ customer on custkey — both
+    expressed as ``Dataset.join`` exchanges because at 100 TB both
+    orders and customer are corpus-sized (no broadcast).  All-integer
+    output (quantity units, price cents, µs dates) → bit-exact."""
+    from ray.data.context import ShuffleStrategy
+
+    def li_key(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        units = np.floor(q + 0.5).astype(np.int64)
+        g = (pa.table({"o_orderkey": t["l_orderkey"], "units": units})
+             .group_by(["o_orderkey"]).aggregate([("units", "sum")]))
+        return g.rename_columns(["o_orderkey", "units"])
+
+    def local_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderkey"]).aggregate([("units", "sum")])
+        g = g.rename_columns(["o_orderkey", "sum_qty"])
+        return g.filter(pc.greater(g["sum_qty"], pa.scalar(250, pa.int64())))
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+          .map_batches(li_key, batch_format="pyarrow", batch_size=65536)
+          .repartition(num_blocks=8, keys=["o_orderkey"], sort=False))
+    li.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    big = li.map_batches(local_sum, batch_format="pyarrow",
+                         batch_size=None)
+
+    def o_key(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"],
+                         "od_us": pc.cast(t["o_orderdate"], pa.int64()),
+                         "total_cents": cents})
+
+    j = (_read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+         .map_batches(o_key, batch_format="pyarrow", batch_size=65536)
+         .join(big, join_type="inner", num_partitions=4,
+               on=("o_orderkey",)))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(lambda t: pa.table(
+                {"c_custkey": t["c_custkey"], "c_name": t["c_name"]}),
+                batch_format="pyarrow", batch_size=65536))
+    out = (j.join(cust, join_type="inner", num_partitions=4,
+                  on=("c_custkey",))
+           .to_pandas())
+    out = out[["c_name", "c_custkey", "o_orderkey", "od_us",
+               "total_cents", "sum_qty"]].copy()
+    for c in ("c_custkey", "o_orderkey", "od_us", "total_cents",
+              "sum_qty"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_BIG_ORDER_CUSTOMERS = """
+WITH s AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate)::BIGINT AS od_us,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       s.sum_qty
+FROM s JOIN orders o USING (o_orderkey)
+       JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_orderkey
+"""
+
+
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-shaped shipping-priority top-10: unshipped revenue per
+    order for one market segment — orders placed before the cutoff
+    whose lineitems ship after it, ranked by revenue.  Shape: the
+    segment's custkeys broadcast ONCE via ``ray.put`` as a sorted
+    int64 array (`promo_share` pattern, loud 5·10^7 cap — at 100 TB
+    the per-segment key set grows with customers, so the cap routes to
+    a co-shuffled custkey join); lineitem revenue quantized per row to
+    integer cents with the ONE fixed double expression, per-batch
+    pre-combined, then ONE orderkey-keyed hash repartition with
+    per-partition local sums; filtered orders ⋈ revenue is a big-big
+    orderkey ``Dataset.join``; the global top-10 comes from
+    per-partition top-10s (revenue desc, orderkey asc — a total order,
+    so ties at the boundary are deterministic) merged in an
+    O(partitions·10) driver reduce."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    seg, cutoff = "BUILDING", pd.Timestamp("1998-01-01")
+    cut_us = int(cutoff.value // 1000)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).to_pandas()
+    ck = np.sort(cust.loc[cust["c_mktsegment"] == seg, "c_custkey"]
+                 .to_numpy(np.int64))
+    if len(ck) > 50_000_000:        # ~400 MB broadcast: co-shuffle instead
+        raise NotImplementedError(
+            "segment custkey set exceeds the broadcast cap; use the "
+            "co-shuffled custkey join rung")
+    ref = ray.put(ck)
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(b) == 0:
+            hit = np.zeros(len(keys), dtype=bool)
+        else:
+            pos = np.searchsorted(b, keys)
+            hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == keys)
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = hit & (od < cut_us)
+        return pa.table({"o_orderkey": t["o_orderkey"].to_numpy(
+                             zero_copy_only=False)[keep],
+                         "od_us": od[keep]})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(o_filter, batch_format="pyarrow",
+                           batch_size=65536))
+
+    def li_key(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = ship > cut_us
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        g = (pa.table({"o_orderkey": t["l_orderkey"].to_numpy(
+                           zero_copy_only=False)[keep],
+                       "cents": cents})
+             .group_by(["o_orderkey"]).aggregate([("cents", "sum")]))
+        return g.rename_columns(["o_orderkey", "cents"])
+
+    def local_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["o_orderkey", "revenue_cents"])
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+          .map_batches(li_key, batch_format="pyarrow", batch_size=65536)
+          .repartition(num_blocks=8, keys=["o_orderkey"], sort=False))
+    li.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    rev = li.map_batches(local_sum, batch_format="pyarrow",
+                         batch_size=None)
+
+    j = orders.join(rev, join_type="inner", num_partitions=4,
+                    on=("o_orderkey",))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["revenue_cents", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(10)
+
+    parts = (j.map_batches(topk, batch_format="pandas", batch_size=None)
+             .to_pandas())
+    out = (parts.sort_values(["revenue_cents", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort")
+           .head(10)[["o_orderkey", "revenue_cents", "od_us"]]
+           .reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_SHIPPING_PRIORITY = """
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate)::BIGINT AS od_us
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+), r AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT))::BIGINT AS revenue_cents
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, r.revenue_cents, o.od_us
+FROM o JOIN r USING (o_orderkey)
+ORDER BY r.revenue_cents DESC, o.o_orderkey LIMIT 10
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10437,6 +10635,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_band_stats": q_minhash_band_stats,
     "user_activity_gini": q_user_activity_gini,
     "image_rot_dups": q_image_rot_dups,
+    "big_order_customers": q_big_order_customers,
+    "shipping_priority": q_shipping_priority,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -10646,6 +10846,8 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
     "user_activity_gini": SQL_USER_ACTIVITY_GINI,
     "image_rot_dups": SQL_IMAGE_ROT_DUPS,
+    "big_order_customers": SQL_BIG_ORDER_CUSTOMERS,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
