@@ -10312,6 +10312,94 @@ FROM st ORDER BY audio_id
 """
 
 
+def q_image_gray_rgb(sf_dir: str) -> pd.DataFrame:
+    """Grayscale-stored-as-RGB gate (see
+    ``image_gray_rgb_batch``): per-mille share of pixels with channel
+    spread ≤ 2, flagged ≥ 990‰.  Stateless zero-shuffle scan; the
+    DuckDB oracle re-derives the spread per pixel from hex bytes
+    (greatest−least over the three channel substrings)."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_gray_fixture,
+                                            image_gray_rgb_batch)
+
+    path = ensure_image_gray_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_gray_rgb_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_GRAY_RGB = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_gray.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r0.image_id,
+         ('0x' || substr(r0.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT AS r,
+         ('0x' || substr(r0.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT AS g,
+         ('0x' || substr(r0.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS b
+  FROM raw r0 JOIN series s ON s.i < r0.w * r0.ht
+), st AS (
+  SELECT image_id, count(*) AS n,
+         sum(CASE WHEN greatest(r, g, b) - least(r, g, b) <= 2
+                  THEN 1 ELSE 0 END) AS ngray
+  FROM px GROUP BY image_id
+)
+SELECT image_id, (ngray * 1000 // n)::BIGINT AS gray_milli,
+       CASE WHEN ngray * 1000 // n >= 990 THEN 1 ELSE 0 END::BIGINT
+           AS is_gray
+FROM st ORDER BY image_id
+"""
+
+
+def q_image_posterize(sf_dir: str) -> pd.DataFrame:
+    """Posterization/banding gate (see ``image_posterize_batch``):
+    pooled distinct byte count across all channels, flagged ≤ 16.
+    Stateless zero-shuffle scan; the oracle pools the three channel
+    substrings with a 0..2 channel-offset cross join and counts
+    DISTINCT values per image."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_poster_fixture,
+                                            image_posterize_batch)
+
+    path = ensure_image_poster_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_posterize_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_POSTERIZE = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_poster.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), chan AS (
+  SELECT unnest(generate_series(0, 2)) AS c
+), vals AS (
+  SELECT r0.image_id,
+         ('0x' || substr(r0.hx, 2 * (12 + 3 * s.i + t.c) + 1, 2))::BIGINT
+             AS v
+  FROM raw r0 JOIN series s ON s.i < r0.w * r0.ht CROSS JOIN chan t
+)
+SELECT image_id, count(DISTINCT v)::BIGINT AS n_levels,
+       CASE WHEN count(DISTINCT v) <= 16 THEN 1 ELSE 0 END::BIGINT
+           AS posterized
+FROM vals GROUP BY image_id ORDER BY image_id
+"""
+
+
 def q_big_order_customers(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q18-shaped large-volume-customer report: orders whose
     total lineitem quantity exceeds 250 units, with customer name and
@@ -10637,6 +10725,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_rot_dups": q_image_rot_dups,
     "big_order_customers": q_big_order_customers,
     "shipping_priority": q_shipping_priority,
+    "image_gray_rgb": q_image_gray_rgb,
+    "image_posterize": q_image_posterize,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -10848,6 +10938,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_rot_dups": SQL_IMAGE_ROT_DUPS,
     "big_order_customers": SQL_BIG_ORDER_CUSTOMERS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "image_gray_rgb": SQL_IMAGE_GRAY_RGB,
+    "image_posterize": SQL_IMAGE_POSTERIZE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

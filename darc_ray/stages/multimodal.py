@@ -3423,6 +3423,158 @@ def image_rot_dups_batch(batch: "pa.Table") -> "pa.Table":
                           ("canon_hash", pa.int64())]))
 
 
+GRAYRGB_FIXTURE = "/tmp/darc_ray_fixtures/image_gray.parquet"
+
+
+def ensure_image_gray_fixture(path: str = GRAYRGB_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the grayscale-as-RGB gate:
+    true grayscale gradients (r=g=b), a near-gray row (channels within
+    the ±2 tolerance — warm-cast scan, still gray content), colorful
+    textures (must NOT flag), and a borderline mixed row (a gray field
+    with a 20 %%-wide saturated stripe — below the 990‰ gate).  Fixed
+    path + atomic write + always rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    for i in range(3):                              # true grayscale
+        hh, ww = 14 + 2 * i, 20 + 3 * i
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        v = ((xx * 7 + yy * 3 + 11 * i) % 256).astype(np.uint8)
+        add(f"gray-{i}-pure", np.stack([v, v, v], axis=2))
+    # near-gray: g = r+1, b = r-1 (spread 2 — inside the tolerance)
+    hh, ww = 16, 22
+    yy, xx = np.mgrid[0:hh, 0:ww]
+    r = (40 + (xx * 5 + yy * 9) % 170).astype(np.uint8)
+    add("gray-3-cast", np.stack([r, r + 1, r - 1], axis=2))
+    for i in range(4, 7):                           # colorful textures
+        hh, ww = 15 + i, 19 + i
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = ((xx * 13 + 17 * i) % 256).astype(np.uint8)
+        g = ((yy * 11 + 29 * i) % 256).astype(np.uint8)
+        b = ((xx * 3 + yy * 7 + 41 * i) % 256).astype(np.uint8)
+        add(f"gray-{i}-color", np.stack([r, g, b], axis=2))
+    # mixed: gray base, saturated stripe over the last 20 % of columns
+    hh, ww = 18, 30
+    yy, xx = np.mgrid[0:hh, 0:ww]
+    v = ((xx * 6 + yy * 4) % 256).astype(np.uint8)
+    pix = np.stack([v, v, v], axis=2)
+    pix[:, 24:, 0] = 250
+    pix[:, 24:, 1] = 30
+    pix[:, 24:, 2] = 60
+    add("gray-7-stripe", pix)
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_gray_rgb_batch(batch: "pa.Table") -> "pa.Table":
+    """Grayscale-stored-as-RGB gate: per image, the per-mille share of
+    pixels whose channel spread max(r,g,b)−min(r,g,b) ≤ 2; flagged
+    when ≥ 990‰.  Catches the wasted-3×-storage / distribution-skew
+    rows a channel-stats mean can miss (a mixed image can have equal
+    channel MEANS yet be fully colorful).  All-integer."""
+    ids, milli, flag = [], [], []
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = img.raw_decode(payload).astype(np.int64)
+        spread = pix.max(axis=2) - pix.min(axis=2)
+        n = spread.size
+        m = int((spread <= 2).sum()) * 1000 // n
+        ids.append(iid)
+        milli.append(m)
+        flag.append(1 if m >= 990 else 0)
+    return pa.Table.from_pydict(
+        {"image_id": ids, "gray_milli": milli, "is_gray": flag},
+        schema=pa.schema([("image_id", pa.string()),
+                          ("gray_milli", pa.int64()),
+                          ("is_gray", pa.int64())]))
+
+
+POSTER_FIXTURE = "/tmp/darc_ray_fixtures/image_poster.parquet"
+
+
+def ensure_image_poster_fixture(path: str = POSTER_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the posterization gate:
+    heavily-quantized textures (3 significant bits — GIF-class
+    banding), a solid-color card, rich gradients and textures (must
+    NOT flag), and a borderline 17-level ramp just above the ≤16
+    threshold.  Fixed path + atomic write + always rewritten."""
+    import os
+    import tempfile
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(pix)))
+
+    def texture(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = ((xx * 13 + yy * 5 + 17 * i) % 256).astype(np.uint8)
+        g = ((xx * 7 + yy * 11 + 29 * i) % 256).astype(np.uint8)
+        b = ((xx * 3 + yy * 9 + 41 * i) % 256).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    for i in range(2):                              # banded: 3-bit quantized
+        add(f"post-{i}-banded", texture(16 + i, 22 + i, i) & 0xE0)
+    solid = np.zeros((12, 16, 3), dtype=np.uint8)
+    solid[..., 0], solid[..., 1], solid[..., 2] = 96, 128, 160
+    add("post-2-solid", solid)
+    for i in range(3, 6):                           # rich content
+        add(f"post-{i}-rich", texture(18 + i, 24 + i, i))
+    # borderline: exactly 17 pooled distinct levels -> NOT flagged
+    ramp = (np.arange(17, dtype=np.uint8) * 15).repeat(24).reshape(17, 24)
+    add("post-6-ramp17", np.stack([ramp, ramp, ramp], axis=2))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("image_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def image_posterize_batch(batch: "pa.Table") -> "pa.Table":
+    """Posterization/banding gate: n_levels = count of DISTINCT byte
+    values pooled across all three channels; flagged when ≤ 16 (a
+    GIF-class palette collapse — re-encoded screenshots, banded
+    gradients).  ``np.unique`` over the flat pixel array is the whole
+    kernel; all-integer."""
+    ids, levels, flag = [], [], []
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = img.raw_decode(payload)
+        n = int(np.unique(pix).size)
+        ids.append(iid)
+        levels.append(n)
+        flag.append(1 if n <= 16 else 0)
+    return pa.Table.from_pydict(
+        {"image_id": ids, "n_levels": levels, "posterized": flag},
+        schema=pa.schema([("image_id", pa.string()),
+                          ("n_levels", pa.int64()),
+                          ("posterized", pa.int64())]))
+
+
 TOKDUP_FIXTURE = "/tmp/darc_ray_fixtures/caption_tokens.parquet"
 
 
