@@ -10400,6 +10400,97 @@ FROM vals GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_audio_tone_detect(sf_dir: str) -> pd.DataFrame:
+    """Synthetic-tone gate (see ``audio_tone_detect_batch``):
+    zero-crossing interval regularity over mono PCM16 — ≥ 8 crossings
+    with interval spread ≤ 1 flags test beeps/sines a speech-curation
+    pass drops.  Stateless scan; the oracle re-walks the RIFF
+    container, signs every sample (v ≥ 0), finds flips with ``lag``
+    and bounds the flip-gap distribution."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (audio_tone_detect_batch,
+                                            ensure_audio_tone_fixture)
+
+    path = ensure_audio_tone_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(audio_tone_detect_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+SQL_AUDIO_TONE_DETECT = """
+WITH RECURSIVE raw AS (
+  SELECT audio_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/audio_tone.parquet')
+), walk AS (
+  SELECT audio_id, h, 12::BIGINT AS o,
+         -1::BIGINT AS data_bytes, -1::BIGINT AS header_bytes,
+         FALSE AS done
+  FROM raw
+  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+  UNION ALL
+  SELECT audio_id, h,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461' THEN o
+              ELSE o + 8
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT % 2
+              END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                    || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+              ELSE data_bytes END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN o + 8 ELSE -1 END,
+         substr(h, 2*o+1, 8) = '64617461'
+  FROM walk WHERE NOT done
+), pcm AS (
+  SELECT audio_id, h, header_bytes AS off, data_bytes // 2 AS ns
+  FROM walk WHERE done
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(ns) FROM pcm) - 1)) AS k
+), smp AS (
+  SELECT u.audio_id, u.k,
+         CASE WHEN u.uv >= 32768 THEN u.uv - 65536 ELSE u.uv END AS v
+  FROM (
+    SELECT p.audio_id, s.k,
+           ('0x' || substr(p.h, 2 * (p.off + 2 * s.k) + 3, 2)
+                 || substr(p.h, 2 * (p.off + 2 * s.k) + 1, 2))::BIGINT AS uv
+    FROM pcm p JOIN series s ON s.k < p.ns
+  ) u
+), flip AS (
+  SELECT audio_id, k FROM (
+    SELECT audio_id, k,
+           CASE WHEN v >= 0 THEN 1 ELSE 0 END AS s,
+           lag(CASE WHEN v >= 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY audio_id ORDER BY k) AS ps
+    FROM smp) t
+  WHERE ps IS NOT NULL AND s != ps
+), agg AS (
+  SELECT audio_id, count(*)::BIGINT AS nc FROM flip GROUP BY audio_id
+), iv AS (
+  SELECT audio_id,
+         k - lag(k) OVER (PARTITION BY audio_id ORDER BY k) AS d
+  FROM flip
+), ivagg AS (
+  SELECT audio_id, min(d)::BIGINT AS lo, max(d)::BIGINT AS hi
+  FROM iv WHERE d IS NOT NULL GROUP BY audio_id
+)
+SELECT r.audio_id, coalesce(a.nc, 0)::BIGINT AS n_cross,
+       coalesce(v.lo, 0)::BIGINT AS iv_min,
+       coalesce(v.hi, 0)::BIGINT AS iv_max,
+       CASE WHEN coalesce(a.nc, 0) >= 8
+             AND coalesce(v.hi, 0) - coalesce(v.lo, 0) <= 1
+            THEN 1 ELSE 0 END::BIGINT AS is_tone
+FROM raw r LEFT JOIN agg a USING (audio_id)
+           LEFT JOIN ivagg v USING (audio_id)
+ORDER BY r.audio_id
+"""
+
+
 def q_big_order_customers(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q18-shaped large-volume-customer report: orders whose
     total lineitem quantity exceeds 250 units, with customer name and
@@ -10727,6 +10818,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "shipping_priority": q_shipping_priority,
     "image_gray_rgb": q_image_gray_rgb,
     "image_posterize": q_image_posterize,
+    "audio_tone_detect": q_audio_tone_detect,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -10940,6 +11032,7 @@ ORACLE_SQL: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "image_gray_rgb": SQL_IMAGE_GRAY_RGB,
     "image_posterize": SQL_IMAGE_POSTERIZE,
+    "audio_tone_detect": SQL_AUDIO_TONE_DETECT,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

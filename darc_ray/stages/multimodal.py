@@ -3575,6 +3575,101 @@ def image_posterize_batch(batch: "pa.Table") -> "pa.Table":
                           ("posterized", pa.int64())]))
 
 
+TONE_FIXTURE = "/tmp/darc_ray_fixtures/audio_tone.parquet"
+
+
+def ensure_audio_tone_fixture(path: str = TONE_FIXTURE) -> str:
+    """Deterministic mono PCM16 WAV corpus for the synthetic-tone gate
+    (test beeps / sine stand-ins a speech-curation pass drops):
+    ``-tone`` rows are square waves with constant half-period (zero-
+    crossing intervals all equal), ``-jitter`` alternates 5/6-sample
+    half-periods (spread 1 — still a tone), ``-speech`` cycles
+    irregular run lengths (spread > 1, NOT a tone), ``-sparse`` has
+    only 3 crossings (below the 8-crossing floor), and ``-dc`` never
+    crosses at all.  Mono only — the oracle's sample walk then needs
+    no channel arithmetic.  Fixed path + atomic write + always
+    rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    from darc_ray.functions.audio import wav_encode
+
+    rows = {"audio_id": [], "bytes": []}
+
+    def from_runs(runs: list[int], amp: int) -> np.ndarray:
+        sign, parts = 1, []
+        for r in runs:
+            parts.append(np.full(r, sign * amp, np.int16))
+            sign = -sign
+        return np.concatenate(parts)
+
+    for i, half in enumerate((1, 3, 5, 8)):
+        n_runs = 240 // half if half > 1 else 200
+        rows["audio_id"].append(f"tone-{i:02d}-tone")
+        rows["bytes"].append(wav_encode(
+            from_runs([half] * n_runs, 6000 + 500 * i), 8000))
+    rows["audio_id"].append("tone-04-jitter")
+    rows["bytes"].append(wav_encode(
+        from_runs([5, 6] * 40, 7000), 8000))
+    for i, cyc in enumerate(([3, 7, 4, 9, 2, 6], [5, 5, 5, 12, 5, 5])):
+        rows["audio_id"].append(f"tone-{5 + i:02d}-speech")
+        rows["bytes"].append(wav_encode(
+            from_runs(cyc * 12, 5000), 16000))
+    rows["audio_id"].append("tone-07-sparse")
+    rows["bytes"].append(wav_encode(
+        from_runs([300, 280, 320, 290], 4000), 8000))
+    rows["audio_id"].append("tone-08-dc")
+    rows["bytes"].append(wav_encode(np.full(900, 1500, np.int16), 8000))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("audio_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def audio_tone_detect_batch(batch: "pa.Table") -> "pa.Table":
+    """Synthetic-tone gate: zero-crossing interval regularity.  Sign
+    is v ≥ 0 (zero counts positive — the same rule the oracle's CASE
+    applies); crossings are sign flips between consecutive samples;
+    a track is a tone when it has ≥ 8 crossings whose interval spread
+    (max−min) is ≤ 1 sample.  Emits crossing count and interval
+    bounds (0/0 when fewer than two crossings).  All-integer,
+    stateless, no shuffle."""
+    from darc_ray.functions.audio import wav_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "audio_id", "n_cross", "iv_min", "iv_max", "is_tone")}
+    for aid, payload in zip(batch.column("audio_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        samples, _sr = wav_decode(payload)
+        v = samples.reshape(-1).astype(np.int64)
+        s = (v >= 0).astype(np.int8)
+        pos = np.nonzero(s[1:] != s[:-1])[0] + 1
+        nc = int(len(pos))
+        if nc >= 2:
+            iv = np.diff(pos)
+            lo, hi = int(iv.min()), int(iv.max())
+        else:
+            lo = hi = 0
+        out["audio_id"].append(aid)
+        out["n_cross"].append(nc)
+        out["iv_min"].append(lo)
+        out["iv_max"].append(hi)
+        out["is_tone"].append(int(nc >= 8 and hi - lo <= 1))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("audio_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_cross", "iv_min", "iv_max",
+                                  "is_tone")]))
+
+
 TOKDUP_FIXTURE = "/tmp/darc_ray_fixtures/caption_tokens.parquet"
 
 
