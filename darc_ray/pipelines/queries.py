@@ -10400,6 +10400,86 @@ FROM vals GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_burst_detect(sf_dir: str) -> pd.DataFrame:
+    """Per-user rate-burst audit: the max number of events any single
+    7-day sliding window holds (window anchored at each event), per
+    user — the abuse/bot signal a crawl-log triage pass runs.  Shape:
+    ONE user-keyed hash repartition (all of a user's events co-locate),
+    then a per-partition fully-vectorized kernel — rows sorted by
+    (user, ts), each user segment given a composite int64 key
+    seg·(span+W+1) + t_rel so a SINGLE ``np.searchsorted`` yields every
+    window's upper bound at once (no per-row loop; a loud overflow
+    guard falls back to per-segment searchsorted).  Window membership
+    is [t, t+W) with ties included regardless of sort order, so the
+    count is order-independent → bit-exact vs the oracle's ranged
+    self-join."""
+    from ray.data.context import ShuffleStrategy
+
+    W = 7 * 86400 * 1_000_000
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64())})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "max_burst": pd.Series([], dtype="int64"),
+                                 "bursty": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts_us"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        new_seg = np.r_[True, u[1:] != u[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        n_seg = int(seg_id[-1]) + 1
+        t_rel = t - t.min()
+        huge = int(t_rel.max()) + W + 1
+        if n_seg * huge < 2**62:        # composite stays in int64
+            comp = seg_id * huge + t_rel
+            hi = np.searchsorted(comp, seg_id * huge + t_rel + W, "left")
+            lo = np.searchsorted(comp, seg_id * huge + t_rel, "left")
+            cnt = hi - lo
+        else:                           # overflow guard: per-segment
+            cnt = np.empty(len(t), np.int64)
+            starts = np.flatnonzero(new_seg)
+            ends = np.r_[starts[1:], len(t)]
+            for s, e in zip(starts, ends):
+                seg = t[s:e]
+                cnt[s:e] = (np.searchsorted(seg, seg + W, "left")
+                            - np.searchsorted(seg, seg, "left"))
+        g = pd.DataFrame({"user_id": u, "cnt": cnt})
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("cnt", "size"), max_burst=("cnt", "max"))
+        out["bursty"] = (out["max_burst"] >= 25).astype(np.int64)
+        for c in ("user_id", "n_events", "max_burst"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    ds = (_read(sf_dir, "events", ["user_id", "ts"])
+          .map_batches(key, batch_format="pyarrow", batch_size=65536)
+          .repartition(num_blocks=8, keys=["user_id"], sort=False))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    out = (ds.map_batches(per_partition, batch_format="pandas",
+                          batch_size=None).to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_BURST_DETECT = """
+WITH b AS (
+  SELECT e1.user_id, e1.event_id, count(*) AS cnt
+  FROM events e1 JOIN events e2
+    ON e1.user_id = e2.user_id AND e2.ts >= e1.ts
+   AND e2.ts < e1.ts + INTERVAL 7 DAY
+  GROUP BY e1.user_id, e1.event_id
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       max(cnt)::BIGINT AS max_burst,
+       CASE WHEN max(cnt) >= 25 THEN 1 ELSE 0 END::BIGINT AS bursty
+FROM b GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_audio_tone_detect(sf_dir: str) -> pd.DataFrame:
     """Synthetic-tone gate (see ``audio_tone_detect_batch``):
     zero-crossing interval regularity over mono PCM16 — ≥ 8 crossings
@@ -10819,6 +10899,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_gray_rgb": q_image_gray_rgb,
     "image_posterize": q_image_posterize,
     "audio_tone_detect": q_audio_tone_detect,
+    "burst_detect": q_burst_detect,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -11033,6 +11114,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_gray_rgb": SQL_IMAGE_GRAY_RGB,
     "image_posterize": SQL_IMAGE_POSTERIZE,
     "audio_tone_detect": SQL_AUDIO_TONE_DETECT,
+    "burst_detect": SQL_BURST_DETECT,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
