@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "local_supplier_volume", "running_revenue", "gap_hist",
     "image_border_contrast", "audio_stereo_imbalance",
     "minhash_band_stats", "user_activity_gini", "image_rot_dups",
+    "big_order_customers", "shipping_priority", "image_gray_rgb",
+    "image_posterize", "audio_tone_detect", "burst_detect",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",
