@@ -10400,6 +10400,70 @@ FROM vals GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_video_static_detect(sf_dir: str) -> pd.DataFrame:
+    """Frozen-video gate (see ``video_static_detect_batch``):
+    adjacent byte-identical compressed frames per-mille, flagged
+    ≥ 800‰ — zero frame decode.  The oracle re-walks the FVID index
+    with a recursive CTE carrying each frame's data offset, slices
+    the frame hex with ``substr`` and compares ``lag`` neighbors."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_video_static_fixture,
+                                            video_static_detect_batch)
+
+    path = ensure_video_static_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(video_static_detect_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("video_id").reset_index(drop=True)
+
+
+SQL_VIDEO_STATIC_DETECT = """
+WITH RECURSIVE raw AS (
+  SELECT video_id, hex(bytes) AS h
+  FROM read_parquet('/tmp/darc_ray_fixtures/video_static.parquet')
+), hdr AS (
+  SELECT video_id, h,
+         ('0x' || substr(h, 13, 8))::BIGINT AS n_frames
+  FROM raw WHERE substr(h, 1, 8) = '46564944'
+), walk AS (
+  SELECT video_id, h, n_frames, 0::BIGINT AS i, 10::BIGINT AS o,
+         0::BIGINT AS len, 0::BIGINT AS fstart
+  FROM hdr
+  UNION ALL
+  SELECT video_id, h, n_frames, i + 1,
+         o + 4 + ('0x' || substr(h, 2*o+1, 8))::BIGINT,
+         ('0x' || substr(h, 2*o+1, 8))::BIGINT,
+         o + 4
+  FROM walk WHERE i < n_frames
+), fr AS (
+  SELECT video_id, (i - 1)::BIGINT AS frame_idx,
+         substr(h, 2 * fstart + 1, 2 * len) AS fbytes
+  FROM walk WHERE i >= 1
+), d AS (
+  SELECT video_id, frame_idx,
+         CASE WHEN fbytes = lag(fbytes)
+                  OVER (PARTITION BY video_id ORDER BY frame_idx)
+              THEN 1 ELSE 0 END AS same
+  FROM fr
+), st AS (
+  SELECT video_id, count(*)::BIGINT AS n_frames,
+         sum(CASE WHEN frame_idx > 0 THEN same ELSE 0 END)::BIGINT
+             AS static_pairs
+  FROM d GROUP BY video_id
+)
+SELECT video_id, n_frames, static_pairs,
+       (CASE WHEN n_frames > 1
+             THEN static_pairs * 1000 // (n_frames - 1)
+             ELSE 0 END)::BIGINT AS static_milli,
+       CASE WHEN n_frames > 1
+             AND static_pairs * 1000 // (n_frames - 1) >= 800
+            THEN 1 ELSE 0 END::BIGINT AS is_static
+FROM st ORDER BY video_id
+"""
+
+
 def q_burst_detect(sf_dir: str) -> pd.DataFrame:
     """Per-user rate-burst audit: the max number of events any single
     7-day sliding window holds (window anchored at each event), per
@@ -10900,6 +10964,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_posterize": q_image_posterize,
     "audio_tone_detect": q_audio_tone_detect,
     "burst_detect": q_burst_detect,
+    "video_static_detect": q_video_static_detect,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -11115,6 +11180,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_posterize": SQL_IMAGE_POSTERIZE,
     "audio_tone_detect": SQL_AUDIO_TONE_DETECT,
     "burst_detect": SQL_BURST_DETECT,
+    "video_static_detect": SQL_VIDEO_STATIC_DETECT,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -3670,6 +3670,94 @@ def audio_tone_detect_batch(batch: "pa.Table") -> "pa.Table":
                                   "is_tone")]))
 
 
+VSTATIC_FIXTURE = "/tmp/darc_ray_fixtures/video_static.parquet"
+
+
+def ensure_video_static_fixture(path: str = VSTATIC_FIXTURE) -> str:
+    """Deterministic FVID corpus for the frozen-video gate: a fully
+    frozen clip (one frame repeated), a surveillance-style tail-frozen
+    clip at 888‰ (flagged) and a half-frozen clip at 600‰ (NOT
+    flagged), fully animated clips, a single-frame edge (no pairs)
+    and a ping-pong A/B/A/B clip — non-ADJACENT duplicates must not
+    count.  PNG frame encoding is deterministic, so pixel-identical
+    frames are byte-identical spans.  Fixed path + atomic write +
+    always rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    from darc_ray.functions.video import video_encode
+
+    def frame(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = ((xx * 11 + yy * 7 + 23 * i) % 256).astype(np.uint8)
+        g = ((xx * 5 + yy * 13 + 31 * i) % 256).astype(np.uint8)
+        b = ((xx * 9 + yy * 3 + 41 * i) % 256).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    rows = {"video_id": [], "bytes": []}
+    f0 = frame(18, 22, 0)
+    rows["video_id"].append("vstat-0-frozen")
+    rows["bytes"].append(video_encode([f0] * 6, 8))
+    anim = [frame(16, 20, i) for i in range(3)]
+    rows["video_id"].append("vstat-1-halffrozen")
+    rows["bytes"].append(video_encode(anim + [anim[-1]] * 3, 8))
+    rows["video_id"].append("vstat-2-tailfrozen")
+    rows["bytes"].append(video_encode([frame(14, 18, 9)]
+                                      + [frame(14, 18, 5)] * 9, 4))
+    for j in (3, 4):
+        rows["video_id"].append(f"vstat-{j}-anim")
+        rows["bytes"].append(video_encode(
+            [frame(15 + j, 19 + j, 10 * j + i) for i in range(5)], 12))
+    rows["video_id"].append("vstat-5-single")
+    rows["bytes"].append(video_encode([frame(12, 12, 77)], 4))
+    a, b = frame(13, 17, 50), frame(13, 17, 60)
+    rows["video_id"].append("vstat-6-pingpong")
+    rows["bytes"].append(video_encode([a, b, a, b, a], 8))
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("video_id", pa.string()),
+                                ("bytes", pa.binary())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def video_static_detect_batch(batch: "pa.Table") -> "pa.Table":
+    """Frozen-video gate — consecutive byte-identical frames (the
+    stuck-encoder / surveillance-still shape a video curation pass
+    drops before spending decode budget on motion features): per clip,
+    the count of adjacent frame pairs whose compressed spans are
+    byte-equal, per-mille over n_frames−1, flagged ≥ 800‰.  Compares
+    compressed bytes only (zero decode); all-integer."""
+    from darc_ray.functions.video import video_index
+
+    out: dict[str, list] = {k: [] for k in (
+        "video_id", "n_frames", "static_pairs", "static_milli",
+        "is_static")}
+    for vid, payload in zip(batch.column("video_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        _fps, spans = video_index(payload)
+        frames = [payload[off:off + ln] for off, ln in spans]
+        n = len(frames)
+        sp = sum(1 for i in range(1, n) if frames[i] == frames[i - 1])
+        milli = sp * 1000 // (n - 1) if n > 1 else 0
+        out["video_id"].append(vid)
+        out["n_frames"].append(n)
+        out["static_pairs"].append(sp)
+        out["static_milli"].append(milli)
+        out["is_static"].append(int(milli >= 800))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("video_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_frames", "static_pairs",
+                                  "static_milli", "is_static")]))
+
+
 TOKDUP_FIXTURE = "/tmp/darc_ray_fixtures/caption_tokens.parquet"
 
 
