@@ -10400,6 +10400,80 @@ FROM vals GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_rep_trigram(sf_dir: str) -> pd.DataFrame:
+    """Within-document trigram repetition (the Gopher rep-ngram
+    signal `dup_ngrams`'s CROSS-doc ExactSubstr pass does not cover):
+    per doc, the maximum repeated-trigram character mass — max over
+    word trigrams of count × trigram length — per-mille of ``n_chars``,
+    flagged ≥ 250‰.  Tokens are whitespace runs (``\\S+`` — the
+    repo-wide mirrored tokenizer contract, no case folding so unicode
+    lower() semantics can never diverge).  Doc-local computation:
+    stateless ``map_batches``, zero shuffle — embarrassingly parallel
+    at 100 TB.  The oracle builds trigrams with
+    ``list_transform(generate_series(...))`` and takes the same max."""
+    import re
+
+    tok = re.compile(r"\S+")
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("doc_id", "n_tri", "max_tri",
+                               "rep_chars", "rep_milli", "repetitive")}
+        for did, text, n_chars in zip(df["doc_id"], df["text"],
+                                      df["n_chars"]):
+            ws = tok.findall(text)
+            cnt: dict[str, int] = {}
+            for i in range(len(ws) - 2):
+                tri = ws[i] + " " + ws[i + 1] + " " + ws[i + 2]
+                cnt[tri] = cnt.get(tri, 0) + 1
+            n_tri = max(len(ws) - 2, 0)
+            if cnt:
+                max_tri = max(cnt.values())
+                rep_chars = max(c * len(t) for t, c in cnt.items())
+            else:
+                max_tri = rep_chars = 0
+            rm = rep_chars * 1000 // max(int(n_chars), 1)
+            out["doc_id"].append(int(did))
+            out["n_tri"].append(n_tri)
+            out["max_tri"].append(max_tri)
+            out["rep_chars"].append(rep_chars)
+            out["rep_milli"].append(rm)
+            out["repetitive"].append(int(rm >= 250))
+        return pd.DataFrame(out).astype("int64")
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    out = (ds.map_batches(rep, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REP_TRIGRAM = """
+WITH d AS (
+  SELECT doc_id, n_chars, regexp_extract_all(text, '\\S+') AS ws
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tri
+  FROM d WHERE len(ws) >= 3
+), cc AS (
+  SELECT doc_id, tri, count(*) AS cnt FROM t GROUP BY doc_id, tri
+), m AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_tri, max(cnt)::BIGINT AS max_tri,
+         max(cnt * length(tri))::BIGINT AS rep_chars
+  FROM cc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(m.n_tri, 0)::BIGINT AS n_tri,
+       coalesce(m.max_tri, 0)::BIGINT AS max_tri,
+       coalesce(m.rep_chars, 0)::BIGINT AS rep_chars,
+       (coalesce(m.rep_chars, 0) * 1000
+        // greatest(d.n_chars, 1))::BIGINT AS rep_milli,
+       CASE WHEN coalesce(m.rep_chars, 0) * 1000
+                 // greatest(d.n_chars, 1) >= 250
+            THEN 1 ELSE 0 END::BIGINT AS repetitive
+FROM d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_video_static_detect(sf_dir: str) -> pd.DataFrame:
     """Frozen-video gate (see ``video_static_detect_batch``):
     adjacent byte-identical compressed frames per-mille, flagged
@@ -10965,6 +11039,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "audio_tone_detect": q_audio_tone_detect,
     "burst_detect": q_burst_detect,
     "video_static_detect": q_video_static_detect,
+    "rep_trigram": q_rep_trigram,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -11181,6 +11256,7 @@ ORACLE_SQL: dict[str, str] = {
     "audio_tone_detect": SQL_AUDIO_TONE_DETECT,
     "burst_detect": SQL_BURST_DETECT,
     "video_static_detect": SQL_VIDEO_STATIC_DETECT,
+    "rep_trigram": SQL_REP_TRIGRAM,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
