@@ -10400,6 +10400,87 @@ FROM vals GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_customer_order_coverage(sf_dir: str) -> pd.DataFrame:
+    """Dormant-customer report: per-customer RECENT-order coverage
+    (orders placed on/after 2001-01-01) with zero-recent-order
+    customers RETAINED — the one join shape the suite lacked: a
+    big-big LEFT OUTER hash join
+    (``Dataset.join(join_type="left_outer")``), exercising null
+    materialization on the probe side at exchange scale (~40 %% of
+    customers have no recent order here).  Orders filter + pre-combine
+    per batch, then ONE custkey-keyed repartition + per-partition
+    local sum before the join; cents quantized with the ONE fixed
+    expression.  All-integer output."""
+    from ray.data.context import ShuffleStrategy
+
+    cut_us = int(pd.Timestamp("2001-01-01").value // 1000)
+
+    def o_key(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = od >= cut_us
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)[keep] * 100
+            + 0.5).astype(np.int64)
+        g = (pa.table({"c_custkey": t["o_custkey"].to_numpy(
+                           zero_copy_only=False)[keep],
+                       "n_orders": np.ones(int(keep.sum()),
+                                           dtype=np.int64),
+                       "total_cents": cents})
+             .group_by(["c_custkey"])
+             .aggregate([("n_orders", "sum"), ("total_cents", "sum")]))
+        return g.rename_columns(["c_custkey", "n_orders", "total_cents"])
+
+    def local_sum(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["c_custkey"])
+             .aggregate([("n_orders", "sum"), ("total_cents", "sum")]))
+        return g.rename_columns(["c_custkey", "n_orders", "total_cents"])
+
+    s = (_read(sf_dir, "orders",
+               ["o_custkey", "o_totalprice", "o_orderdate"])
+         .map_batches(o_key, batch_format="pyarrow", batch_size=65536)
+         .repartition(num_blocks=8, keys=["c_custkey"], sort=False))
+    s.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    s = s.map_batches(local_sum, batch_format="pyarrow", batch_size=None)
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .map_batches(lambda t: pa.table(
+                {"c_custkey": t["c_custkey"],
+                 "c_mktsegment": t["c_mktsegment"]}),
+                batch_format="pyarrow", batch_size=65536))
+    j = cust.join(s, join_type="left_outer", num_partitions=4,
+                  on=("c_custkey",))
+    # the executed plan uses the LEFT lineage's context: the keyed
+    # repartition on the s side needs hash shuffle there too
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    out = j.to_pandas()
+    out["has_orders"] = out["n_orders"].notna().astype("int64")
+    for c in ("n_orders", "total_cents"):
+        out[c] = out[c].fillna(0).astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out = out[["c_custkey", "c_mktsegment", "n_orders", "total_cents",
+               "has_orders"]]
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMER_ORDER_COVERAGE = """
+WITH s AS (
+  SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_orders,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+             AS total_cents
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       coalesce(s.n_orders, 0)::BIGINT AS n_orders,
+       coalesce(s.total_cents, 0)::BIGINT AS total_cents,
+       CASE WHEN s.n_orders IS NULL THEN 0 ELSE 1 END::BIGINT
+           AS has_orders
+FROM customer c LEFT JOIN s USING (c_custkey)
+ORDER BY c.c_custkey
+"""
+
+
 def q_rep_trigram(sf_dir: str) -> pd.DataFrame:
     """Within-document trigram repetition (the Gopher rep-ngram
     signal `dup_ngrams`'s CROSS-doc ExactSubstr pass does not cover):
@@ -11040,6 +11121,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "burst_detect": q_burst_detect,
     "video_static_detect": q_video_static_detect,
     "rep_trigram": q_rep_trigram,
+    "customer_order_coverage": q_customer_order_coverage,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -11257,6 +11339,7 @@ ORACLE_SQL: dict[str, str] = {
     "burst_detect": SQL_BURST_DETECT,
     "video_static_detect": SQL_VIDEO_STATIC_DETECT,
     "rep_trigram": SQL_REP_TRIGRAM,
+    "customer_order_coverage": SQL_CUSTOMER_ORDER_COVERAGE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
