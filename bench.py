@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "minhash_band_stats", "user_activity_gini", "image_rot_dups",
     "big_order_customers", "shipping_priority", "image_gray_rgb",
     "image_posterize", "audio_tone_detect", "burst_detect",
+    "video_static_detect", "rep_trigram", "customer_order_coverage",
+    "audio_qa_pipeline",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

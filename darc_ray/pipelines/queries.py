@@ -10400,6 +10400,153 @@ FROM vals GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_audio_qa_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Composed audio-QA capstone over the planted defect fixture —
+    the production-ordered gate stack (manifest → DC offset →
+    clipping → silence → tone), cheapest first, later stages
+    −1-masked for rows an earlier stage rejected (see
+    ``audio_qa_funnel_batch``).  One stateless ``map_batches``; the
+    DuckDB oracle re-derives all five stages AND the masking from the
+    same bytes in one composed query — proving the audio gates agree
+    end-to-end under a single oracle (the sixth composed capstone)."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (audio_qa_funnel_batch,
+                                            ensure_audio_qa_fixture)
+
+    path = ensure_audio_qa_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(audio_qa_funnel_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+SQL_AUDIO_QA_PIPELINE = """
+WITH RECURSIVE raw AS (
+  SELECT audio_id, hex(bytes) AS h,
+         n_samples AS decl_n, channels AS decl_ch
+  FROM read_parquet('/tmp/darc_ray_fixtures/audio_qa.parquet')
+), walk AS (
+  SELECT audio_id, h, 12::BIGINT AS o,
+         -1::BIGINT AS data_bytes, -1::BIGINT AS header_bytes,
+         -1::BIGINT AS fmt_ch, FALSE AS done
+  FROM raw
+  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+  UNION ALL
+  SELECT audio_id, h,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461' THEN o
+              ELSE o + 8
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+                   + ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                      || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT % 2
+              END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN ('0x' || substr(h, 2*o+15, 2) || substr(h, 2*o+13, 2)
+                    || substr(h, 2*o+11, 2) || substr(h, 2*o+9, 2))::BIGINT
+              ELSE data_bytes END,
+         CASE WHEN substr(h, 2*o+1, 8) = '64617461'
+              THEN o + 8 ELSE -1 END,
+         CASE WHEN substr(h, 2*o+1, 8) = '666D7420'
+              THEN ('0x' || substr(h, 2*(o+11)+1, 2)
+                    || substr(h, 2*(o+10)+1, 2))::BIGINT
+              ELSE fmt_ch END,
+         substr(h, 2*o+1, 8) = '64617461'
+  FROM walk WHERE NOT done
+), pcm AS (
+  SELECT w.audio_id, w.h, w.header_bytes AS off, w.data_bytes // 2 AS ns,
+         w.fmt_ch, r.decl_n, r.decl_ch
+  FROM walk w JOIN raw r USING (audio_id) WHERE w.done
+), man AS (
+  SELECT audio_id, h, off, ns, decl_n, decl_ch,
+         CASE WHEN decl_n = ns AND decl_ch = fmt_ch
+              THEN 1 ELSE 0 END AS man_ok
+  FROM pcm
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(ns) FROM man) - 1)) AS k
+), smp AS (
+  SELECT u.audio_id, u.k,
+         CASE WHEN u.uv >= 32768 THEN u.uv - 65536 ELSE u.uv END AS v
+  FROM (
+    SELECT p.audio_id, s.k,
+           ('0x' || substr(p.h, 2 * (p.off + 2 * s.k) + 3, 2)
+                 || substr(p.h, 2 * (p.off + 2 * s.k) + 1, 2))::BIGINT AS uv
+    FROM man p JOIN series s ON s.k < p.ns WHERE p.man_ok = 1
+  ) u
+), st AS (
+  SELECT audio_id, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv,
+         sum(CASE WHEN abs(v) >= 32000 THEN 1 ELSE 0 END)::BIGINT AS ncl,
+         sum(CASE WHEN abs(v) < 400 THEN 1 ELSE 0 END)::BIGINT AS nsil
+  FROM smp GROUP BY audio_id
+), grp AS (
+  SELECT audio_id, k,
+         k - row_number() OVER (PARTITION BY audio_id ORDER BY k) AS g
+  FROM smp WHERE abs(v) >= 32000
+), mxr AS (
+  SELECT audio_id, max(rl)::BIGINT AS mr FROM (
+    SELECT audio_id, g, count(*) AS rl FROM grp GROUP BY audio_id, g)
+  GROUP BY audio_id
+), flip AS (
+  SELECT audio_id, k FROM (
+    SELECT audio_id, k,
+           CASE WHEN v >= 0 THEN 1 ELSE 0 END AS s,
+           lag(CASE WHEN v >= 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY audio_id ORDER BY k) AS ps
+    FROM smp) t
+  WHERE ps IS NOT NULL AND s != ps
+), fagg AS (
+  SELECT audio_id, count(*)::BIGINT AS ncr FROM flip GROUP BY audio_id
+), ivagg AS (
+  SELECT audio_id, (max(d) - min(d))::BIGINT AS spread FROM (
+    SELECT audio_id,
+           k - lag(k) OVER (PARTITION BY audio_id ORDER BY k) AS d
+    FROM flip) t
+  WHERE d IS NOT NULL GROUP BY audio_id
+), sig AS (
+  SELECT m.audio_id, m.decl_n, m.decl_ch, m.man_ok,
+         CASE WHEN abs(st.sv) * 1000 // st.n >= 50000
+              THEN 1 ELSE 0 END AS dc,
+         CASE WHEN st.ncl * 1000 // st.n >= 5
+                OR coalesce(mxr.mr, 0) >= 16
+              THEN 1 ELSE 0 END AS cl,
+         CASE WHEN st.nsil * 1000 // st.n >= 800
+              THEN 1 ELSE 0 END AS sil,
+         CASE WHEN coalesce(fagg.ncr, 0) >= 8
+               AND coalesce(ivagg.spread, 0) <= 1
+              THEN 1 ELSE 0 END AS tn
+  FROM man m
+  LEFT JOIN st ON st.audio_id = m.audio_id
+  LEFT JOIN mxr ON mxr.audio_id = m.audio_id
+  LEFT JOIN fagg ON fagg.audio_id = m.audio_id
+  LEFT JOIN ivagg ON ivagg.audio_id = m.audio_id
+), f AS (
+  SELECT audio_id, decl_n, decl_ch, man_ok AS manifest_ok,
+         CASE WHEN man_ok = 0 THEN -1 ELSE dc END AS dc_bad,
+         CASE WHEN man_ok = 0 OR dc = 1 THEN -1 ELSE cl END AS clip_bad,
+         CASE WHEN man_ok = 0 OR dc = 1 OR cl = 1 THEN -1
+              ELSE sil END AS silent_bad,
+         CASE WHEN man_ok = 0 OR dc = 1 OR cl = 1 OR sil = 1 THEN -1
+              ELSE tn END AS tone_bad
+  FROM sig
+)
+SELECT audio_id, decl_n::BIGINT AS decl_n, decl_ch::BIGINT AS decl_ch,
+       manifest_ok::BIGINT AS manifest_ok, dc_bad::BIGINT AS dc_bad,
+       clip_bad::BIGINT AS clip_bad,
+       silent_bad::BIGINT AS silent_bad, tone_bad::BIGINT AS tone_bad,
+       CASE WHEN manifest_ok = 1 AND dc_bad = 0 AND clip_bad = 0
+             AND silent_bad = 0 AND tone_bad = 0
+            THEN 1 ELSE 0 END::BIGINT AS keep,
+       CASE WHEN manifest_ok = 0 THEN 'manifest'
+            WHEN dc_bad = 1 THEN 'dc'
+            WHEN clip_bad = 1 THEN 'clipping'
+            WHEN silent_bad = 1 THEN 'silence'
+            WHEN tone_bad = 1 THEN 'tone'
+            ELSE 'keep' END AS reject_stage
+FROM f ORDER BY audio_id
+"""
+
+
 def q_customer_order_coverage(sf_dir: str) -> pd.DataFrame:
     """Dormant-customer report: per-customer RECENT-order coverage
     (orders placed on/after 2001-01-01) with zero-recent-order
@@ -11122,6 +11269,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "video_static_detect": q_video_static_detect,
     "rep_trigram": q_rep_trigram,
     "customer_order_coverage": q_customer_order_coverage,
+    "audio_qa_pipeline": q_audio_qa_pipeline,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -11340,6 +11488,7 @@ ORACLE_SQL: dict[str, str] = {
     "video_static_detect": SQL_VIDEO_STATIC_DETECT,
     "rep_trigram": SQL_REP_TRIGRAM,
     "customer_order_coverage": SQL_CUSTOMER_ORDER_COVERAGE,
+    "audio_qa_pipeline": SQL_AUDIO_QA_PIPELINE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -3758,6 +3758,148 @@ def video_static_detect_batch(batch: "pa.Table") -> "pa.Table":
                                   "static_milli", "is_static")]))
 
 
+AUDIO_QA_FIXTURE = "/tmp/darc_ray_fixtures/audio_qa.parquet"
+
+
+def ensure_audio_qa_fixture(path: str = AUDIO_QA_FIXTURE) -> str:
+    """Planted-defect mono PCM16 corpus for the composed audio-QA
+    funnel: clean irregular tracks (balanced ± run pairs — zero DC,
+    no clipping, active, tone-negative), a MANIFEST liar (declared
+    sample count / channel count disagree with the container), a
+    DC-biased track, a clipped track (runs ≥ 16 at near full scale), a
+    mostly-silent track (≥ 800‰ samples under the activity floor), a
+    pure square tone, and multi-defect rows that must reject at the
+    FIRST failing stage (dc+clip → 'dc'; clipped tone → 'clipping').
+    Declared (n_samples, channels) ride as table columns — the
+    manifest stage's input.  Fixed path + atomic write + always
+    rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    from darc_ray.functions.audio import wav_encode
+
+    def from_runs(runs: list[int], amp: int, bias: int = 0) -> np.ndarray:
+        sign, parts = 1, []
+        for r in runs:
+            parts.append(np.full(r, sign * amp + bias, np.int16))
+            sign = -sign
+        return np.concatenate(parts)
+
+    rows = {"audio_id": [], "bytes": [], "n_samples": [], "channels": []}
+
+    def add(aid: str, samples: np.ndarray, decl_n: int | None = None,
+            decl_ch: int | None = None) -> None:
+        rows["audio_id"].append(aid)
+        rows["bytes"].append(wav_encode(samples, 8000))
+        rows["n_samples"].append(decl_n if decl_n is not None
+                                 else samples.size)
+        rows["channels"].append(decl_ch if decl_ch is not None else 1)
+
+    clean_runs = [3, 3, 7, 7, 4, 4, 9, 9, 5, 5, 11, 11] * 8
+    add("aqa-00-clean", from_runs(clean_runs, 5000))
+    add("aqa-01-manifest", from_runs(clean_runs, 5000), decl_n=999)
+    add("aqa-02-dc", from_runs([4, 4, 6, 6, 8, 8] * 20, 4000, bias=500))
+    add("aqa-03-clip", from_runs([20, 20, 3, 3, 5, 5] * 10, 32700))
+    silent = np.zeros(1000, np.int16)
+    silent[100:150] = from_runs([5, 5] * 5, 3000)
+    add("aqa-04-silent", silent)
+    add("aqa-05-tone", from_runs([5] * 96, 6000))
+    add("aqa-06-clean2", from_runs([2, 2, 6, 6, 9, 9, 4, 4] * 10, 900))
+    add("aqa-07-dcclip", from_runs([20, 20, 4, 4] * 12, 32700, bias=60))
+    add("aqa-08-toneclip", from_runs([18] * 40, 32500))
+    add("aqa-09-chlie", from_runs(clean_runs, 5000), decl_ch=2)
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("audio_id", pa.string()),
+                                ("bytes", pa.binary()),
+                                ("n_samples", pa.int64()),
+                                ("channels", pa.int64())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def audio_qa_funnel_batch(batch: "pa.Table") -> "pa.Table":
+    """Composed audio-QA funnel in PRODUCTION ORDER — the gate stack
+    an audio-curation ingest runs before feature extraction, cheapest
+    first, later stages −1-masked for rows an earlier stage rejected:
+    (1) manifest (declared sample/channel count vs the container —
+    header-only), then over the decoded stream (2) DC offset
+    (|Σv|·1000//n ≥ 50 000), (3) clipping (≥ 5‰ samples at |v| ≥
+    32 000 OR a clipped run ≥ 16), (4) silence (≥ 800‰ samples under
+    the |v| < 400 activity floor), (5) tone (≥ 8 zero crossings with
+    interval spread ≤ 1).  ``reject_stage`` names the first failure
+    or 'keep'.  One decode per track, stateless ``map_batches``, no
+    shuffle — five proven per-row kernels under ONE oracle."""
+    from darc_ray.functions.audio import wav_decode
+
+    names = ("audio_id", "decl_n", "decl_ch", "manifest_ok", "dc_bad",
+             "clip_bad", "silent_bad", "tone_bad", "keep")
+    out: dict[str, list] = {k: [] for k in names}
+    out["reject_stage"] = []
+    for aid, payload, dn, dch in zip(
+            batch.column("audio_id").to_pylist(),
+            batch.column("bytes").to_pylist(),
+            batch.column("n_samples").to_pylist(),
+            batch.column("channels").to_pylist()):
+        samples, _sr = wav_decode(payload)
+        ch = samples.shape[1] if samples.ndim == 2 else 1
+        man_ok = int(int(dn) == samples.size and int(dch) == ch)
+        dc = clip = sil = tone = -1
+        stage = "manifest"
+        if man_ok:
+            v = samples.reshape(-1).astype(np.int64)
+            n = len(v)
+            dc = int(abs(int(v.sum())) * 1000 // n >= 50_000)
+            if dc:
+                stage = "dc"
+            else:
+                m = np.abs(v) >= 32_000
+                nc = int(m.sum())
+                if nc:
+                    idx = np.flatnonzero(m)
+                    brk = np.flatnonzero(np.diff(idx) > 1)
+                    bounds = np.concatenate([[-1], brk, [len(idx) - 1]])
+                    mx = int(np.diff(bounds).max())
+                else:
+                    mx = 0
+                clip = int(nc * 1000 // n >= 5 or mx >= 16)
+                if clip:
+                    stage = "clipping"
+                else:
+                    sil = int(int((np.abs(v) < 400).sum())
+                              * 1000 // n >= 800)
+                    if sil:
+                        stage = "silence"
+                    else:
+                        s = (v >= 0).astype(np.int8)
+                        pos = np.nonzero(s[1:] != s[:-1])[0] + 1
+                        ncr = int(len(pos))
+                        if ncr >= 2:
+                            iv = np.diff(pos)
+                            spread = int(iv.max()) - int(iv.min())
+                        else:
+                            spread = 0
+                        tone = int(ncr >= 8 and spread <= 1)
+                        stage = "tone" if tone else "keep"
+        keep = int(man_ok == 1 and dc == 0 and clip == 0 and sil == 0
+                   and tone == 0)
+        for k, val in zip(names, (aid, int(dn), int(dch), man_ok, dc,
+                                  clip, sil, tone, keep)):
+            out[k].append(val)
+        out["reject_stage"].append(stage)
+    return pa.Table.from_pydict(
+        out, schema=pa.schema(
+            [("audio_id", pa.string())]
+            + [(k, pa.int64()) for k in names[1:]]
+            + [("reject_stage", pa.string())]))
+
+
 TOKDUP_FIXTURE = "/tmp/darc_ray_fixtures/caption_tokens.parquet"
 
 
