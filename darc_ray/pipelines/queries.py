@@ -11135,6 +11135,228 @@ ORDER BY r.revenue_cents DESC, o.o_orderkey LIMIT 10
 """
 
 
+def q_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7-shaped cross-nation trade matrix: revenue shipped
+    between every DISTINCT (supplier nation, customer nation) pair per
+    ship year.  Shape: ONE big-big orderkey hash join (lineitem ⋈
+    orders — the correct 100 TB exchange), the two FK→nation maps
+    broadcast once via ``ray.put`` as sorted key/value arrays
+    (`local_supplier_volume` pattern, loud 5·10^7 cap routing to the
+    co-shuffled key-join rung above it), revenue quantized per ROW to
+    integer cents (the ONE fixed double expression, identical IEEE
+    result in numpy and DuckDB), ship year via Arrow's exact calendar
+    kernel, and (nation² × years)-bounded partials combined on the
+    driver — nothing row-scaled ever leaves the join."""
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name"]).to_pandas()
+    if max(len(cust), len(supp)) > 50_000_000:
+        raise NotImplementedError(
+            "dimension side exceeds the broadcast cap; use the "
+            "co-shuffled key join rung")
+    ck = np.argsort(cust["c_custkey"].to_numpy())
+    sk = np.argsort(supp["s_suppkey"].to_numpy())
+    refs = ray.put((
+        cust["c_custkey"].to_numpy(np.int64)[ck],
+        cust["c_nationkey"].to_numpy(np.int64)[ck],
+        supp["s_suppkey"].to_numpy(np.int64)[sk],
+        supp["s_nationkey"].to_numpy(np.int64)[sk]))
+
+    def li_key(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": pc.cast(pc.year(t["l_shipdate"]),
+                                           pa.int64()),
+                         "cents": cents})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+          .map_batches(li_key, batch_format="pyarrow", batch_size=65536))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner", num_partitions=4,
+                on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cks, cnat, sks, snat = ray.get(refs)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cks) == 0 or len(sks) == 0:      # empty dim: inner join
+            keep = np.zeros(len(c), dtype=bool)  # drops every row
+            cn = sn = np.zeros(len(c), dtype=np.int64)
+        else:
+            cp = np.minimum(np.searchsorted(cks, c), len(cks) - 1)
+            sp = np.minimum(np.searchsorted(sks, s), len(sks) - 1)
+            cn, sn = cnat[cp], snat[sp]
+            # dangling FKs drop (inner-join semantics); same-nation
+            # trade is excluded — Q7 reports CROSS-nation volume only
+            keep = (cks[cp] == c) & (sks[sp] == s) & (cn != sn)
+        g = (pa.table({"s_nationkey": sn[keep], "c_nationkey": cn[keep],
+                       "l_year": t["l_year"].to_numpy(
+                           zero_copy_only=False)[keep],
+                       "cents": t["cents"].to_numpy(
+                           zero_copy_only=False)[keep],
+                       "one": np.ones(int(keep.sum()), dtype=np.int64)})
+             .group_by(["s_nationkey", "c_nationkey", "l_year"])
+             .aggregate([("cents", "sum"), ("one", "sum")]))
+        return g.rename_columns(["s_nationkey", "c_nationkey", "l_year",
+                                 "revenue_cents", "n_items"])
+
+    parts = (j.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    out = (parts.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                         as_index=False)[["revenue_cents", "n_items"]]
+           .sum()
+           .merge(nat.rename(columns={"n_nationkey": "s_nationkey",
+                                      "n_name": "supp_nation"}),
+                  on="s_nationkey")
+           .merge(nat.rename(columns={"n_nationkey": "c_nationkey",
+                                      "n_name": "cust_nation"}),
+                  on="c_nationkey"))
+    for c in ("l_year", "revenue_cents", "n_items"):
+        out[c] = out[c].astype("int64")
+    return (out[["supp_nation", "cust_nation", "l_year",
+                 "revenue_cents", "n_items"]]
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+SQL_VOLUME_SHIPPING = """
+WITH j AS (
+  SELECT s.s_nationkey AS snk, c.c_nationkey AS cnk,
+         year(l.l_shipdate)::BIGINT AS l_year,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+)
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, j.l_year,
+       sum(j.cents)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM j JOIN nation ns ON j.snk = ns.n_nationkey
+       JOIN nation nc ON j.cnk = nc.n_nationkey
+GROUP BY ns.n_name, nc.n_name, j.l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_returned_item_report(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10-shaped returned-item loss report: the top-20 customers
+    by revenue of RETURNED lineitems (``l_returnflag = 'R'``).  Shape:
+    returned lineitems pre-combined per batch to (orderkey, cents,
+    items), ONE big-big orderkey hash join against orders, per-batch
+    custkey partials, then ONE custkey-keyed hash repartition with
+    per-PARTITION local sums (each partition owns every partial of its
+    custkeys — the `late_ship_priority` shape, exact without a
+    million-group generic aggregate), per-partition top-20 (revenue
+    desc, custkey asc — a total order) merged in an O(partitions·20)
+    driver reduce, and the 20 winners' names attached by ONE
+    broadcast-key scan of customer (20 keys via ``ray.put`` — never a
+    full dimension materialization)."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    def li_key(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], pa.scalar("R")).to_numpy(
+            zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        g = (pa.table({"o_orderkey": t["l_orderkey"].to_numpy(
+                           zero_copy_only=False)[keep],
+                       "cents": cents,
+                       "one": np.ones(int(keep.sum()), dtype=np.int64)})
+             .group_by(["o_orderkey"])
+             .aggregate([("cents", "sum"), ("one", "sum")]))
+        return g.rename_columns(["o_orderkey", "cents", "n_items"])
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_key, batch_format="pyarrow", batch_size=65536))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner", num_partitions=4,
+                on=("o_orderkey",))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["o_custkey", "cents", "n_items"])
+             .group_by(["o_custkey"])
+             .aggregate([("cents", "sum"), ("n_items", "sum")]))
+        return g.rename_columns(["c_custkey", "cents", "n_items"])
+
+    per_cust = (j.map_batches(cust_partial, batch_format="pyarrow",
+                              batch_size=65536)
+                .repartition(num_blocks=8, keys=["c_custkey"],
+                             sort=False))
+    per_cust.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def local_topk(t: pa.Table) -> pd.DataFrame:
+        g = (t.group_by(["c_custkey"])
+             .aggregate([("cents", "sum"), ("n_items", "sum")])
+             .rename_columns(["c_custkey", "revenue_cents", "n_items"])
+             .to_pandas())
+        return (g.sort_values(["revenue_cents", "c_custkey"],
+                              ascending=[False, True], kind="mergesort")
+                .head(20))
+
+    parts = (per_cust.map_batches(local_topk, batch_format="pyarrow",
+                                  batch_size=None).to_pandas())
+    top = (parts.sort_values(["revenue_cents", "c_custkey"],
+                             ascending=[False, True], kind="mergesort")
+           .head(20).reset_index(drop=True))
+
+    keys = ray.put(np.sort(top["c_custkey"].to_numpy(np.int64)))
+
+    def name_lookup(t: pa.Table) -> pa.Table:
+        b = ray.get(keys)
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(b) == 0:
+            hit = np.zeros(len(k), dtype=bool)
+        else:
+            pos = np.searchsorted(b, k)
+            hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == k)
+        return t.filter(pa.array(hit))
+
+    names = (_read(sf_dir, "customer", ["c_custkey", "c_name"])
+             .map_batches(name_lookup, batch_format="pyarrow",
+                          batch_size=65536).to_pandas())
+    out = top.merge(names, on="c_custkey", how="inner")
+    for c in ("c_custkey", "revenue_cents", "n_items"):
+        out[c] = out[c].astype("int64")
+    return (out[["c_custkey", "c_name", "revenue_cents", "n_items"]]
+            .sort_values(["revenue_cents", "c_custkey"],
+                         ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True))
+
+
+SQL_RETURNED_ITEM_REPORT = """
+WITH r AS (
+  SELECT o.o_custkey AS c_custkey,
+         sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                        + 0.5) AS BIGINT))::BIGINT AS revenue_cents,
+         count(*)::BIGINT AS n_items
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT r.c_custkey, c.c_name, r.revenue_cents, r.n_items
+FROM r JOIN customer c USING (c_custkey)
+ORDER BY r.revenue_cents DESC, r.c_custkey LIMIT 20
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11270,6 +11492,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rep_trigram": q_rep_trigram,
     "customer_order_coverage": q_customer_order_coverage,
     "audio_qa_pipeline": q_audio_qa_pipeline,
+    "volume_shipping": q_volume_shipping,
+    "returned_item_report": q_returned_item_report,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -11489,6 +11713,8 @@ ORACLE_SQL: dict[str, str] = {
     "rep_trigram": SQL_REP_TRIGRAM,
     "customer_order_coverage": SQL_CUSTOMER_ORDER_COVERAGE,
     "audio_qa_pipeline": SQL_AUDIO_QA_PIPELINE,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "returned_item_report": SQL_RETURNED_ITEM_REPORT,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
