@@ -4656,6 +4656,56 @@ FROM ranked WHERE rn = 1 ORDER BY image_id
 """
 
 
+def q_image_palette_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-3 exact palette per image (count desc, packed key asc) with
+    per-mille shares over the planted-borders fixture — the per-group
+    top-k shape INSIDE an image family (every other image family emits
+    one row or a fixed grid per image), exact counts + deterministic
+    tie-break = bit-exact vs the oracle's windowed ``row_number() <= 3``."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_borders_fixture,
+                                            image_palette_topk_batch)
+
+    path = ensure_image_borders_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_palette_topk_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return (out.sort_values(["image_id", "rank"])
+            .reset_index(drop=True))
+
+
+SQL_IMAGE_PALETTE_TOPK = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_borders.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w * r.ht AS n,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT * 65536
+         + ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT * 256
+         + ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS key
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), cnt AS (
+  SELECT image_id, any_value(n) AS n, key, count(*)::BIGINT AS c
+  FROM px GROUP BY image_id, key
+), ranked AS (
+  SELECT image_id, n, key, c,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY c DESC, key ASC) AS rn
+  FROM cnt
+)
+SELECT image_id, rn::BIGINT AS rank, (key // 65536)::BIGINT AS r,
+       ((key // 256) % 256)::BIGINT AS g, (key % 256)::BIGINT AS b,
+       c AS cnt, (c * 1000 // n)::BIGINT AS share_milli
+FROM ranked WHERE rn <= 3 ORDER BY image_id, rank
+"""
+
+
 def q_caption_gate(sf_dir: str) -> pd.DataFrame:
     """Caption-axis quality gate over the input_hint image+caption
     pair table — the LAION/DataComp text-side filter pass (char/word
@@ -11494,6 +11544,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "audio_qa_pipeline": q_audio_qa_pipeline,
     "volume_shipping": q_volume_shipping,
     "returned_item_report": q_returned_item_report,
+    "image_palette_topk": q_image_palette_topk,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -11715,6 +11766,7 @@ ORACLE_SQL: dict[str, str] = {
     "audio_qa_pipeline": SQL_AUDIO_QA_PIPELINE,
     "volume_shipping": SQL_VOLUME_SHIPPING,
     "returned_item_report": SQL_RETURNED_ITEM_REPORT,
+    "image_palette_topk": SQL_IMAGE_PALETTE_TOPK,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

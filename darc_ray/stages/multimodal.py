@@ -819,6 +819,46 @@ def image_dominant_color_batch(batch: "pa.Table") -> "pa.Table":
                                   "share_milli", "dominant_heavy")]))
 
 
+def image_palette_topk_batch(batch: "pa.Table") -> "pa.Table":
+    """Top-3 exact (r,g,b) palette per image with exact counts and
+    per-mille shares — the poster/banner palette profile (a LAION-style
+    synthetic-graphic signal: photos spread mass across thousands of
+    colors, rendered graphics concentrate it in a handful).  Rank order
+    is (count desc, packed key asc) — a total order, so ties are
+    deterministic and the result is bit-exact vs the DuckDB oracle's
+    ``row_number() OVER (... ORDER BY c DESC, key ASC) <= 3``; images
+    with fewer than 3 distinct colors emit fewer rows on BOTH sides."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "rank", "r", "g", "b", "cnt", "share_milli")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        n = pix.shape[0] * pix.shape[1]
+        key = ((pix[..., 0] << 16) | (pix[..., 1] << 8)
+               | pix[..., 2]).reshape(-1)
+        uniq, cnt = np.unique(key, return_counts=True)
+        # lexsort's LAST key is primary: count desc, then packed asc
+        # (np.unique already yields ascending keys, and lexsort is
+        # stable, so `-cnt` alone would also tie-break correctly; the
+        # explicit pair states the contract)
+        order = np.lexsort((uniq, -cnt))[:3]
+        for rk, idx in enumerate(order, start=1):
+            out["image_id"].append(iid)
+            out["rank"].append(rk)
+            out["r"].append(int(uniq[idx]) >> 16)
+            out["g"].append((int(uniq[idx]) >> 8) & 255)
+            out["b"].append(int(uniq[idx]) & 255)
+            out["cnt"].append(int(cnt[idx]))
+            out["share_milli"].append(int(cnt[idx]) * 1000 // n)
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("rank", "r", "g", "b", "cnt",
+                                  "share_milli")]))
+
+
 AUDIO_META_FIXTURE = "/tmp/darc_ray_fixtures/audio_meta.parquet"
 
 
