@@ -11407,6 +11407,94 @@ ORDER BY r.revenue_cents DESC, r.c_custkey LIMIT 20
 """
 
 
+def q_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR-ed
+    (part attribute × lineitem quantity) branches, reported per FIRST
+    matching branch (CASE priority — a total assignment, so the two
+    sides agree row-for-row).  Shape: the part side is pre-evaluated
+    ONCE on the dimension (three boolean eligibility masks over sorted
+    partkeys, broadcast via ``ray.put`` under the loud 5·10^7 cap —
+    above it the documented co-shuffled partkey join applies), the
+    lineitem side is a ZERO-shuffle vectorized scan (clipped
+    searchsorted + mask composition per batch), revenue quantized per
+    ROW to integer cents, branch-bounded (3-row) partials combined on
+    the driver."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    if len(part) > 50_000_000:
+        raise NotImplementedError(
+            "part dimension exceeds the broadcast cap; use the "
+            "co-shuffled partkey join rung")
+    order = np.argsort(part["p_partkey"].to_numpy())
+    pk = part["p_partkey"].to_numpy(np.int64)[order]
+    brand = part["p_brand"].to_numpy()[order]
+    ptype = part["p_type"].to_numpy()[order]
+    size = part["p_size"].to_numpy(np.int64)[order]
+    # branch eligibility evaluated ONCE on the dimension, not per row
+    m1 = (brand == "Brand#13") & (size >= 1) & (size <= 10)
+    m2 = (brand == "Brand#19") & (size >= 5) & (size <= 20)
+    m3 = (ptype == "PROMO") & (size >= 15) & (size <= 40)
+    refs = ray.put((pk, m1, m2, m3))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, b1, b2, b3 = ray.get(refs)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            branch = np.zeros(len(k), dtype=np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+            hit = keys[pos] == k            # dangling FKs never match
+            c1 = hit & b1[pos] & (qty >= 1) & (qty <= 20)
+            c2 = hit & b2[pos] & (qty >= 10) & (qty <= 40)
+            c3 = hit & b3[pos] & (qty >= 25)
+            # CASE priority: first matching branch wins
+            branch = np.where(c1, 1, np.where(c2, 2, np.where(c3, 3, 0)))
+        keep = branch > 0
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        g = (pa.table({"branch": branch[keep], "cents": cents,
+                       "one": np.ones(int(keep.sum()), dtype=np.int64)})
+             .group_by(["branch"])
+             .aggregate([("cents", "sum"), ("one", "sum")]))
+        return g.rename_columns(["branch", "revenue_cents", "n_items"])
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_partkey", "l_quantity", "l_extendedprice",
+                    "l_discount"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas())
+    out = (parts.groupby("branch", as_index=False)
+           [["revenue_cents", "n_items"]].sum())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("branch").reset_index(drop=True)
+
+
+SQL_DISCOUNTED_REVENUE = """
+WITH j AS (
+  SELECT CASE
+           WHEN p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 1 AND 20 THEN 1
+           WHEN p.p_brand = 'Brand#19' AND p.p_size BETWEEN 5 AND 20
+                AND l.l_quantity BETWEEN 10 AND 40 THEN 2
+           WHEN p.p_type = 'PROMO' AND p.p_size BETWEEN 15 AND 40
+                AND l.l_quantity >= 25 THEN 3
+         END AS branch,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT branch::BIGINT AS branch, sum(cents)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM j WHERE branch IS NOT NULL
+GROUP BY branch ORDER BY branch
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11545,6 +11633,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "volume_shipping": q_volume_shipping,
     "returned_item_report": q_returned_item_report,
     "image_palette_topk": q_image_palette_topk,
+    "discounted_revenue": q_discounted_revenue,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -11767,6 +11856,7 @@ ORACLE_SQL: dict[str, str] = {
     "volume_shipping": SQL_VOLUME_SHIPPING,
     "returned_item_report": SQL_RETURNED_ITEM_REPORT,
     "image_palette_topk": SQL_IMAGE_PALETTE_TOPK,
+    "discounted_revenue": SQL_DISCOUNTED_REVENUE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
