@@ -76,7 +76,8 @@ BENCH_QUERIES = [
     "image_posterize", "audio_tone_detect", "burst_detect",
     "video_static_detect", "rep_trigram", "customer_order_coverage",
     "audio_qa_pipeline", "volume_shipping", "returned_item_report",
-    "image_palette_topk", "discounted_revenue",
+    "image_palette_topk", "discounted_revenue", "small_qty_revenue",
+    "custdist",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -11495,6 +11495,175 @@ GROUP BY branch ORDER BY branch
 """
 
 
+def q_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17-shaped small-order audit: per brand, revenue and count
+    of lineitems whose quantity is below 20% of their PART's average
+    quantity — the join-back-on-own-aggregate shape (the per-part
+    average derives from the same lineitem table it then filters).
+    Shape: per-batch (partkey → sum_qty, cnt) pre-combine, ONE
+    partkey-keyed hash repartition with per-PARTITION local sums (the
+    `late_ship_priority` shape — exact, no million-group generic
+    aggregate), then ONE big-big partkey hash join back against the
+    lineitem scan, the partkey→brand map broadcast under the loud cap,
+    and brand-bounded partials combined on the driver.  The 20% test is
+    expressed multiplicatively (``qty * cnt * 5 < sum_qty``) so both
+    sides compare exactly-representable integral doubles — no division,
+    no float rounding, bit-exact."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    if len(part) > 50_000_000:
+        raise NotImplementedError(
+            "part dimension exceeds the broadcast cap; use the "
+            "co-shuffled partkey join rung")
+    order = np.argsort(part["p_partkey"].to_numpy())
+    refs = ray.put((part["p_partkey"].to_numpy(np.int64)[order],
+                    part["p_brand"].to_numpy()[order]))
+
+    def li_agg(t: pa.Table) -> pa.Table:
+        g = (pa.table({"l_partkey": t["l_partkey"],
+                       "qty": t["l_quantity"],
+                       "one": np.ones(len(t), dtype=np.int64)})
+             .group_by(["l_partkey"])
+             .aggregate([("qty", "sum"), ("one", "sum")]))
+        return g.rename_columns(["l_partkey", "sum_qty", "cnt"])
+
+    def local_sum(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["l_partkey"])
+             .aggregate([("sum_qty", "sum"), ("cnt", "sum")]))
+        return g.rename_columns(["l_partkey", "sum_qty", "cnt"])
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    avg = (_read(sf_dir, "lineitem", li_cols[:2])
+           .map_batches(li_agg, batch_format="pyarrow", batch_size=65536)
+           .repartition(num_blocks=8, keys=["l_partkey"], sort=False))
+    avg.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    per_part = avg.map_batches(local_sum, batch_format="pyarrow",
+                               batch_size=None)
+
+    j = (_read(sf_dir, "lineitem", li_cols)
+         .join(per_part, join_type="inner", num_partitions=4,
+               on=("l_partkey",)))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, brands = ray.get(refs)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        sq = t["sum_qty"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # integral doubles: qty*cnt*5 and sum_qty are exact in IEEE754
+        keep = qty * cnt * 5.0 < sq
+        k = t["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        if len(keys) == 0:
+            br = np.empty(len(k), dtype=object)
+            hit = np.zeros(len(k), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+            hit = keys[pos] == k            # dangling FKs drop
+            br = brands[pos]
+        price = t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep][hit]
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        g = (pa.table({"p_brand": pa.array(br[hit], pa.string()),
+                       "cents": cents,
+                       "one": np.ones(int(hit.sum()), dtype=np.int64)})
+             .group_by(["p_brand"])
+             .aggregate([("cents", "sum"), ("one", "sum")]))
+        return g.rename_columns(["p_brand", "revenue_cents", "n_items"])
+
+    parts = (j.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    out = (parts.groupby("p_brand", as_index=False)
+           [["revenue_cents", "n_items"]].sum())
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH a AS (
+  SELECT l_partkey, sum(l_quantity) AS sum_qty, count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+), j AS (
+  SELECT p.p_brand,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN a ON l.l_partkey = a.l_partkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity * a.cnt * 5 < a.sum_qty
+)
+SELECT p_brand, sum(cents)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM j GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_custdist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k orders, INCLUDING k = 0 — the two-level
+    aggregate over a null-preserving outer join.  Shape: per-batch
+    custkey count partials, ONE custkey-keyed hash repartition with
+    per-partition local sums, a big-big LEFT OUTER ``Dataset.join``
+    from customer (zero-order customers surface as nulls on the probe
+    side), then count-bounded histogram partials (``fill_null(0)`` →
+    group by k) combined on the driver — the driver never sees a
+    customer-sized structure, only the k-histogram."""
+    from ray.data.context import ShuffleStrategy
+
+    def o_key(t: pa.Table) -> pa.Table:
+        g = (pa.table({"c_custkey": t["o_custkey"],
+                       "n_orders": np.ones(len(t), dtype=np.int64)})
+             .group_by(["c_custkey"]).aggregate([("n_orders", "sum")]))
+        return g.rename_columns(["c_custkey", "n_orders"])
+
+    def local_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_custkey"]).aggregate([("n_orders", "sum")])
+        return g.rename_columns(["c_custkey", "n_orders"])
+
+    s = (_read(sf_dir, "orders", ["o_custkey"])
+         .map_batches(o_key, batch_format="pyarrow", batch_size=65536)
+         .repartition(num_blocks=8, keys=["c_custkey"], sort=False))
+    s.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    s = s.map_batches(local_sum, batch_format="pyarrow", batch_size=None)
+
+    cust = (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(lambda t: t.select(["c_custkey"]),
+                         batch_format="pyarrow", batch_size=65536))
+    j = cust.join(s, join_type="left_outer", num_partitions=4,
+                  on=("c_custkey",))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        k = pc.fill_null(t["n_orders"], 0)
+        g = (pa.table({"c_count": pc.cast(k, pa.int64()),
+                       "one": np.ones(len(t), dtype=np.int64)})
+             .group_by(["c_count"]).aggregate([("one", "sum")]))
+        return g.rename_columns(["c_count", "custdist"])
+
+    parts = (j.map_batches(hist_partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas())
+    out = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["custdist", "c_count"],
+                            ascending=[False, False], kind="mergesort")
+            .reset_index(drop=True))
+
+
+SQL_CUSTDIST = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11634,6 +11803,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "returned_item_report": q_returned_item_report,
     "image_palette_topk": q_image_palette_topk,
     "discounted_revenue": q_discounted_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "custdist": q_custdist,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -11857,6 +12028,8 @@ ORACLE_SQL: dict[str, str] = {
     "returned_item_report": SQL_RETURNED_ITEM_REPORT,
     "image_palette_topk": SQL_IMAGE_PALETTE_TOPK,
     "discounted_revenue": SQL_DISCOUNTED_REVENUE,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "custdist": SQL_CUSTDIST,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -114,6 +114,37 @@ def test_lang_id_oracle_on_mixed_languages(tmp_path, ray_session):
         ["en", "de", "fr", "es", "zh", "en", "en", "de", "en", "fr"]
 
 
+def test_custdist_zero_order_bucket(tmp_path, ray_session):
+    """The driver corpus gives every customer at least one order, so
+    the k = 0 histogram bucket (the LEFT-join null probe path) never
+    fires there — plant customers WITHOUT orders and prove the Ray
+    path and the SQL oracle agree on the zero bucket."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from darc_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({"c_custkey": [1, 2, 3, 4, 5, 6]}),
+                   f"{sf}/customer.parquet")
+    # custkeys 4-6 place no orders; 1 places 2, 2 places 1, 3 places 2
+    pq.write_table(pa.table({"o_orderkey": [10, 11, 12, 13, 14],
+                             "o_custkey": [1, 1, 2, 3, 3]}),
+                   f"{sf}/orders.parquet")
+    got = QUERIES["custdist"](sf)
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL["custdist"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"c_count": "int64", "custdist": "int64"})
+        .reset_index(drop=True))
+    assert got.set_index("c_count").loc[0, "custdist"] == 3
+
+
 def test_quantiles_sketch_within_bin_error(ray_session):
     """The mergeable histogram sketch's quantiles stay within two bin
     widths of the exact per-group quantiles (quantile_cont interpolates
