@@ -77,7 +77,7 @@ BENCH_QUERIES = [
     "video_static_detect", "rep_trigram", "customer_order_coverage",
     "audio_qa_pipeline", "volume_shipping", "returned_item_report",
     "image_palette_topk", "discounted_revenue", "small_qty_revenue",
-    "custdist",
+    "custdist", "national_market_share", "sales_opportunity",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

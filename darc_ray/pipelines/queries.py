@@ -11664,6 +11664,242 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q_national_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8-shaped national market share: within the EUROPE
+    customer market, each supplier nation's per-mille share of yearly
+    revenue.  Shape: ONE big-big orderkey hash join (lineitem ⋈
+    orders), the custkey→in-region bitmask and suppkey→nationkey map
+    broadcast once under the loud cap, (year × nation)-bounded partials
+    combined on the driver, and the share ratio computed as integer
+    per-mille against the year total — division-free until the final
+    bounded reduce, bit-exact."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                ["r_regionkey", "r_name"]).to_pandas()
+    europe = set(nat.merge(reg, left_on="n_regionkey",
+                           right_on="r_regionkey")
+                 .query("r_name == 'EUROPE'")["n_nationkey"].tolist())
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    if max(len(cust), len(supp)) > 50_000_000:
+        raise NotImplementedError(
+            "dimension side exceeds the broadcast cap; use the "
+            "co-shuffled key join rung")
+    ck = np.argsort(cust["c_custkey"].to_numpy())
+    sk = np.argsort(supp["s_suppkey"].to_numpy())
+    refs = ray.put((
+        cust["c_custkey"].to_numpy(np.int64)[ck],
+        cust["c_nationkey"].isin(europe).to_numpy()[ck],
+        supp["s_suppkey"].to_numpy(np.int64)[sk],
+        supp["s_nationkey"].to_numpy(np.int64)[sk]))
+
+    def li_key(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": pc.cast(pc.year(t["l_shipdate"]),
+                                           pa.int64()),
+                         "cents": cents})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+          .map_batches(li_key, batch_format="pyarrow", batch_size=65536))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner", num_partitions=4,
+                on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cks, ceur, sks, snat = ray.get(refs)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cks) == 0 or len(sks) == 0:
+            keep = np.zeros(len(c), dtype=bool)
+            sn = np.zeros(len(c), dtype=np.int64)
+        else:
+            cp = np.minimum(np.searchsorted(cks, c), len(cks) - 1)
+            sp = np.minimum(np.searchsorted(sks, s), len(sks) - 1)
+            sn = snat[sp]
+            keep = (cks[cp] == c) & (sks[sp] == s) & ceur[cp]
+        g = (pa.table({"s_nationkey": sn[keep],
+                       "l_year": t["l_year"].to_numpy(
+                           zero_copy_only=False)[keep],
+                       "cents": t["cents"].to_numpy(
+                           zero_copy_only=False)[keep]})
+             .group_by(["s_nationkey", "l_year"])
+             .aggregate([("cents", "sum")]))
+        return g.rename_columns(["s_nationkey", "l_year", "nation_cents"])
+
+    parts = (j.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    by = (parts.groupby(["s_nationkey", "l_year"], as_index=False)
+          ["nation_cents"].sum())
+    tot = (by.groupby("l_year")["nation_cents"].sum()
+           .rename("year_cents").reset_index())
+    out = (by.merge(tot, on="l_year")
+           .merge(nat[["n_nationkey", "n_name"]],
+                  left_on="s_nationkey", right_on="n_nationkey"))
+    out["share_milli"] = out["nation_cents"] * 1000 // out["year_cents"]
+    for c in ("l_year", "nation_cents", "year_cents", "share_milli"):
+        out[c] = out[c].astype("int64")
+    out = out.rename(columns={"n_name": "supp_nation"})
+    return (out[["l_year", "supp_nation", "nation_cents", "year_cents",
+                 "share_milli"]]
+            .sort_values(["l_year", "supp_nation"])
+            .reset_index(drop=True))
+
+
+SQL_NATIONAL_MARKET_SHARE = """
+WITH j AS (
+  SELECT s.s_nationkey AS snk, year(l.l_shipdate)::BIGINT AS l_year,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE r.r_name = 'EUROPE'
+), by_nation AS (
+  SELECT snk, l_year, sum(cents)::BIGINT AS nation_cents
+  FROM j GROUP BY snk, l_year
+), tot AS (
+  SELECT l_year, sum(nation_cents)::BIGINT AS year_cents
+  FROM by_nation GROUP BY l_year
+)
+SELECT b.l_year, sn.n_name AS supp_nation, b.nation_cents,
+       t.year_cents,
+       (b.nation_cents * 1000 // t.year_cents)::BIGINT AS share_milli
+FROM by_nation b JOIN tot t USING (l_year)
+     JOIN nation sn ON b.snk = sn.n_nationkey
+ORDER BY b.l_year, supp_nation
+"""
+
+
+def q_sales_opportunity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22-shaped sales-opportunity report: per nation, how many
+    DORMANT customers (no order on/after 2001-01-01) hold an
+    above-average positive account balance, and their total balance —
+    the scalar-subquery-cutoff + anti-join composition.  Shape: the
+    cutoff (sum, count of positive balances) reduces to TWO driver
+    scalars from batch partials; recent orders pre-combine per batch
+    then ONE custkey-keyed hash repartition + per-partition local
+    count; a big-big LEFT OUTER ``Dataset.join`` from customer keeps
+    the null (dormant) probe rows; the above-average test is the
+    multiplicative integer form ``bal_cents * n_pos > sum_pos`` (no
+    division, no float sum — balances quantized to cents on BOTH
+    sides), and only nation-bounded partials reach the driver."""
+    from ray.data.context import ShuffleStrategy
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cut_us = int(pd.Timestamp("2001-01-01").value // 1000)
+
+    def bal_tbl(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+            + 0.5).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": pc.cast(t["c_nationkey"],
+                                                pa.int64()),
+                         "bal_cents": cents})
+
+    cust = (_read(sf_dir, "customer",
+                  ["c_custkey", "c_nationkey", "c_acctbal"])
+            .map_batches(bal_tbl, batch_format="pyarrow",
+                         batch_size=65536))
+
+    def cut_partial(t: pa.Table) -> pa.Table:
+        b = t["bal_cents"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        return pa.table({"s": np.array([pos.sum()], dtype=np.int64),
+                         "n": np.array([len(pos)], dtype=np.int64)})
+
+    cuts = (cust.map_batches(cut_partial, batch_format="pyarrow",
+                             batch_size=65536).to_pandas())
+    sum_pos, n_pos = int(cuts["s"].sum()), int(cuts["n"].sum())
+
+    def o_key(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = od >= cut_us
+        g = (pa.table({"c_custkey": t["o_custkey"].to_numpy(
+                           zero_copy_only=False)[keep],
+                       "n_recent": np.ones(int(keep.sum()),
+                                           dtype=np.int64)})
+             .group_by(["c_custkey"]).aggregate([("n_recent", "sum")]))
+        return g.rename_columns(["c_custkey", "n_recent"])
+
+    def local_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_custkey"]).aggregate([("n_recent", "sum")])
+        return g.rename_columns(["c_custkey", "n_recent"])
+
+    s = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+         .map_batches(o_key, batch_format="pyarrow", batch_size=65536)
+         .repartition(num_blocks=8, keys=["c_custkey"], sort=False))
+    s.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    s = s.map_batches(local_sum, batch_format="pyarrow", batch_size=None)
+
+    j = cust.join(s, join_type="left_outer", num_partitions=4,
+                  on=("c_custkey",))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        dormant = pc.is_null(t["n_recent"]).to_numpy(
+            zero_copy_only=False)
+        b = t["bal_cents"].to_numpy(zero_copy_only=False)
+        keep = dormant & (b * n_pos > sum_pos)
+        g = (pa.table({"n_nationkey": t["c_nationkey"].to_numpy(
+                           zero_copy_only=False)[keep],
+                       "one": np.ones(int(keep.sum()), dtype=np.int64),
+                       "bal": b[keep]})
+             .group_by(["n_nationkey"])
+             .aggregate([("one", "sum"), ("bal", "sum")]))
+        return g.rename_columns(["n_nationkey", "numcust",
+                                 "totacctbal_cents"])
+
+    parts = (j.map_batches(nation_partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    out = (parts.groupby("n_nationkey", as_index=False)
+           [["numcust", "totacctbal_cents"]].sum()
+           .merge(nat, on="n_nationkey"))
+    for c in ("numcust", "totacctbal_cents"):
+        out[c] = out[c].astype("int64")
+    return (out[["n_name", "numcust", "totacctbal_cents"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+SQL_SALES_OPPORTUNITY = """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+), cut AS (
+  SELECT sum(bal_cents)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM bal WHERE bal_cents > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+), dormant AS (
+  SELECT b.c_nationkey, b.bal_cents
+  FROM bal b LEFT JOIN recent r ON b.c_custkey = r.o_custkey
+  CROSS JOIN cut
+  WHERE r.o_custkey IS NULL AND b.bal_cents * cut.n > cut.s
+)
+SELECT n.n_name, count(*)::BIGINT AS numcust,
+       sum(d.bal_cents)::BIGINT AS totacctbal_cents
+FROM dormant d JOIN nation n ON d.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11805,6 +12041,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "discounted_revenue": q_discounted_revenue,
     "small_qty_revenue": q_small_qty_revenue,
     "custdist": q_custdist,
+    "national_market_share": q_national_market_share,
+    "sales_opportunity": q_sales_opportunity,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -12030,6 +12268,8 @@ ORACLE_SQL: dict[str, str] = {
     "discounted_revenue": SQL_DISCOUNTED_REVENUE,
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "custdist": SQL_CUSTDIST,
+    "national_market_share": SQL_NATIONAL_MARKET_SHARE,
+    "sales_opportunity": SQL_SALES_OPPORTUNITY,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
