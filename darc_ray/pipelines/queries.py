@@ -11900,6 +11900,158 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def q_order_ship_calendar(sf_dir: str) -> pd.DataFrame:
+    """Order-vs-ship activity calendar: per epoch-day, how many orders
+    were placed and how many lineitems shipped, keeping days that
+    appear on only ONE side — the suite's FULL OUTER ``Dataset.join``
+    (order-taking starts before shipping and shipping trails past the
+    last order, so both exclusive ends fire naturally: 96 order-only
+    and 1 291 ship-only days at sf0.001).  Shape: each side pre-combines
+    per batch then takes ONE day-keyed hash repartition with
+    per-partition local sums (exact, calendar-bounded), the full-outer
+    exchange joins two day-cardinality datasets, and nulls fill to 0
+    with a side flag (1 = both, 2 = order-only, 3 = ship-only).
+    All-integer → bit-exact."""
+    from ray.data.context import ShuffleStrategy
+
+    day_us = 86_400_000_000
+
+    def day_counts(col: str, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            day = pc.divide(pc.cast(t[col], pa.int64()),
+                            pa.scalar(day_us, pa.int64()))
+            g = (pa.table({"day": day,
+                           out: np.ones(len(t), dtype=np.int64)})
+                 .group_by(["day"]).aggregate([(out, "sum")]))
+            return g.rename_columns(["day", out])
+        return fn
+
+    def local_sum(out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            g = t.group_by(["day"]).aggregate([(out, "sum")])
+            return g.rename_columns(["day", out])
+        return fn
+
+    od = (_read(sf_dir, "orders", ["o_orderdate"])
+          .map_batches(day_counts("o_orderdate", "n_orders"),
+                       batch_format="pyarrow", batch_size=65536)
+          .repartition(num_blocks=4, keys=["day"], sort=False))
+    od.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    od = od.map_batches(local_sum("n_orders"), batch_format="pyarrow",
+                        batch_size=None)
+
+    sd = (_read(sf_dir, "lineitem", ["l_shipdate"])
+          .map_batches(day_counts("l_shipdate", "n_ships"),
+                       batch_format="pyarrow", batch_size=65536)
+          .repartition(num_blocks=4, keys=["day"], sort=False))
+    sd.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    sd = sd.map_batches(local_sum("n_ships"), batch_format="pyarrow",
+                        batch_size=None)
+
+    j = od.join(sd, join_type="full_outer", num_partitions=4,
+                on=("day",))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    out = j.to_pandas()
+    has_o = out["n_orders"].notna()
+    has_s = out["n_ships"].notna()
+    out["side"] = np.where(has_o & has_s, 1,
+                           np.where(has_o, 2, 3)).astype("int64")
+    for c in ("day", "n_orders", "n_ships"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return (out[["day", "n_orders", "n_ships", "side"]]
+            .sort_values("day").reset_index(drop=True))
+
+
+SQL_ORDER_SHIP_CALENDAR = """
+WITH od AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+), sd AS (
+  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+         count(*)::BIGINT AS n_ships
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(od.day, sd.day)::BIGINT AS day,
+       coalesce(od.n_orders, 0)::BIGINT AS n_orders,
+       coalesce(sd.n_ships, 0)::BIGINT AS n_ships,
+       CASE WHEN od.day IS NOT NULL AND sd.day IS NOT NULL THEN 1
+            WHEN od.day IS NOT NULL THEN 2 ELSE 3 END::BIGINT AS side
+FROM od FULL OUTER JOIN sd ON od.day = sd.day
+ORDER BY day
+"""
+
+
+def q_stale_parts(sf_dir: str) -> pd.DataFrame:
+    """Stale-inventory audit: parts with NO lineitem shipped on/after
+    2001-01-01, reported per brand — the suite's LEFT ANTI
+    ``Dataset.join`` (the set-difference exchange; 9 stale parts at
+    sf0.001, ~10× per sf step).  Shape: recent lineitems pre-combine
+    to distinct partkeys per batch, ONE partkey-keyed hash repartition
+    + per-partition distinct, then part LEFT ANTI joins that
+    key set (both sides large at 100 TB — the correct exchange; no
+    broadcast, no driver membership set), and brand-bounded partials
+    combine on the driver."""
+    from ray.data.context import ShuffleStrategy
+
+    cut_us = int(pd.Timestamp("2001-01-01").value // 1000)
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = ship >= cut_us
+        k = np.unique(t["l_partkey"].to_numpy(
+            zero_copy_only=False)[keep])
+        return pa.table({"p_partkey": k.astype(np.int64)})
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_partkey"]).aggregate([])
+        return g
+
+    recent = (_read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+              .map_batches(li_keys, batch_format="pyarrow",
+                           batch_size=65536)
+              .repartition(num_blocks=4, keys=["p_partkey"], sort=False))
+    recent.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    recent = recent.map_batches(local_distinct, batch_format="pyarrow",
+                                batch_size=None)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    j = part.join(recent, join_type="left_anti", num_partitions=4,
+                  on=("p_partkey",))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"p_brand": t["p_brand"],
+                       "one": np.ones(len(t), dtype=np.int64),
+                       "k": t["p_partkey"]})
+             .group_by(["p_brand"])
+             .aggregate([("one", "sum"), ("k", "min")]))
+        return g.rename_columns(["p_brand", "n_stale",
+                                 "min_partkey"])
+
+    parts = (j.map_batches(brand_partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    out = (parts.groupby("p_brand", as_index=False)
+           .agg(n_stale=("n_stale", "sum"),
+                min_partkey=("min_partkey", "min")))
+    out["n_stale"] = out["n_stale"].astype("int64")
+    out["min_partkey"] = out["min_partkey"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_STALE_PARTS = """
+WITH recent AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+)
+SELECT p_brand, count(*)::BIGINT AS n_stale,
+       min(p_partkey)::BIGINT AS min_partkey
+FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM recent)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -12043,6 +12195,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "custdist": q_custdist,
     "national_market_share": q_national_market_share,
     "sales_opportunity": q_sales_opportunity,
+    "order_ship_calendar": q_order_ship_calendar,
+    "stale_parts": q_stale_parts,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -12270,6 +12424,8 @@ ORACLE_SQL: dict[str, str] = {
     "custdist": SQL_CUSTDIST,
     "national_market_share": SQL_NATIONAL_MARKET_SHARE,
     "sales_opportunity": SQL_SALES_OPPORTUNITY,
+    "order_ship_calendar": SQL_ORDER_SHIP_CALENDAR,
+    "stale_parts": SQL_STALE_PARTS,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
