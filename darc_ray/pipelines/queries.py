@@ -12052,6 +12052,263 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def q_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-shaped what-if revenue forecast: total discount given
+    away on small-quantity 1996 shipments in the 5-7% discount band —
+    the canonical ZERO-SHUFFLE scan-aggregate (the cheapest possible
+    100 TB plan: column-pruned read, per-batch vectorized predicate +
+    integer-cents partial sums, one scalar driver combine).  Discount
+    cents quantized per ROW with one fixed double expression
+    (floor(price*disc*100+0.5)) so the global sum is an
+    order-independent integer — bit-exact vs DuckDB.  The float
+    literals (0.05/0.07/24) compare against the SAME stored doubles in
+    numpy and DuckDB, so predicate semantics are identical."""
+    lo_us = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi_us = int(pd.Timestamp("1997-01-01").value // 1000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = ((ship >= lo_us) & (ship < hi_us)
+                & (disc >= 0.05) & (disc <= 0.07) & (qty < 24.0))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * disc[keep] * 100 + 0.5).astype(np.int64)
+        return pa.table({"n_items": pa.array([int(keep.sum())],
+                                             type=pa.int64()),
+                         "revenue_cents": pa.array([int(cents.sum())],
+                                                   type=pa.int64())})
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_shipdate", "l_discount", "l_quantity",
+                    "l_extendedprice"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas())
+    return pd.DataFrame({
+        "n_items": [int(parts["n_items"].sum())],
+        "revenue_cents": [int(parts["revenue_cents"].sum())],
+    })
+
+
+SQL_FORECAST_REVENUE = """
+SELECT count(*)::BIGINT AS n_items,
+       sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) with maximum
+    revenue over a 3-month ship window, ties kept (the spec's
+    view-plus-max semantics).  Shape: per-batch suppkey pre-combine of
+    integer-cents partials, ONE suppkey-keyed hash repartition + local
+    sum (each partition then owns every partial of its suppkeys), and
+    only each partition's LOCAL-max rows (ties included) reach the
+    driver — O(partitions × ties), never the supplier-cardinality
+    totals table — where the global max filters them.  Supplier names
+    attach via a searchsorted broadcast of the supplier dim (bounded;
+    the co-shuffled join applies above the usual cap).  Revenue
+    quantized per ROW to integer cents → bit-exact."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    lo_us = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi_us = int(pd.Timestamp("1996-04-01").value // 1000)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (ship >= lo_us) & (ship < hi_us)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        g = (pa.table({"s_suppkey": t["l_suppkey"].to_numpy(
+                           zero_copy_only=False)[keep].astype(np.int64),
+                       "cents": cents})
+             .group_by(["s_suppkey"]).aggregate([("cents", "sum")]))
+        return g.rename_columns(["s_suppkey", "cents"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        # the hash partition owns every partial of its suppkeys: sum,
+        # then emit only the rows achieving the LOCAL max (with ties)
+        g = (t.group_by(["s_suppkey"]).aggregate([("cents", "sum")])
+             .rename_columns(["s_suppkey", "total_cents"]))
+        tot = g["total_cents"].to_numpy(zero_copy_only=False)
+        if len(tot) == 0:
+            return g
+        return g.filter(pc.equal(g["total_cents"],
+                                 pa.scalar(int(tot.max()), pa.int64())))
+
+    totals = (_read(sf_dir, "lineitem",
+                    ["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+              .map_batches(li_partial, batch_format="pyarrow",
+                           batch_size=65536)
+              .repartition(num_blocks=4, keys=["s_suppkey"], sort=False))
+    totals.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    cand = (totals.map_batches(local_top, batch_format="pyarrow",
+                               batch_size=None).to_pandas())
+    if len(cand) == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_cents": pd.Series([], dtype="int64")})
+    best = int(cand["total_cents"].max())
+    out = cand[cand["total_cents"] == best].copy()
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name"]).to_pandas()
+    if len(supp) > 50_000_000:      # ~broadcast cap: co-shuffle instead
+        raise NotImplementedError(
+            "supplier side exceeds the broadcast cap; use the "
+            "co-shuffled suppkey join rung")
+    supp = supp.sort_values("s_suppkey")
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    pos = np.searchsorted(sk, out["s_suppkey"].to_numpy(np.int64))
+    out["s_name"] = supp["s_name"].to_numpy(dtype=object)[pos]
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return (out[["s_suppkey", "s_name", "total_cents"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT))::BIGINT AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, s.s_name, r.total_cents
+FROM rev r JOIN supplier s USING (s_suppkey)
+WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21-shaped sole-blame audit, ADAPTED to this schema (the
+    input carries no l_receiptdate/l_commitdate, so lateness is the
+    suite's Q4 rule: a supplier's LAST shipment for the order left
+    more than 90 days after the order date): over finished orders
+    (o_orderstatus='F') with lineitems from >= 2 distinct suppliers
+    where EXACTLY ONE supplier is late, charge that supplier; report
+    per-supplier blame counts (Q21's numwait).  Shape: per-batch
+    (orderkey, suppkey) max-ship pre-combine, ONE orderkey hash join
+    against filtered orders (both sides large — the correct 100 TB
+    exchange; the join's hash partitioning co-locates every row of an
+    order), per-PARTITION re-combine + whole-order analysis (distinct
+    suppliers, late count) with no cross-partition state, then
+    suppkey-bounded partials combine on the driver and names attach
+    via the supplier-dim broadcast."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    lim_us = 90 * 86400 * 1_000_000
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"o_orderkey": t["l_orderkey"],
+                       "s_suppkey": t["l_suppkey"],
+                       "ship_us": t["l_shipdate"].cast(pa.int64())})
+             .group_by(["o_orderkey", "s_suppkey"])
+             .aggregate([("ship_us", "max")]))
+        return g.rename_columns(["o_orderkey", "s_suppkey", "ship_us"])
+
+    def o_key(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderstatus"], "F")
+        f = t.filter(keep)
+        return pa.table({"o_orderkey": f["o_orderkey"],
+                         "od_us": f["o_orderdate"].cast(pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_shipdate"])
+          .map_batches(li_partial, batch_format="pyarrow",
+                       batch_size=65536))
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderstatus", "o_orderdate"])
+              .map_batches(o_key, batch_format="pyarrow",
+                           batch_size=65536))
+    j = li.join(orders, join_type="inner", num_partitions=4,
+                on=("o_orderkey",))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def blame_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # partition owns every (order, supplier) partial of its
+        # orderkeys: re-combine across input batches, then analyze
+        # whole orders locally
+        g = (df.groupby(["o_orderkey", "s_suppkey"], as_index=False)
+             .agg(ship_us=("ship_us", "max"), od_us=("od_us", "first")))
+        g["late"] = (g["ship_us"] - g["od_us"] > lim_us).astype("int64")
+        per_ord = (g.groupby("o_orderkey")
+                   .agg(n_supp=("s_suppkey", "size"),
+                        n_late=("late", "sum")))
+        sole = per_ord.index[(per_ord["n_supp"] >= 2)
+                             & (per_ord["n_late"] == 1)]
+        blamed = g[(g["o_orderkey"].isin(sole)) & (g["late"] == 1)]
+        out = (blamed.groupby("s_suppkey", as_index=False)
+               .agg(numwait=("late", "sum")))
+        out["s_suppkey"] = out["s_suppkey"].astype("int64")
+        out["numwait"] = out["numwait"].astype("int64")
+        return out
+
+    parts = (j.map_batches(blame_partial, batch_format="pandas",
+                           batch_size=None).to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype="int64")})
+    out = (parts.groupby("s_suppkey", as_index=False)
+           .agg(numwait=("numwait", "sum")))
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name"]).to_pandas()
+    if len(supp) > 50_000_000:
+        raise NotImplementedError(
+            "supplier side exceeds the broadcast cap; use the "
+            "co-shuffled suppkey join rung")
+    supp = supp.sort_values("s_suppkey")
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    pos = np.searchsorted(sk, out["s_suppkey"].to_numpy(np.int64))
+    out["s_name"] = supp["s_name"].to_numpy(dtype=object)[pos]
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["numwait"] = out["numwait"].astype("int64")
+    return (out[["s_suppkey", "s_name", "numwait"]]
+            .sort_values(["numwait", "s_name"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
+SQL_SOLE_LATE_SUPPLIER = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, max(epoch_us(l_shipdate)) AS ship_us
+  FROM lineitem GROUP BY 1, 2
+), j AS (
+  SELECT lo.l_orderkey, lo.l_suppkey,
+         CASE WHEN lo.ship_us - epoch_us(o.o_orderdate)
+                   > 7776000000000
+              THEN 1 ELSE 0 END AS late
+  FROM lo JOIN orders o ON lo.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), sole AS (
+  SELECT l_orderkey FROM j
+  GROUP BY 1 HAVING count(*) >= 2 AND sum(late) = 1
+)
+SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+FROM j JOIN sole USING (l_orderkey)
+       JOIN supplier s ON j.l_suppkey = s.s_suppkey
+WHERE j.late = 1
+GROUP BY 1, 2 ORDER BY numwait DESC, s_name
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -12197,6 +12454,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sales_opportunity": q_sales_opportunity,
     "order_ship_calendar": q_order_ship_calendar,
     "stale_parts": q_stale_parts,
+    "forecast_revenue": q_forecast_revenue,
+    "top_supplier": q_top_supplier,
+    "sole_late_supplier": q_sole_late_supplier,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -12426,6 +12686,9 @@ ORACLE_SQL: dict[str, str] = {
     "sales_opportunity": SQL_SALES_OPPORTUNITY,
     "order_ship_calendar": SQL_ORDER_SHIP_CALENDAR,
     "stale_parts": SQL_STALE_PARTS,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
