@@ -10597,6 +10597,107 @@ FROM f ORDER BY audio_id
 """
 
 
+def q_video_qa_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Composed video-QA capstone over the planted defect fixture —
+    the production-ordered gate stack (manifest → static → slideshow
+    → low-motion), cheapest first, later stages −1-masked for rows an
+    earlier stage rejected (see ``video_qa_funnel_batch``).  ZERO
+    frame decode end-to-end (header + compressed-span index only);
+    one stateless ``map_batches``; the DuckDB oracle re-walks the
+    FVID index with a recursive CTE and re-derives all four stages
+    AND the masking from the same bytes in one composed query —
+    proving the video gates agree end-to-end under a single oracle
+    (the seventh composed capstone)."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_video_qa_fixture,
+                                            video_qa_funnel_batch)
+
+    path = ensure_video_qa_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(video_qa_funnel_batch, batch_format="pyarrow",
+                        batch_size=8)
+           .to_pandas())
+    return out.sort_values("video_id").reset_index(drop=True)
+
+
+SQL_VIDEO_QA_PIPELINE = """
+WITH RECURSIVE raw AS (
+  SELECT video_id, hex(bytes) AS h,
+         n_frames AS decl_frames, fps AS decl_fps
+  FROM read_parquet('/tmp/darc_ray_fixtures/video_qa.parquet')
+), hdr AS (
+  SELECT video_id, h, decl_frames, decl_fps,
+         ('0x' || substr(h, 9, 4))::BIGINT AS hdr_fps,
+         ('0x' || substr(h, 13, 8))::BIGINT AS hdr_n
+  FROM raw WHERE substr(h, 1, 8) = '46564944'
+), walk AS (
+  SELECT video_id, h, hdr_n, 0::BIGINT AS i, 10::BIGINT AS o,
+         0::BIGINT AS len, 0::BIGINT AS fstart
+  FROM hdr
+  UNION ALL
+  SELECT video_id, h, hdr_n, i + 1,
+         o + 4 + ('0x' || substr(h, 2*o+1, 8))::BIGINT,
+         ('0x' || substr(h, 2*o+1, 8))::BIGINT,
+         o + 4
+  FROM walk WHERE i < hdr_n
+), fr AS (
+  SELECT video_id, (i - 1)::BIGINT AS frame_idx, len,
+         substr(h, 2 * fstart + 1, 2 * len) AS fbytes
+  FROM walk WHERE i >= 1
+), d AS (
+  SELECT video_id, frame_idx, len,
+         CASE WHEN fbytes = lag(fbytes) OVER w THEN 1 ELSE 0 END AS same,
+         lag(len) OVER w AS plen
+  FROM fr WINDOW w AS (PARTITION BY video_id ORDER BY frame_idx)
+), st AS (
+  SELECT video_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN frame_idx > 0 THEN same ELSE 0 END)::BIGINT AS sp,
+         sum(CASE WHEN frame_idx > 0
+                   AND abs(len - plen) * 1000
+                       // greatest(len, plen) >= 300
+              THEN 1 ELSE 0 END)::BIGINT AS ncuts,
+         max(CASE WHEN frame_idx > 0
+                  THEN abs(len - plen) * 1000 // greatest(len, plen)
+                  ELSE 0 END)::BIGINT AS maxdm
+  FROM d GROUP BY video_id
+), sig AS (
+  SELECT hdr.video_id, hdr.decl_frames, hdr.decl_fps,
+         CASE WHEN hdr.decl_frames = st.n AND hdr.decl_fps = hdr.hdr_fps
+              THEN 1 ELSE 0 END AS man_ok,
+         CASE WHEN st.n > 1 AND st.sp * 1000 // (st.n - 1) >= 800
+              THEN 1 ELSE 0 END AS stat,
+         CASE WHEN st.n > 1 AND st.ncuts * 1000 // (st.n - 1) >= 600
+              THEN 1 ELSE 0 END AS slide,
+         CASE WHEN st.n >= 2 AND st.maxdm < 30 THEN 1 ELSE 0 END AS lowm
+  FROM hdr JOIN st ON st.video_id = hdr.video_id
+), f AS (
+  SELECT video_id, decl_frames, decl_fps, man_ok AS manifest_ok,
+         CASE WHEN man_ok = 0 THEN -1 ELSE stat END AS static_bad,
+         CASE WHEN man_ok = 0 OR stat = 1 THEN -1
+              ELSE slide END AS slideshow_bad,
+         CASE WHEN man_ok = 0 OR stat = 1 OR slide = 1 THEN -1
+              ELSE lowm END AS lowmotion_bad
+  FROM sig
+)
+SELECT video_id, decl_frames::BIGINT AS decl_frames,
+       decl_fps::BIGINT AS decl_fps,
+       manifest_ok::BIGINT AS manifest_ok,
+       static_bad::BIGINT AS static_bad,
+       slideshow_bad::BIGINT AS slideshow_bad,
+       lowmotion_bad::BIGINT AS lowmotion_bad,
+       CASE WHEN manifest_ok = 1 AND static_bad = 0
+             AND slideshow_bad = 0 AND lowmotion_bad = 0
+            THEN 1 ELSE 0 END::BIGINT AS keep,
+       CASE WHEN manifest_ok = 0 THEN 'manifest'
+            WHEN static_bad = 1 THEN 'static'
+            WHEN slideshow_bad = 1 THEN 'slideshow'
+            WHEN lowmotion_bad = 1 THEN 'lowmotion'
+            ELSE 'keep' END AS reject_stage
+FROM f ORDER BY video_id
+"""
+
+
 def q_customer_order_coverage(sf_dir: str) -> pd.DataFrame:
     """Dormant-customer report: per-customer RECENT-order coverage
     (orders placed on/after 2001-01-01) with zero-recent-order
@@ -12457,6 +12558,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "forecast_revenue": q_forecast_revenue,
     "top_supplier": q_top_supplier,
     "sole_late_supplier": q_sole_late_supplier,
+    "video_qa_pipeline": q_video_qa_pipeline,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -12689,6 +12791,7 @@ ORACLE_SQL: dict[str, str] = {
     "forecast_revenue": SQL_FORECAST_REVENUE,
     "top_supplier": SQL_TOP_SUPPLIER,
     "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
+    "video_qa_pipeline": SQL_VIDEO_QA_PIPELINE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

@@ -3798,6 +3798,167 @@ def video_static_detect_batch(batch: "pa.Table") -> "pa.Table":
                                   "static_milli", "is_static")]))
 
 
+VIDEO_QA_FIXTURE = "/tmp/darc_ray_fixtures/video_qa.parquet"
+
+
+def ensure_video_qa_fixture(path: str = VIDEO_QA_FIXTURE) -> str:
+    """Planted-defect FVID corpus for the composed video-QA funnel:
+    clean animated clips (one genuine scene cut, healthy size deltas),
+    MANIFEST liars (declared frame count / fps disagree with the
+    container header), a frozen clip (static ≥ 800‰), a slideshow
+    (flat/noisy alternation → every adjacent pair a cut candidate), a
+    low-motion clip (frames differ by one pixel step — size deltas
+    under 30‰, zero byte-equal pairs), a single-frame edge (no pairs
+    → all motion gates vacuously pass) and multi-defect rows that
+    must reject at the FIRST failing stage (frozen+liar → 'manifest';
+    tail-frozen clip with a real cut → 'static').  Declared
+    (n_frames, fps) ride as table columns — the manifest stage's
+    input.  Fixed path + atomic write + always rewritten,
+    sf-independent."""
+    import os
+    import tempfile
+
+    from darc_ray.functions.video import video_encode
+
+    def frame(hh: int, ww: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        r = ((xx * 11 + yy * 7 + (xx * yy) % 61 + 23 * i) % 256)
+        g = ((xx * 5 + yy * 13 + (xx * yy) % 53 + 31 * i) % 256)
+        b = ((xx * 9 + yy * 3 + (xx * yy) % 47 + 41 * i) % 256)
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+    def flat(hh: int, ww: int, v: int) -> np.ndarray:
+        return np.full((hh, ww, 3), v % 256, np.uint8)
+
+    rows = {"video_id": [], "bytes": [], "n_frames": [], "fps": []}
+
+    def add(vid: str, frames: list[np.ndarray], fps: int,
+            decl_frames: int | None = None,
+            decl_fps: int | None = None) -> None:
+        rows["video_id"].append(vid)
+        rows["bytes"].append(video_encode(frames, fps))
+        rows["n_frames"].append(decl_frames if decl_frames is not None
+                                else len(frames))
+        rows["fps"].append(decl_fps if decl_fps is not None else fps)
+
+    # clean: textured animation with ONE hard scene cut (texture →
+    # flat) — cut rate 1/(n-1) well under the slideshow bar, deltas
+    # at the cut keep max_delta ≥ 30‰
+    add("vqa-0-clean", [frame(18, 22, i) for i in range(4)]
+        + [flat(18, 22, 40), flat(18, 22, 41)], 12)
+    add("vqa-1-clean", [frame(16, 20, 7 + i) for i in range(3)]
+        + [flat(16, 20, 90)], 8)
+    # manifest liars: healthy streams, lying declared columns
+    add("vqa-2-frameliar", [frame(15, 19, 50 + i) for i in range(4)],
+        10, decl_frames=6)
+    add("vqa-3-fpsliar", [frame(14, 18, 80 + i) for i in range(4)],
+        10, decl_fps=24)
+    # frozen: one frame repeated (static 1000‰)
+    add("vqa-4-frozen", [frame(17, 21, 3)] * 6, 8)
+    # slideshow: flat/noisy alternation — every adjacent pair a cut
+    rng_frames = []
+    for i in range(6):
+        rng_frames.append(flat(16, 16, 10 * i) if i % 2 == 0
+                          else frame(16, 16, 100 + i))
+    add("vqa-5-slideshow", rng_frames, 6)
+    # low-motion: single advancing pixel step per frame — PNG sizes
+    # within 30‰ of each other, zero byte-equal adjacent pairs
+    lm = []
+    base = frame(20, 24, 11)
+    for i in range(5):
+        f = base.copy()
+        f[3 + i % 5, 5 + i % 7] = (f[3 + i % 5, 5 + i % 7] + 16) % 256
+        lm.append(f)
+    add("vqa-6-lowmotion", lm, 10)
+    # single frame: no adjacent pairs — motion gates vacuously pass
+    add("vqa-7-single", [frame(12, 12, 66)], 4)
+    # multi-defect: frozen AND frame-count liar → 'manifest' first
+    add("vqa-8-frozenliar", [frame(13, 17, 5)] * 5, 8, decl_frames=9)
+    # multi-defect: tail-frozen (5/6 pairs byte-equal = 833‰) with a
+    # genuine cut at the freeze boundary → 'static' fires before
+    # 'slideshow' could
+    add("vqa-9-tailfrozen", [frame(15, 15, 30)] + [flat(15, 15, 77)] * 6,
+        8)
+
+    table = pa.Table.from_pydict(
+        rows, schema=pa.schema([("video_id", pa.string()),
+                                ("bytes", pa.binary()),
+                                ("n_frames", pa.int64()),
+                                ("fps", pa.int64())]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def video_qa_funnel_batch(batch: "pa.Table") -> "pa.Table":
+    """Composed video-QA funnel in PRODUCTION ORDER — the gate stack a
+    video-curation ingest runs before spending any decode budget,
+    cheapest first, later stages −1-masked for rows an earlier stage
+    rejected: (1) manifest (declared frame count / fps vs the FVID
+    header — header-only), then over the frame INDEX + compressed
+    spans (2) static (adjacent byte-identical pairs ≥ 800‰), (3)
+    slideshow (adjacent size-delta cut candidates ≥ 600‰ of pairs),
+    (4) low-motion (max size delta < 30‰ with ≥ 2 frames).
+    ``reject_stage`` names the first failure or 'keep'.  ZERO frame
+    decode end-to-end; stateless ``map_batches``, no shuffle — four
+    proven compressed-domain kernels under ONE oracle."""
+    from darc_ray.functions.video import video_index
+
+    names = ("video_id", "decl_frames", "decl_fps", "manifest_ok",
+             "static_bad", "slideshow_bad", "lowmotion_bad", "keep")
+    out: dict[str, list] = {k: [] for k in names}
+    out["reject_stage"] = []
+    for vid, payload, dn, dfps in zip(
+            batch.column("video_id").to_pylist(),
+            batch.column("bytes").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+            batch.column("fps").to_pylist()):
+        fps, spans = video_index(payload)
+        n = len(spans)
+        man_ok = int(int(dn) == n and int(dfps) == fps)
+        static = slide = lowm = -1
+        stage = "manifest"
+        if man_ok:
+            frames = [payload[off:off + ln] for off, ln in spans]
+            lens = np.array([ln for _off, ln in spans], dtype=np.int64)
+            sp = sum(1 for i in range(1, n)
+                     if frames[i] == frames[i - 1])
+            static = int(n > 1 and sp * 1000 // (n - 1) >= 800)
+            if static:
+                stage = "static"
+            else:
+                if n >= 2:
+                    prev, cur = lens[:-1], lens[1:]
+                    dm = (np.abs(cur - prev) * 1000
+                          // np.maximum(prev, cur))
+                    slide = int(int((dm >= 300).sum()) * 1000
+                                // (n - 1) >= 600)
+                    mx = int(dm.max())
+                else:
+                    slide, mx = 0, 0
+                if slide:
+                    stage = "slideshow"
+                else:
+                    lowm = int(n >= 2 and mx < 30)
+                    stage = "lowmotion" if lowm else "keep"
+        keep = int(man_ok == 1 and static == 0 and slide == 0
+                   and lowm == 0)
+        for k, val in zip(names, (vid, int(dn), int(dfps), man_ok,
+                                  static, slide, lowm, keep)):
+            out[k].append(val)
+        out["reject_stage"].append(stage)
+    return pa.Table.from_pydict(
+        out, schema=pa.schema(
+            [("video_id", pa.string())]
+            + [(k, pa.int64()) for k in names[1:]]
+            + [("reject_stage", pa.string())]))
+
+
 AUDIO_QA_FIXTURE = "/tmp/darc_ray_fixtures/audio_qa.parquet"
 
 
