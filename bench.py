@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     "custdist", "national_market_share", "sales_opportunity",
     "order_ship_calendar", "stale_parts",
     "forecast_revenue", "top_supplier", "sole_late_supplier",
-    "video_qa_pipeline",
+    "video_qa_pipeline", "mojibake_gate", "containment_dups",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

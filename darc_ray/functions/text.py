@@ -620,3 +620,90 @@ def ensure_caption_blocklist_fixture(path: str = CAPTION_BLOCKLIST_FIXTURE) -> s
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+MOJIBAKE_LITERALS = ("\u00c3\u00a9", "\u00c3\u00bc", "\u00c3\u00b1",
+                     "\u00e2\u0080\u0099", "\u00e2\u0080\u009c")
+
+MOJIBAKE_FIXTURE = "/tmp/darc_ray_fixtures/text_mojibake.parquet"
+
+
+def ensure_mojibake_fixture(path: str = MOJIBAKE_FIXTURE) -> str:
+    """Deterministic encoding-damage corpus (the sf documents table is
+    clean ASCII, so the gate needs planted positives): 300 docs of
+    word soup seeded with U+FFFD replacement chars (decode loss), C1
+    control chars U+0080-U+009F (Windows-1252 bytes mis-tagged as
+    Latin-1) and classic UTF-8-read-as-Latin-1 digraphs (A-tilde-e,
+    a-circumflex quote pairs, ...) - some docs clean, some lightly
+    touched (must stay under the flag thresholds), some saturated.
+    Fixed path + atomic write + always rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vocab = ("alpha beta gamma delta sigma lambda tensor vector matrix "
+             "stream batch shard merge scan probe build spill flush").split()
+    c1_chars = ["\u0085", "\u0092", "\u009d"]
+    fffd = "\ufffd"
+    docs = []
+    for d in range(300):
+        rng = np.random.default_rng(9100 + d)
+        words = list(rng.choice(vocab, size=int(rng.integers(20, 60))))
+        kind = d % 5
+        if kind == 1:                          # fffd: 1-4 marks
+            for _ in range(int(rng.integers(1, 5))):
+                words.insert(int(rng.integers(0, len(words))),
+                             "lo" + fffd + "st")
+        elif kind == 2:                        # C1 controls: 1-6 marks
+            for _ in range(int(rng.integers(1, 7))):
+                ch = c1_chars[int(rng.integers(0, len(c1_chars)))]
+                words.insert(int(rng.integers(0, len(words))),
+                             "wi" + ch + "de")
+        elif kind == 3:                        # mojibake digraphs
+            for _ in range(int(rng.integers(1, 5))):
+                lit = MOJIBAKE_LITERALS[
+                    int(rng.integers(0, len(MOJIBAKE_LITERALS)))]
+                words.insert(int(rng.integers(0, len(words))),
+                             "caf" + lit)
+        elif kind == 4:                        # saturated multi-kind
+            for _ in range(int(rng.integers(3, 8))):
+                words.insert(int(rng.integers(0, len(words))),
+                             fffd + fffd)
+            for _ in range(int(rng.integers(2, 5))):
+                lit = MOJIBAKE_LITERALS[
+                    int(rng.integers(0, len(MOJIBAKE_LITERALS)))]
+                words.insert(int(rng.integers(0, len(words))), lit)
+        docs.append(" ".join(words))
+    table = pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path
+
+
+def mojibake_features(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized encoding-damage signals per doc: U+FFFD count, C1
+    control count (U+0080-U+009F), mojibake digraph count (fixed
+    literal set shared with the DuckDB oracle), codepoint length,
+    damage per-mille and the gate flag (>= 5 permille damage OR >= 3
+    FFFDs)."""
+    import re
+
+    n = texts.str.len().astype("int64")
+    n_fffd = texts.str.count("\ufffd").astype("int64")
+    n_c1 = texts.str.count("[\u0080-\u009f]").astype("int64")
+    n_moji = sum(texts.str.count(re.escape(lit))
+                 for lit in MOJIBAKE_LITERALS).astype("int64")
+    damage = ((n_fffd + n_c1 + n_moji) * 1000 // n.clip(lower=1)) \
+        .astype("int64")
+    flag = ((damage >= 5) | (n_fffd >= 3)).astype("int64")
+    return pd.DataFrame({"n_chars": n, "n_fffd": n_fffd, "n_c1": n_c1,
+                         "n_moji": n_moji, "damage_milli": damage,
+                         "is_damaged": flag})

@@ -3661,6 +3661,106 @@ ORDER BY a, b
 SQL_NGRAM_JACCARD = _SQL_SHINGLE_JACCARD.format(threshold=0.3)
 SQL_MINHASH_DEDUP = _SQL_SHINGLE_JACCARD.format(threshold=0.5)
 
+SQL_CONTAINMENT_DUPS = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_transform(range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           END) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents WHERE trim(text) <> '')
+)
+SELECT a, b, floor(raw * 1e6 + 0.5) / 1e6 AS containment FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.shingles, y.shingles))::DOUBLE
+           / least(len(x.shingles), len(y.shingles)) AS raw
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.shingles, y.shingles)) > 0
+) WHERE raw >= 0.8
+ORDER BY a, b
+"""
+
+
+def q_mojibake_gate(sf_dir: str) -> pd.DataFrame:
+    """Encoding-damage gate (the ingest pass a multilingual corpus
+    runs before any tokenizer sees the text): per-doc counts of
+    U+FFFD replacement chars (decode loss), C1 controls U+0080-U+009F
+    (Windows-1252 mis-tagged as Latin-1) and classic
+    UTF-8-read-as-Latin-1 digraphs from a fixed literal set shared
+    with the oracle; damage per-mille over codepoint length; flagged
+    at >= 5 permille OR >= 3 FFFDs.  (Digraphs containing C1
+    codepoints count in BOTH signals on BOTH sides — consistent by
+    construction.)  Stateless zero-shuffle ``map_batches`` over the
+    planted fixture (the sf documents table is clean ASCII);
+    all-integer output.  Oracle: codepoint-length replace/regexp
+    diffs in DuckDB."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import (ensure_mojibake_fixture,
+                                         mojibake_features)
+
+    path = ensure_mojibake_fixture()
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        out = mojibake_features(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].astype("int64").to_numpy())
+        return out
+
+    return (rd.read_parquet(path)
+            .map_batches(kernel, batch_format="pandas", batch_size=4096)
+            .to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# mojibake literals spelled chr()-wise so no raw C1 codepoint rides in
+# this source file; lengths 2/2/2/3/3 divide the replace-diffs
+_MOJI_SQL_TERMS = " + ".join(
+    f"(length(text) - length(replace(text, {lit}, ''))) // {ln}"
+    for lit, ln in (
+        ("chr(195)||chr(169)", 2),     # A-tilde + copyright  (e)
+        ("chr(195)||chr(188)", 2),     # A-tilde + 1/4        (u-umlaut)
+        ("chr(195)||chr(177)", 2),     # A-tilde + plus-minus (n-tilde)
+        ("chr(226)||chr(128)||chr(153)", 3),   # right single quote
+        ("chr(226)||chr(128)||chr(156)", 3),   # left double quote
+    ))
+
+SQL_MOJIBAKE_GATE = f"""
+WITH d AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         (length(text) - length(replace(text, chr(65533), '')))::BIGINT
+             AS n_fffd,
+         (length(text) - length(regexp_replace(text,
+              '[\\x{{80}}-\\x{{9F}}]', '', 'g')))::BIGINT AS n_c1,
+         ({_MOJI_SQL_TERMS})::BIGINT AS n_moji
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_mojibake.parquet')
+)
+SELECT doc_id, n_chars, n_fffd, n_c1, n_moji,
+       ((n_fffd + n_c1 + n_moji) * 1000
+        // greatest(n_chars, 1))::BIGINT AS damage_milli,
+       CASE WHEN (n_fffd + n_c1 + n_moji) * 1000
+                 // greatest(n_chars, 1) >= 5
+              OR n_fffd >= 3
+            THEN 1 ELSE 0 END::BIGINT AS is_damaged
+FROM d ORDER BY doc_id
+"""
+
+
+def q_containment_dups(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric n-gram CONTAINMENT ≥ 0.8 over the FULL documents
+    table — inter / min(|a|, |b|), the quote/subsumption detector a
+    symmetric Jaccard dilutes away (a short doc fully embedded in a
+    long one scores min-side 1.0 but Jaccard ≈ |short|/|long|).  Same
+    distributed inverted-index similarity join as ``ngram_jaccard``
+    (shingle explode → shingle-keyed hash shuffle → local pair
+    combiner → (a,b)-keyed sum; max_df skew guard; broadcast vs
+    co-shuffled size rungs) — only the final score kernel differs."""
+    from darc_ray.stages.dedup import ngram_jaccard_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_join(ds, k=3, threshold=0.8,
+                              metric="containment")
+
 
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """Exact n-gram Jaccard ≥ 0.3 over the FULL documents table via
@@ -12565,6 +12665,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sole_late_supplier": q_sole_late_supplier,
     "token_length_hist": q_token_length_hist,
     "audio_dc_offset": q_audio_dc_offset,
+    "mojibake_gate": q_mojibake_gate,
+    "containment_dups": q_containment_dups,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -12798,6 +12900,8 @@ ORACLE_SQL: dict[str, str] = {
     "top_supplier": SQL_TOP_SUPPLIER,
     "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
     "video_qa_pipeline": SQL_VIDEO_QA_PIPELINE,
+    "mojibake_gate": SQL_MOJIBAKE_GATE,
+    "containment_dups": SQL_CONTAINMENT_DUPS,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,

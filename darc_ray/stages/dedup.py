@@ -619,7 +619,8 @@ def ngram_jaccard_pairs(ids: list, texts: list[str], k: int = 3,
 def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
                        id_col: str = "doc_id", text_col: str = "text",
                        n_buckets: int | None = None,
-                       max_df: int = 100_000) -> pd.DataFrame:
+                       max_df: int = 100_000,
+                       metric: str = "jaccard") -> pd.DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold over the FULL table —
     the inverted-index similarity join:
 
@@ -646,7 +647,12 @@ def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
     Dataset[doc_id, size] side table (on a, then on b), the
     ``verify_pairs_coshuffled`` pattern — so nothing doc-cardinality-
     sized ever lives on the driver or in a worker heap.  Both rungs
-    produce bit-identical output (equality-tested)."""
+    produce bit-identical output (equality-tested).
+
+    ``metric="containment"`` scores inter / min(|a|, |b|) instead
+    (asymmetric overlap — quote/subsumption detection); candidate
+    generation, skew guard and both size rungs are identical, and the
+    max_df caveat under-estimates there too."""
     import os
 
     import ray
@@ -742,13 +748,20 @@ def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
         batch_format="pandas", batch_size=None)
 
     def _score_arrays(a, b, sa, sb, it) -> pd.DataFrame:
-        union = sa + sb - it
-        jac = np.where(union > 0, it / union, 1.0)
-        keep = jac >= threshold
+        if metric == "containment":
+            # asymmetric overlap: inter / min(|a|, |b|) — catches
+            # subsumption/quoting a symmetric Jaccard dilutes away
+            denom = np.minimum(sa, sb)
+            col = "containment"
+        else:
+            denom = sa + sb - it
+            col = "jaccard"
+        sc = np.where(denom > 0, it / denom, 1.0)
+        keep = sc >= threshold
         # floor(x·1e6+0.5)/1e6 (half-away), not np.round (half-even):
         # bit-identical to the DuckDB oracle's rounding
         return pd.DataFrame({"a": a[keep], "b": b[keep],
-                             "jaccard": np.floor(jac[keep] * 1e6 + 0.5) / 1e6})
+                             col: np.floor(sc[keep] * 1e6 + 0.5) / 1e6})
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         sz = ray.get(size_ref)
