@@ -3682,6 +3682,134 @@ ORDER BY a, b
 """
 
 
+CORESET_K = 4
+
+
+def q_coreset_sample(sf_dir: str) -> pd.DataFrame:
+    """Diversity coreset via farthest-point (k-center greedy) sampling
+    over the embeddings table — the facility-location-style selection
+    a curation pipeline runs to pick maximally-spread exemplars
+    (dataset cards, eval probes, dedup anchors).  Seed = min vec_id;
+    each of the K−1 subsequent picks is the vector maximizing its
+    min distance to everything chosen so far (ties to the smaller
+    vec_id).  Distances are INTEGER squared L2 over milli-quantized
+    elements (floor(x·1000+0.5), the ``kmeans_assign`` discipline) —
+    argmax and the emitted distances are bit-proof, not
+    rank-margin-assumed.  Shape: K streaming ``map_batches`` passes;
+    the chosen set (K·d ints) broadcasts via ``ray.put``; each pass
+    emits ONE per-batch argmax partial (id, dist, embedding rides
+    along so no second lookup) and the driver reduces O(batches)
+    rows.  Nothing corpus-sized leaves the workers; for large K the
+    running-min state would move into a (vec_id, cur_min) Dataset
+    co-shuffled per pass instead of the O(K) recompute used here.
+    Oracle: the same greedy unrolled as chained CTEs in DuckDB."""
+    import ray
+
+    def quant_argmax_factory(chosen_ref):
+        def partial(t: pa.Table) -> pa.Table:
+            chosen = ray.get(chosen_ref)        # list[(id, int64 vec)]
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            q = np.floor(emb * 1000 + 0.5).astype(np.int64)
+            excl = np.isin(ids, np.array([c[0] for c in chosen],
+                                         dtype=ids.dtype))
+            if excl.all():
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "dist_q": pa.array([], pa.int64()),
+                                 "emb_q": pa.array([], pa.list_(pa.int64()))})
+            ids, q = ids[~excl], q[~excl]
+            d = np.min(np.stack([((q - c[1]) ** 2).sum(axis=1)
+                                 for c in chosen]), axis=0)
+            # per-batch argmax, ties to the smaller vec_id
+            best = np.lexsort((ids, -d))[0]
+            return pa.table({
+                "vec_id": pa.array([int(ids[best])], pa.int64()),
+                "dist_q": pa.array([int(d[best])], pa.int64()),
+                "emb_q": pa.array([q[best].tolist()],
+                                  pa.list_(pa.int64()))})
+        return partial
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        best = int(np.argmin(ids))
+        emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(emb[best] * 1000 + 0.5).astype(np.int64)
+        return pa.table({"vec_id": pa.array([int(ids[best])], pa.int64()),
+                         "emb_q": pa.array([q.tolist()],
+                                           pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeds = (ds.map_batches(seed_partial, batch_format="pyarrow",
+                            batch_size=4096).to_pandas()
+             .sort_values("vec_id"))
+    chosen = [(int(seeds.iloc[0]["vec_id"]),
+               np.asarray(seeds.iloc[0]["emb_q"], dtype=np.int64))]
+    out = [{"step": 0, "vec_id": chosen[0][0], "dist_q": -1}]
+    for step in range(1, CORESET_K):
+        ref = ray.put(chosen)
+        parts = (ds.map_batches(quant_argmax_factory(ref),
+                                batch_format="pyarrow", batch_size=4096)
+                 .to_pandas())
+        parts = parts.sort_values(["dist_q", "vec_id"],
+                                  ascending=[False, True])
+        pick = parts.iloc[0]
+        chosen.append((int(pick["vec_id"]),
+                       np.asarray(pick["emb_q"], dtype=np.int64)))
+        out.append({"step": step, "vec_id": int(pick["vec_id"]),
+                    "dist_q": int(pick["dist_q"])})
+    res = pd.DataFrame(out)
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def _coreset_dist_sql(c: str) -> str:
+    return (f"list_sum(list_transform(list_zip(q.e, {c}.e), "
+            f"x -> (x[1] - x[2]) ** 2))::BIGINT")
+
+
+SQL_CORESET_SAMPLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id, e FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)
+), d0 AS (
+  SELECT q.vec_id, {_coreset_dist_sql('c0')} AS dist
+  FROM q CROSS JOIN c0 WHERE q.vec_id != c0.vec_id
+), s1 AS (
+  SELECT vec_id, dist FROM d0 ORDER BY dist DESC, vec_id LIMIT 1
+), c1 AS (
+  SELECT vec_id, e FROM q WHERE vec_id = (SELECT vec_id FROM s1)
+), d1 AS (
+  SELECT q.vec_id, {_coreset_dist_sql('c1')} AS dist
+  FROM q CROSS JOIN c1 WHERE q.vec_id != c1.vec_id
+), m1 AS (
+  SELECT d0.vec_id, least(d0.dist, d1.dist) AS dist
+  FROM d0 JOIN d1 USING (vec_id)
+), s2 AS (
+  SELECT vec_id, dist FROM m1 ORDER BY dist DESC, vec_id LIMIT 1
+), c2 AS (
+  SELECT vec_id, e FROM q WHERE vec_id = (SELECT vec_id FROM s2)
+), d2 AS (
+  SELECT q.vec_id, {_coreset_dist_sql('c2')} AS dist
+  FROM q CROSS JOIN c2 WHERE q.vec_id != c2.vec_id
+), m2 AS (
+  SELECT m1.vec_id, least(m1.dist, d2.dist) AS dist
+  FROM m1 JOIN d2 USING (vec_id)
+), s3 AS (
+  SELECT vec_id, dist FROM m2 ORDER BY dist DESC, vec_id LIMIT 1
+)
+SELECT 0::BIGINT AS step, (SELECT vec_id FROM c0)::BIGINT AS vec_id,
+       -1::BIGINT AS dist_q
+UNION ALL SELECT 1, vec_id::BIGINT, dist FROM s1
+UNION ALL SELECT 2, vec_id::BIGINT, dist FROM s2
+UNION ALL SELECT 3, vec_id::BIGINT, dist FROM s3
+ORDER BY step
+"""
+
+
 def q_mojibake_gate(sf_dir: str) -> pd.DataFrame:
     """Encoding-damage gate (the ingest pass a multilingual corpus
     runs before any tokenizer sees the text): per-doc counts of
@@ -12667,6 +12795,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "audio_dc_offset": q_audio_dc_offset,
     "mojibake_gate": q_mojibake_gate,
     "containment_dups": q_containment_dups,
+    "coreset_sample": q_coreset_sample,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -12902,6 +13031,7 @@ ORACLE_SQL: dict[str, str] = {
     "video_qa_pipeline": SQL_VIDEO_QA_PIPELINE,
     "mojibake_gate": SQL_MOJIBAKE_GATE,
     "containment_dups": SQL_CONTAINMENT_DUPS,
+    "coreset_sample": SQL_CORESET_SAMPLE,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
