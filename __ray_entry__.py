@@ -40,49 +40,22 @@ def entry() -> Any:
 
 
 def _ensure_fixture_files() -> None:
-    """The multimodal header-scan families (image/audio/video_metadata)
-    compare Ray and SQL over deterministic fixed-path parquet fixtures
-    under /tmp; (re)write them here so the oracle side works no matter
-    which side the driver runs first, or whether /tmp was cleared."""
-    from darc_ray.functions.text import (ensure_html_fixture,
-                                         ensure_lines_fixture,
-                                         ensure_pii_fixture,
-                                         ensure_repetition_fixture)
-    from darc_ray.stages.multimodal import (ensure_audio_meta_fixture,
-                                            ensure_audio_pcm_fixture,
-                                            ensure_caption_tokens_fixture,
-                                            ensure_image_aesthetic_fixture,
-                                            ensure_image_blocky_fixture,
-                                            ensure_image_borders_fixture,
-                                            ensure_image_caption_fixture,
-                                            ensure_image_dhash_fixture,
-                                            ensure_image_exposure_fixture,
-                                            ensure_image_logo_fixture,
-                                            ensure_image_meta_fixture,
-                                            ensure_image_pixels_fixture,
-                                            ensure_image_rot_fixture,
-                                            ensure_image_tiles_fixture,
-                                            ensure_video_meta_fixture)
+    """Many operator families compare Ray and SQL over deterministic
+    fixed-path parquet fixtures under /tmp; (re)write ALL of them here
+    so the oracle side works no matter which side the driver runs
+    first, or whether /tmp was cleared.  Enumerated dynamically —
+    every ``ensure_*_fixture()`` in the two fixture modules follows
+    the same zero-required-arg ``(path: str = CONST)`` contract, so a
+    newly added family can never be silently missing from this list
+    again (the round-5 hand-maintained list had drifted 23 fixtures
+    behind)."""
+    from darc_ray.functions import text as _text
+    from darc_ray.stages import multimodal as _mm
 
-    ensure_image_meta_fixture()
-    ensure_image_pixels_fixture()
-    ensure_image_borders_fixture()
-    ensure_image_blocky_fixture()
-    ensure_image_exposure_fixture()
-    ensure_image_aesthetic_fixture()
-    ensure_image_caption_fixture()
-    ensure_image_dhash_fixture()
-    ensure_image_logo_fixture()
-    ensure_image_rot_fixture()
-    ensure_image_tiles_fixture()
-    ensure_audio_meta_fixture()
-    ensure_audio_pcm_fixture()
-    ensure_caption_tokens_fixture()
-    ensure_video_meta_fixture()
-    ensure_pii_fixture()
-    ensure_lines_fixture()
-    ensure_repetition_fixture()
-    ensure_html_fixture()
+    for mod in (_text, _mm):
+        for name in sorted(vars(mod)):
+            if name.startswith("ensure_") and name.endswith("_fixture"):
+                getattr(mod, name)()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

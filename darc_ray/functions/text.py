@@ -707,3 +707,64 @@ def mojibake_features(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"n_chars": n, "n_fffd": n_fffd, "n_c1": n_c1,
                          "n_moji": n_moji, "damage_milli": damage,
                          "is_damaged": flag})
+
+
+STITCH_FIXTURE = "/tmp/darc_ray_fixtures/text_stitch.parquet"
+
+
+def ensure_stitch_fixture(path: str = STITCH_FIXTURE) -> str:
+    """Deterministic shard-boundary corpus for the stitch-dup family:
+    240 word-soup docs; several CHAINS of length 2-4 where each link's
+    last 5 words equal the next link's first 5 words (a document split
+    across shard boundaries and re-ingested twice), one 3-way fan
+    (one suffix continued by TWO different docs), short docs (< 5
+    words, must be excluded), and clean docs.  Fixed path + atomic
+    write + always rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vocab = ("alpha beta gamma delta sigma lambda tensor vector matrix "
+             "stream batch shard merge scan probe build spill flush "
+             "queue spine crest ridge basin").split()
+
+    def soup(seed: int, n: int) -> list[str]:
+        rng = np.random.default_rng(seed)
+        return list(rng.choice(vocab, size=n))
+
+    docs: dict[int, str] = {}
+    did = 0
+    for c, chain_len in enumerate((2, 3, 4, 2, 3)):    # chains
+        boundary = soup(5000 + 31 * c, 5)
+        body = soup(5100 + 31 * c, 18)
+        docs[did] = " ".join(body + boundary)
+        did += 1
+        for link in range(1, chain_len):
+            nxt_boundary = soup(5000 + 31 * c + link, 5)
+            body = soup(5200 + 31 * c + 7 * link, 15)
+            docs[did] = " ".join(boundary + body
+                                 + (nxt_boundary if link < chain_len - 1
+                                    else []))
+            boundary = nxt_boundary
+            did += 1
+    fan = soup(5900, 5)                                 # 3-way fan
+    docs[did] = " ".join(soup(5901, 12) + fan); did += 1
+    docs[did] = " ".join(fan + soup(5902, 10)); did += 1
+    docs[did] = " ".join(fan + soup(5903, 14)); did += 1
+    for s in range(4):                                  # short docs
+        docs[did] = " ".join(soup(5950 + s, 3)); did += 1
+    while did < 240:                                    # clean docs
+        docs[did] = " ".join(soup(6000 + did, int(12 + did % 9)))
+        did += 1
+    table = pa.Table.from_pydict({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

@@ -3682,6 +3682,78 @@ ORDER BY a, b
 """
 
 
+def q_doc_stitch_dups(sf_dir: str) -> pd.DataFrame:
+    """Shard-boundary stitch detector: pairs (a, b) where doc a's LAST
+    5 words equal doc b's FIRST 5 words — the re-ingested-split-doc
+    shape (a document cut across shard boundaries shows up as a chain
+    whose links share boundary word runs; neither Jaccard nor
+    containment catches it because the overlap is 5 words).  Shape:
+    one vectorized pass emits two boundary rows per doc (role
+    'p'refix / 's'uffix keyed by the 5-word run), ONE key-keyed hash
+    repartition co-locates every prefix and suffix with the same run,
+    and the pair join is a per-partition pandas merge — no driver
+    state, no O(n²).  Docs under 5 words are excluded (no full
+    boundary).  Oracle: DuckDB list-slice join over the same planted
+    fixture."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.text import ensure_stitch_fixture
+
+    path = ensure_stitch_fixture()
+    W = 5
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.strip().str.split()
+        n = words.map(len)
+        keep = n >= W
+        ids = df["doc_id"].astype("int64")[keep]
+        w = words[keep]
+        pre = w.map(lambda x: " ".join(x[:W]))
+        suf = w.map(lambda x: " ".join(x[-W:]))
+        return pd.DataFrame({
+            "key": pd.concat([pre, suf], ignore_index=True),
+            "doc_id": pd.concat([ids, ids], ignore_index=True),
+            "role": ["p"] * int(keep.sum()) + ["s"] * int(keep.sum()),
+        })
+
+    rows = (rd.read_parquet(path)
+            .map_batches(boundaries, batch_format="pandas",
+                         batch_size=4096)
+            .repartition(num_blocks=4, keys=["key"], sort=False))
+    rows.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["role"] == "p"][["key", "doc_id"]]
+        s = df[df["role"] == "s"][["key", "doc_id"]]
+        m = s.merge(p, on="key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] != m["doc_id_b"]]
+        return pd.DataFrame({"a": m["doc_id_a"].astype("int64"),
+                             "b": m["doc_id_b"].astype("int64")})
+
+    out = (rows.map_batches(local_pairs, batch_format="pandas",
+                            batch_size=None).to_pandas())
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_DOC_STITCH_DUPS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_stitch.parquet')
+  WHERE trim(text) <> ''
+), pre AS (
+  SELECT doc_id, array_to_string(words[1:5], ' ') AS k
+  FROM w WHERE len(words) >= 5
+), suf AS (
+  SELECT doc_id, array_to_string(words[-5:], ' ') AS k
+  FROM w WHERE len(words) >= 5
+)
+SELECT s.doc_id AS a, p.doc_id AS b
+FROM suf s JOIN pre p ON s.k = p.k AND s.doc_id != p.doc_id
+ORDER BY a, b
+"""
+
+
 CORESET_K = 4
 
 
@@ -12796,6 +12868,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "mojibake_gate": q_mojibake_gate,
     "containment_dups": q_containment_dups,
     "coreset_sample": q_coreset_sample,
+    "doc_stitch_dups": q_doc_stitch_dups,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -13032,6 +13105,7 @@ ORACLE_SQL: dict[str, str] = {
     "mojibake_gate": SQL_MOJIBAKE_GATE,
     "containment_dups": SQL_CONTAINMENT_DUPS,
     "coreset_sample": SQL_CORESET_SAMPLE,
+    "doc_stitch_dups": SQL_DOC_STITCH_DUPS,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
