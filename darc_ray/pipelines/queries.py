@@ -3682,6 +3682,95 @@ ORDER BY a, b
 """
 
 
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Re-crawl snapshot diff — the change-detection pass a recurring
+    crawl (the reference's TTL-driven refetch loop) runs between two
+    content snapshots: per doc, ADDED / REMOVED / CHANGED status, with
+    the dominant unchanged mass EXCLUDED from the output (at 100 TB
+    the diff is the small set — never materialize the intersection).
+    Snapshot B is derived DETERMINISTICALLY from the same documents
+    table (doc_id %% 17 == 3 removed, %% 13 == 5 content-changed,
+    %% 23 == 7 re-added under doc_id + 10^7), so no fixture and the
+    oracle derives the identical B.  Shape: two column-pruned scans
+    with per-batch md5 content hashes, ONE doc_id-keyed FULL OUTER
+    ``Dataset.join`` (both sides corpus-sized — the correct exchange),
+    per-batch status classification + unchanged filter.  Status codes:
+    1 added, 2 removed, 3 changed."""
+    import hashlib
+
+    from ray.data.context import ShuffleStrategy
+
+    def md5s(texts) -> list[str]:
+        return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+    def side_a(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # A is the prior snapshot in full; removals happen in B
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "hash_a": pa.array(md5s(t["text"].to_pylist()),
+                                            pa.string())})
+
+    def side_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        keep = ids % 17 != 3
+        changed = ids % 13 == 5
+        out_id = list(ids[keep])
+        out_tx = [tx + "~v2" if ch else tx
+                  for tx, ch, k in zip(texts, changed, keep) if k]
+        added = ids % 23 == 7
+        out_id += [int(i) + 10_000_000 for i in ids[added]]
+        out_tx += [tx + "~new" for tx, a in zip(texts, added) if a]
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "hash_b": pa.array(md5s(out_tx), pa.string())})
+
+    a = (_read(sf_dir, "documents", ["doc_id", "text"])
+         .map_batches(side_a, batch_format="pyarrow", batch_size=4096))
+    b = (_read(sf_dir, "documents", ["doc_id", "text"])
+         .map_batches(side_b, batch_format="pyarrow", batch_size=4096))
+    j = a.join(b, join_type="full_outer", num_partitions=4,
+               on=("doc_id",))
+    j.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        has_a = df["hash_a"].notna().to_numpy()
+        has_b = df["hash_b"].notna().to_numpy()
+        same = (df["hash_a"] == df["hash_b"]).to_numpy()
+        status = np.where(~has_a, 1, np.where(~has_b, 2,
+                          np.where(~same, 3, 0))).astype(np.int64)
+        keep = status > 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep].astype(np.int64),
+            "status": status[keep]})
+
+    out = (j.map_batches(classify, batch_format="pandas",
+                         batch_size=None).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 5 THEN text || '~v2'
+                  ELSE text END) AS h
+  FROM documents WHERE doc_id % 17 != 3
+  UNION ALL
+  SELECT doc_id + 10000000, md5(text || '~new')
+  FROM documents WHERE doc_id % 23 = 7
+), j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 1
+              WHEN b.doc_id IS NULL THEN 2
+              WHEN a.h != b.h THEN 3 ELSE 0 END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, status::BIGINT AS status
+FROM j WHERE status > 0 ORDER BY doc_id
+"""
+
+
 def q_doc_stitch_dups(sf_dir: str) -> pd.DataFrame:
     """Shard-boundary stitch detector: pairs (a, b) where doc a's LAST
     5 words equal doc b's FIRST 5 words — the re-ingested-split-doc
@@ -12869,6 +12958,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "containment_dups": q_containment_dups,
     "coreset_sample": q_coreset_sample,
     "doc_stitch_dups": q_doc_stitch_dups,
+    "snapshot_diff": q_snapshot_diff,
     "bigram_lm": q_bigram_lm,
     "embedding_dups_lsh": q_embedding_dups_lsh,
     "image_dedup": q_image_dedup,
@@ -13106,6 +13196,7 @@ ORACLE_SQL: dict[str, str] = {
     "containment_dups": SQL_CONTAINMENT_DUPS,
     "coreset_sample": SQL_CORESET_SAMPLE,
     "doc_stitch_dups": SQL_DOC_STITCH_DUPS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "image_tile_dups": SQL_IMAGE_TILE_DUPS,
     "audio_silence_spans": SQL_AUDIO_SILENCE_SPANS,
