@@ -792,6 +792,11 @@ def ngram_jaccard_join(ds, k: int = 3, threshold: float = 0.5,
                                      batch_format="pandas").to_pandas()
     else:
         out = inter.map_batches(score, batch_format="pandas").to_pandas()
+    score_col = "containment" if metric == "containment" else "jaccard"
+    if "a" not in out.columns:      # zero surviving pairs: schemaless
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                            "b": pd.Series(dtype="int64"),
+                            score_col: pd.Series(dtype="float64")})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
