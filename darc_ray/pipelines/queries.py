@@ -10951,6 +10951,75 @@ FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket
 """
 
 
+def q_spike_days(sf_dir: str) -> pd.DataFrame:
+    """Per-type daily rate-SPIKE report — the time-series anomaly op
+    the events axis lacked (`burst_detect` is a per-USER sliding count;
+    this is the per-TYPE day-series monitor an ops dashboard runs): a
+    day is a spike when its event count is at least 3× the trailing-
+    7-day daily mean, in cross-multiplied integer form
+    (``7·n_events ≥ 3·prev7`` with ``prev7 > 0`` — no division, no
+    floats).  Shape: per-batch (type, day) partials, then a
+    (types × calendar-days)-bounded driver combine (the `domain_mix` /
+    `running_revenue` reduce — nothing row-scaled leaves the scan); the
+    trailing window is two ``searchsorted`` probes into each type's
+    sparse-day cumsum, so calendar GAPS are exact (a day with zero
+    events contributes zero, not a skipped window slot)."""
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = (pa.table({"event_type": t["event_type"], "day": day,
+                       "n": np.ones(t.num_rows, dtype=np.int64)})
+             .group_by(["event_type", "day"]).aggregate([("n", "sum")]))
+        return g.rename_columns(["event_type", "day", "n"])
+
+    parts = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas())
+    comb = (parts.groupby(["event_type", "day"], as_index=False)["n"]
+            .sum().sort_values(["event_type", "day"])
+            .reset_index(drop=True))
+    out = []
+    for et, g in comb.groupby("event_type", sort=True):
+        days = g["day"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        csum = np.concatenate(([0], np.cumsum(n)))
+        lo = np.searchsorted(days, days - 7)
+        hi = np.searchsorted(days, days)        # exclusive: day-1 ends here
+        prev7 = csum[hi] - csum[lo]
+        spike = ((prev7 > 0) & (7 * n >= 3 * prev7)).astype(np.int64)
+        out.append(pd.DataFrame({
+            "event_type": et, "day": days, "n_events": n,
+            "prev7": prev7.astype(np.int64), "spike": spike}))
+    return (pd.concat(out, ignore_index=True) if out else
+            pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                          "day": pd.Series([], dtype=np.int64),
+                          "n_events": pd.Series([], dtype=np.int64),
+                          "prev7": pd.Series([], dtype=np.int64),
+                          "spike": pd.Series([], dtype=np.int64)}))
+
+
+SQL_SPIKE_DAYS = """
+WITH d AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, n_events,
+       coalesce(sum(n_events) OVER (
+           PARTITION BY event_type ORDER BY day
+           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS prev7,
+       CASE WHEN coalesce(sum(n_events) OVER (
+                PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) > 0
+             AND 7 * n_events >= 3 * coalesce(sum(n_events) OVER (
+                PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
+            THEN 1 ELSE 0 END::BIGINT AS spike
+FROM d ORDER BY event_type, day
+"""
+
+
 def q_image_border_contrast(sf_dir: str) -> pd.DataFrame:
     """Framed/matted-photo gate over the planted-borders fixture —
     the curation signal `image_letterbox` (one-axis bars) and
@@ -13275,6 +13344,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "running_revenue": q_running_revenue,
     "gap_hist": q_gap_hist,
+    "spike_days": q_spike_days,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -13515,6 +13585,7 @@ ORACLE_SQL: dict[str, str] = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "running_revenue": SQL_RUNNING_REVENUE,
     "gap_hist": SQL_GAP_HIST,
+    "spike_days": SQL_SPIKE_DAYS,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
