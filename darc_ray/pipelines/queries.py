@@ -3386,6 +3386,84 @@ def _tri_wedge_arrays(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return np.minimum(b, c), np.maximum(b, c)
 
 
+def _pair_attach_values(pairs_ds, payload: list[str], values_ds,
+                        n_blocks: int = 8):
+    """Attach a per-node int64 value to BOTH endpoints of a unique-
+    (u,v) pair Dataset without `Dataset.join` (whose finalize breaks on
+    one-side-empty hash partitions): ONE node-keyed tagged-union
+    exchange (value rows side 0, endpoint rows sides 1/2, searchsorted
+    attach) then ONE (u,v)-keyed exchange pairing each pair's two rows
+    back up.  `values_ds` has columns (node, val); `payload` names
+    extra int64 pair columns carried through.  Returns a Dataset
+    (u, v, *payload, val_u, val_v).  Nothing driver-resident at any
+    node/pair cardinality."""
+    from ray.data.context import ShuffleStrategy
+
+    cols = ["u", "v"] + list(payload)
+
+    def val_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, dtype=np.int64)
+        d = {"key": t["node"], "val": t["val"], "side": z}
+        for c in cols:
+            d[c] = z
+        return pa.table(d)
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(u)
+        d = {"key": np.concatenate([u, v]),
+             "val": np.zeros(2 * n, dtype=np.int64),
+             "side": np.concatenate([np.ones(n, dtype=np.int64),
+                                     np.full(n, 2, dtype=np.int64)])}
+        for c in cols:
+            arr = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            d[c] = np.concatenate([arr, arr])
+        return pa.table(d)
+
+    un = (values_ds.map_batches(val_rows, batch_format="pyarrow",
+                                batch_size=None)
+          .union(pairs_ds.map_batches(pair_rows, batch_format="pyarrow",
+                                      batch_size=65536))
+          .repartition(num_blocks=n_blocks, keys=["key"], sort=False))
+    un.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def attach(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        is_val = side == 0
+        nd, dd = key[is_val], val[is_val]
+        o = np.argsort(nd, kind="mergesort")
+        nd, dd = nd[o], dd[o]
+        ep = ~is_val
+        # every endpoint's node owns exactly one value row here
+        vk = dd[np.searchsorted(nd, key[ep])]
+        d = {c: t[c].to_numpy(zero_copy_only=False)[ep] for c in cols}
+        d["side"] = side[ep]
+        d["val"] = vk
+        return pa.table(d)
+
+    att = (un.map_batches(attach, batch_format="pyarrow",
+                          batch_size=None)
+           .repartition(num_blocks=n_blocks, keys=["u", "v"], sort=False))
+    att.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def pair_up(t: pa.Table) -> pa.Table:
+        arrs = {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
+        s = t["side"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((s, arrs["v"], arrs["u"]))
+        d = {c: arrs[c][o][0::2] for c in cols}
+        sv = val[o]
+        d["val_u"] = sv[0::2]           # side-1 then side-2 rows
+        d["val_v"] = sv[1::2]
+        return pa.table(d)
+
+    return att.map_batches(pair_up, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def q_triangle_count(sf_dir: str) -> pd.DataFrame:
     """Distributed TRIANGLE COUNT over the part co-purchase graph
     (parts sharing an order, the classic market-basket graph) — the
@@ -3509,64 +3587,17 @@ def q_triangle_count(sf_dir: str) -> pd.DataFrame:
             batch_format="pyarrow", batch_size=65536).to_pandas()
         n_wedges = int(wp["w"].sum())
 
-        # degrees -> endpoints: tagged union, ONE node-keyed exchange
-        def deg_rows(t: pa.Table) -> pa.Table:
-            z = np.zeros(t.num_rows, dtype=np.int64)
-            return pa.table({"key": t["node"], "d": t["d"],
-                             "u": z, "v": z, "side": z})
-
-        def endpoint_rows(t: pa.Table) -> pa.Table:
-            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-            z = np.zeros(len(u), dtype=np.int64)
-            return pa.table({
-                "key": np.concatenate([u, v]),
-                "d": np.concatenate([z, z]),
-                "u": np.concatenate([u, u]),
-                "v": np.concatenate([v, v]),
-                "side": np.concatenate([np.ones(len(u), dtype=np.int64),
-                                        np.full(len(v), 2,
-                                                dtype=np.int64)])})
-
-        un = (deg.map_batches(deg_rows, batch_format="pyarrow",
-                              batch_size=None)
-              .union(edges.map_batches(endpoint_rows,
-                                       batch_format="pyarrow",
-                                       batch_size=65536))
-              .repartition(num_blocks=8, keys=["key"], sort=False))
-        un.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-
-        def attach(t: pa.Table) -> pa.Table:
-            key = t["key"].to_numpy(zero_copy_only=False)
-            dcol = t["d"].to_numpy(zero_copy_only=False)
-            side = t["side"].to_numpy(zero_copy_only=False)
-            is_deg = side == 0
-            nd = key[is_deg]
-            dd = dcol[is_deg]
-            o = np.argsort(nd, kind="mergesort")
-            nd, dd = nd[o], dd[o]
-            ep = ~is_deg
-            k = key[ep]
-            # every endpoint's node owns exactly one deg row here
-            dk = dd[np.searchsorted(nd, k)]
-            return pa.table({"u": t["u"].to_numpy(zero_copy_only=False)[ep],
-                             "v": t["v"].to_numpy(zero_copy_only=False)[ep],
-                             "side": side[ep], "d": dk})
-
-        att = (un.map_batches(attach, batch_format="pyarrow",
-                              batch_size=None)
-               .repartition(num_blocks=8, keys=["u", "v"], sort=False))
-        att.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # degrees -> endpoints: the shared tagged-union attach
+        att = _pair_attach_values(
+            edges, [],
+            deg.map_batches(lambda t: t.rename_columns(["node", "val"]),
+                            batch_format="pyarrow", batch_size=None))
 
         def orient_pairs(t: pa.Table) -> pa.Table:
             u = t["u"].to_numpy(zero_copy_only=False)
             v = t["v"].to_numpy(zero_copy_only=False)
-            s = t["side"].to_numpy(zero_copy_only=False)
-            dcol = t["d"].to_numpy(zero_copy_only=False)
-            o = np.lexsort((s, v, u))
-            u, v, dcol = u[o], v[o], dcol[o]
-            du, dv = dcol[0::2], dcol[1::2]     # side-1 then side-2 rows
-            u, v = u[0::2], v[0::2]
+            du = t["val_u"].to_numpy(zero_copy_only=False)
+            dv = t["val_v"].to_numpy(zero_copy_only=False)
             take_u = (du < dv) | ((du == dv) & (u < v))
             return pa.table({"src": np.where(take_u, u, v),
                              "dst": np.where(take_u, v, u)})
@@ -3654,6 +3685,172 @@ SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
             THEN (3000 * (SELECT t FROM tri))
                  // (SELECT sum(d * (d - 1) // 2) FROM deg)
             ELSE 0 END::BIGINT AS closure_milli
+"""
+
+
+PA_MINSUP = 3                       # pair support threshold (orders)
+PA_BROADCAST_CAP = 10_000_000       # max distinct parts pulled as arrays
+
+
+def q_part_affinity(sf_dir: str) -> pd.DataFrame:
+    """Market-basket ASSOCIATION mining over the co-purchase pairs —
+    the frequent-itemset / lift report (`triangle_count`'s graph is
+    this op's support-1 projection; here pair MULTIPLICITY is the
+    signal): for part pairs bought together in ≥ ``PA_MINSUP`` orders,
+    exact support, per-direction confidence and lift, all in integer
+    per-mille (``lift_milli = (1000·n_both·N) // (n_u·n_v)`` — no
+    division until the final bounded report, no floats anywhere).
+    Shape: orderkey exchange co-locates whole orders for the
+    schema-bounded pair expansion; (u,v)-keyed exchange sums pair
+    supports (per-partition combiner first); part-keyed exchange sums
+    item supports; order count comes from per-partition distinct
+    partials of the SAME co-located items (zero extra exchange).
+    Support attach is threshold-routed: ≤ ``PA_BROADCAST_CAP`` distinct
+    parts ship once as sorted arrays (`ray.put` + searchsorted);
+    above, the shared `_pair_attach_values` tagged-union exchange
+    attaches both endpoints with nothing driver-resident (forced-cap
+    tested)."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    items = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+             .map_batches(lambda t: t.group_by(
+                 ["l_orderkey", "l_partkey"]).aggregate([]),
+                 batch_format="pyarrow", batch_size=65536)
+             .repartition(num_blocks=8, keys=["l_orderkey"], sort=False))
+    items.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def part_distinct(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.concatenate(([True], (o[1:] != o[:-1]) | (p[1:] != p[:-1])))
+        return pa.table({"o": o[keep], "p": p[keep]})
+
+    items = items.map_batches(part_distinct, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    # orders are whole per partition: distinct-o partials, scalar sum
+    oc = items.map_batches(
+        lambda t: pa.table({"n": np.asarray(
+            [len(np.unique(t["o"].to_numpy(zero_copy_only=False)))],
+            dtype=np.int64)}),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    n_orders = int(oc["n"].sum())
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        o = t["o"].to_numpy(zero_copy_only=False)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        sizes = np.diff(np.concatenate((starts, [len(o)])))
+        u, v = _tri_pair_expand(p, starts, sizes)   # sorted => u < v
+        g = (pa.table({"u": u, "v": v,
+                       "n_both": np.ones(len(u), dtype=np.int64)})
+             .group_by(["u", "v"]).aggregate([("n_both", "sum")]))
+        return g.rename_columns(["u", "v", "n_both"])
+
+    sup_uv = (items.map_batches(pair_counts, batch_format="pyarrow",
+                                batch_size=None)
+              .repartition(num_blocks=8, keys=["u", "v"], sort=False))
+    sup_uv.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    minsup = int(os.environ.get("DARC_RAY_PA_MINSUP", str(PA_MINSUP)))
+
+    def pair_reduce(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["u", "v"]).aggregate([("n_both", "sum")])
+             .rename_columns(["u", "v", "n_both"]))
+        return g.filter(pc.greater_equal(g["n_both"], minsup))
+
+    pairs_f = sup_uv.map_batches(pair_reduce, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+
+    sup_p = (items.map_batches(
+        lambda t: pa.table({"node": t["p"],
+                            "val": np.ones(t.num_rows, dtype=np.int64)})
+                    .group_by(["node"]).aggregate([("val", "sum")])
+                    .rename_columns(["node", "val"]),
+        batch_format="pyarrow", batch_size=65536)
+        .repartition(num_blocks=8, keys=["node"], sort=False))
+    sup_p.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    sup_p = sup_p.map_batches(
+        lambda t: t.group_by(["node"]).aggregate([("val", "sum")])
+                   .rename_columns(["node", "val"]),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    cap = int(os.environ.get("DARC_RAY_PA_CAP", str(PA_BROADCAST_CAP)))
+    if sup_p.count() <= cap:
+        nd_l, vl_l = [], []
+        for bt in sup_p.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536):
+            nd_l.append(bt["node"].to_numpy(zero_copy_only=False))
+            vl_l.append(bt["val"].to_numpy(zero_copy_only=False))
+        nd = np.concatenate(nd_l) if nd_l else np.empty(0, np.int64)
+        vl = np.concatenate(vl_l) if vl_l else np.empty(0, np.int64)
+        o = np.argsort(nd, kind="mergesort")
+        ref = ray.put((nd[o], vl[o]))
+
+        def metrics_bcast(t: pa.Table) -> pa.Table:
+            nd_, vl_ = ray.get(ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            nb = t["n_both"].to_numpy(zero_copy_only=False)
+            nu = vl_[np.searchsorted(nd_, u)]
+            nv = vl_[np.searchsorted(nd_, v)]
+            return _pa_metrics_table(u, v, nb, nu, nv, n_orders)
+
+        out = pairs_f.map_batches(metrics_bcast, batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+    else:
+        att = _pair_attach_values(pairs_f, ["n_both"], sup_p)
+
+        def metrics_join(t: pa.Table) -> pa.Table:
+            return _pa_metrics_table(
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+                t["n_both"].to_numpy(zero_copy_only=False),
+                t["val_u"].to_numpy(zero_copy_only=False),
+                t["val_v"].to_numpy(zero_copy_only=False), n_orders)
+
+        out = att.map_batches(metrics_join, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    return (out.sort_values(["u", "v"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _pa_metrics_table(u, v, nb, nu, nv, n_orders: int) -> pa.Table:
+    nb = nb.astype(np.int64)
+    nu = nu.astype(np.int64)
+    nv = nv.astype(np.int64)
+    return pa.table({
+        "u": u.astype(np.int64), "v": v.astype(np.int64), "n_both": nb,
+        "n_u": nu, "n_v": nv,
+        "conf_uv_milli": (1000 * nb) // np.maximum(nu, 1),
+        "conf_vu_milli": (1000 * nb) // np.maximum(nv, 1),
+        "lift_milli": (1000 * nb * np.int64(n_orders))
+        // np.maximum(nu * nv, 1)})
+
+
+SQL_PART_AFFINITY = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (
+  SELECT count(DISTINCT o)::BIGINT AS n_orders FROM items
+), pairs AS (
+  SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS n_both
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 3
+), sup AS (
+  SELECT p, count(*)::BIGINT AS s FROM items GROUP BY p
+)
+SELECT pr.u, pr.v, pr.n_both, su.s AS n_u, sv.s AS n_v,
+       ((1000 * pr.n_both) // su.s)::BIGINT AS conf_uv_milli,
+       ((1000 * pr.n_both) // sv.s)::BIGINT AS conf_vu_milli,
+       ((1000 * pr.n_both * (SELECT n_orders FROM n))
+        // (su.s * sv.s))::BIGINT AS lift_milli
+FROM pairs pr
+JOIN sup su ON su.p = pr.u
+JOIN sup sv ON sv.p = pr.v
+ORDER BY pr.u, pr.v
 """
 
 
@@ -13345,6 +13542,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "running_revenue": q_running_revenue,
     "gap_hist": q_gap_hist,
     "spike_days": q_spike_days,
+    "part_affinity": q_part_affinity,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -13586,6 +13784,7 @@ ORACLE_SQL: dict[str, str] = {
     "running_revenue": SQL_RUNNING_REVENUE,
     "gap_hist": SQL_GAP_HIST,
     "spike_days": SQL_SPIKE_DAYS,
+    "part_affinity": SQL_PART_AFFINITY,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,

@@ -18,7 +18,10 @@ RUNGS = [("incremental_dedup", "DARC_RAY_INCR_DEDUP_CAP"),
          ("bigram_lm", "DARC_RAY_BIGRAM_CAP"),
          # wedge-closure via (wu,wv) hash join instead of the packed-u64
          # edge-set broadcast
-         ("triangle_count", "DARC_RAY_TRI_CAP")]
+         ("triangle_count", "DARC_RAY_TRI_CAP"),
+         # item-support attach via the tagged-union exchange instead of
+         # the sorted-array broadcast
+         ("part_affinity", "DARC_RAY_PA_CAP")]
 
 
 @pytest.fixture(scope="module")
