@@ -11853,6 +11853,117 @@ FROM d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id
 """
 
 
+def q_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps-law VOCABULARY-GROWTH curve over the documents table —
+    the tokenizer/shard-planning op (when does the vocab saturate?
+    how big must a BPE corpus sample be?) the text axis lacked:
+    cumulative distinct-term count and cumulative token count at
+    power-of-two document checkpoints (log-bounded output — scale-free
+    at any corpus size) plus the full-corpus point.  Tokens are
+    whitespace runs (``\\S+``, the repo-wide mirrored contract, no
+    case folding).  Shape: a term's contribution to the curve is fully
+    determined by its FIRST occurrence, so the op is one term-keyed
+    exchange (per-batch min-doc combiner) → per-partition min → a
+    bit_length-bucketed histogram partial (≤ 63 rows per partition;
+    ``bit_length(min_doc) ≤ j  ⟺  min_doc < 2^j``), and token mass
+    rides the same bucketing in a separate stateless scan — the driver
+    combines two log-bounded tables, never a term list."""
+    import re
+
+    from ray.data.context import ShuffleStrategy
+
+    tok = re.compile(r"\S+")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    n_docs_total = int(_read(sf_dir, "documents", ["doc_id"]).count())
+
+    def tok_partials(df: pd.DataFrame) -> pd.DataFrame:
+        buckets: dict[int, int] = {}
+        for did, text in zip(df["doc_id"], df["text"]):
+            b = int(did).bit_length()
+            buckets[b] = buckets.get(b, 0) + len(tok.findall(text))
+        return pd.DataFrame({"bucket": list(buckets), 
+                             "toks": list(buckets.values())})
+
+    tb = (docs.map_batches(tok_partials, batch_format="pandas",
+                           batch_size=4096).to_pandas()
+          .groupby("bucket")["toks"].sum())
+
+    def term_mins(df: pd.DataFrame) -> pd.DataFrame:
+        m: dict[str, int] = {}
+        for did, text in zip(df["doc_id"], df["text"]):
+            did = int(did)
+            for w in set(tok.findall(text)):
+                if m.get(w, did + 1) > did:
+                    m[w] = did
+        return pd.DataFrame({"term": list(m), "fdoc": list(m.values())})
+
+    tm = (docs.map_batches(term_mins, batch_format="pandas",
+                           batch_size=4096)
+          .repartition(num_blocks=8, keys=["term"], sort=False))
+    tm.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        fmin = df.groupby("term")["fdoc"].min().to_numpy(np.int64)
+        b = np.zeros(len(fmin), dtype=np.int64)
+        nz = fmin > 0
+        # frexp exponent == bit_length, EXACT for ids < 2^53 (float64
+        # conversion is lossless there; doc ids are far below)
+        b[nz] = np.frexp(fmin[nz].astype(np.float64))[1].astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": ub, "n": cnt.astype(np.int64)})
+
+    hb = (tm.map_batches(hist_partial, batch_format="pandas",
+                         batch_size=None).to_pandas()
+          .groupby("bucket")["n"].sum())
+
+    max_b = 64
+    tok_cum = np.zeros(max_b + 1, dtype=np.int64)
+    voc_cum = np.zeros(max_b + 1, dtype=np.int64)
+    for b, n in tb.items():
+        tok_cum[int(b)] += int(n)
+    for b, n in hb.items():
+        voc_cum[int(b)] += int(n)
+    tok_cum = np.cumsum(tok_cum)
+    voc_cum = np.cumsum(voc_cum)
+
+    rows = []
+    j2 = 0
+    while (1 << j2) < n_docs_total:
+        rows.append(((1 << j2), int(tok_cum[j2]), int(voc_cum[j2])))
+        j2 += 1
+    rows.append((n_docs_total, int(tok_cum[-1]), int(voc_cum[-1])))
+    return pd.DataFrame(rows, columns=["n_docs", "n_tokens", "vocab"]
+                        ).astype(np.int64)
+
+
+SQL_VOCAB_GROWTH = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+), n AS (
+  SELECT count(*)::BIGINT AS nd FROM documents
+), cp AS (
+  SELECT (1::BIGINT << j) AS r FROM generate_series(0, 62) t(j)
+  WHERE (1::BIGINT << j) < (SELECT nd FROM n)
+  UNION SELECT nd FROM n
+), tk AS (
+  SELECT doc_id, len(ws)::BIGINT AS ntok FROM d
+), fo AS (
+  SELECT term, min(doc_id) AS fdoc
+  FROM (SELECT doc_id, unnest(ws) AS term FROM d) GROUP BY term
+)
+SELECT cp.r AS n_docs,
+       (SELECT coalesce(sum(ntok), 0) FROM tk
+        WHERE doc_id < cp.r)::BIGINT AS n_tokens,
+       (SELECT count(*) FROM fo WHERE fdoc < cp.r)::BIGINT AS vocab
+FROM cp ORDER BY n_docs
+"""
+
+
+
 def q_video_static_detect(sf_dir: str) -> pd.DataFrame:
     """Frozen-video gate (see ``video_static_detect_batch``):
     adjacent byte-identical compressed frames per-mille, flagged
@@ -13543,6 +13654,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gap_hist": q_gap_hist,
     "spike_days": q_spike_days,
     "part_affinity": q_part_affinity,
+    "vocab_growth": q_vocab_growth,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -13785,6 +13897,7 @@ ORACLE_SQL: dict[str, str] = {
     "gap_hist": SQL_GAP_HIST,
     "spike_days": SQL_SPIKE_DAYS,
     "part_affinity": SQL_PART_AFFINITY,
+    "vocab_growth": SQL_VOCAB_GROWTH,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
