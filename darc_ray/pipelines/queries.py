@@ -9047,6 +9047,104 @@ FROM st ORDER BY image_id
 """
 
 
+def q_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Cross-SOURCE overlap matrix — the multi-dump contamination
+    report a curation pipeline runs before MIXING crawl dumps: for
+    every source pair, how many distinct lower-cased first-3-token
+    TEMPLATES (the `caption_prefix_templates` key, over the documents
+    table) occur in BOTH, with per-source template counts and the
+    asymmetric containment share in per-mille (``1000·n_both //
+    min(n_s1, n_s2)``).  Exact-md5 overlap is this op's degenerate
+    special case and is EMPTY on this corpus — shared boilerplate
+    openings are the signal that actually crosses dumps.  Shape:
+    per-batch (prefix, source) distinct partials → ONE prefix-keyed
+    exchange → per-partition within-prefix source-pair expansion (the
+    shared `_tri_pair_expand`, group size ≤ #sources) → a
+    (sources²)-bounded driver combine; per-source distinct-template
+    counts ride the same exchanged partition.  Tokens are ``\\S+``
+    runs of the lower-cased text (no trim — the tokenizer ignores edge
+    whitespace on both engines); docs under 3 tokens contribute
+    nothing."""
+    import re
+
+    from ray.data.context import ShuffleStrategy
+
+    tok = re.compile(r"\S+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pfx, srcs = [], []
+        for text, source in zip(df["text"], df["source"]):
+            ws = tok.findall(text.lower())
+            if len(ws) >= 3:
+                pfx.append(ws[0] + " " + ws[1] + " " + ws[2])
+                srcs.append(source)
+        return (pd.DataFrame({"pfx": pfx, "source": srcs})
+                .drop_duplicates())
+
+    hs = (_read(sf_dir, "documents", ["text", "source"])
+          .map_batches(partial, batch_format="pandas", batch_size=4096)
+          .repartition(num_blocks=8, keys=["pfx"], sort=False))
+    hs.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    hs = hs.map_batches(lambda df: df.drop_duplicates(),
+                        batch_format="pandas",
+                        batch_size=None).materialize()
+
+    ns = (hs.map_batches(
+        lambda df: df.groupby("source", as_index=False).agg(
+            n=("pfx", "size")),
+        batch_format="pandas", batch_size=None).to_pandas()
+        .groupby("source")["n"].sum())
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"s1": pd.Series([], dtype=str),
+                                 "s2": pd.Series([], dtype=str),
+                                 "n_both": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["pfx", "source"], kind="mergesort")
+        p = df["pfx"].to_numpy(object)
+        s = df["source"].to_numpy(object)
+        starts = np.flatnonzero(np.concatenate(([True], p[1:] != p[:-1])))
+        sizes = np.diff(np.concatenate((starts, [len(p)])))
+        a, b = _tri_pair_expand(s, starts, sizes)   # sorted => s1 < s2
+        return (pd.DataFrame({"s1": a, "s2": b,
+                              "n_both": np.ones(len(a), dtype=np.int64)})
+                .groupby(["s1", "s2"], as_index=False)["n_both"].sum())
+
+    pp = (hs.map_batches(pair_partials, batch_format="pandas",
+                         batch_size=None).to_pandas()
+          .groupby(["s1", "s2"], as_index=False)["n_both"].sum())
+    pp["n_s1"] = pp["s1"].map(ns).astype(np.int64)
+    pp["n_s2"] = pp["s2"].map(ns).astype(np.int64)
+    pp["n_both"] = pp["n_both"].astype(np.int64)
+    pp["containment_milli"] = (
+        1000 * pp["n_both"] // np.minimum(pp["n_s1"], pp["n_s2"])
+    ).astype(np.int64)
+    return (pp.sort_values(["s1", "s2"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+SQL_SOURCE_OVERLAP = """
+WITH tok AS (
+  SELECT source, regexp_extract_all(lower(text), '\\S+') AS ws
+  FROM documents
+), hs AS (
+  SELECT DISTINCT source, ws[1] || ' ' || ws[2] || ' ' || ws[3] AS pfx
+  FROM tok WHERE len(ws) >= 3
+), ns AS (
+  SELECT source, count(*)::BIGINT AS n FROM hs GROUP BY source
+), p AS (
+  SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS n_both
+  FROM hs a JOIN hs b ON a.pfx = b.pfx AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.s1, p.s2, p.n_both, n1.n AS n_s1, n2.n AS n_s2,
+       ((1000 * p.n_both) // least(n1.n, n2.n))::BIGINT
+           AS containment_milli
+FROM p JOIN ns n1 ON n1.source = p.s1 JOIN ns n2 ON n2.source = p.s2
+ORDER BY p.s1, p.s2
+"""
+
+
 def q_caption_prefix_templates(sf_dir: str) -> pd.DataFrame:
     """Template-spam report over the planted caption fixture — the
     alt-text boilerplate detector a web-scale pair funnel runs before
@@ -13655,6 +13753,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "spike_days": q_spike_days,
     "part_affinity": q_part_affinity,
     "vocab_growth": q_vocab_growth,
+    "source_overlap": q_source_overlap,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -13898,6 +13997,7 @@ ORACLE_SQL: dict[str, str] = {
     "spike_days": SQL_SPIKE_DAYS,
     "part_affinity": SQL_PART_AFFINITY,
     "vocab_growth": SQL_VOCAB_GROWTH,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
