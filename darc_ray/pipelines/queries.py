@@ -11315,6 +11315,81 @@ FROM d ORDER BY event_type, day
 """
 
 
+def q_trend_detect(sf_dir: str) -> pd.DataFrame:
+    """Per-type daily-volume TREND — the least-squares slope of each
+    event type's day-series, division-free until the final
+    types-bounded report: with x = day − min_day(type) and y = daily
+    count, ``slope_num = n·Σxy − Σx·Σy`` and
+    ``slope_den = n·Σxx − (Σx)²`` are exact int64 (the per-type day
+    shift keeps magnitudes tiny), and ``slope_milli`` is
+    ``sign(num)·((1000·|num|)//den)`` — TRUNC-toward-zero semantics
+    spelled out identically on both engines because DuckDB's ``//``
+    truncates on negatives while numpy floors.  Shape: per-batch
+    (type, day) count partials → (types × calendar-days)-bounded
+    driver combine (the `spike_days` reduce) → per-type closed-form
+    sums; zero shuffle, nothing row-scaled on the driver."""
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = (pa.table({"event_type": t["event_type"], "day": day,
+                       "y": np.ones(t.num_rows, dtype=np.int64)})
+             .group_by(["event_type", "day"]).aggregate([("y", "sum")]))
+        return g.rename_columns(["event_type", "day", "y"])
+
+    parts = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas())
+    comb = (parts.groupby(["event_type", "day"], as_index=False)["y"]
+            .sum())
+    rows = []
+    for et, g in comb.groupby("event_type", sort=True):
+        x = g["day"].to_numpy(np.int64)
+        x = x - x.min()
+        y = g["y"].to_numpy(np.int64)
+        n = np.int64(len(x))
+        sx, sy = x.sum(), y.sum()
+        num = int(n * (x * y).sum() - sx * sy)
+        den = int(n * (x * x).sum() - sx * sx)
+        if den == 0:
+            milli = 0
+        elif num >= 0:
+            milli = (1000 * num) // den
+        else:
+            milli = -((1000 * -num) // den)
+        rows.append((et, int(n), num, den, milli, int(num > 0)))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_days", "slope_num", "slope_den",
+        "slope_milli", "rising"])
+
+
+SQL_TREND_DETECT = """
+WITH d AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY event_type, day
+), m AS (
+  SELECT event_type, min(day) AS d0 FROM d GROUP BY event_type
+), s AS (
+  SELECT d.event_type, count(*)::BIGINT AS n,
+         sum(day - d0)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum((day - d0) * y)::BIGINT AS sxy,
+         sum((day - d0) * (day - d0))::BIGINT AS sxx
+  FROM d JOIN m USING (event_type) GROUP BY d.event_type
+)
+SELECT event_type, n AS n_days,
+       (n * sxy - sx * sy)::BIGINT AS slope_num,
+       (n * sxx - sx * sx)::BIGINT AS slope_den,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0
+            WHEN n * sxy - sx * sy >= 0
+            THEN (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+            ELSE -((1000 * (sx * sy - n * sxy)) // (n * sxx - sx * sx))
+            END::BIGINT AS slope_milli,
+       CASE WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END::BIGINT
+           AS rising
+FROM s ORDER BY event_type
+"""
+
+
 def q_image_border_contrast(sf_dir: str) -> pd.DataFrame:
     """Framed/matted-photo gate over the planted-borders fixture —
     the curation signal `image_letterbox` (one-axis bars) and
@@ -13754,6 +13829,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_affinity": q_part_affinity,
     "vocab_growth": q_vocab_growth,
     "source_overlap": q_source_overlap,
+    "trend_detect": q_trend_detect,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -13998,6 +14074,7 @@ ORACLE_SQL: dict[str, str] = {
     "part_affinity": SQL_PART_AFFINITY,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "trend_detect": SQL_TREND_DETECT,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,

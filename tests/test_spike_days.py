@@ -53,3 +53,31 @@ def test_spike_days_planted_boundary_gap_and_quiet(ray_session, tmp_path):
     assert row("b", 10) == (6, 0, 0)         # silence before: never spikes
     assert row("b", 11) == (1, 6, 0)         # 7 < 18
     assert row("b", 12) == (6, 7, 1)         # 42 ≥ 21; gap days added zero
+
+
+def test_trend_detect_planted_slopes(ray_session, tmp_path):
+    """trend_detect closed forms: a perfect +2/day ramp (slope_milli
+    exactly 2000), a perfect −1/day decline (−1000, exercising the
+    trunc-toward-zero negative branch), and a flat series (num 0,
+    rising 0)."""
+    from darc_ray.pipelines.queries import q_trend_detect
+
+    rows = []
+    # up: counts 2,4,6,8 on days 0-3 → slope exactly +2
+    for d in range(4):
+        rows += [("up", d, 2 * (d + 1))]
+    # down: counts 3,2,1 on days 10-12 → slope exactly −1
+    for i, d in enumerate(range(10, 13)):
+        rows += [("down", d, 3 - i)]
+    # flat: 5 on days 0,5 → num = 0
+    rows += [("flat", 0, 5), ("flat", 5, 5)]
+    _write_events(tmp_path, rows)
+
+    got = q_trend_detect(str(tmp_path)).set_index("event_type")
+    assert got.loc["up", "slope_milli"] == 2000
+    assert got.loc["up", "rising"] == 1
+    assert got.loc["down", "slope_milli"] == -1000
+    assert got.loc["down", "rising"] == 0
+    assert got.loc["flat", "slope_num"] == 0
+    assert got.loc["flat", "slope_milli"] == 0
+    assert got.loc["flat", "rising"] == 0
