@@ -625,6 +625,97 @@ def ensure_caption_blocklist_fixture(path: str = CAPTION_BLOCKLIST_FIXTURE) -> s
 MOJIBAKE_LITERALS = ("\u00c3\u00a9", "\u00c3\u00bc", "\u00c3\u00b1",
                      "\u00e2\u0080\u0099", "\u00e2\u0080\u009c")
 
+ENTITY_FIXTURE = "/tmp/darc_ray_fixtures/text_entities.parquet"
+
+
+def ensure_entity_fixture(path: str = ENTITY_FIXTURE) -> str:
+    """Deterministic HTML-entity-residue corpus (the sf documents
+    table carries no entities, so the gate needs planted positives):
+    280 docs of word soup seeded with named entities (&amp; &lt;
+    &nbsp; ...), decimal/hex numeric refs (&#65; &#x41;), DOUBLE-
+    escaped residue (&amp;amp; &amp;lt; — the tell of a pipeline that
+    escaped twice), and bare ampersands (AT&T, R&D) that must NOT
+    count; some docs clean, some lightly touched (under the flag
+    threshold), some entity-saturated.  Fixed path + atomic write +
+    always rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vocab = ("alpha beta gamma delta sigma lambda tensor vector matrix "
+             "stream batch shard merge scan probe build spill flush").split()
+    named = ["&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;", "&frac12;"]
+    numeric = ["&#65;", "&#8212;", "&#x41;", "&#x2014;"]
+    double = ["&amp;amp;", "&amp;lt;", "&amp;nbsp;"]
+    bare = ["AT&T", "R&D", "a & b"]
+    docs = []
+    for d in range(280):
+        rng = np.random.default_rng(9300 + d)
+        words = list(rng.choice(vocab, size=int(rng.integers(20, 60))))
+        kind = d % 5
+        if kind == 1:                          # light named: 1-3
+            for _ in range(int(rng.integers(1, 4))):
+                words.insert(int(rng.integers(0, len(words))),
+                             named[int(rng.integers(0, len(named)))])
+        elif kind == 2:                        # numeric refs: 1-4
+            for _ in range(int(rng.integers(1, 5))):
+                words.insert(int(rng.integers(0, len(words))),
+                             numeric[int(rng.integers(0, len(numeric)))])
+        elif kind == 3:                        # double-escape residue
+            for _ in range(int(rng.integers(1, 3))):
+                words.insert(int(rng.integers(0, len(words))),
+                             double[int(rng.integers(0, len(double)))])
+        elif kind == 4:                        # saturated multi-kind
+            for _ in range(int(rng.integers(6, 12))):
+                pool = named + numeric
+                words.insert(int(rng.integers(0, len(words))),
+                             pool[int(rng.integers(0, len(pool)))])
+        # every doc gets bare-& decoys that must not count
+        for _ in range(int(rng.integers(0, 3))):
+            words.insert(int(rng.integers(0, len(words))),
+                         bare[int(rng.integers(0, len(bare)))])
+        docs.append(" ".join(words))
+    table = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path
+
+
+def entity_features(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized HTML-entity-residue signals per doc: named /
+    decimal / hex entity counts (three DISJOINT patterns — prefixes
+    differ at the second character, so no alternation-order semantics
+    can diverge between re and RE2), double-escape count
+    (&amp;<name>; — overlaps the named count by construction, kept as
+    its own signal), entity character mass, per-mille over codepoint
+    length, and the gate flag (any double-escape OR >= 50 permille
+    entity mass)."""
+    n = texts.str.len().astype("int64")
+    named = texts.str.findall(r"&[a-zA-Z][a-zA-Z0-9]*;")
+    dec_e = texts.str.findall(r"&#[0-9]+;")
+    hex_e = texts.str.findall(r"&#[xX][0-9a-fA-F]+;")
+    n_named = named.map(len).astype("int64")
+    n_numeric = (dec_e.map(len) + hex_e.map(len)).astype("int64")
+    n_double = texts.str.count(r"&amp;[a-zA-Z][a-zA-Z0-9]*;").astype("int64")
+    chars = (named.map(lambda l: sum(map(len, l)))
+             + dec_e.map(lambda l: sum(map(len, l)))
+             + hex_e.map(lambda l: sum(map(len, l)))).astype("int64")
+    milli = (chars * 1000 // n.clip(lower=1)).astype("int64")
+    flag = ((n_double > 0) | (milli >= 50)).astype("int64")
+    return pd.DataFrame({
+        "n_chars": n, "n_named": n_named, "n_numeric": n_numeric,
+        "n_double": n_double, "entity_chars": chars,
+        "entity_milli": milli, "escaped": flag})
+
+
 MOJIBAKE_FIXTURE = "/tmp/darc_ray_fixtures/text_mojibake.parquet"
 
 

@@ -4513,6 +4513,64 @@ ORDER BY step
 """
 
 
+def q_entity_gate(sf_dir: str) -> pd.DataFrame:
+    """HTML-entity-residue gate (`mojibake_gate`'s markup sibling —
+    the ingest pass that catches text extracted without entity
+    decoding, and the DOUBLE-escaped residue of a pipeline that
+    escaped twice): per-doc named / decimal / hex entity counts
+    (three DISJOINT regexes, so Python-re vs RE2 alternation
+    semantics cannot diverge), `&amp;<name>;` double-escape count,
+    entity character mass and per-mille over codepoint length;
+    flagged on any double-escape OR ≥ 50‰ mass.  Bare ampersands
+    (AT&T, R&D) are planted decoys that must not count.  Stateless
+    zero-shuffle ``map_batches`` over the planted fixture (the sf
+    documents table carries no entities); all-integer output."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import ensure_entity_fixture, entity_features
+
+    path = ensure_entity_fixture()
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        out = entity_features(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].astype("int64").to_numpy())
+        return out
+
+    return (rd.read_parquet(path)
+            .map_batches(kernel, batch_format="pandas", batch_size=4096)
+            .to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_ENTITY_GATE = """
+WITH d AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         regexp_extract_all(text, '&[a-zA-Z][a-zA-Z0-9]*;') AS named,
+         regexp_extract_all(text, '&#[0-9]+;') AS dec_e,
+         regexp_extract_all(text, '&#[xX][0-9a-fA-F]+;') AS hex_e,
+         regexp_extract_all(text, '&amp;[a-zA-Z][a-zA-Z0-9]*;') AS dbl
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_entities.parquet')
+), m AS (
+  SELECT doc_id, n_chars,
+         len(named)::BIGINT AS n_named,
+         (len(dec_e) + len(hex_e))::BIGINT AS n_numeric,
+         len(dbl)::BIGINT AS n_double,
+         (coalesce(list_sum(list_transform(named, x -> length(x))), 0)
+          + coalesce(list_sum(list_transform(dec_e, x -> length(x))), 0)
+          + coalesce(list_sum(list_transform(hex_e, x -> length(x))), 0)
+         )::BIGINT AS entity_chars
+  FROM d
+)
+SELECT doc_id, n_chars, n_named, n_numeric, n_double, entity_chars,
+       (entity_chars * 1000 // greatest(n_chars, 1))::BIGINT
+           AS entity_milli,
+       CASE WHEN n_double > 0
+             OR entity_chars * 1000 // greatest(n_chars, 1) >= 50
+            THEN 1 ELSE 0 END::BIGINT AS escaped
+FROM m ORDER BY doc_id
+"""
+
+
 def q_mojibake_gate(sf_dir: str) -> pd.DataFrame:
     """Encoding-damage gate (the ingest pass a multilingual corpus
     runs before any tokenizer sees the text): per-doc counts of
@@ -13830,6 +13888,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "vocab_growth": q_vocab_growth,
     "source_overlap": q_source_overlap,
     "trend_detect": q_trend_detect,
+    "entity_gate": q_entity_gate,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -14075,6 +14134,7 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_growth": SQL_VOCAB_GROWTH,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "trend_detect": SQL_TREND_DETECT,
+    "entity_gate": SQL_ENTITY_GATE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,

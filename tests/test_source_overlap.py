@@ -34,3 +34,30 @@ def test_source_overlap_planted_matrix(ray_session, tmp_path):
         "n_both": [1, 1], "n_s1": [2, 2], "n_s2": [2, 1],
         "containment_milli": [500, 1000]})   # B∩C empty → no row
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_entity_features_decoys_and_double_escape():
+    """entity_features unit: bare ampersands never count; a
+    double-escaped entity counts once in n_named (the non-overlapping
+    scan stops after `&amp;`) and once in n_double; numeric dec/hex
+    split; mass and flag arithmetic exact."""
+    import pandas as pd
+
+    from darc_ray.functions.text import entity_features
+
+    texts = pd.Series([
+        "AT&T and R&D and a & b",                 # decoys only
+        "fish &amp; chips &lt;tag&gt;",           # 3 named
+        "&#65;&#x41; mix",                        # 1 dec + 1 hex
+        "&amp;amp; residue",                      # double escape
+    ])
+    f = entity_features(texts)
+    assert f.loc[0].tolist()[1:] == [0, 0, 0, 0, 0, 0]  # all-zero signals
+    assert f.loc[1, "n_named"] == 3
+    assert f.loc[1, "entity_chars"] == 5 + 4 + 4
+    assert f.loc[2, "n_numeric"] == 2
+    assert f.loc[2, "entity_chars"] == 5 + 6
+    # `&amp;amp;`: named scan matches `&amp;` once then sees "amp;"
+    assert f.loc[3, "n_named"] == 1
+    assert f.loc[3, "n_double"] == 1
+    assert f.loc[3, "escaped"] == 1
