@@ -3854,6 +3854,227 @@ ORDER BY pr.u, pr.v
 """
 
 
+def q_edge_embeddedness(sf_dir: str) -> pd.DataFrame:
+    """Per-edge EMBEDDEDNESS (common-neighbor count = triangles
+    through the edge) over the co-purchase graph — the link-strength /
+    spam-edge signal (an edge with zero common neighbors is a weak or
+    fabricated tie; a heavily-embedded edge is community-internal):
+    top-20 edges under the total order (emb DESC, u, v).  Reuses
+    `triangle_count`'s oriented-wedge machinery, but each CLOSED wedge
+    (a; b, c) now credits ALL THREE triangle edges (a,b) (a,c) (b,c),
+    so the per-edge counts need one (u,v)-keyed exchange of per-batch
+    combinered increments followed by per-partition local top-20s and
+    a k-bounded driver merge.  Threshold-routed like `triangle_count`:
+    below ``DARC_RAY_TRI_CAP`` the closure check is the packed-u64
+    broadcast (wedges never move — only closed-edge increments do);
+    above it the wedge stream carries its src through the (wu,wv)
+    closure exchange (the semantic cost of per-edge attribution) and
+    closed groups emit the increments partition-side.  Oracle: the
+    symmetric common-neighbor self-join."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    edges = _tri_graph(sf_dir)
+    n_edges = edges.count()
+    cap = int(os.environ.get("DARC_RAY_TRI_CAP", str(TRI_BROADCAST_CAP)))
+
+    def wedge_src_arrays(t: pa.Table):
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1])))
+        sizes = np.diff(np.concatenate((starts, [len(src)])))
+        b, c = _tri_pair_expand(dst, starts, sizes)
+        # src of each wedge: first-member index decoded the same way
+        a_idx = np.repeat(
+            np.arange(len(src), dtype=np.int64),
+            np.repeat(sizes, sizes) - 1
+            - (np.arange(len(src), dtype=np.int64)
+               - np.repeat(starts, sizes)))
+        a = src[a_idx]
+        return a, np.minimum(b, c), np.maximum(b, c)
+
+    def tri_edges_table(a, b, c):
+        """Closed triangles (a; b<c) → increment rows for all 3 edges
+        (u<v normalized), per-batch combined."""
+        u = np.concatenate([np.minimum(a, b), np.minimum(a, c), b])
+        v = np.concatenate([np.maximum(a, b), np.maximum(a, c), c])
+        g = (pa.table({"u": u, "v": v,
+                       "emb": np.ones(len(u), dtype=np.int64)})
+             .group_by(["u", "v"]).aggregate([("emb", "sum")]))
+        return g.rename_columns(["u", "v", "emb"])
+
+    if n_edges <= cap:
+        parts_keys = []
+        for bt in edges.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536):
+            eu = bt["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            ev = bt["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(eu) and (eu.max() >= (1 << 32) or ev.max() >= (1 << 32)):
+                raise ValueError("edge_embeddedness packed-key path needs "
+                                 "node ids < 2^32 (see triangle_count)")
+            parts_keys.append((eu << np.uint64(32)) | ev)
+        ekeys = np.sort(np.concatenate(parts_keys)) if parts_keys else \
+            np.empty(0, dtype=np.uint64)
+        eu = (ekeys >> np.uint64(32)).astype(np.int64)
+        ev = (ekeys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        nodes, d = np.unique(np.concatenate([eu, ev]), return_counts=True)
+        ref = ray.put((ekeys, nodes, d.astype(np.int64)))
+
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            _, nd, dd = ray.get(ref)
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            du = dd[np.searchsorted(nd, u)]
+            dv = dd[np.searchsorted(nd, v)]
+            take_u = (du < dv) | ((du == dv) & (u < v))
+            return pa.table({"src": np.where(take_u, u, v),
+                             "dst": np.where(take_u, v, u)})
+
+        ore = (edges.map_batches(orient_bcast, batch_format="pyarrow",
+                                 batch_size=65536)
+               .repartition(num_blocks=16, keys=["src"], sort=False))
+        ore.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        def closed_edge_partials(t: pa.Table) -> pa.Table:
+            keys, _, _ = ray.get(ref)
+            a, wu, wv = wedge_src_arrays(t)
+            if len(wu) == 0 or len(keys) == 0:
+                return pa.table({"u": np.empty(0, np.int64),
+                                 "v": np.empty(0, np.int64),
+                                 "emb": np.empty(0, np.int64)})
+            wk = (wu.astype(np.uint64) << np.uint64(32)) | \
+                wv.astype(np.uint64)
+            pos = np.minimum(np.searchsorted(keys, wk), len(keys) - 1)
+            hit = keys[pos] == wk
+            return tri_edges_table(a[hit], wu[hit], wv[hit])
+
+        inc = ore.map_batches(closed_edge_partials, batch_format="pyarrow",
+                              batch_size=None)
+    else:
+        # over-cap: degrees + orientation via the shared attach, then
+        # the wedge stream (with src) closes through a (wu,wv) exchange
+        def endpoint_partials(t: pa.Table) -> pa.Table:
+            node = np.concatenate([
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False)])
+            g = (pa.table({"node": node,
+                           "d": np.ones(len(node), dtype=np.int64)})
+                 .group_by(["node"]).aggregate([("d", "sum")]))
+            return g.rename_columns(["node", "d"])
+
+        deg = (edges.map_batches(endpoint_partials, batch_format="pyarrow",
+                                 batch_size=65536)
+               .repartition(num_blocks=8, keys=["node"], sort=False))
+        deg.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        deg = deg.map_batches(
+            lambda t: t.group_by(["node"]).aggregate([("d", "sum")])
+                       .rename_columns(["node", "val"]),
+            batch_format="pyarrow", batch_size=None)
+        att = _pair_attach_values(edges, [], deg)
+
+        def orient_pairs(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            du = t["val_u"].to_numpy(zero_copy_only=False)
+            dv = t["val_v"].to_numpy(zero_copy_only=False)
+            take_u = (du < dv) | ((du == dv) & (u < v))
+            return pa.table({"src": np.where(take_u, u, v),
+                             "dst": np.where(take_u, v, u)})
+
+        ore = (att.map_batches(orient_pairs, batch_format="pyarrow",
+                               batch_size=None)
+               .repartition(num_blocks=8, keys=["src"], sort=False))
+        ore.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        def wedge_rows(t: pa.Table) -> pa.Table:
+            a, wu, wv = wedge_src_arrays(t)
+            n = len(a)
+            return pa.table({"wu": wu, "wv": wv, "a": a,
+                             "is_edge": np.zeros(n, dtype=np.int64)})
+
+        def edge_markers(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({"wu": t["u"], "wv": t["v"],
+                             "a": np.zeros(n, dtype=np.int64),
+                             "is_edge": np.ones(n, dtype=np.int64)})
+
+        cl = (ore.map_batches(wedge_rows, batch_format="pyarrow",
+                              batch_size=None)
+              .union(edges.map_batches(edge_markers,
+                                       batch_format="pyarrow",
+                                       batch_size=65536))
+              .repartition(num_blocks=8, keys=["wu", "wv"], sort=False))
+        cl.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        def closed_edge_partials(t: pa.Table) -> pa.Table:
+            wu = t["wu"].to_numpy(zero_copy_only=False)
+            wv = t["wv"].to_numpy(zero_copy_only=False)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            ise = t["is_edge"].to_numpy(zero_copy_only=False)
+            if len(wu) == 0:
+                return pa.table({"u": np.empty(0, np.int64),
+                                 "v": np.empty(0, np.int64),
+                                 "emb": np.empty(0, np.int64)})
+            o = np.lexsort((wv, wu))
+            wu, wv, a, ise = wu[o], wv[o], a[o], ise[o]
+            grp_start = np.concatenate(
+                ([True], (wu[1:] != wu[:-1]) | (wv[1:] != wv[:-1])))
+            gid = np.cumsum(grp_start) - 1
+            has_edge = np.zeros(gid[-1] + 1, dtype=bool)
+            np.maximum.at(has_edge, gid, ise.astype(bool))
+            hit = has_edge[gid] & (ise == 0)
+            return tri_edges_table(a[hit], wu[hit], wv[hit])
+
+        inc = cl.map_batches(closed_edge_partials, batch_format="pyarrow",
+                             batch_size=None)
+
+    # zero-seed every edge so uncredited (weak-tie) edges still appear
+    zero = edges.map_batches(
+        lambda t: pa.table({"u": t["u"], "v": t["v"],
+                            "emb": np.zeros(t.num_rows, dtype=np.int64)}),
+        batch_format="pyarrow", batch_size=65536)
+    summed = (inc.union(zero)
+              .repartition(num_blocks=8, keys=["u", "v"], sort=False))
+    summed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["u", "v"]).aggregate([("emb", "sum")])
+             .rename_columns(["u", "v", "emb"]))
+        df = g.to_pandas()
+        df = df.sort_values(["emb", "u", "v"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (summed.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=None).to_pandas())
+    out = out.sort_values(["emb", "u", "v"], ascending=[False, True, True],
+                          kind="mergesort").head(20).reset_index(drop=True)
+    return out.astype({"u": np.int64, "v": np.int64, "emb": np.int64})
+
+
+SQL_EDGE_EMBEDDEDNESS = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+), sym AS (
+  SELECT u AS x, v AS y FROM edges UNION ALL SELECT v, u FROM edges
+), cn AS (
+  SELECT sa.x AS u, sb.x AS v, count(*)::BIGINT AS emb
+  FROM sym sa JOIN sym sb ON sa.y = sb.y AND sa.x < sb.x
+  GROUP BY sa.x, sb.x
+)
+SELECT e.u, e.v, coalesce(cn.emb, 0)::BIGINT AS emb
+FROM edges e LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+ORDER BY emb DESC, e.u, e.v LIMIT 20
+"""
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup CLUSTERING: connected components over the simhash
     near-pair graph, then every document labeled with its component's
@@ -13889,6 +14110,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "source_overlap": q_source_overlap,
     "trend_detect": q_trend_detect,
     "entity_gate": q_entity_gate,
+    "edge_embeddedness": q_edge_embeddedness,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -14135,6 +14357,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "trend_detect": SQL_TREND_DETECT,
     "entity_gate": SQL_ENTITY_GATE,
+    "edge_embeddedness": SQL_EDGE_EMBEDDEDNESS,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,

@@ -21,7 +21,10 @@ RUNGS = [("incremental_dedup", "DARC_RAY_INCR_DEDUP_CAP"),
          ("triangle_count", "DARC_RAY_TRI_CAP"),
          # item-support attach via the tagged-union exchange instead of
          # the sorted-array broadcast
-         ("part_affinity", "DARC_RAY_PA_CAP")]
+         ("part_affinity", "DARC_RAY_PA_CAP"),
+         # src-carrying wedge stream through the (wu,wv) closure
+         # exchange instead of the packed-u64 broadcast
+         ("edge_embeddedness", "DARC_RAY_TRI_CAP")]
 
 
 @pytest.fixture(scope="module")

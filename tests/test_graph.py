@@ -164,3 +164,29 @@ def test_triangle_count_planted_k4_plus_pendant(ray_session, tmp_path,
     monkeypatch.setenv("DARC_RAY_TRI_CAP", "0")
     got_join = q_triangle_count(str(tmp_path)).iloc[0].to_dict()
     assert got_join == want
+
+
+def test_edge_embeddedness_planted_k4_plus_pendant(ray_session, tmp_path,
+                                                   monkeypatch):
+    """K4 ⊕ pendant closed form: every K4 edge has exactly 2 common
+    neighbors, the pendant (4,5) has 0 — both rungs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from darc_ray.pipelines.queries import q_edge_embeddedness
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    ok, pk = [], []
+    for i, (u, v) in enumerate(edges):
+        ok += [i, i]
+        pk += [u, v]
+    pq.write_table(pa.table({"l_orderkey": np.asarray(ok, dtype=np.int64),
+                             "l_partkey": np.asarray(pk, dtype=np.int64)}),
+                   tmp_path / "lineitem.parquet")
+    want = [(1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2),
+            (3, 4, 2), (4, 5, 0)]
+    got = q_edge_embeddedness(str(tmp_path))
+    assert list(map(tuple, got.values.tolist())) == want
+    monkeypatch.setenv("DARC_RAY_TRI_CAP", "0")
+    got_join = q_edge_embeddedness(str(tmp_path))
+    assert list(map(tuple, got_join.values.tolist())) == want
