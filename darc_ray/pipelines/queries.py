@@ -5765,6 +5765,59 @@ FROM st ORDER BY image_id
 """
 
 
+def q_image_entropy(sf_dir: str) -> pd.DataFrame:
+    """Luma-histogram entropy gate (information content per image —
+    the flat/posterized-junk signal `image_edge_density`'s gradient
+    misses in the other direction: smooth gradients are edge-flat but
+    entropy-rich, two-tone patterns edge-dense but entropy-poor) over
+    the planted-borders fixture; per-class micro-nat floor before the
+    sum (the `char_entropy` rule) makes it bit-exact vs the DuckDB
+    hex-walk oracle.  Stateless zero-shuffle."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_borders_fixture,
+                                            image_entropy_batch)
+
+    path = ensure_image_borders_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_entropy_batch, batch_format="pyarrow",
+                        batch_size=64)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_ENTROPY = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_borders.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id, r.w * r.ht AS n,
+         (299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+          + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+          + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT
+         ) // 1000 AS lev
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), cnt AS (
+  SELECT image_id, any_value(n) AS n, lev, count(*)::BIGINT AS c
+  FROM px GROUP BY image_id, lev
+), ent AS (
+  SELECT image_id, any_value(n)::BIGINT AS n_px,
+         count(*)::BIGINT AS n_levels,
+         sum(CAST(floor((c::DOUBLE / n) * ln(n::DOUBLE / c) * 1e6)
+                  AS BIGINT))::BIGINT AS entropy_unats
+  FROM cnt GROUP BY image_id
+)
+SELECT image_id, n_px, n_levels, entropy_unats,
+       CASE WHEN entropy_unats >= 3000000 THEN 1 ELSE 0 END::BIGINT
+           AS textured
+FROM ent ORDER BY image_id
+"""
+
+
 def q_image_edge_density(sf_dir: str) -> pd.DataFrame:
     """Integer sharpness/blur gate (milli-luma gradient sum over the
     interior, per-mille density + threshold flag) over the
@@ -14111,6 +14164,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "trend_detect": q_trend_detect,
     "entity_gate": q_entity_gate,
     "edge_embeddedness": q_edge_embeddedness,
+    "image_entropy": q_image_entropy,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -14358,6 +14412,7 @@ ORACLE_SQL: dict[str, str] = {
     "trend_detect": SQL_TREND_DETECT,
     "entity_gate": SQL_ENTITY_GATE,
     "edge_embeddedness": SQL_EDGE_EMBEDDEDNESS,
+    "image_entropy": SQL_IMAGE_ENTROPY,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,

@@ -750,6 +750,45 @@ def image_color_stats_batch(batch: "pa.Table") -> "pa.Table":
                                   "low_complexity", "keep")]))
 
 
+def image_entropy_batch(batch: "pa.Table") -> "pa.Table":
+    """Luma-histogram ENTROPY gate over raw-pixel payloads — the
+    information-content complement of `image_edge_density` (a smooth
+    full-range gradient is edge-flat but entropy-rich; a two-tone
+    checkerboard is edge-dense but entropy-poor): per image, bucket
+    BT.601 milli-luma (299r+587g+114b) into 256 levels (//1000), then
+    H = Σ (c/N)·ln(N/c) with every class term floored to integer
+    MICRO-NATS before the sum (the `char_entropy` quantization rule —
+    order-independent, bit-matched by the SQL hex-walk oracle).
+    Output: n_px, distinct levels, entropy micro-nats, and `textured`
+    (≥ 3 nats — the planted posterized flavors sit at ln(8)≈2.08 nats,
+    real textures ≥ 3.7; flat/posterized junk falls below).  Stateless
+    ``map_batches``, no shuffle."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "n_px", "n_levels", "entropy_unats", "textured")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        gm = (299 * pix[..., 0] + 587 * pix[..., 1]
+              + 114 * pix[..., 2]) // 1000
+        n = gm.size
+        _, counts = np.unique(gm, return_counts=True)
+        c = counts.astype(np.float64)
+        term = np.floor((c / n) * np.log(n / c) * 1e6).astype(np.int64)
+        ent = int(term.sum())
+        out["image_id"].append(iid)
+        out["n_px"].append(n)
+        out["n_levels"].append(len(counts))
+        out["entropy_unats"].append(ent)
+        out["textured"].append(int(ent >= 3_000_000))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_px", "n_levels", "entropy_unats",
+                                  "textured")]))
+
+
 def image_edge_density_batch(batch: "pa.Table") -> "pa.Table":
     """Integer sharpness/blur gate over raw-pixel payloads: per pixel,
     milli-luma gradient = |gm(y,x)−gm(y,x+1)| + |gm(y,x)−gm(y+1,x)|

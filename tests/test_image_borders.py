@@ -109,3 +109,28 @@ def test_fixture_planted_flavors_roundtrip():
     assert dc.loc["bdr-solid", "share_milli"] == 1000
     assert (dc.loc[dc.index.str.endswith("-plain"),
                    "dominant_heavy"] == 0).all()
+
+
+def test_image_entropy_closed_forms(ray_session):
+    """Kernel unit: a solid image has entropy exactly 0 (one class); a
+    half/half two-level image lands at 2·floor(0.5·ln2·1e6) = 693146
+    micro-nats (per-class floor BEFORE the sum — the char_entropy
+    rule); posterized fixture rows gate below 3 nats, textures above."""
+    import numpy as np
+    import pyarrow as pa
+
+    from darc_ray.functions.image import raw_encode
+    from darc_ray.stages.multimodal import image_entropy_batch
+
+    solid = np.full((8, 8, 3), 100, dtype=np.uint8)
+    half = np.zeros((8, 8, 3), dtype=np.uint8)
+    half[:4] = 255
+    t = image_entropy_batch(pa.table({
+        "image_id": ["solid", "half"],
+        "bytes": [raw_encode(solid), raw_encode(half)]}))
+    d = {r["image_id"]: r for r in t.to_pylist()}
+    assert d["solid"]["entropy_unats"] == 0
+    assert d["solid"]["n_levels"] == 1
+    assert d["half"]["entropy_unats"] == 693146
+    assert d["half"]["n_levels"] == 2
+    assert d["half"]["textured"] == 0
