@@ -3316,22 +3316,29 @@ TRI_BROADCAST_CAP = 10_000_000      # max edges shipped as a packed-u64 array
 
 
 def _tri_pair_expand(p: np.ndarray, starts: np.ndarray,
-                     sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                     sizes: np.ndarray, return_first_idx: bool = False):
     """All within-group ordered pairs (i<j) of a group-sorted array —
     fully vectorized (repeat + run-offset index arithmetic, no per-group
     Python loop).  `p` must be sorted within each group; returns
-    (first, second) value arrays with first < second positionally."""
+    (first, second) value arrays with first < second positionally.
+    With ``return_first_idx`` also returns each pair's first-member
+    GLOBAL index (so callers needing the group's other columns don't
+    re-derive the repeat arrays — `edge_embeddedness` reads the wedge
+    src through it)."""
     n = len(p)
     local = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
     c = np.repeat(sizes, sizes) - 1 - local      # partners after each elem
     total = int(c.sum())
     if total == 0:
         e = np.empty(0, dtype=p.dtype)
-        return e, e
+        ix = np.empty(0, dtype=np.int64)
+        return (e, e, ix) if return_first_idx else (e, e)
     a_idx = np.repeat(np.arange(n, dtype=np.int64), c)
     run_start = np.concatenate(([0], np.cumsum(c)[:-1]))
     off = np.arange(total, dtype=np.int64) - np.repeat(run_start, c)
     b_idx = a_idx + 1 + off
+    if return_first_idx:
+        return p[a_idx], p[b_idx], a_idx
     return p[a_idx], p[b_idx]
 
 
@@ -3886,15 +3893,9 @@ def q_edge_embeddedness(sf_dir: str) -> pd.DataFrame:
         starts = np.flatnonzero(
             np.concatenate(([True], src[1:] != src[:-1])))
         sizes = np.diff(np.concatenate((starts, [len(src)])))
-        b, c = _tri_pair_expand(dst, starts, sizes)
-        # src of each wedge: first-member index decoded the same way
-        a_idx = np.repeat(
-            np.arange(len(src), dtype=np.int64),
-            np.repeat(sizes, sizes) - 1
-            - (np.arange(len(src), dtype=np.int64)
-               - np.repeat(starts, sizes)))
-        a = src[a_idx]
-        return a, np.minimum(b, c), np.maximum(b, c)
+        b, c, a_idx = _tri_pair_expand(dst, starts, sizes,
+                                       return_first_idx=True)
+        return src[a_idx], np.minimum(b, c), np.maximum(b, c)
 
     def tri_edges_table(a, b, c):
         """Closed triangles (a; b<c) → increment rows for all 3 edges
