@@ -4375,6 +4375,211 @@ FROM mins GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_lsh_recall_audit(sf_dir: str) -> pd.DataFrame:
+    """LSH RECALL/PRECISION AUDIT — the eval every banded-dedup
+    pipeline owes its users: how many of the EXACT Jaccard-≥0.5 pairs
+    does a (deliberately cheap) 8-perm × 4-band × 2-row MinHash LSH
+    actually surface, and how much of its candidate volume is wasted
+    verify work?  Ground truth comes from the distributed exact
+    inverted-index join (`ngram_jaccard_join`, threshold 0.5);
+    candidates from the SQL-reproducible md5-XOR signature flavor
+    (`minhash_signatures`' hasher — no RNG state, so the ORACLE
+    re-derives the whole candidate set, not just the truth side) with
+    band_hash = md5(sig_2b ‖ ':' ‖ sig_2b+1) — banding is ONE
+    (band, band_hash)-keyed exchange, pairing per partition, exactly
+    the production shuffle shape.  The two pair sets reconcile through
+    one (a,b)-keyed tagged-union exchange (per-partition reduceat —
+    nothing pair-scaled on the driver).  Single all-integer row:
+    n_true, n_cand, n_hit, recall_milli, precision_milli.  Docs under
+    3 tokens have no signature and can never be candidates — a REAL
+    recall hole the audit reports rather than hides."""
+    import hashlib
+
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.stages.dedup import ngram_jaccard_join
+
+    n, n_perm, n_bands = 3, 8, 4
+    masks = np.array([int.from_bytes(hashlib.md5(f"perm:{i}".encode())
+                                     .digest()[:8], "big")
+                      for i in range(n_perm)], dtype=np.uint64)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df.set_index("doc_id")["text"]
+        toks = texts.str.strip()
+        toks = toks[toks != ""].str.split()
+        ids, grams = [], []
+        for doc_id, t in toks.items():
+            if len(t) < n:
+                continue
+            g = {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+            ids.extend([doc_id] * len(g))
+            grams.extend(g)
+        if not ids:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "band_hash": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        uniq = pd.unique(pd.Series(grams))
+        hmap = {s: int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                  "big") for s in uniq}
+        h = np.array([hmap[s] for s in grams], dtype=np.uint64)
+        frame = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64)})
+        for i in range(n_perm):
+            frame[f"sig{i}"] = ((h ^ masks[i]) >> np.uint64(1)) \
+                .astype(np.int64)
+        sigs = frame.groupby("doc_id", as_index=False).min()
+        rows_b, rows_h, rows_d = [], [], []
+        for r in sigs.itertuples(index=False):
+            for b in range(n_bands):
+                s0 = getattr(r, f"sig{2 * b}")
+                s1 = getattr(r, f"sig{2 * b + 1}")
+                bh = int.from_bytes(
+                    hashlib.md5(f"{s0}:{s1}".encode()).digest()[:8],
+                    "big") >> 1
+                rows_b.append(b)
+                rows_h.append(bh)
+                rows_d.append(r.doc_id)
+        return pd.DataFrame({
+            "band": np.asarray(rows_b, dtype=np.int64),
+            "band_hash": np.asarray(rows_h, dtype=np.int64),
+            "doc_id": np.asarray(rows_d, dtype=np.int64)})
+
+    bands = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(band_rows, batch_format="pandas",
+                          batch_size=4096)
+             .repartition(num_blocks=8, keys=["band", "band_hash"],
+                          sort=False))
+    bands.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band", "band_hash"]):
+            if len(g) < 2:
+                continue
+            ids = sorted(set(g["doc_id"].tolist()))
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+        return (pd.DataFrame({"a": np.asarray(out_a, dtype=np.int64),
+                              "b": np.asarray(out_b, dtype=np.int64)})
+                .drop_duplicates())
+
+    cand = bands.map_batches(bucket_pairs, batch_format="pandas",
+                             batch_size=None)
+
+    truth = ngram_jaccard_join(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=3,
+        threshold=0.5)[["a", "b"]]
+    import ray.data as rd
+
+    truth_ds = rd.from_pandas(truth.astype(np.int64)).map_batches(
+        lambda df: df.assign(is_true=np.int64(1), is_cand=np.int64(0)),
+        batch_format="pandas")
+    cand_t = cand.map_batches(
+        lambda df: df.assign(is_true=np.int64(0), is_cand=np.int64(1)),
+        batch_format="pandas")
+    un = (truth_ds.union(cand_t)
+          .repartition(num_blocks=8, keys=["a", "b"], sort=False))
+    un.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def reconcile(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n_true": [0], "n_cand": [0],
+                                 "n_hit": [0]}).astype(np.int64)
+        g = df.groupby(["a", "b"], as_index=False).agg(
+            t=("is_true", "max"), c=("is_cand", "max"))
+        return pd.DataFrame({
+            "n_true": [int(g["t"].sum())],
+            "n_cand": [int(g["c"].sum())],
+            "n_hit": [int((g["t"] & g["c"]).sum())]}).astype(np.int64)
+
+    parts = un.map_batches(reconcile, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    n_true = int(parts["n_true"].sum())
+    n_cand = int(parts["n_cand"].sum())
+    n_hit = int(parts["n_hit"].sum())
+    return pd.DataFrame({
+        "n_true": np.asarray([n_true], dtype=np.int64),
+        "n_cand": np.asarray([n_cand], dtype=np.int64),
+        "n_hit": np.asarray([n_hit], dtype=np.int64),
+        "recall_milli": np.asarray(
+            [(1000 * n_hit) // n_true if n_true else 0], dtype=np.int64),
+        "precision_milli": np.asarray(
+            [(1000 * n_hit) // n_cand if n_cand else 0], dtype=np.int64)})
+
+
+SQL_LSH_RECALL_AUDIT = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 16))::UBIGINT
+           AS h
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), masks AS (
+  SELECT i, ('0x' || substr(md5('perm:' || i), 1, 16))::UBIGINT AS m
+  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+), mins AS (
+  SELECT g.doc_id, k.i, (min(xor(g.h, k.m)) >> 1)::BIGINT AS sig
+  FROM grams g CROSS JOIN masks k GROUP BY g.doc_id, k.i
+), sigs AS (
+  SELECT doc_id,
+         max(CASE WHEN i = 0 THEN sig END) AS s0,
+         max(CASE WHEN i = 1 THEN sig END) AS s1,
+         max(CASE WHEN i = 2 THEN sig END) AS s2,
+         max(CASE WHEN i = 3 THEN sig END) AS s3,
+         max(CASE WHEN i = 4 THEN sig END) AS s4,
+         max(CASE WHEN i = 5 THEN sig END) AS s5,
+         max(CASE WHEN i = 6 THEN sig END) AS s6,
+         max(CASE WHEN i = 7 THEN sig END) AS s7
+  FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b,
+         (('0x' || substr(md5(CASE b
+              WHEN 0 THEN s0::VARCHAR || ':' || s1::VARCHAR
+              WHEN 1 THEN s2::VARCHAR || ':' || s3::VARCHAR
+              WHEN 2 THEN s4::VARCHAR || ':' || s5::VARCHAR
+              ELSE s6::VARCHAR || ':' || s7::VARCHAR END),
+            1, 16))::UBIGINT >> 1)::BIGINT AS bh
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+), sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_transform(range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           END) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents WHERE trim(text) <> '')
+), tru AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           len(list_intersect(x.shingles, y.shingles))::DOUBLE
+             / (len(x.shingles) + len(y.shingles)
+                - len(list_intersect(x.shingles, y.shingles))) AS raw
+    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+    WHERE len(list_intersect(x.shingles, y.shingles)) > 0
+  ) WHERE raw >= 0.5
+), agg AS (
+  SELECT (SELECT count(*) FROM tru)::BIGINT AS n_true,
+         (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+         (SELECT count(*) FROM tru JOIN cand USING (a, b))::BIGINT AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+       CASE WHEN n_true > 0 THEN (1000 * n_hit) // n_true
+            ELSE 0 END::BIGINT AS recall_milli,
+       CASE WHEN n_cand > 0 THEN (1000 * n_hit) // n_cand
+            ELSE 0 END::BIGINT AS precision_milli
+FROM agg
+"""
+
+
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash LSH candidates verified by exact Jaccard ≥ 0.5.
 
@@ -14166,6 +14371,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "entity_gate": q_entity_gate,
     "edge_embeddedness": q_edge_embeddedness,
     "image_entropy": q_image_entropy,
+    "lsh_recall_audit": q_lsh_recall_audit,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -14414,6 +14620,7 @@ ORACLE_SQL: dict[str, str] = {
     "entity_gate": SQL_ENTITY_GATE,
     "edge_embeddedness": SQL_EDGE_EMBEDDEDNESS,
     "image_entropy": SQL_IMAGE_ENTROPY,
+    "lsh_recall_audit": SQL_LSH_RECALL_AUDIT,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
