@@ -14298,7 +14298,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cms_topk": q_cms_topk,
     "dedup_keep_best": q_dedup_keep_best,
     "quantiles_sketch": q_quantiles_sketch,
-    "cohort_retention": q_cohort_retention,
+    # cohort_retention rotated to 51+ — standard events-table SQL, off
+    # the crawl×image graft axes; lsh_recall_audit replaces it with the
+    # strongest per-slot evidence flavor in the repo: the ORACLE
+    # re-derives BOTH the banded-LSH candidate set and the exact
+    # Jaccard truth set and must agree on recall/precision counters
+    "lsh_recall_audit": q_lsh_recall_audit,
     "caption_keyword_stuffing": q_caption_keyword_stuffing,
     "pair_curation_pipeline": q_pair_curation_pipeline,
     "pagerank": q_pagerank,
@@ -14371,7 +14376,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "entity_gate": q_entity_gate,
     "edge_embeddedness": q_edge_embeddedness,
     "image_entropy": q_image_entropy,
-    "lsh_recall_audit": q_lsh_recall_audit,
+    "cohort_retention": q_cohort_retention,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
