@@ -4375,6 +4375,56 @@ FROM mins GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _audit_reconcile(truth_df: pd.DataFrame, cand_ds,
+                     n_blocks: int = 8) -> pd.DataFrame:
+    """Shared recall-audit reconcile: union the truth pair set (small
+    driver DataFrame with columns a, b — already the verified output of
+    an exact machine) with the candidate pair Dataset under is_true /
+    is_cand tags, hash-exchange on (a, b) so every pair's rows
+    co-locate, and reduce each partition to three int64 counters
+    (n_true / n_cand / n_hit).  Nothing pair-scaled ever aggregates on
+    the driver — only the per-partition counter rows return, summed
+    into the single all-integer audit row (counts + recall/precision
+    per-mille)."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    truth_ds = rd.from_pandas(truth_df.astype(np.int64)).map_batches(
+        lambda df: df.assign(is_true=np.int64(1), is_cand=np.int64(0)),
+        batch_format="pandas")
+    cand_t = cand_ds.map_batches(
+        lambda df: df.assign(is_true=np.int64(0), is_cand=np.int64(1)),
+        batch_format="pandas")
+    un = (truth_ds.union(cand_t)
+          .repartition(num_blocks=n_blocks, keys=["a", "b"], sort=False))
+    un.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def reconcile(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n_true": [0], "n_cand": [0],
+                                 "n_hit": [0]}).astype(np.int64)
+        g = df.groupby(["a", "b"], as_index=False).agg(
+            t=("is_true", "max"), c=("is_cand", "max"))
+        return pd.DataFrame({
+            "n_true": [int(g["t"].sum())],
+            "n_cand": [int(g["c"].sum())],
+            "n_hit": [int((g["t"] & g["c"]).sum())]}).astype(np.int64)
+
+    parts = un.map_batches(reconcile, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    n_true = int(parts["n_true"].sum())
+    n_cand = int(parts["n_cand"].sum())
+    n_hit = int(parts["n_hit"].sum())
+    return pd.DataFrame({
+        "n_true": np.asarray([n_true], dtype=np.int64),
+        "n_cand": np.asarray([n_cand], dtype=np.int64),
+        "n_hit": np.asarray([n_hit], dtype=np.int64),
+        "recall_milli": np.asarray(
+            [(1000 * n_hit) // n_true if n_true else 0], dtype=np.int64),
+        "precision_milli": np.asarray(
+            [(1000 * n_hit) // n_cand if n_cand else 0], dtype=np.int64)})
+
+
 def q_lsh_recall_audit(sf_dir: str) -> pd.DataFrame:
     """LSH RECALL/PRECISION AUDIT — the eval every banded-dedup
     pipeline owes its users: how many of the EXACT Jaccard-≥0.5 pairs
@@ -4471,42 +4521,7 @@ def q_lsh_recall_audit(sf_dir: str) -> pd.DataFrame:
     truth = ngram_jaccard_join(
         _read(sf_dir, "documents", ["doc_id", "text"]), k=3,
         threshold=0.5)[["a", "b"]]
-    import ray.data as rd
-
-    truth_ds = rd.from_pandas(truth.astype(np.int64)).map_batches(
-        lambda df: df.assign(is_true=np.int64(1), is_cand=np.int64(0)),
-        batch_format="pandas")
-    cand_t = cand.map_batches(
-        lambda df: df.assign(is_true=np.int64(0), is_cand=np.int64(1)),
-        batch_format="pandas")
-    un = (truth_ds.union(cand_t)
-          .repartition(num_blocks=8, keys=["a", "b"], sort=False))
-    un.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-
-    def reconcile(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"n_true": [0], "n_cand": [0],
-                                 "n_hit": [0]}).astype(np.int64)
-        g = df.groupby(["a", "b"], as_index=False).agg(
-            t=("is_true", "max"), c=("is_cand", "max"))
-        return pd.DataFrame({
-            "n_true": [int(g["t"].sum())],
-            "n_cand": [int(g["c"].sum())],
-            "n_hit": [int((g["t"] & g["c"]).sum())]}).astype(np.int64)
-
-    parts = un.map_batches(reconcile, batch_format="pandas",
-                           batch_size=None).to_pandas()
-    n_true = int(parts["n_true"].sum())
-    n_cand = int(parts["n_cand"].sum())
-    n_hit = int(parts["n_hit"].sum())
-    return pd.DataFrame({
-        "n_true": np.asarray([n_true], dtype=np.int64),
-        "n_cand": np.asarray([n_cand], dtype=np.int64),
-        "n_hit": np.asarray([n_hit], dtype=np.int64),
-        "recall_milli": np.asarray(
-            [(1000 * n_hit) // n_true if n_true else 0], dtype=np.int64),
-        "precision_milli": np.asarray(
-            [(1000 * n_hit) // n_cand if n_cand else 0], dtype=np.int64)})
+    return _audit_reconcile(truth, cand)
 
 
 SQL_LSH_RECALL_AUDIT = """
@@ -5145,6 +5160,129 @@ SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(x.embedding, y.embedding), 6) AS cosine
 FROM aug x JOIN aug y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+"""
+
+
+def q_ann_recall_audit(sf_dir: str) -> pd.DataFrame:
+    """ANN RECALL/PRECISION AUDIT — `lsh_recall_audit`'s embedding
+    sibling, run at the BROAD threshold where hyperplane LSH is
+    honestly weak: of the exact cosine-≥0.4 pairs (the block-tile
+    machine behind `embedding_dups` — on these tables that is a broad-
+    similarity regime, max pair cosine ≈ 0.5), how many collide in ANY
+    band of a 4-band × 4-plane signed-random-projection scheme, and
+    how much bucket-pair volume that costs?  The hyperplanes are
+    `lsh_partition`'s md5-parity Rademacher signs extended to 16 planes
+    (exact int64 projections of 1e-6-quantized embeddings — no float
+    ordering hazard, fully SQL-re-derivable, so the ORACLE rebuilds the
+    whole candidate set too).  Candidates ride ONE (band, bucket)
+    exchange (64 groups) with per-partition pairing; the reconcile is
+    the shared (a, b)-keyed tagged-union exchange.  Expected shape at
+    θ = arccos(0.4): per-plane collision 1 − θ/π ≈ 0.63 → recall
+    ≈ 1 − (1 − 0.63⁴)⁴ ≈ 0.5, while near-orthogonal mass floods the
+    buckets (precision per-mille in the single digits) — the audit
+    QUANTIFIES why real pipelines reserve banded hyperplane LSH for
+    ≥ 0.9 thresholds and verify every candidate."""
+    import hashlib
+
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.stages.dedup import embedding_dup_pairs_auto
+
+    n_planes, band_width = 16, 4
+    signs = np.array([[1 - 2 * (int(hashlib.md5(f"{j}:{d}".encode())
+                                     .hexdigest()[:2], 16) % 2)
+                       for d in range(64)] for j in range(n_planes)],
+                     dtype=np.int64)
+
+    def band_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        bits = (q @ signs.T >= 0).astype(np.int64)          # exact int64
+        n_bands = n_planes // band_width
+        ids = df["vec_id"].to_numpy(np.int64)
+        out = []
+        for b in range(n_bands):
+            chunk = bits[:, b * band_width:(b + 1) * band_width]
+            bucket = (chunk << np.arange(band_width,
+                                         dtype=np.int64)).sum(axis=1)
+            out.append(pd.DataFrame({
+                "band": np.full(len(ids), b, dtype=np.int64),
+                "bucket": bucket, "vec_id": ids}))
+        return pd.concat(out, ignore_index=True)
+
+    bands = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+             .map_batches(band_buckets, batch_format="pandas",
+                          batch_size=4096)
+             .repartition(num_blocks=8, keys=["band", "bucket"],
+                          sort=False))
+    bands.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band", "bucket"]):
+            if len(g) < 2:
+                continue
+            ids = np.unique(g["vec_id"].to_numpy(np.int64))
+            iu = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu[0]])
+            out_b.append(ids[iu[1]])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return (pd.DataFrame({"a": np.concatenate(out_a),
+                              "b": np.concatenate(out_b)})
+                .drop_duplicates())
+
+    cand = bands.map_batches(bucket_pairs, batch_format="pandas",
+                             batch_size=None)
+
+    truth = embedding_dup_pairs_auto(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.4, block_rows=1024)[["a", "b"]]
+    return _audit_reconcile(truth, cand)
+
+
+SQL_ANN_RECALL_AUDIT = """
+WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+planes AS (SELECT unnest(generate_series(0, 15)) AS j),
+signs AS (
+  SELECT p.j, t.d,
+         1 - 2 * (('0x' || substr(md5(p.j::VARCHAR || ':' || t.d::VARCHAR),
+                   1, 2))::BIGINT % 2) AS s
+  FROM planes p CROSS JOIN dims t
+), q AS (
+  SELECT vec_id, t.d,
+         CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings CROSS JOIN dims t
+), proj AS (
+  SELECT q.vec_id, s.j, sum(q.v * s.s)::BIGINT AS p
+  FROM q JOIN signs s USING (d) GROUP BY q.vec_id, s.j
+), buckets AS (
+  SELECT vec_id, j // 4 AS band,
+         sum(CASE WHEN p >= 0 THEN (1::BIGINT << (j % 4))
+             ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id, j // 4
+), cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+), tru AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+                               y.embedding::DOUBLE[]) >= 0.4
+), agg AS (
+  SELECT (SELECT count(*) FROM tru)::BIGINT AS n_true,
+         (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+         (SELECT count(*) FROM tru JOIN cand USING (a, b))::BIGINT AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+       CASE WHEN n_true > 0 THEN (1000 * n_hit) // n_true
+            ELSE 0 END::BIGINT AS recall_milli,
+       CASE WHEN n_cand > 0 THEN (1000 * n_hit) // n_cand
+            ELSE 0 END::BIGINT AS precision_milli
+FROM agg
 """
 
 
@@ -14377,6 +14515,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "edge_embeddedness": q_edge_embeddedness,
     "image_entropy": q_image_entropy,
     "cohort_retention": q_cohort_retention,
+    "ann_recall_audit": q_ann_recall_audit,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -14626,6 +14765,7 @@ ORACLE_SQL: dict[str, str] = {
     "edge_embeddedness": SQL_EDGE_EMBEDDEDNESS,
     "image_entropy": SQL_IMAGE_ENTROPY,
     "lsh_recall_audit": SQL_LSH_RECALL_AUDIT,
+    "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
