@@ -184,3 +184,50 @@ def parse_batch(urls: list[str]) -> dict[str, list]:
         host[i] = p.host
         base_host[i] = p.base_host
     return {"proxy": proxy, "scheme": scheme, "host": host, "base_host": base_host}
+
+
+TRACKING_PARAM_PAT = r"^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)="
+
+
+def canonicalize_urls(urls):
+    """Vectorized frontier-hygiene URL canonicalization (pd.Series →
+    DataFrame[canon, n_stripped]) — the collapse rule layered ABOVE the
+    engine's exact URL-seen dedup (`state/frontier.py` stores exact
+    URLs; this measures how many frontier entries are the same page in
+    disguise).  Rules, each mirrored verbatim by the family's SQL
+    oracle: lowercase scheme+host; strip the scheme's default port
+    (:80 / :443); drop the fragment; drop tracking params whose KEY
+    matches ``TRACKING_PARAM_PAT`` (the ``=`` anchor means
+    ``referrer=`` survives — `ref` is a prefix, not the key); sort the
+    surviving ``k=v`` segments bytewise; path untouched (case and
+    trailing-slash significant).  One anchored regex split + explode /
+    sort / groupby-join — no Python loop over rows."""
+    import numpy as np
+    import pandas as pd
+
+    parts = urls.str.extract(
+        r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?"
+        r"(?:#.*)?$")
+    scheme = parts[0].str.lower()
+    host = parts[1].str.lower()
+    host = pd.Series(
+        np.where(scheme.eq("http"),
+                 host.str.replace(r":80$", "", regex=True),
+                 np.where(scheme.eq("https"),
+                          host.str.replace(r":443$", "", regex=True),
+                          host)),
+        index=urls.index)
+    base = scheme + "://" + host + parts[2].fillna("")
+
+    seg = parts[3].fillna("").str.split("&").explode()
+    seg = seg[seg.ne("")]
+    kept = seg[~seg.str.match(TRACKING_PARAM_PAT)]
+    n_stripped = (seg.groupby(level=0).size()
+                  .sub(kept.groupby(level=0).size(), fill_value=0)
+                  .reindex(urls.index, fill_value=0).astype(np.int64))
+    joined = (pd.DataFrame({"i": kept.index, "p": kept.to_numpy()})
+              .sort_values(["i", "p"], kind="mergesort")
+              .groupby("i")["p"].agg("&".join)
+              .reindex(urls.index))
+    canon = base + np.where(joined.notna(), "?" + joined.fillna(""), "")
+    return pd.DataFrame({"canon": canon, "n_stripped": n_stripped})

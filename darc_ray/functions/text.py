@@ -859,3 +859,75 @@ def ensure_stitch_fixture(path: str = STITCH_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+URL_FIXTURE = "/tmp/darc_ray_fixtures/urls.parquet"
+
+
+def ensure_url_fixture(path: str = URL_FIXTURE) -> str:
+    """Deterministic URL-variant corpus for the canonicalization-dedup
+    family (the driver tables carry no URL column): 60 canonical pages
+    (10 hosts × 6 paths, some with real query params), each emitted in
+    1-4 planted variants — tracking params injected (utm_* / fbclid /
+    gclid / ref / mc_cid / mc_eid) in shuffled order, host upper-cased,
+    default port (:80 / :443) spelled out, fragments appended — plus
+    decoys that must NOT collapse or strip: a different NON-tracking
+    param value, `referrer=` (prefix of `ref` but a different key —
+    the `^ref=` boundary), `/ref/` as a PATH segment, and a pair
+    differing only in path case.  ASCII-only, all well-formed http(s),
+    every query segment of k=v form — so byte order, RE2/`re` and
+    DuckDB/pandas sorts cannot diverge.  Fixed path + atomic write +
+    always rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tracking = ["utm_source=news", "utm_campaign=q3", "fbclid=AbC123",
+                "gclid=xYz9", "ref=nav", "mc_cid=77", "mc_eid=88"]
+    rows: list[str] = []
+    for h in range(10):
+        for p in range(6):
+            page = h * 6 + p
+            rng = np.random.default_rng(41_000 + page)
+            base_params = (["a=1", "b=2"] if page % 3 == 0
+                           else (["page=3"] if page % 3 == 1 else []))
+            root = f"site{h}.example"
+            pathp = f"/p/{p}"
+            n_var = 1 + page % 4
+            for v in range(n_var):
+                scheme = "https" if page % 2 == 0 else "http"
+                host = root
+                params = list(base_params)
+                frag = ""
+                if v >= 1:                     # tracking noise, shuffled
+                    extra = list(rng.choice(tracking, size=int(
+                        rng.integers(1, 4)), replace=False))
+                    params = params + extra
+                    rng.shuffle(params)
+                if v == 2:                     # shouting host + port
+                    host = root.upper() + (":443" if scheme == "https"
+                                           else ":80")
+                    frag = "#section-2"
+                if v == 3:
+                    frag = "#top"
+                q = ("?" + "&".join(params)) if params else ""
+                rows.append(f"{scheme}://{host}{pathp}{q}{frag}")
+    # decoys
+    rows += [
+        "https://site0.example/p/0?a=1&b=3",          # value differs: new page
+        "https://site1.example/p/1?page=3&referrer=x",  # referrer= kept
+        "https://site2.example/ref/2",                # ref as path segment
+        "https://site3.example/P/3",                  # path case significant
+        "https://site3.example/p/3",
+    ]
+    table = pa.table({
+        "url_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "url": pa.array(rows)})
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

@@ -5286,6 +5286,101 @@ FROM agg
 """
 
 
+def q_url_canon_dedup(sf_dir: str) -> pd.DataFrame:
+    """URL-canonicalization dedup census — crawler frontier hygiene
+    (the collapse the reference's exact URL-seen dedup, ref
+    darc/db.py `have_hostname`/seen-set semantics, deliberately does
+    NOT do: same page in tracking-param / host-case / default-port /
+    fragment disguise).  Planted URL fixture (the driver tables carry
+    no URL column); kernel is `functions/link.py:canonicalize_urls`
+    (lowercase scheme+host, strip default port, drop fragment, drop
+    tracking params by KEY with an `=` anchor so `referrer=` survives,
+    bytewise param sort, path untouched).  Shape: stateless vectorized
+    canonicalization per batch → ONE canon-keyed hash exchange →
+    per-partition census (n_variants / keeper = min url_id /
+    n_stripped) — group cardinality is output-sized, nothing
+    URL-corpus-scaled on the driver.  All-integer aggregates; the
+    canonical STRING itself rides in the output, so the driver hash
+    proves the entire canonicalization chain, not just the counts."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.link import canonicalize_urls
+    from darc_ray.functions.text import ensure_url_fixture
+
+    path = ensure_url_fixture()
+
+    def canon_batch(df: pd.DataFrame) -> pd.DataFrame:
+        c = canonicalize_urls(df["url"])
+        return pd.DataFrame({"canon": c["canon"],
+                             "url_id": df["url_id"].to_numpy(np.int64),
+                             "n_stripped": c["n_stripped"].to_numpy()})
+
+    ds = (rd.read_parquet(path)
+          .map_batches(canon_batch, batch_format="pandas",
+                       batch_size=4096)
+          .repartition(num_blocks=8, keys=["canon"], sort=False))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "canon": pd.Series(dtype="object"),
+                "n_variants": pd.Series(dtype="int64"),
+                "keeper_id": pd.Series(dtype="int64"),
+                "n_stripped": pd.Series(dtype="int64")})
+        return df.groupby("canon", as_index=False).agg(
+            n_variants=("url_id", "size"), keeper_id=("url_id", "min"),
+            n_stripped=("n_stripped", "sum"))
+
+    out = (ds.map_batches(census, batch_format="pandas", batch_size=None)
+           .to_pandas())
+    return out.sort_values("canon", kind="mergesort").reset_index(drop=True)
+
+
+SQL_URL_CANON_DEDUP = """
+WITH parts AS (
+  SELECT url_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+         CASE WHEN regexp_matches(url, '^[^#]*\\?')
+              THEN regexp_extract(url, '^[^#]*?\\?([^#]*)', 1)
+              ELSE '' END AS query
+  FROM read_parquet('/tmp/darc_ray_fixtures/urls.parquet')
+), norm AS (
+  SELECT url_id,
+         scheme || '://' ||
+         CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+              ELSE host END || path AS base,
+         list_filter(string_split(query, '&'), p -> p <> '') AS qs
+  FROM parts
+), kept AS (
+  SELECT url_id, base,
+         list_sort(list_filter(qs, p -> NOT regexp_matches(p,
+           '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)='))) AS keep,
+         len(qs) - len(list_filter(qs, p -> NOT regexp_matches(p,
+           '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)=')))
+           AS stripped
+  FROM norm
+), canon AS (
+  SELECT url_id, stripped,
+         base || CASE WHEN len(keep) > 0
+                      THEN '?' || array_to_string(keep, '&')
+                      ELSE '' END AS canon
+  FROM kept
+)
+SELECT canon, count(*)::BIGINT AS n_variants,
+       min(url_id)::BIGINT AS keeper_id,
+       sum(stripped)::BIGINT AS n_stripped
+FROM canon GROUP BY canon ORDER BY canon
+"""
+
+
 def q_lsh_partition(sf_dir: str) -> pd.DataFrame:
     """The hyperplane-LSH PARTITIONER itself, exactly: the bucketed
     shuffle key every embedding-scale operator here routes through
@@ -14516,6 +14611,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_entropy": q_image_entropy,
     "cohort_retention": q_cohort_retention,
     "ann_recall_audit": q_ann_recall_audit,
+    "url_canon_dedup": q_url_canon_dedup,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -14766,6 +14862,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_entropy": SQL_IMAGE_ENTROPY,
     "lsh_recall_audit": SQL_LSH_RECALL_AUDIT,
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
+    "url_canon_dedup": SQL_URL_CANON_DEDUP,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
