@@ -6204,6 +6204,68 @@ FROM st ORDER BY image_id
 """
 
 
+def q_image_colorfulness(sf_dir: str) -> pd.DataFrame:
+    """Hasler–Süsstrunk colorfulness gate (vividness — the chroma axis
+    none of the other image families own: `image_color_stats` tests
+    r=g=b and palette size, this measures HOW FAR the opponent
+    channels spread) over the planted-borders fixture.  Exact int64
+    opponent sums/variance numerators + one fixed IEEE scalar tail
+    per row (see `image_colorfulness_batch`); bit-exact vs the DuckDB
+    hex-walk oracle.  Stateless zero-shuffle."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_borders_fixture,
+                                            image_colorfulness_batch)
+
+    path = ensure_image_borders_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_colorfulness_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_COLORFULNESS = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_borders.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), px AS (
+  SELECT r.image_id,
+         ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT AS pr,
+         ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT AS pg,
+         ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT AS pb
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), st AS (
+  SELECT image_id, count(*)::BIGINT AS n,
+         sum(pr - pg)::BIGINT AS s_rg,
+         sum((pr - pg) * (pr - pg))::BIGINT AS q_rg,
+         sum(pr + pg - 2 * pb)::BIGINT AS s_yb,
+         sum((pr + pg - 2 * pb) * (pr + pg - 2 * pb))::BIGINT AS q_yb
+  FROM px GROUP BY image_id
+), m AS (
+  SELECT image_id, n, s_rg, s_yb,
+         n * q_rg - s_rg * s_rg AS vr,
+         n * q_yb - s_yb * s_yb AS vy
+  FROM st
+), sc AS (
+  SELECT image_id, n, s_rg, s_yb, vr, vy,
+         CAST(floor(1000.0 * ((sqrt(vr + vy / 4.0)
+               + 0.3 * sqrt(s_rg * s_rg + (s_yb / 2.0) * (s_yb / 2.0)))
+              / n) + 0.5) AS BIGINT) AS milli
+  FROM m
+)
+SELECT image_id, n AS n_px, s_rg AS sum_rg, s_yb AS sum_yb2,
+       vr AS vnum_rg, vy AS vnum_yb2,
+       milli AS colorfulness_milli,
+       CASE WHEN milli >= 24000 THEN 1 ELSE 0 END::BIGINT AS vivid
+FROM sc ORDER BY image_id
+"""
+
+
 def q_image_entropy(sf_dir: str) -> pd.DataFrame:
     """Luma-histogram entropy gate (information content per image —
     the flat/posterized-junk signal `image_edge_density`'s gradient
@@ -14612,6 +14674,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cohort_retention": q_cohort_retention,
     "ann_recall_audit": q_ann_recall_audit,
     "url_canon_dedup": q_url_canon_dedup,
+    "image_colorfulness": q_image_colorfulness,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -14863,6 +14926,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_recall_audit": SQL_LSH_RECALL_AUDIT,
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
     "url_canon_dedup": SQL_URL_CANON_DEDUP,
+    "image_colorfulness": SQL_IMAGE_COLORFULNESS,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,

@@ -4183,3 +4183,57 @@ def ensure_caption_tokens_fixture(path: str = TOKDUP_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def image_colorfulness_batch(batch: "pa.Table") -> "pa.Table":
+    """Hasler–Süsstrunk colorfulness gate over raw-pixel payloads (the
+    LAION-aesthetics-adjacent vividness proxy; grayscale/solid junk
+    scores 0): opponent channels rg = r−g and yb2 = r+g−2b (2× the
+    paper's yb so every per-pixel value stays an exact integer), all
+    sums/sum-squares exact int64, variance NUMERATORS n·Σx²−(Σx)²
+    published as exact integers, and M = sqrt(σ²_rg+σ²_yb) +
+    0.3·sqrt(μ²_rg+μ²_yb) quantized to milli with ONE fixed IEEE
+    expression mirrored token-for-token by the SQL oracle (the
+    `image_entropy` ln-rule precedent: aggregation is pure-integer,
+    the float tail is a per-row scalar expression, so both engines
+    produce identical doubles).  `vivid` = M ≥ 24.0 (planted gradient
+    content measures 75-93; the saturated posterized palette 174;
+    gray/solid exactly 0 — the gate splits on the only axis this
+    family owns, chroma presence, while `image_color_stats` catches
+    the posterized flavor by distinct-color count).  Stateless
+    ``map_batches``, no shuffle."""
+    import math
+
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "n_px", "sum_rg", "sum_yb2", "vnum_rg", "vnum_yb2",
+        "colorfulness_milli", "vivid")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        rg = pix[..., 0] - pix[..., 1]
+        yb2 = pix[..., 0] + pix[..., 1] - 2 * pix[..., 2]
+        n = rg.size
+        s_rg, q_rg = int(rg.sum()), int((rg * rg).sum())
+        s_yb, q_yb = int(yb2.sum()), int((yb2 * yb2).sum())
+        vr = n * q_rg - s_rg * s_rg
+        vy = n * q_yb - s_yb * s_yb
+        hb = s_yb / 2.0
+        m = (math.sqrt(vr + vy / 4.0)
+             + 0.3 * math.sqrt(s_rg * s_rg + hb * hb)) / n
+        milli = int(math.floor(1000.0 * m + 0.5))
+        out["image_id"].append(iid)
+        out["n_px"].append(n)
+        out["sum_rg"].append(s_rg)
+        out["sum_yb2"].append(s_yb)
+        out["vnum_rg"].append(vr)
+        out["vnum_yb2"].append(vy)
+        out["colorfulness_milli"].append(milli)
+        out["vivid"].append(int(milli >= 24_000))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_px", "sum_rg", "sum_yb2",
+                                  "vnum_rg", "vnum_yb2",
+                                  "colorfulness_milli", "vivid")]))
