@@ -85,7 +85,7 @@ BENCH_QUERIES = [
     "triangle_count", "spike_days", "part_affinity", "vocab_growth",
     "source_overlap", "trend_detect", "entity_gate", "edge_embeddedness",
     "image_entropy", "lsh_recall_audit", "ann_recall_audit",
-    "url_canon_dedup", "image_colorfulness",
+    "url_canon_dedup", "image_colorfulness", "image_sharpness",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -6370,6 +6370,65 @@ FROM e GROUP BY image_id ORDER BY image_id
 """
 
 
+def q_image_sharpness(sf_dir: str) -> pd.DataFrame:
+    """Laplacian-variance blur/defocus gate over a dedicated planted
+    fixture (noise vs one/two integer box blurs of the SAME noise vs
+    ramps/solids vs a half-sharp split) — the canonical focus QA
+    metric; see `image_sharpness_batch` for the integer contract and
+    the measured order-of-magnitude gate margins.  All-integer →
+    bit-exact vs the DuckDB luma + 4-neighbor-join oracle.  Stateless
+    zero-shuffle."""
+    import ray.data as rd
+
+    from darc_ray.stages.multimodal import (ensure_image_sharpness_fixture,
+                                            image_sharpness_batch)
+
+    path = ensure_image_sharpness_fixture()
+    out = (rd.read_parquet(path)
+           .map_batches(image_sharpness_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SQL_IMAGE_SHARPNESS = """
+WITH raw AS (
+  SELECT image_id, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_sharpness.parquet')
+), series AS (
+  SELECT unnest(generate_series(0, (SELECT max(w * ht) FROM raw) - 1)) AS i
+), lum AS (
+  SELECT r.image_id, r.w, r.ht, s.i,
+         (299 * ('0x' || substr(r.hx, 2 * (12 + 3 * s.i) + 1, 2))::BIGINT
+          + 587 * ('0x' || substr(r.hx, 2 * (13 + 3 * s.i) + 1, 2))::BIGINT
+          + 114 * ('0x' || substr(r.hx, 2 * (14 + 3 * s.i) + 1, 2))::BIGINT)
+         // 1000 AS l
+  FROM raw r JOIN series s ON s.i < r.w * r.ht
+), lap AS (
+  SELECT c.image_id,
+         4 * c.l - u.l - d.l - lf.l - rt.l AS lp
+  FROM lum c
+  JOIN lum u  ON u.image_id = c.image_id AND u.i = c.i - c.w
+  JOIN lum d  ON d.image_id = c.image_id AND d.i = c.i + c.w
+  JOIN lum lf ON lf.image_id = c.image_id AND lf.i = c.i - 1
+  JOIN lum rt ON rt.image_id = c.image_id AND rt.i = c.i + 1
+  WHERE (c.i % c.w) BETWEEN 1 AND c.w - 2
+    AND (c.i // c.w) BETWEEN 1 AND c.ht - 2
+), st AS (
+  SELECT image_id, count(*)::BIGINT AS n, sum(lp)::BIGINT AS s,
+         sum(lp * lp)::BIGINT AS q
+  FROM lap GROUP BY image_id
+)
+SELECT image_id, n AS n_int, s AS sum_lap,
+       (n * q - s * s)::BIGINT AS vnum_lap,
+       CASE WHEN n * q - s * s >= 5000 * n * n
+            THEN 1 ELSE 0 END::BIGINT AS sharp
+FROM st ORDER BY image_id
+"""
+
+
 def q_image_dominant_color(sf_dir: str) -> pd.DataFrame:
     """Dominant exact (r,g,b) color and its per-mille share (ties →
     smallest packed key) over the planted-borders fixture — the
@@ -14675,6 +14734,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_recall_audit": q_ann_recall_audit,
     "url_canon_dedup": q_url_canon_dedup,
     "image_colorfulness": q_image_colorfulness,
+    "image_sharpness": q_image_sharpness,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -14927,6 +14987,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
     "url_canon_dedup": SQL_URL_CANON_DEDUP,
     "image_colorfulness": SQL_IMAGE_COLORFULNESS,
+    "image_sharpness": SQL_IMAGE_SHARPNESS,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,

