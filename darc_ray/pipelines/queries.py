@@ -3160,6 +3160,47 @@ ORDER BY a, b
 """
 
 
+def q_hits_scores(sf_dir: str) -> pd.DataFrame:
+    """Two-step integer HITS (hubs & authorities) over the distinct
+    (l_orderkey → l_partkey) edge set — the second iterative-graph
+    flavor next to `pagerank`, with a recursion that never leaves
+    int64 (a₀ ≡ 1 → h₁ = outdeg → a₂ = Σ outdeg of in-neighbors →
+    h₃ = Σ a₂ of out-neighbors; no damping constants, no
+    normalization float).  Fully distributed: three key exchanges,
+    zero broadcasts, k·n_blocks driver rows per side — see
+    :func:`darc_ray.stages.graph.hits_two_step`.  Top-20 per side
+    under a (score desc, node asc) total order."""
+    from darc_ray.stages.graph import dedup_edges, hits_two_step
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = dedup_edges(ds, "l_orderkey", "l_partkey")
+    return hits_two_step(edges, k=20)
+
+
+SQL_HITS_SCORES = """
+WITH e AS (
+  SELECT DISTINCT l_orderkey AS s, l_partkey AS d FROM lineitem
+), od AS (
+  SELECT s, count(*)::BIGINT AS w FROM e GROUP BY s
+), a2 AS (
+  SELECT e.d AS node, sum(od.w)::BIGINT AS score
+  FROM e JOIN od USING (s) GROUP BY e.d
+), h3 AS (
+  SELECT e.s AS node, sum(a2.score)::BIGINT AS score
+  FROM e JOIN a2 ON a2.node = e.d GROUP BY e.s
+), ta AS (
+  SELECT 'auth' AS side, node, score FROM a2
+  ORDER BY score DESC, node LIMIT 20
+), th AS (
+  SELECT 'hub' AS side, node, score FROM h3
+  ORDER BY score DESC, node LIMIT 20
+)
+SELECT side, node, score FROM (
+  SELECT * FROM ta UNION ALL SELECT * FROM th
+) ORDER BY side, score DESC, node
+"""
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """Iterative distributed PageRank (4 synchronous iterations,
     damping 0.85) over the distinct (l_orderkey → l_partkey) edge set
@@ -14735,6 +14776,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "url_canon_dedup": q_url_canon_dedup,
     "image_colorfulness": q_image_colorfulness,
     "image_sharpness": q_image_sharpness,
+    "hits_scores": q_hits_scores,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -14988,6 +15030,7 @@ ORACLE_SQL: dict[str, str] = {
     "url_canon_dedup": SQL_URL_CANON_DEDUP,
     "image_colorfulness": SQL_IMAGE_COLORFULNESS,
     "image_sharpness": SQL_IMAGE_SHARPNESS,
+    "hits_scores": SQL_HITS_SCORES,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["dedup_edges", "out_degrees", "degree_histogram",
-           "degree_histogram_raw", "pagerank"]
+           "degree_histogram_raw", "pagerank", "hits_two_step"]
 
 
 def _hash_parts(ds, keys: list[str], n_blocks: int):
@@ -212,4 +212,102 @@ def pagerank(edges, iterations: int = 4, scale: int = 1_000_000,
                         kind="mergesort").head(topk))
     return (out.rename(columns={"node": "node", "r": "rank"})
             .astype({"node": "int64", "rank": "int64"})
+            .reset_index(drop=True))
+
+
+def hits_two_step(edges, k: int = 20, n_blocks: int = 16) -> pd.DataFrame:
+    """Two-step UNNORMALIZED integer HITS over a distinct (src, dst)
+    edge Dataset — the hub/authority complement to :func:`pagerank`
+    whose recursion stays in exact int64 (a₀ ≡ 1, so h₁ = outdeg,
+    a₂(d) = Σ_{(s,d)} outdeg(s), h₃(s) = Σ_{(s,d)} a₂(d); no damping,
+    no normalization, no float anywhere — order-independent sums make
+    the result bit-identical on any partitioning and let a plain-join
+    SQL oracle hash-match).  Three key exchanges, zero broadcasts:
+
+    1. src-keyed — a partition owning every edge of a src attaches
+       outdeg in place;
+    2. dst-keyed — a partition owning every edge of a dst computes
+       a₂ exactly AND emits a tagged union: per-partition top-k auth
+       rows (kind 1) + per-edge (src, a₂) hub contributions (kind 0);
+    3. src-keyed over the kind-0 rows — exact h₃ + per-partition
+       top-k.
+
+    Driver traffic is k·n_blocks candidate rows per side — independent
+    of node and edge cardinality.  Ties break toward the smaller node
+    id under a (score desc, node asc) total order."""
+    import pyarrow as pa
+
+    parts = _hash_parts(edges, ["src"], n_blocks)
+
+    def attach_w(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        w = df.groupby("src")["dst"].transform("size")
+        return pa.table({"src": df["src"].astype("int64"),
+                         "dst": df["dst"].astype("int64"),
+                         "w": w.astype("int64")})
+
+    wed = parts.map_batches(attach_w, batch_format="pyarrow",
+                            batch_size=None)
+
+    parts2 = _hash_parts(wed, ["dst"], n_blocks)
+
+    def auth_union(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        empty = {"kind": pa.array([], type=pa.int64()),
+                 "node": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.int64())}
+        if not len(df):
+            return pa.table(empty)
+        a2 = df.groupby("dst", as_index=False)["w"].sum() \
+               .rename(columns={"dst": "node", "w": "score"})
+        top = a2.sort_values(["score", "node"],
+                             ascending=[False, True]).head(k)
+        contrib = df.merge(a2, left_on="dst", right_on="node")
+        return pa.table({
+            "kind": pa.array(np.concatenate([
+                np.ones(len(top), dtype=np.int64),
+                np.zeros(len(contrib), dtype=np.int64)])),
+            "node": pa.array(np.concatenate([
+                top["node"].to_numpy(np.int64),
+                contrib["src"].to_numpy(np.int64)])),
+            "score": pa.array(np.concatenate([
+                top["score"].to_numpy(np.int64),
+                contrib["score"].to_numpy(np.int64)]))})
+
+    un = parts2.map_batches(auth_union, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    auth = (un.filter(expr="kind == 1").to_pandas()
+            .sort_values(["score", "node"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+    hub_parts = _hash_parts(un.filter(expr="kind == 0"), ["node"],
+                            n_blocks)
+
+    def hub_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64())})
+        h3 = df.groupby("node", as_index=False)["score"].sum()
+        top = h3.sort_values(["score", "node"],
+                             ascending=[False, True]).head(k)
+        return pa.table({"node": top["node"].to_numpy(np.int64),
+                         "score": top["score"].to_numpy(np.int64)})
+
+    hub = (hub_parts.map_batches(hub_topk, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+           .sort_values(["score", "node"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+
+    auth.insert(0, "side", "auth")
+    hub.insert(0, "side", "hub")
+    out = pd.concat([auth[["side", "node", "score"]],
+                     hub[["side", "node", "score"]]], ignore_index=True)
+    return (out.sort_values(["side", "score", "node"],
+                            ascending=[True, False, True])
             .reset_index(drop=True))
