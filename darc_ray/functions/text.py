@@ -931,3 +931,95 @@ def ensure_url_fixture(path: str = URL_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+SCRIPT_FIXTURE = "/tmp/darc_ray_fixtures/text_scripts.parquet"
+
+_SCRIPT_PATS = {
+    "latin": "[A-Za-z]",
+    "cyr": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "cjk": "[一-鿿]",
+    "digit": "[0-9]",
+}
+
+
+def ensure_script_fixture(path: str = SCRIPT_FIXTURE) -> str:
+    """Deterministic mixed-script corpus for the homoglyph-spoofing
+    gate (the sf documents table is ASCII): clean Latin docs; pure
+    Cyrillic and pure Greek docs (legit non-Latin text that must NOT
+    flag); HOMOGLYPH SPOOFS — Latin words with 1-2 Cyrillic look-alike
+    substitutions (а е о с р х), the phishing/SEO-cloak tell; a
+    Greek-in-Latin mixed word (μicro); CJK docs with separate-word
+    Latin brand names (cross-script DOCS are fine, cross-script WORDS
+    are not); digit/punct decoys.  Fixed path + atomic write + ALWAYS
+    rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lat = ("payment account secure login verify bank update confirm "
+           "invoice shipping order status click here now").split()
+    cyr_sub = {"a": "а", "e": "е", "o": "о",
+               "c": "с", "p": "р", "x": "х"}
+    docs = []
+    for d in range(120):
+        rng = np.random.default_rng(61_000 + d)
+        words = list(rng.choice(lat, size=int(rng.integers(8, 20))))
+        kind = d % 6
+        if kind == 1:                      # pure Cyrillic (legit)
+            words = ["привет",
+                     "мир"] * (len(words) // 2 + 1)
+        elif kind == 2:                    # homoglyph spoof: 1-2 words
+            for _ in range(int(rng.integers(1, 3))):
+                wi = int(rng.integers(0, len(words)))
+                w = words[wi]
+                subs = [i for i, ch in enumerate(w) if ch in cyr_sub]
+                if subs:
+                    i0 = subs[int(rng.integers(0, len(subs)))]
+                    words[wi] = w[:i0] + cyr_sub[w[i0]] + w[i0 + 1:]
+        elif kind == 3:                    # pure Greek (legit)
+            words = ["αλφα",
+                     "βητα"] * (len(words) // 2 + 1)
+        elif kind == 4:                    # CJK + separate Latin brand
+            words = ["中文文本"] * 3 + ["brand"]
+        elif kind == 5:                    # Greek-in-Latin mixed word
+            words.append("μicro")
+        words.append(str(100 + d))         # digit decoy everywhere
+        docs.append(" ".join(words))
+    table = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs)})
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path
+
+
+def script_mix_features(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized per-doc script census + within-word mixing count:
+    per-script codepoint counts (single-char classes — no alternation
+    semantics to diverge between `re` and RE2), and ``n_mixed_words``
+    = whitespace words containing letters from ≥ 2 of
+    {Latin, Cyrillic, Greek} (the homoglyph signal; cross-script
+    DOCS — a CJK text with a Latin brand word — do not count).
+    ``spoof`` ⇔ n_mixed_words ≥ 1."""
+    idx = texts.index
+    out = pd.DataFrame(index=idx)
+    for name, pat in _SCRIPT_PATS.items():
+        out[f"n_{name}"] = texts.str.count(pat).astype("int64")
+    w = texts.str.strip().str.split(r"\s+", regex=True).explode()
+    w = w[w.notna() & w.ne("")]
+    has = {k: w.str.contains(_SCRIPT_PATS[k], regex=True)
+           for k in ("latin", "cyr", "greek")}
+    mixed = ((has["latin"] & has["cyr"])
+             | (has["latin"] & has["greek"])
+             | (has["cyr"] & has["greek"]))
+    out["n_mixed_words"] = (mixed.groupby(level=0).sum()
+                            .reindex(idx, fill_value=0).astype("int64"))
+    out["spoof"] = (out["n_mixed_words"] >= 1).astype("int64")
+    return out

@@ -5327,6 +5327,70 @@ FROM agg
 """
 
 
+def q_script_mix_gate(sf_dir: str) -> pd.DataFrame:
+    """Mixed-script / homoglyph spoofing gate (the phishing and
+    SEO-cloak tell none of the other text gates see: a Cyrillic 'а'
+    inside a Latin word) over a planted fixture: per-doc script
+    census (Latin / Cyrillic / Greek / CJK / digit codepoint counts —
+    single-char classes, so `re` and RE2 cannot diverge) plus
+    ``n_mixed_words`` = whitespace words mixing letters of ≥ 2 of
+    {Latin, Cyrillic, Greek}.  Cross-script DOCS (pure Cyrillic text,
+    CJK with a separate Latin brand word) are legit and must NOT
+    flag; cross-script WORDS are the signal.  Stateless zero-shuffle;
+    kernel `functions/text.py:script_mix_features`."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import (ensure_script_fixture,
+                                         script_mix_features)
+
+    path = ensure_script_fixture()
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        f = script_mix_features(df["text"])
+        f.insert(0, "doc_id", df["doc_id"].to_numpy(np.int64))
+        return f
+
+    out = (rd.read_parquet(path)
+           .map_batches(feats, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SCRIPT_MIX_GATE = """
+WITH d AS (
+  SELECT doc_id, text
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_scripts.parquet')
+), counts AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_latin,
+         len(regexp_extract_all(text, '[Ѐ-ӿ]'))::BIGINT AS n_cyr,
+         len(regexp_extract_all(text, '[Ͱ-Ͽ]'))::BIGINT AS n_greek,
+         len(regexp_extract_all(text, '[一-鿿]'))::BIGINT AS n_cjk,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit
+  FROM d
+), words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM d WHERE trim(text) <> ''
+), mixed AS (
+  SELECT doc_id,
+         sum(CASE WHEN (regexp_matches(w, '[A-Za-z]')
+                        AND regexp_matches(w, '[Ѐ-ӿ]'))
+                    OR (regexp_matches(w, '[A-Za-z]')
+                        AND regexp_matches(w, '[Ͱ-Ͽ]'))
+                    OR (regexp_matches(w, '[Ѐ-ӿ]')
+                        AND regexp_matches(w, '[Ͱ-Ͽ]'))
+             THEN 1 ELSE 0 END)::BIGINT AS n_mixed_words
+  FROM words WHERE w <> '' GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_latin, c.n_cyr, c.n_greek, c.n_cjk, c.n_digit,
+       coalesce(m.n_mixed_words, 0)::BIGINT AS n_mixed_words,
+       CASE WHEN coalesce(m.n_mixed_words, 0) >= 1
+            THEN 1 ELSE 0 END::BIGINT AS spoof
+FROM counts c LEFT JOIN mixed m USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 def q_url_canon_dedup(sf_dir: str) -> pd.DataFrame:
     """URL-canonicalization dedup census — crawler frontier hygiene
     (the collapse the reference's exact URL-seen dedup, ref
@@ -14777,6 +14841,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_colorfulness": q_image_colorfulness,
     "image_sharpness": q_image_sharpness,
     "hits_scores": q_hits_scores,
+    "script_mix_gate": q_script_mix_gate,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15031,6 +15096,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_colorfulness": SQL_IMAGE_COLORFULNESS,
     "image_sharpness": SQL_IMAGE_SHARPNESS,
     "hits_scores": SQL_HITS_SCORES,
+    "script_mix_gate": SQL_SCRIPT_MIX_GATE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
