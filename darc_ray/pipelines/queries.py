@@ -14736,7 +14736,17 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # for the video capstone — the strongest per-family driver
     # evidence is a composed multi-stage oracle
     "video_qa_pipeline": q_video_qa_pipeline,
-    "source_skew": q_source_skew,
+    # source_skew / phash_bitstats / stratified_split rotated to 51+
+    # late-r5: their evidence is duplicated by stronger entries
+    # (source_overlap at 51+ carries the richer source axis; phash
+    # evidence rides image_dhash + image_phash_clusters in-window;
+    # split determinism rides dataset_split/epoch_shuffle, both r04★).
+    # In their slots: ann_recall_audit (the oracle re-derives an
+    # entire hyperplane-LSH candidate set + exact cosine truth),
+    # image_sharpness (Laplacian-variance blur gate, new fixture),
+    # url_canon_dedup (frontier canonicalization, canonical strings
+    # in the driver hash).
+    "ann_recall_audit": q_ann_recall_audit,
     "caption_prefix_templates": q_caption_prefix_templates,
     "image_hot_pixels": q_image_hot_pixels,
     "image_exposure": q_image_exposure,
@@ -14744,8 +14754,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_blockiness": q_image_blockiness,
     "image_mirror_symmetry": q_image_mirror_symmetry,
     "wds_shards": q_wds_shards,
-    "phash_bitstats": q_phash_bitstats,
-    "stratified_split": q_stratified_split,
+    "image_sharpness": q_image_sharpness,
+    "url_canon_dedup": q_url_canon_dedup,
     "image_checkerboard": q_image_checkerboard,
     "caption_gate": q_caption_gate,
     "caption_dedup": q_caption_dedup,
@@ -14836,10 +14846,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "edge_embeddedness": q_edge_embeddedness,
     "image_entropy": q_image_entropy,
     "cohort_retention": q_cohort_retention,
-    "ann_recall_audit": q_ann_recall_audit,
-    "url_canon_dedup": q_url_canon_dedup,
+    "source_skew": q_source_skew,
+    "phash_bitstats": q_phash_bitstats,
+    "stratified_split": q_stratified_split,
     "image_colorfulness": q_image_colorfulness,
-    "image_sharpness": q_image_sharpness,
     "hits_scores": q_hits_scores,
     "script_mix_gate": q_script_mix_gate,
     "image_border_contrast": q_image_border_contrast,
