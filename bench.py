@@ -86,7 +86,7 @@ BENCH_QUERIES = [
     "source_overlap", "trend_detect", "entity_gate", "edge_embeddedness",
     "image_entropy", "lsh_recall_audit", "ann_recall_audit",
     "url_canon_dedup", "image_colorfulness", "image_sharpness",
-    "hits_scores", "script_mix_gate",
+    "hits_scores", "script_mix_gate", "source_percentile_gate",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -5327,6 +5327,71 @@ FROM agg
 """
 
 
+def q_source_percentile_gate(sf_dir: str) -> pd.DataFrame:
+    """Per-SOURCE rank-percentile normalization — the per-domain
+    quality-threshold op (CCNet buckets / DoReMi reweighting both
+    need it): a GLOBAL length cutoff would delete entire weak domains,
+    so each doc is ranked INSIDE its source (row_number semantics
+    under the total order (n_chars, doc_id)), mapped to a per-mille
+    percentile (rank−1)·1000 // (n−1) (a singleton source's only doc
+    is its source's best → 1000, never dropped), and gated at ≥ 200
+    (drop the bottom fifth of every source independently).  All-integer; ONE source-keyed hash exchange,
+    per-partition vectorized sort + cumcount — a partition owns every
+    row of its source, so ranks are exact on any partitioning; output
+    is corpus-sized (the gate column is the point), nothing
+    driver-resident beyond the result."""
+    from ray.data.context import ShuffleStrategy
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+          .repartition(num_blocks=8, keys=["source"], sort=False))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "source": pd.Series(dtype="object"),
+                "score": pd.Series(dtype="int64"),
+                "src_rank": pd.Series(dtype="int64"),
+                "pct_milli": pd.Series(dtype="int64"),
+                "keep": pd.Series(dtype="int64")})
+        d = (df.rename(columns={"n_chars": "score"})
+             .sort_values(["source", "score", "doc_id"],
+                          kind="mergesort").reset_index(drop=True))
+        g = d.groupby("source")
+        d["src_rank"] = (g.cumcount() + 1).astype("int64")
+        n = g["doc_id"].transform("size").astype("int64")
+        d["pct_milli"] = np.where(
+            n > 1, (d["src_rank"] - 1) * 1000 // (n - 1).clip(lower=1),
+            1000).astype(np.int64)
+        d["keep"] = (d["pct_milli"] >= 200).astype("int64")
+        return d[["doc_id", "source", "score", "src_rank",
+                  "pct_milli", "keep"]]
+
+    out = (ds.map_batches(rank_part, batch_format="pandas",
+                          batch_size=None).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SOURCE_PERCENTILE_GATE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars AS score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id)::BIGINT AS src_rank,
+         count(*) OVER (PARTITION BY source)::BIGINT AS n_src
+  FROM documents
+), pct AS (
+  SELECT doc_id, source, score, src_rank,
+         CASE WHEN n_src > 1 THEN (src_rank - 1) * 1000 // (n_src - 1)
+              ELSE 1000 END::BIGINT AS pct_milli
+  FROM ranked
+)
+SELECT doc_id, source, score, src_rank, pct_milli,
+       CASE WHEN pct_milli >= 200 THEN 1 ELSE 0 END::BIGINT AS keep
+FROM pct ORDER BY doc_id
+"""
+
+
 def q_script_mix_gate(sf_dir: str) -> pd.DataFrame:
     """Mixed-script / homoglyph spoofing gate (the phishing and
     SEO-cloak tell none of the other text gates see: a Cyrillic 'а'
@@ -14852,6 +14917,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_colorfulness": q_image_colorfulness,
     "hits_scores": q_hits_scores,
     "script_mix_gate": q_script_mix_gate,
+    "source_percentile_gate": q_source_percentile_gate,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15107,6 +15173,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_sharpness": SQL_IMAGE_SHARPNESS,
     "hits_scores": SQL_HITS_SCORES,
     "script_mix_gate": SQL_SCRIPT_MIX_GATE,
+    "source_percentile_gate": SQL_SOURCE_PERCENTILE_GATE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
