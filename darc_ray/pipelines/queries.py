@@ -4186,6 +4186,90 @@ ORDER BY doc_id
 """
 
 
+def q_cluster_size_hist(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTER-SIZE census — the report every dedup run owes
+    its operator (how much mass sits in how-big duplicate families;
+    the singleton bar is the undeduplicated corpus): same simhash
+    near-pair graph and threshold-routed connected-components rungs as
+    `dedup_clusters`, but the reduction is fully distributed — labeled
+    docs ride ONE cluster-keyed exchange, each partition counts its
+    own clusters (it owns every member), emits (cluster_size,
+    n_clusters) partials, and the driver combine is bounded by
+    DISTINCT SIZES, never node or cluster cardinality."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.stages.dedup import (connected_components,
+                                       connected_components_distributed,
+                                       label_corpus, simhash_near_pairs_ds)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs_ds = simhash_near_pairs_ds(ds, max_hamming=3)
+    max_driver = int(os.environ.get(
+        "DARC_RAY_CC_MAX_DRIVER_PAIRS", str(1_000_000)))
+    if pairs_ds.count() > max_driver:
+        labels_ds = connected_components_distributed(pairs_ds)
+        labeled = label_corpus(_read(sf_dir, "documents", ["doc_id"]),
+                               labels_ds, "doc_id")
+    else:
+        labels = connected_components(_pairs_df(pairs_ds))
+        ref = ray.put(labels)
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            ids = df["doc_id"]
+            return pd.DataFrame({
+                "cluster_id": ids.map(m).fillna(ids).astype("int64")})
+
+        labeled = (_read(sf_dir, "documents", ["doc_id"])
+                   .map_batches(assign, batch_format="pandas"))
+
+    parts = labeled.repartition(num_blocks=8, keys=["cluster_id"],
+                                sort=False)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "cluster_size": pd.Series(dtype="int64"),
+                "n_clusters": pd.Series(dtype="int64")})
+        sizes = df.groupby("cluster_id").size()
+        return (sizes.value_counts().rename_axis("cluster_size")
+                .reset_index(name="n_clusters").astype("int64"))
+
+    partials = (parts.map_batches(hist_part, batch_format="pandas",
+                                  batch_size=None).to_pandas())
+    out = partials.groupby("cluster_size", as_index=False)["n_clusters"] \
+                  .sum().astype("int64")
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+SQL_CLUSTER_SIZE_HIST = f"""
+WITH RECURSIVE {_SQL_SIMHASH_CTE},
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+), lbl AS (
+  SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), sz AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM lbl GROUP BY cluster_id
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sz GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 def q_dedup_clusters_dataset(sf_dir: str) -> pd.DataFrame:
     """Driver-visible proof of the DISTRIBUTED connected-components
     rung: identical output contract (and SQL oracle) to
@@ -14918,6 +15002,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hits_scores": q_hits_scores,
     "script_mix_gate": q_script_mix_gate,
     "source_percentile_gate": q_source_percentile_gate,
+    "cluster_size_hist": q_cluster_size_hist,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15174,6 +15259,7 @@ ORACLE_SQL: dict[str, str] = {
     "hits_scores": SQL_HITS_SCORES,
     "script_mix_gate": SQL_SCRIPT_MIX_GATE,
     "source_percentile_gate": SQL_SOURCE_PERCENTILE_GATE,
+    "cluster_size_hist": SQL_CLUSTER_SIZE_HIST,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,

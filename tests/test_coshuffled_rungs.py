@@ -24,7 +24,10 @@ RUNGS = [("incremental_dedup", "DARC_RAY_INCR_DEDUP_CAP"),
          ("part_affinity", "DARC_RAY_PA_CAP"),
          # src-carrying wedge stream through the (wu,wv) closure
          # exchange instead of the packed-u64 broadcast
-         ("edge_embeddedness", "DARC_RAY_TRI_CAP")]
+         ("edge_embeddedness", "DARC_RAY_TRI_CAP"),
+         # distributed CC labels + cluster-keyed size census instead
+         # of the driver union-find dict
+         ("cluster_size_hist", "DARC_RAY_CC_MAX_DRIVER_PAIRS")]
 
 
 @pytest.fixture(scope="module")
