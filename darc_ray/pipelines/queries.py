@@ -5411,6 +5411,106 @@ FROM agg
 """
 
 
+def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-doc n-gram NOVELTY — the inverse boilerplate signal (a doc
+    whose 3-gram shingles all appear in other docs is template mass;
+    exact duplicates score exactly 0): fraction of the doc's DISTINCT
+    shingles with corpus document-frequency 1, in per-mille.  Uses the
+    same `word_shingles` contract as the Jaccard machines (k = 3,
+    sub-3-token docs fall back to the full text as one shingle; empty
+    docs have no row — mirrored by the SQL WHERE).  Two key
+    exchanges, nothing driver-resident: shingle-keyed (a partition
+    owning every copy of a shingle knows its df exactly and emits
+    per-doc partials) then doc-keyed (partial sums → novelty).
+    Shingles travel as md5-64 hashes; the oracle uses the gram
+    strings themselves — the same hash-vs-string df equivalence the
+    `ngram_jaccard` family already relies on."""
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.sketches import _shingle_hashes
+    from darc_ray.functions.text import word_shingles
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            sh = word_shingles(txt, 3)
+            if not sh:
+                continue
+            hh = _shingle_hashes(sh)
+            hs.extend(int(v) & 0x7FFFFFFFFFFFFFFF for v in hh)
+            ids.extend([d] * len(hh))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "sh": pa.array(hs, type=pa.int64())})
+
+    sh = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(explode, batch_format="pyarrow", batch_size=4096)
+          .repartition(num_blocks=8, keys=["sh"], sort=False))
+    sh.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "u": pd.Series(dtype="int64")})
+        dfreq = df.groupby("sh")["doc_id"].transform("size")
+        return (pd.DataFrame({"doc_id": df["doc_id"],
+                              "n": np.int64(1),
+                              "u": (dfreq == 1).astype("int64")})
+                .groupby("doc_id", as_index=False).sum())
+
+    parts = (sh.map_batches(df_partial, batch_format="pandas",
+                            batch_size=None)
+             .repartition(num_blocks=8, keys=["doc_id"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "n_shingles": pd.Series(dtype="int64"),
+                "n_unique": pd.Series(dtype="int64"),
+                "novelty_milli": pd.Series(dtype="int64"),
+                "template_heavy": pd.Series(dtype="int64")})
+        g = df.groupby("doc_id", as_index=False).sum()
+        g = g.rename(columns={"n": "n_shingles", "u": "n_unique"})
+        g["novelty_milli"] = (g["n_unique"] * 1000
+                              // g["n_shingles"]).astype("int64")
+        g["template_heavy"] = (g["novelty_milli"] <= 200).astype("int64")
+        return g
+
+    out = (parts.map_batches(finish, batch_format="pandas",
+                             batch_size=None).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_transform(range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           END) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents WHERE trim(text) <> '')
+), grams AS (
+  SELECT doc_id, unnest(shingles) AS g FROM sh
+), dfreq AS (
+  SELECT g, count(*)::BIGINT AS df FROM grams GROUP BY g
+), per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+  FROM grams JOIN dfreq USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_unique,
+       (n_unique * 1000 // n_shingles)::BIGINT AS novelty_milli,
+       CASE WHEN n_unique * 1000 // n_shingles <= 200
+            THEN 1 ELSE 0 END::BIGINT AS template_heavy
+FROM per ORDER BY doc_id
+"""
+
+
 def q_source_percentile_gate(sf_dir: str) -> pd.DataFrame:
     """Per-SOURCE rank-percentile normalization — the per-domain
     quality-threshold op (CCNet buckets / DoReMi reweighting both
@@ -15003,6 +15103,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "script_mix_gate": q_script_mix_gate,
     "source_percentile_gate": q_source_percentile_gate,
     "cluster_size_hist": q_cluster_size_hist,
+    "ngram_novelty": q_ngram_novelty,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15260,6 +15361,7 @@ ORACLE_SQL: dict[str, str] = {
     "script_mix_gate": SQL_SCRIPT_MIX_GATE,
     "source_percentile_gate": SQL_SOURCE_PERCENTILE_GATE,
     "cluster_size_hist": SQL_CLUSTER_SIZE_HIST,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
