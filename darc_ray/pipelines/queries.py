@@ -5411,6 +5411,64 @@ FROM agg
 """
 
 
+def q_cosine_hist(sf_dir: str) -> pd.DataFrame:
+    """All-pairs cosine-similarity HISTOGRAM over the embeddings table
+    — the threshold-calibration report every dedup/ANN deployment
+    needs before picking its cutoff (where does the pair mass sit, how
+    isolated is the near-dup tail?).  Same distributed block-pair tile
+    shape as `embedding_dups`' exact rung (blocks stay in the object
+    store, one task per (i ≤ j) tile), but each tile returns only its
+    BUCKET PARTIAL (cosine quantized exactly as the dup family does —
+    qmicro = floor(sim·10⁶ + 0.5) — then bucketed by
+    floor(qmicro/10⁵): 0.1-wide bins, −10..10), so the driver combine
+    is O(21) regardless of pair count.  Inherently O(n²) compute like
+    every exact all-pairs scan — the LSH families are the prune; this
+    family is the report that justifies their thresholds."""
+    import ray
+
+    from darc_ray.stages.dedup import _normalized_block
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    want_blocks = max(1, -(-n // 1024))
+    mat = ds.repartition(want_blocks).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def tile(t1: pa.Table, t2: pa.Table, same: bool) -> pd.DataFrame:
+        _, m1 = _normalized_block(t1, "vec_id", "embedding")
+        _, m2 = _normalized_block(t2, "vec_id", "embedding")
+        sim = m1 @ m2.T
+        if same:
+            vals = sim[np.triu_indices(sim.shape[0], k=1)]
+        else:
+            vals = sim.ravel()
+        qmicro = np.floor(vals.astype(np.float64) * 1e6 + 0.5)
+        bucket = np.floor(qmicro / 100000.0).astype(np.int64)
+        b, c = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket": b.astype(np.int64),
+                             "n_pairs": c.astype(np.int64)})
+
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(tile.remote(refs[i], refs[j], i == j))
+    parts = pd.concat(ray.get(futs), ignore_index=True)
+    out = (parts.groupby("bucket", as_index=False)["n_pairs"].sum()
+           .astype("int64"))
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+SQL_COSINE_HIST = """
+SELECT CAST(floor(floor(list_cosine_similarity(
+             x.embedding::DOUBLE[], y.embedding::DOUBLE[]) * 1000000
+             + 0.5) / 100000.0) AS BIGINT) AS bucket,
+       count(*)::BIGINT AS n_pairs
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
     """Per-doc n-gram NOVELTY — the inverse boilerplate signal (a doc
     whose 3-gram shingles all appear in other docs is template mass;
@@ -15104,6 +15162,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "source_percentile_gate": q_source_percentile_gate,
     "cluster_size_hist": q_cluster_size_hist,
     "ngram_novelty": q_ngram_novelty,
+    "cosine_hist": q_cosine_hist,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15362,6 +15421,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_percentile_gate": SQL_SOURCE_PERCENTILE_GATE,
     "cluster_size_hist": SQL_CLUSTER_SIZE_HIST,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "cosine_hist": SQL_COSINE_HIST,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
