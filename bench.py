@@ -87,7 +87,7 @@ BENCH_QUERIES = [
     "image_entropy", "lsh_recall_audit", "ann_recall_audit",
     "url_canon_dedup", "image_colorfulness", "image_sharpness",
     "hits_scores", "script_mix_gate", "source_percentile_gate",
-    "cluster_size_hist", "ngram_novelty", "cosine_hist",
+    "cluster_size_hist", "ngram_novelty", "cosine_hist", "nfc_gate",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -1023,3 +1023,54 @@ def script_mix_features(texts: pd.Series) -> pd.DataFrame:
                             .reindex(idx, fill_value=0).astype("int64"))
     out["spoof"] = (out["n_mixed_words"] >= 1).astype("int64")
     return out
+
+
+NFC_FIXTURE = "/tmp/darc_ray_fixtures/text_nfc.parquet"
+
+
+def ensure_nfc_fixture(path: str = NFC_FIXTURE) -> str:
+    """Deterministic Unicode-normalization corpus (the sf documents
+    are ASCII): composed vs DECOMPOSED canonical-equivalent pairs
+    (café four ways: NFC, e+combining-acute, plus distractor spelling),
+    singleton normalizations that change content WITHOUT changing
+    length (Å U+212B → U+00C5 — the case a length-only `changed` test
+    misses), combining sequences with NO precomposed form (x̄ = x +
+    U+0304, NFC-stable), and clean ASCII.  A pipeline that hashes
+    before normalizing misses every one of these dups — that is the
+    gate's point.  Fixed path + atomic write + ALWAYS rewritten,
+    sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = []
+    for d in range(90):
+        rng = np.random.default_rng(71_000 + d)
+        kind = d % 5
+        base = " ".join(rng.choice(
+            ["data", "corpus", "filter", "shard", "merge", "token"],
+            size=int(rng.integers(4, 9))))
+        if kind == 1:                  # composed form
+            docs.append(base + " café crème")
+        elif kind == 2:                # decomposed twin of kind 1's tail
+            docs.append(base + " café crème")
+        elif kind == 3:                # Å singleton (len-preserving change)
+            docs.append(base + " Ångström")
+        elif kind == 4:                # no-precomposed combining (stable)
+            docs.append(base + " x\u0304 bar")
+        else:
+            docs.append(base)
+    # one exact canonical-equivalent PAIR with identical base text
+    docs.append("unit café")          # 90: composed
+    docs.append("unit café")         # 91: decomposed → same NFC
+    table = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs)})
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

@@ -5411,6 +5411,73 @@ FROM agg
 """
 
 
+def q_nfc_gate(sf_dir: str) -> pd.DataFrame:
+    """Unicode-NFC normalization gate — the dedup hole a hash-before-
+    normalize pipeline can't see: canonically-equivalent docs (café
+    composed vs e+COMBINING-ACUTE; Å U+212B → U+00C5, which changes
+    CONTENT without changing length) hash differently raw but
+    identically after NFC.  Per doc: codepoint lengths before/after,
+    ``changed`` (string inequality, not length — the Å case), and
+    ``canon_id`` = min doc_id among docs sharing the same NFC form
+    (the canonical-equivalence dedup label).  ONE nfc-keyed exchange;
+    both engines implement the same Unicode NFC tables
+    (`unicodedata.normalize` / DuckDB `nfc_normalize`), equality
+    byte-exact over the planted fixture."""
+    import unicodedata
+
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.text import ensure_nfc_fixture
+
+    path = ensure_nfc_fixture()
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        nfc = df["text"].map(lambda t: unicodedata.normalize("NFC", t))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "len_raw": df["text"].str.len().astype("int64"),
+            "len_nfc": nfc.str.len().astype("int64"),
+            "changed": (df["text"] != nfc).astype("int64"),
+            "nfc": nfc})
+
+    ds = (rd.read_parquet(path)
+          .map_batches(norm, batch_format="pandas", batch_size=4096)
+          .repartition(num_blocks=8, keys=["nfc"], sort=False))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "len_raw": pd.Series(dtype="int64"),
+                "len_nfc": pd.Series(dtype="int64"),
+                "changed": pd.Series(dtype="int64"),
+                "canon_id": pd.Series(dtype="int64")})
+        out = df.copy()
+        out["canon_id"] = (out.groupby("nfc")["doc_id"]
+                           .transform("min").astype("int64"))
+        return out[["doc_id", "len_raw", "len_nfc", "changed",
+                    "canon_id"]]
+
+    out = (ds.map_batches(label, batch_format="pandas", batch_size=None)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_NFC_GATE = """
+WITH d AS (
+  SELECT doc_id, text, nfc_normalize(text) AS nfc
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_nfc.parquet')
+)
+SELECT doc_id, length(text)::BIGINT AS len_raw,
+       length(nfc)::BIGINT AS len_nfc,
+       CASE WHEN text = nfc THEN 0 ELSE 1 END::BIGINT AS changed,
+       min(doc_id) OVER (PARTITION BY nfc)::BIGINT AS canon_id
+FROM d ORDER BY doc_id
+"""
+
+
 def q_cosine_hist(sf_dir: str) -> pd.DataFrame:
     """All-pairs cosine-similarity HISTOGRAM over the embeddings table
     — the threshold-calibration report every dedup/ANN deployment
@@ -15163,6 +15230,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cluster_size_hist": q_cluster_size_hist,
     "ngram_novelty": q_ngram_novelty,
     "cosine_hist": q_cosine_hist,
+    "nfc_gate": q_nfc_gate,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15422,6 +15490,7 @@ ORACLE_SQL: dict[str, str] = {
     "cluster_size_hist": SQL_CLUSTER_SIZE_HIST,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "cosine_hist": SQL_COSINE_HIST,
+    "nfc_gate": SQL_NFC_GATE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
