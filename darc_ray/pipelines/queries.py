@@ -5411,6 +5411,70 @@ FROM agg
 """
 
 
+def q_doc_chunk(sf_dir: str) -> pd.DataFrame:
+    """Within-doc token CHUNKING with overlap — the retrieval/window
+    prep op (`sequence_pack` concatenates ACROSS docs for GPT-style
+    training; this slides a window INSIDE each doc): chunk size 32
+    whitespace tokens, stride 24 (8-token overlap); a stride start
+    s > 0 is emitted only while the PREVIOUS chunk did not already
+    reach end-of-doc (s + 8 < n — the containment-free rule: no chunk
+    is ever a subset of its predecessor, pinned by the planted
+    32-token doc yielding exactly ONE chunk).  Each chunk row
+    carries (doc_id, chunk_idx, start_tok, n_toks, chunk_md5) — the
+    md5 of the re-joined token text rides the driver hash, so the
+    slicing is content-proven, not just counted.  Stateless flat-map,
+    zero shuffles; empty docs emit nothing (mirrored by the SQL
+    WHERE)."""
+    import hashlib
+
+    C, S = 32, 24
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("doc_id", "chunk_idx", "start_tok",
+                                "n_toks", "chunk_md5")}
+        for d, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            ws = txt.split()
+            if not ws:
+                continue
+            for ci, s in enumerate(
+                    s for s in range(0, len(ws), S)
+                    if s == 0 or s + (C - S) < len(ws)):
+                piece = ws[s:s + C]
+                rows["doc_id"].append(d)
+                rows["chunk_idx"].append(ci)
+                rows["start_tok"].append(s)
+                rows["n_toks"].append(len(piece))
+                rows["chunk_md5"].append(
+                    hashlib.md5(" ".join(piece).encode()).hexdigest())
+        out = pd.DataFrame(rows)
+        for c in ("doc_id", "chunk_idx", "start_tok", "n_toks"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(chunks, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
+SQL_DOC_CHUNK = """
+WITH clean AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS s
+  FROM clean WHERE len(t) > 0
+), kept AS (
+  SELECT doc_id, t, s FROM starts WHERE s = 0 OR s + 8 < len(t)
+)
+SELECT doc_id, (s // 24)::BIGINT AS chunk_idx, s::BIGINT AS start_tok,
+       len(t[s + 1 : s + 32])::BIGINT AS n_toks,
+       md5(array_to_string(t[s + 1 : s + 32], ' ')) AS chunk_md5
+FROM kept ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_nfc_gate(sf_dir: str) -> pd.DataFrame:
     """Unicode-NFC normalization gate — the dedup hole a hash-before-
     normalize pipeline can't see: canonically-equivalent docs (café
@@ -15231,6 +15295,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ngram_novelty": q_ngram_novelty,
     "cosine_hist": q_cosine_hist,
     "nfc_gate": q_nfc_gate,
+    "doc_chunk": q_doc_chunk,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15491,6 +15556,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "cosine_hist": SQL_COSINE_HIST,
     "nfc_gate": SQL_NFC_GATE,
+    "doc_chunk": SQL_DOC_CHUNK,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
