@@ -5411,6 +5411,65 @@ FROM agg
 """
 
 
+def q_event_paths(sf_dir: str) -> pd.DataFrame:
+    """Top-10 three-step event-type PATHS (sequence mining one step
+    deeper than `event_transitions`' bigrams — the funnel shapes that
+    2-step matrices cannot distinguish: view→click→purchase vs
+    view→click→error): per user, events ordered by the (ts, event_id)
+    total order; every run of three consecutive events emits
+    (e1, e2, e3).  ONE user-keyed exchange — a partition owns a
+    user's whole stream, so in-partition sort + two shifts produce
+    exact triples; per-partition counts combine driver-side bounded
+    by |types|³, never event cardinality.  Top-10 under
+    (n desc, e1, e2, e3)."""
+    from ray.data.context import ShuffleStrategy
+
+    ds = (_read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                   "event_type"])
+          .repartition(num_blocks=8, keys=["user_id"], sort=False))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"e1": pd.Series(dtype="object"),
+                                 "e2": pd.Series(dtype="object"),
+                                 "e3": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        d = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort")
+        g = d.groupby("user_id")["event_type"]
+        d = d.assign(e2=g.shift(-1), e3=g.shift(-2))
+        t = d.dropna(subset=["e3"])
+        return (t.groupby([t["event_type"].rename("e1"), "e2", "e3"])
+                .size().rename("n").reset_index().astype({"n": "int64"}))
+
+    parts = (ds.map_batches(triples, batch_format="pandas",
+                            batch_size=None).to_pandas())
+    out = (parts.groupby(["e1", "e2", "e3"], as_index=False)["n"].sum()
+           .astype({"n": "int64"})
+           .sort_values(["n", "e1", "e2", "e3"],
+                        ascending=[False, True, True, True],
+                        kind="mergesort")
+           .head(10))
+    return out.reset_index(drop=True)
+
+
+SQL_EVENT_PATHS = """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), triples AS (
+  SELECT e1, e2, e3, count(*)::BIGINT AS n
+  FROM seq WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+)
+SELECT e1, e2, e3, n FROM triples
+ORDER BY n DESC, e1, e2, e3 LIMIT 10
+"""
+
+
 def q_doc_chunk(sf_dir: str) -> pd.DataFrame:
     """Within-doc token CHUNKING with overlap — the retrieval/window
     prep op (`sequence_pack` concatenates ACROSS docs for GPT-style
@@ -15296,6 +15355,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cosine_hist": q_cosine_hist,
     "nfc_gate": q_nfc_gate,
     "doc_chunk": q_doc_chunk,
+    "event_paths": q_event_paths,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15557,6 +15617,7 @@ ORACLE_SQL: dict[str, str] = {
     "cosine_hist": SQL_COSINE_HIST,
     "nfc_gate": SQL_NFC_GATE,
     "doc_chunk": SQL_DOC_CHUNK,
+    "event_paths": SQL_EVENT_PATHS,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
