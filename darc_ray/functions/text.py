@@ -1074,3 +1074,66 @@ def ensure_nfc_fixture(path: str = NFC_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+INTL_FIXTURE = "/tmp/darc_ray_fixtures/text_intl.parquet"
+
+
+def ensure_intl_fixture(path: str = INTL_FIXTURE) -> str:
+    """Deterministic INTERNATIONAL curation corpus for the composed
+    capstone (NFC -> length gate -> homoglyph gate -> novelty gate):
+    4 sources x 40 docs; kinds per doc_id % 8 — clean ASCII soup (0,5),
+    decomposed accents that NFC must compose before any gate sees them
+    (1), Cyrillic-homoglyph spoofs (2), exact-copy TEMPLATE docs shared
+    corpus-wide so their 3-gram novelty is ~0 (3), sub-5-token shorts
+    (4), composed-accent clean docs (6), and the ORDER-PROVING kind
+    (7): decomposed text whose NFC form contains a Cyrillic homoglyph
+    inside a Latin word — flagged as spoof ONLY if the pipeline
+    normalizes before gating.  Fixed path + atomic write + ALWAYS
+    rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vocab = ("market report signal window filter branch ledger "
+             "summary digest archive council harbor meadow lantern "
+             "granite orchard velvet copper").split()
+    templates = [
+        "subscribe to our newsletter for updates and offers today",
+        "all rights reserved contact the webmaster for details",
+        "click here to accept cookies and continue browsing now",
+        "this page was generated automatically do not reply",
+    ]
+    sources = ["web", "forum", "wiki", "spam"]
+    docs, srcs = [], []
+    for d in range(160):
+        rng = np.random.default_rng(81_000 + d)
+        words = list(rng.choice(vocab, size=int(rng.integers(8, 16))))
+        kind = d % 8
+        if kind == 1:                      # decomposed accents, clean
+            words.append("café")
+            words.append("crème")
+        elif kind == 2:                    # homoglyph spoof
+            words.append("pаyment")   # Cyrillic а in Latin word
+        elif kind == 3:                    # corpus-wide template copy
+            words = templates[d % len(templates)].split()
+        elif kind == 4:                    # too short
+            words = words[:int(rng.integers(1, 5))]
+        elif kind == 6:                    # composed accents, clean
+            words.append("café")
+        elif kind == 7:                    # NFC-then-spoof order proof
+            words.append("cаfé")  # Cyr а + combining acute
+        docs.append(" ".join(words))
+        srcs.append(sources[d % 4])
+    table = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs),
+        "source": pa.array(srcs)})
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path

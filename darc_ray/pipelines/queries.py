@@ -5411,6 +5411,181 @@ FROM agg
 """
 
 
+def q_intl_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """EIGHTH composed capstone — the INTERNATIONAL text-curation
+    funnel, chaining the four late-r5 machines under one oracle and
+    one first-failure disposition per doc: NFC normalization FIRST
+    (a transform, not a gate — the order-proving planted doc's
+    homoglyph only exists after composition), then token-length gate
+    (< 5 → 'short'), homoglyph gate on the NFC text (cross-script
+    word → 'spoof'), and 3-gram novelty over the NFC corpus
+    (< 300‰ → 'template'; exact template copies score 0).  Composes
+    `nfc_gate` + `script_mix_gate` + `ngram_novelty` semantics
+    end-to-end.  Shape: stateless flag pass + the novelty inverted-
+    index exchange, reconciled through ONE doc-keyed tagged-union
+    exchange (flags ∪ novelty partials) — nothing doc-cardinality-
+    sized on the driver beyond the per-doc result itself."""
+    import unicodedata
+
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.sketches import _shingle_hashes
+    from darc_ray.functions.text import (_SCRIPT_PATS,
+                                         ensure_intl_fixture,
+                                         word_shingles)
+
+    path = ensure_intl_fixture()
+    COLS = ["doc_id", "source", "changed", "n_toks", "short", "spoof",
+            "n", "u", "is_flag"]
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        nfc = df["text"].map(lambda t: unicodedata.normalize("NFC", t))
+        w = nfc.str.strip().str.split(r"\s+", regex=True).explode()
+        w = w[w.notna() & w.ne("")]
+        has = {k: w.str.contains(_SCRIPT_PATS[k], regex=True)
+               for k in ("latin", "cyr", "greek")}
+        mixed = ((has["latin"] & has["cyr"])
+                 | (has["latin"] & has["greek"])
+                 | (has["cyr"] & has["greek"]))
+        spoof = (mixed.groupby(level=0).max()
+                 .reindex(df.index, fill_value=False))
+        n_toks = nfc.str.split().map(len).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": df["source"],
+            "changed": (df["text"] != nfc).astype("int64"),
+            "n_toks": n_toks,
+            "short": (n_toks < 5).astype("int64"),
+            "spoof": spoof.astype("int64"),
+            "n": np.int64(0), "u": np.int64(0),
+            "is_flag": np.int64(1)})[COLS]
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for d, txt in zip(df["doc_id"].astype("int64"), df["text"]):
+            sh = word_shingles(unicodedata.normalize("NFC", txt), 3)
+            if not sh:
+                continue
+            hh = _shingle_hashes(sh)
+            hs.extend(int(v) & 0x7FFFFFFFFFFFFFFF for v in hh)
+            ids.extend([d] * len(hh))
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "sh": np.asarray(hs, dtype=np.int64)})
+
+    base = rd.read_parquet(path)
+    flag_rows = base.map_batches(flags, batch_format="pandas",
+                                 batch_size=4096)
+
+    sh = (base.map_batches(explode, batch_format="pandas",
+                           batch_size=4096)
+          .repartition(num_blocks=8, keys=["sh"], sort=False))
+    sh.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=COLS).astype(
+                {c: "int64" for c in COLS if c != "source"})
+        dfreq = df.groupby("sh")["doc_id"].transform("size")
+        g = (pd.DataFrame({"doc_id": df["doc_id"],
+                           "n": np.int64(1),
+                           "u": (dfreq == 1).astype("int64")})
+             .groupby("doc_id", as_index=False).sum())
+        g["source"] = ""
+        for c in ("changed", "n_toks", "short", "spoof"):
+            g[c] = np.int64(0)
+        g["is_flag"] = np.int64(0)
+        return g[COLS]
+
+    un = (flag_rows.union(sh.map_batches(df_partial,
+                                         batch_format="pandas",
+                                         batch_size=None))
+          .repartition(num_blocks=8, keys=["doc_id"], sort=False))
+    un.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "source": pd.Series(dtype="object"),
+                "changed": pd.Series(dtype="int64"),
+                "n_toks": pd.Series(dtype="int64"),
+                "novelty_milli": pd.Series(dtype="int64"),
+                "reject_stage": pd.Series(dtype="object"),
+                "keep": pd.Series(dtype="int64")})
+        g = df.groupby("doc_id").agg(
+            source=("source", "max"), changed=("changed", "max"),
+            n_toks=("n_toks", "max"), short=("short", "max"),
+            spoof=("spoof", "max"), n=("n", "sum"), u=("u", "sum"))
+        nov = (g["u"] * 1000 // g["n"].clip(lower=1)).astype("int64")
+        stage = np.where(g["short"] == 1, "short",
+                         np.where(g["spoof"] == 1, "spoof",
+                                  np.where(nov < 300, "template", "ok")))
+        return pd.DataFrame({
+            "doc_id": g.index.astype("int64"),
+            "source": g["source"].to_numpy(),
+            "changed": g["changed"].astype("int64").to_numpy(),
+            "n_toks": g["n_toks"].astype("int64").to_numpy(),
+            "novelty_milli": nov.to_numpy(),
+            "reject_stage": stage,
+            "keep": (stage == "ok").astype(np.int64)})
+
+    out = (un.map_batches(verdict, batch_format="pandas",
+                          batch_size=None).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_INTL_CURATION_PIPELINE = """
+WITH d AS (
+  SELECT doc_id, source, text, nfc_normalize(text) AS nfc
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_intl.parquet')
+), f AS (
+  SELECT doc_id, source,
+         CASE WHEN text = nfc THEN 0 ELSE 1 END::BIGINT AS changed,
+         len(string_split_regex(trim(nfc), '\\s+'))::BIGINT AS n_toks,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM unnest(string_split_regex(trim(nfc), '\\s+'))
+             AS t(w)
+           WHERE w <> ''
+             AND ((regexp_matches(w, '[A-Za-z]')
+                   AND regexp_matches(w, '[Ѐ-ӿ]'))
+               OR (regexp_matches(w, '[A-Za-z]')
+                   AND regexp_matches(w, '[Ͱ-Ͽ]'))
+               OR (regexp_matches(w, '[Ѐ-ӿ]')
+                   AND regexp_matches(w, '[Ͱ-Ͽ]')))
+         ) THEN 1 ELSE 0 END::BIGINT AS spoof
+  FROM d
+), sh AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_transform(range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           END) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(nfc), '\\s+') AS words
+        FROM d WHERE trim(nfc) <> '')
+), grams AS (
+  SELECT doc_id, unnest(shingles) AS g FROM sh
+), dfreq AS (
+  SELECT g, count(*)::BIGINT AS df FROM grams GROUP BY g
+), per AS (
+  SELECT doc_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS u
+  FROM grams JOIN dfreq USING (g) GROUP BY doc_id
+), v AS (
+  SELECT f.doc_id, f.source, f.changed, f.n_toks,
+         (p.u * 1000 // p.n)::BIGINT AS novelty_milli,
+         CASE WHEN f.n_toks < 5 THEN 'short'
+              WHEN f.spoof = 1 THEN 'spoof'
+              WHEN p.u * 1000 // p.n < 300 THEN 'template'
+              ELSE 'ok' END AS reject_stage
+  FROM f JOIN per p USING (doc_id)
+)
+SELECT doc_id, source, changed, n_toks, novelty_milli, reject_stage,
+       CASE WHEN reject_stage = 'ok' THEN 1 ELSE 0 END::BIGINT AS keep
+FROM v ORDER BY doc_id
+"""
+
+
 def q_event_paths(sf_dir: str) -> pd.DataFrame:
     """Top-10 three-step event-type PATHS (sequence mining one step
     deeper than `event_transitions`' bigrams — the funnel shapes that
@@ -15356,6 +15531,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nfc_gate": q_nfc_gate,
     "doc_chunk": q_doc_chunk,
     "event_paths": q_event_paths,
+    "intl_curation_pipeline": q_intl_curation_pipeline,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15618,6 +15794,7 @@ ORACLE_SQL: dict[str, str] = {
     "nfc_gate": SQL_NFC_GATE,
     "doc_chunk": SQL_DOC_CHUNK,
     "event_paths": SQL_EVENT_PATHS,
+    "intl_curation_pipeline": SQL_INTL_CURATION_PIPELINE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
