@@ -5411,6 +5411,131 @@ FROM agg
 """
 
 
+def q_phash_recall_audit(sf_dir: str) -> pd.DataFrame:
+    """pHash RADIUS-CALIBRATION audit — the image sibling of
+    `lsh_recall_audit`/`ann_recall_audit`, as a SWEEP: ground truth is
+    exact pixel SSE over same-dimension pairs (truth ⇔ SSE ≤ 3 per
+    subpixel — the planted ±1-noise dups sit at ≈0.5-1.9, unrelated
+    same-dims pairs at 10³-10⁴×); candidates are phash-hamming pairs,
+    counted at radius 6 / 16 / 24.  On this corpus the planted dups
+    span hamming 0-6 and the first FALSE candidate appears at 12-15,
+    so the sweep shows exactly what a radius buys: recall 1000 at
+    every radius, precision decaying 1000 → 777 → 92 as the radius
+    eats background mass — the measured justification for
+    `image_dedup`'s production radius of 6.  Truth rides a
+    (w, h)-keyed exchange (a partition owns every image of its
+    dimension class; SSE pairs expand only within the class);
+    candidates ride the banded-prefix blocking exchange; both pair
+    sets here are k-bounded, so the final counters reduce directly
+    (at corpus scale the `_audit_reconcile` tagged-union exchange is
+    the reconcile path, as in the text/embedding siblings)."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.functions.image import raw_decode
+    from darc_ray.stages.dedup import hash_near_pairs
+    from darc_ray.stages.multimodal import ensure_image_pixels_fixture
+
+    path = ensure_image_pixels_fixture()
+    RADII = [6, 16, 24]
+
+    cand = hash_near_pairs(
+        rd.read_parquet(path, columns=["image_id", "phash"]),
+        max_hamming=max(RADII), id_col="image_id", hash_col="phash")
+
+    ds = (rd.read_parquet(path, columns=["image_id", "bytes", "w", "h"])
+          .repartition(num_blocks=8, keys=["w", "h"], sort=False))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def sse_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby(["w", "h"]):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("image_id")
+            pix = [raw_decode(b).astype(np.int64) for b in g["bytes"]]
+            ids = g["image_id"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    sse = int(((pix[i] - pix[j]) ** 2).sum())
+                    if sse <= 3 * pix[i].size:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    truth = (ds.map_batches(sse_pairs, batch_format="pandas",
+                            batch_size=None).to_pandas())
+    tset = set(zip(truth["a"], truth["b"]))
+    rows = []
+    for r in RADII:
+        cr = cand[cand["hamming"] <= r]
+        cset = set(zip(cr["a"], cr["b"]))
+        hit = len(tset & cset)
+        rows.append({
+            "radius": r, "n_true": len(tset), "n_cand": len(cset),
+            "n_hit": hit,
+            "recall_milli": (1000 * hit) // len(tset) if tset else 0,
+            "precision_milli": (1000 * hit) // len(cset) if cset else 0})
+    return pd.DataFrame(rows).astype("int64")
+
+
+SQL_PHASH_RECALL_AUDIT = """
+WITH raw AS (
+  SELECT image_id, phash, hex(bytes) AS hx,
+         ('0x' || substr(hex(bytes), 9, 8))::BIGINT AS w,
+         ('0x' || substr(hex(bytes), 17, 8))::BIGINT AS ht
+  FROM read_parquet('/tmp/darc_ray_fixtures/image_pixels.parquet')
+), pairs0 AS (
+  SELECT x.image_id AS a, y.image_id AS b, x.w, x.ht,
+         x.hx AS hxa, y.hx AS hxb
+  FROM raw x JOIN raw y
+    ON x.image_id < y.image_id AND x.w = y.w AND x.ht = y.ht
+), series AS (
+  SELECT unnest(generate_series(
+      0, (SELECT max(w * ht * 3) FROM raw) - 1)) AS i
+), sse AS (
+  SELECT p.a, p.b, p.w * p.ht * 3 AS n_sub,
+         sum((('0x' || substr(p.hxa, 2 * (12 + s.i) + 1, 2))::BIGINT
+              - ('0x' || substr(p.hxb, 2 * (12 + s.i) + 1, 2))::BIGINT)
+             * (('0x' || substr(p.hxa, 2 * (12 + s.i) + 1, 2))::BIGINT
+              - ('0x' || substr(p.hxb, 2 * (12 + s.i) + 1, 2))::BIGINT)
+             )::BIGINT AS v
+  FROM pairs0 p JOIN series s ON s.i < p.w * p.ht * 3
+  GROUP BY p.a, p.b, p.w, p.ht
+), tru AS (
+  SELECT a, b FROM sse WHERE v <= 3 * n_sub
+), cand AS (
+  SELECT x.image_id AS a, y.image_id AS b,
+         bit_count(xor(x.phash, y.phash))::BIGINT AS hamming
+  FROM raw x JOIN raw y ON x.image_id < y.image_id
+  WHERE bit_count(xor(x.phash, y.phash)) <= 24
+), radii AS (
+  SELECT unnest([6, 16, 24]) AS radius
+)
+SELECT r.radius::BIGINT AS radius,
+       (SELECT count(*) FROM tru)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand c WHERE c.hamming <= r.radius)::BIGINT
+         AS n_cand,
+       (SELECT count(*) FROM tru t JOIN cand c USING (a, b)
+        WHERE c.hamming <= r.radius)::BIGINT AS n_hit,
+       CASE WHEN (SELECT count(*) FROM tru) > 0
+            THEN (1000 * (SELECT count(*) FROM tru t
+                          JOIN cand c USING (a, b)
+                          WHERE c.hamming <= r.radius))
+                 // (SELECT count(*) FROM tru)
+            ELSE 0 END::BIGINT AS recall_milli,
+       CASE WHEN (SELECT count(*) FROM cand c
+                  WHERE c.hamming <= r.radius) > 0
+            THEN (1000 * (SELECT count(*) FROM tru t
+                          JOIN cand c USING (a, b)
+                          WHERE c.hamming <= r.radius))
+                 // (SELECT count(*) FROM cand c
+                     WHERE c.hamming <= r.radius)
+            ELSE 0 END::BIGINT AS precision_milli
+FROM radii r ORDER BY radius
+"""
+
+
 def q_intl_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     """EIGHTH composed capstone — the INTERNATIONAL text-curation
     funnel, chaining the four late-r5 machines under one oracle and
@@ -15532,6 +15657,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_chunk": q_doc_chunk,
     "event_paths": q_event_paths,
     "intl_curation_pipeline": q_intl_curation_pipeline,
+    "phash_recall_audit": q_phash_recall_audit,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15795,6 +15921,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_chunk": SQL_DOC_CHUNK,
     "event_paths": SQL_EVENT_PATHS,
     "intl_curation_pipeline": SQL_INTL_CURATION_PIPELINE,
+    "phash_recall_audit": SQL_PHASH_RECALL_AUDIT,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
