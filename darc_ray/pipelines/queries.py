@@ -15544,13 +15544,17 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # url_canon_dedup (frontier canonicalization, canonical strings
     # in the driver hash).
     "ann_recall_audit": q_ann_recall_audit,
-    "caption_prefix_templates": q_caption_prefix_templates,
+    # caption_prefix_templates / wds_shards rotated to 51+ late-r5:
+    # template evidence is carried stronger by the intl capstone's
+    # novelty gate (+ source_overlap at 51+), and shard bookkeeping is
+    # weaker per-slot than the audit that replaces it
+    "intl_curation_pipeline": q_intl_curation_pipeline,
     "image_hot_pixels": q_image_hot_pixels,
     "image_exposure": q_image_exposure,
     "aesthetic_gate": q_aesthetic_gate,
     "image_blockiness": q_image_blockiness,
     "image_mirror_symmetry": q_image_mirror_symmetry,
-    "wds_shards": q_wds_shards,
+    "phash_recall_audit": q_phash_recall_audit,
     "image_sharpness": q_image_sharpness,
     "url_canon_dedup": q_url_canon_dedup,
     "image_checkerboard": q_image_checkerboard,
@@ -15656,8 +15660,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nfc_gate": q_nfc_gate,
     "doc_chunk": q_doc_chunk,
     "event_paths": q_event_paths,
-    "intl_curation_pipeline": q_intl_curation_pipeline,
-    "phash_recall_audit": q_phash_recall_audit,
+    "caption_prefix_templates": q_caption_prefix_templates,
+    "wds_shards": q_wds_shards,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
