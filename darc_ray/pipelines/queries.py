@@ -2700,6 +2700,67 @@ FROM c
 """
 
 
+def q_lang_id_eval(sf_dir: str) -> pd.DataFrame:
+    """Language-ID CONFUSION MATRIX — the eval of the `lang_id`
+    heuristic against the table's labeled `lang` column (the audit
+    discipline applied to a classifier: never ship a heuristic without
+    its measured error structure): (true_lang, pred_lang, n) cells
+    plus each cell's per-mille share of its true-language row, so the
+    dominant confusion per language is readable directly.  Stateless
+    zero-shuffle — per-batch partial cells combine driver-side bounded
+    by |langs|², never doc cardinality; predictions are the exact
+    SQL-oracled `lang_id` kernel."""
+    from darc_ray.functions.text import lang_id
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        pred = lang_id(df["text"])
+        return (pd.DataFrame({"true_lang": df["lang"], "pred_lang": pred})
+                .groupby(["true_lang", "pred_lang"]).size()
+                .rename("n").reset_index().astype({"n": "int64"}))
+
+    parts = (_read(sf_dir, "documents", ["doc_id", "text", "lang"])
+             .map_batches(cells, batch_format="pandas", batch_size=8192)
+             .to_pandas())
+    out = (parts.groupby(["true_lang", "pred_lang"], as_index=False)["n"]
+           .sum().astype({"n": "int64"}))
+    tot = out.groupby("true_lang")["n"].transform("sum")
+    out["row_milli"] = (out["n"] * 1000 // tot).astype("int64")
+    return (out.sort_values(["true_lang", "pred_lang"])
+            .reset_index(drop=True))
+
+
+SQL_LANG_ID_EVAL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_matches(substring(text, 1, 400), '[一-鿿]') AS cjk,
+         list_distinct(string_split_regex(lower(text), '\\s+')) AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, cjk,
+    len(list_intersect(words, ['the','a','and','of','to','in','is','that','it','for'])) AS n_en,
+    len(list_intersect(words, ['der','die','das','und','ist','nicht','ein','zu','mit','ich'])) AS n_de,
+    len(list_intersect(words, ['le','la','les','et','est','un','une','des','que','pour'])) AS n_fr,
+    len(list_intersect(words, ['el','la','los','las','es','un','una','que','por','para'])) AS n_es
+  FROM w
+), p AS (
+  SELECT lang AS true_lang, CASE
+    WHEN cjk THEN 'zh'
+    WHEN n_es > n_en AND n_es > n_de AND n_es > n_fr THEN 'es'
+    WHEN n_fr > n_en AND n_fr > n_de THEN 'fr'
+    WHEN n_de > n_en THEN 'de'
+    ELSE 'en' END AS pred_lang
+  FROM c
+), m AS (
+  SELECT true_lang, pred_lang, count(*)::BIGINT AS n
+  FROM p GROUP BY true_lang, pred_lang
+)
+SELECT true_lang, pred_lang, n,
+       (n * 1000 // sum(n) OVER (PARTITION BY true_lang))::BIGINT
+         AS row_milli
+FROM m ORDER BY true_lang, pred_lang
+"""
+
+
 def q_quality(sf_dir: str) -> pd.DataFrame:
     from darc_ray.functions.text import quality_features
 
@@ -15662,6 +15723,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_paths": q_event_paths,
     "caption_prefix_templates": q_caption_prefix_templates,
     "wds_shards": q_wds_shards,
+    "lang_id_eval": q_lang_id_eval,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15926,6 +15988,7 @@ ORACLE_SQL: dict[str, str] = {
     "event_paths": SQL_EVENT_PATHS,
     "intl_curation_pipeline": SQL_INTL_CURATION_PIPELINE,
     "phash_recall_audit": SQL_PHASH_RECALL_AUDIT,
+    "lang_id_eval": SQL_LANG_ID_EVAL,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
