@@ -2700,6 +2700,165 @@ FROM c
 """
 
 
+def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM SEGMENTATION census — the classic customer-mining cube
+    (recency / frequency / monetary quartile codes, 64 cells max):
+    per customer R = days since last order (1 = most recent quartile),
+    F = order count, M = Σ cents; each dimension coded
+    1 + (v > t₁) + (v > t₂) + (v > t₃) against the EXACT k-th order
+    statistics t_q (k = ⌈q·n/4⌉ — ties share a code, so the coding is
+    partitioning-independent with no row_number anywhere).  Thresholds
+    are found DISTRIBUTED: R and F collapse to distinct-value count
+    partials (≤ days / ≤ max-orders rows on the driver); M runs the
+    two-level selection — 4096 coarse-bucket counts locate each k-th's
+    bucket, a second pass collects only those buckets' values
+    (≈ 3·n/4096 rows) for the exact local pick.  One custkey-keyed
+    exchange builds the customer aggregates; the census combine is
+    64-bounded.  SQL mirrors the thresholds with ORDER BY + OFFSET
+    (k−1) on the same integer k."""
+    from ray.data.context import ShuffleStrategy
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+    max_date = ds.max("o_orderdate")
+
+    parts = ds.repartition(num_blocks=8, keys=["o_custkey"], sort=False)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def cust_agg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"c": pd.Series(dtype="int64"),
+                                 "r": pd.Series(dtype="int64"),
+                                 "f": pd.Series(dtype="int64"),
+                                 "m": pd.Series(dtype="int64")})
+        cents = np.floor(df["o_totalprice"].to_numpy(np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        g = (df.assign(cents=cents)
+             .groupby("o_custkey")
+             .agg(last=("o_orderdate", "max"),
+                  f=("o_orderdate", "size"), m=("cents", "sum")))
+        r = ((pd.Timestamp(max_date) - g["last"])
+             .dt.days.astype("int64"))
+        return pd.DataFrame({"c": g.index.astype("int64"),
+                             "r": r.to_numpy(),
+                             "f": g["f"].astype("int64").to_numpy(),
+                             "m": g["m"].astype("int64").to_numpy()})
+
+    cust = parts.map_batches(cust_agg, batch_format="pandas",
+                             batch_size=None).materialize()
+    n = cust.count()
+    ks = [(q * n + 3) // 4 for q in (1, 2, 3)]
+
+    def kth_small_card(col: str) -> list[int]:
+        vc = (cust.map_batches(
+            lambda df: df.groupby(col).size().rename("cnt")
+            .reset_index(), batch_format="pandas")
+            .to_pandas().groupby(col)["cnt"].sum().sort_index())
+        cum = vc.cumsum()
+        return [int(cum.index[int(np.searchsorted(
+            cum.to_numpy(), k, side="left"))]) for k in ks]
+
+    t_r = kth_small_card("r")
+    t_f = kth_small_card("f")
+
+    # monetary: coarse buckets -> exact pick inside the winning buckets
+    NB = 4096
+    m_max = int(cust.max("m"))
+    bw = max(1, m_max // NB + 1)
+    bc = (cust.map_batches(
+        lambda df: pd.DataFrame({"b": df["m"].to_numpy(np.int64) // bw})
+        .groupby("b").size().rename("cnt").reset_index(),
+        batch_format="pandas")
+        .to_pandas().groupby("b")["cnt"].sum().sort_index())
+    cumb = bc.cumsum()
+    need, t_m = [], []
+    for k in ks:
+        pos = int(np.searchsorted(cumb.to_numpy(), k, side="left"))
+        bi = int(cumb.index[pos])
+        before = int(cumb.iloc[pos - 1]) if pos > 0 else 0
+        need.append((bi, k - before))
+    want_buckets = sorted({bi for bi, _ in need})
+    inb = (cust.map_batches(
+        lambda df: df[np.isin(df["m"].to_numpy(np.int64) // bw,
+                              want_buckets)][["m"]],
+        batch_format="pandas").to_pandas())
+    for bi, off in need:
+        vals = np.sort(inb["m"].to_numpy(np.int64)
+                       [inb["m"].to_numpy(np.int64) // bw == bi])
+        t_m.append(int(vals[off - 1]))
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"r_q": pd.Series(dtype="int64"),
+                                 "f_q": pd.Series(dtype="int64"),
+                                 "m_q": pd.Series(dtype="int64"),
+                                 "n_customers": pd.Series(dtype="int64")})
+        def code(v, ts):
+            v = v.to_numpy(np.int64)
+            return (1 + (v > ts[0]).astype(np.int64)
+                    + (v > ts[1]) + (v > ts[2]))
+        out = pd.DataFrame({"r_q": code(df["r"], t_r),
+                            "f_q": code(df["f"], t_f),
+                            "m_q": code(df["m"], t_m)})
+        return (out.groupby(["r_q", "f_q", "m_q"]).size()
+                .rename("n_customers").reset_index().astype("int64"))
+
+    parts2 = (cust.map_batches(census, batch_format="pandas",
+                               batch_size=None).to_pandas())
+    out = (parts2.groupby(["r_q", "f_q", "m_q"], as_index=False)
+           ["n_customers"].sum().astype("int64"))
+    return (out.sort_values(["r_q", "f_q", "m_q"])
+            .reset_index(drop=True))
+
+
+SQL_RFM_SEGMENTS = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+cust AS (
+  SELECT o_custkey AS c,
+         date_diff('day', max(o_orderdate), (SELECT md FROM mx))::BIGINT
+           AS r,
+         count(*)::BIGINT AS f,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS m
+  FROM orders GROUP BY o_custkey
+), nn AS (SELECT count(*)::BIGINT AS n FROM cust),
+t AS (
+  SELECT
+    (SELECT r FROM cust ORDER BY r
+     LIMIT 1 OFFSET ((SELECT (1 * n + 3) // 4 FROM nn) - 1)) AS r1,
+    (SELECT r FROM cust ORDER BY r
+     LIMIT 1 OFFSET ((SELECT (2 * n + 3) // 4 FROM nn) - 1)) AS r2,
+    (SELECT r FROM cust ORDER BY r
+     LIMIT 1 OFFSET ((SELECT (3 * n + 3) // 4 FROM nn) - 1)) AS r3,
+    (SELECT f FROM cust ORDER BY f
+     LIMIT 1 OFFSET ((SELECT (1 * n + 3) // 4 FROM nn) - 1)) AS f1,
+    (SELECT f FROM cust ORDER BY f
+     LIMIT 1 OFFSET ((SELECT (2 * n + 3) // 4 FROM nn) - 1)) AS f2,
+    (SELECT f FROM cust ORDER BY f
+     LIMIT 1 OFFSET ((SELECT (3 * n + 3) // 4 FROM nn) - 1)) AS f3,
+    (SELECT m FROM cust ORDER BY m
+     LIMIT 1 OFFSET ((SELECT (1 * n + 3) // 4 FROM nn) - 1)) AS m1,
+    (SELECT m FROM cust ORDER BY m
+     LIMIT 1 OFFSET ((SELECT (2 * n + 3) // 4 FROM nn) - 1)) AS m2,
+    (SELECT m FROM cust ORDER BY m
+     LIMIT 1 OFFSET ((SELECT (3 * n + 3) // 4 FROM nn) - 1)) AS m3
+), coded AS (
+  SELECT (1 + CASE WHEN r > t.r1 THEN 1 ELSE 0 END
+            + CASE WHEN r > t.r2 THEN 1 ELSE 0 END
+            + CASE WHEN r > t.r3 THEN 1 ELSE 0 END)::BIGINT AS r_q,
+         (1 + CASE WHEN f > t.f1 THEN 1 ELSE 0 END
+            + CASE WHEN f > t.f2 THEN 1 ELSE 0 END
+            + CASE WHEN f > t.f3 THEN 1 ELSE 0 END)::BIGINT AS f_q,
+         (1 + CASE WHEN m > t.m1 THEN 1 ELSE 0 END
+            + CASE WHEN m > t.m2 THEN 1 ELSE 0 END
+            + CASE WHEN m > t.m3 THEN 1 ELSE 0 END)::BIGINT AS m_q
+  FROM cust CROSS JOIN t
+)
+SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_customers
+FROM coded GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
+"""
+
+
 def q_lang_id_eval(sf_dir: str) -> pd.DataFrame:
     """Language-ID CONFUSION MATRIX — the eval of the `lang_id`
     heuristic against the table's labeled `lang` column (the audit
@@ -15724,6 +15883,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "caption_prefix_templates": q_caption_prefix_templates,
     "wds_shards": q_wds_shards,
     "lang_id_eval": q_lang_id_eval,
+    "rfm_segments": q_rfm_segments,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -15989,6 +16149,7 @@ ORACLE_SQL: dict[str, str] = {
     "intl_curation_pipeline": SQL_INTL_CURATION_PIPELINE,
     "phash_recall_audit": SQL_PHASH_RECALL_AUDIT,
     "lang_id_eval": SQL_LANG_ID_EVAL,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
