@@ -2700,6 +2700,93 @@ FROM c
 """
 
 
+def q_zipf_spectrum(sf_dir: str) -> pd.DataFrame:
+    """Token-frequency SPECTRUM — `vocab_growth`'s Zipf complement,
+    the vocab-size selection report: word TYPES bucketed by
+    power-of-two occurrence count (bucket j ⟺ count ∈ [2^{j−1}, 2^j)),
+    with each bucket's type count, token mass, mass per-mille, and the
+    CUMULATIVE coverage a min-frequency cutoff buys
+    (``cum_mass_milli`` at bucket j = share of all tokens covered by
+    keeping only types with count ≥ 2^{j−1}).  Same `\\S+` tokenizer
+    contract as `vocab_growth`, no case folding.  ONE term-keyed
+    count exchange (per-batch combiner first); each partition
+    collapses its exact term counts to ≤ 62 bucket partials — the
+    driver never sees a term list.  Bucketing is pure-integer
+    bit_length (range-join in SQL — no log2 float anywhere)."""
+    import re
+
+    from ray.data.context import ShuffleStrategy
+
+    tok = re.compile(r"\S+")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        cnt: dict[int, int] = {}
+        for text in df["text"]:
+            for w in tok.findall(text):
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                   "big") >> 1
+                cnt[h] = cnt.get(h, 0) + 1
+        return pd.DataFrame({"h": np.fromiter(cnt.keys(), np.int64,
+                                              len(cnt)),
+                             "c": np.fromiter(cnt.values(), np.int64,
+                                              len(cnt))})
+
+    parts = (_read(sf_dir, "documents", ["text"])
+             .map_batches(explode, batch_format="pandas",
+                          batch_size=8192)
+             .repartition(num_blocks=8, keys=["h"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def spectrum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "n_types": pd.Series(dtype="int64"),
+                                 "token_mass": pd.Series(dtype="int64")})
+        tc = df.groupby("h")["c"].sum()
+        b = np.frexp(tc.to_numpy(np.int64).astype(np.float64))[1] \
+            .astype(np.int64)
+        g = pd.DataFrame({"bucket": b, "mass": tc.to_numpy(np.int64)})
+        out = g.groupby("bucket").agg(n_types=("mass", "size"),
+                                      token_mass=("mass", "sum"))
+        return out.reset_index().astype("int64")
+
+    sp = (parts.map_batches(spectrum_partial, batch_format="pandas",
+                            batch_size=None).to_pandas()
+          .groupby("bucket", as_index=False).sum().astype("int64"))
+    total = int(sp["token_mass"].sum())
+    sp = sp.sort_values("bucket", ascending=False).reset_index(drop=True)
+    sp["cum_mass_milli"] = (sp["token_mass"].cumsum() * 1000
+                            // total).astype("int64")
+    sp["mass_milli"] = (sp["token_mass"] * 1000 // total).astype("int64")
+    sp = sp.sort_values("bucket").reset_index(drop=True)
+    return sp[["bucket", "n_types", "token_mass", "mass_milli",
+               "cum_mass_milli"]]
+
+
+SQL_ZIPF_SPECTRUM = """
+WITH d AS (
+  SELECT regexp_extract_all(text, '\\S+') AS ws FROM documents
+), tc AS (
+  SELECT term, count(*)::BIGINT AS c
+  FROM (SELECT unnest(ws) AS term FROM d) GROUP BY term
+), bk AS (
+  SELECT j FROM generate_series(1, 62) t(j)
+), sp AS (
+  SELECT b.j AS bucket, count(*)::BIGINT AS n_types,
+         sum(c)::BIGINT AS token_mass
+  FROM tc JOIN bk b
+    ON c >= (1::BIGINT << (b.j - 1)) AND c < (1::BIGINT << b.j)
+  GROUP BY b.j
+), tot AS (SELECT sum(token_mass)::BIGINT AS tm FROM sp)
+SELECT bucket::BIGINT AS bucket, n_types, token_mass,
+       (token_mass * 1000 // (SELECT tm FROM tot))::BIGINT AS mass_milli,
+       (sum(token_mass) OVER (ORDER BY bucket DESC) * 1000
+        // (SELECT tm FROM tot))::BIGINT AS cum_mass_milli
+FROM sp ORDER BY bucket
+"""
+
+
 def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
     """RFM SEGMENTATION census — the classic customer-mining cube
     (recency / frequency / monetary quartile codes, 64 cells max):
@@ -15884,6 +15971,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "wds_shards": q_wds_shards,
     "lang_id_eval": q_lang_id_eval,
     "rfm_segments": q_rfm_segments,
+    "zipf_spectrum": q_zipf_spectrum,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16150,6 +16238,7 @@ ORACLE_SQL: dict[str, str] = {
     "phash_recall_audit": SQL_PHASH_RECALL_AUDIT,
     "lang_id_eval": SQL_LANG_ID_EVAL,
     "rfm_segments": SQL_RFM_SEGMENTS,
+    "zipf_spectrum": SQL_ZIPF_SPECTRUM,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
