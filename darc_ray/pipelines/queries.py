@@ -2700,6 +2700,131 @@ FROM c
 """
 
 
+def q_fk_integrity(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity AUDIT across the whole star schema — the
+    data-quality gate every ingest owes its warehouse: for each of the
+    seven FK relationships, how many child ROWS reference a parent key
+    that does not exist (on this corpus the answer is provably zero —
+    the audit's value is that zero is MEASURED, and the planted test
+    drives real orphans through every code path).  Each relation is
+    ONE tagged-union key-hash exchange: distinct parent keys (side 1)
+    ∪ per-batch child key-count partials (side 0); a partition owns
+    every copy of a key, so orphan mass is exact locally and only
+    int64 partials reach the driver.  No broadcast at any parent
+    cardinality — the `stale_parts` anti-join shape, generalized."""
+    from ray.data.context import ShuffleStrategy
+
+    RELS = [
+        ("lineitem.orderkey", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.partkey", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.suppkey", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.custkey", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.nationkey", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.nationkey", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.regionkey", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+
+    rows = []
+    for name, child_t, child_k, parent_t, parent_k in RELS:
+        child = _read(sf_dir, child_t, [child_k])
+        parent = _read(sf_dir, parent_t, [parent_k])
+        n_child = int(child.count())
+
+        def child_part(df: pd.DataFrame, _k=child_k) -> pd.DataFrame:
+            g = df.groupby(_k).size().rename("cnt").reset_index()
+            return pd.DataFrame({"key": g[_k].astype("int64"),
+                                 "cnt": g["cnt"].astype("int64"),
+                                 "is_parent": np.int64(0)})
+
+        def parent_part(df: pd.DataFrame, _k=parent_k) -> pd.DataFrame:
+            u = df[_k].drop_duplicates()
+            return pd.DataFrame({"key": u.astype("int64"),
+                                 "cnt": np.int64(0),
+                                 "is_parent": np.int64(1)})
+
+        un = (child.map_batches(child_part, batch_format="pandas",
+                                batch_size=65536)
+              .union(parent.map_batches(parent_part,
+                                        batch_format="pandas",
+                                        batch_size=65536))
+              .repartition(num_blocks=8, keys=["key"], sort=False))
+        un.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        def orphan_mass(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"orphans": [0]}).astype("int64")
+            g = df.groupby("key").agg(c=("cnt", "sum"),
+                                      p=("is_parent", "max"))
+            return pd.DataFrame({
+                "orphans": [int(g.loc[g["p"] == 0, "c"].sum())]
+            }).astype("int64")
+
+        orphans = int(un.map_batches(orphan_mass, batch_format="pandas",
+                                     batch_size=None)
+                      .to_pandas()["orphans"].sum())
+        rows.append({"relation": name, "n_child": n_child,
+                     "n_orphan": orphans,
+                     "orphan_milli": orphans * 1000 // n_child
+                     if n_child else 0})
+    out = pd.DataFrame(rows)
+    for c in ("n_child", "n_orphan", "orphan_milli"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("relation").reset_index(drop=True)
+
+
+SQL_FK_INTEGRITY = """
+WITH rel AS (
+  SELECT 'lineitem.orderkey' AS relation,
+         (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+           AS n_orphan
+  UNION ALL
+  SELECT 'lineitem.partkey', (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.suppkey', (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'orders.custkey', (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'customer.nationkey', (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))
+  UNION ALL
+  SELECT 'supplier.nationkey', (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.s_nationkey))
+  UNION ALL
+  SELECT 'nation.regionkey', (SELECT count(*) FROM nation),
+         (SELECT count(*) FROM nation n
+          WHERE NOT EXISTS (SELECT 1 FROM region r
+                            WHERE r.r_regionkey = n.n_regionkey))
+)
+SELECT relation, n_child, n_orphan,
+       CASE WHEN n_child > 0 THEN n_orphan * 1000 // n_child
+            ELSE 0 END::BIGINT AS orphan_milli
+FROM rel ORDER BY relation
+"""
+
+
 def q_zipf_spectrum(sf_dir: str) -> pd.DataFrame:
     """Token-frequency SPECTRUM — `vocab_growth`'s Zipf complement,
     the vocab-size selection report: word TYPES bucketed by
@@ -15972,6 +16097,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_id_eval": q_lang_id_eval,
     "rfm_segments": q_rfm_segments,
     "zipf_spectrum": q_zipf_spectrum,
+    "fk_integrity": q_fk_integrity,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16239,6 +16365,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id_eval": SQL_LANG_ID_EVAL,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "zipf_spectrum": SQL_ZIPF_SPECTRUM,
+    "fk_integrity": SQL_FK_INTEGRITY,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
