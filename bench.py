@@ -90,7 +90,7 @@ BENCH_QUERIES = [
     "cluster_size_hist", "ngram_novelty", "cosine_hist", "nfc_gate",
     "doc_chunk", "event_paths", "intl_curation_pipeline",
     "phash_recall_audit", "lang_id_eval", "rfm_segments",
-    "zipf_spectrum", "fk_integrity",
+    "zipf_spectrum", "fk_integrity", "open_orders_timeline",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

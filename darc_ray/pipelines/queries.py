@@ -2700,6 +2700,94 @@ FROM c
 """
 
 
+def q_open_orders_timeline(sf_dir: str) -> pd.DataFrame:
+    """Interval-SWEEP timeline — open order-lines per calendar day
+    (the backlog curve: each line opens at its order's date and closes
+    at its ship date): the classic +1/−1 boundary-event prefix sum,
+    the one time-series shape the events families don't cover.  One
+    orderkey-keyed tagged-union exchange co-locates each line with its
+    order (no `Dataset.join` — the Ray 2.49.2 empty-partition
+    pitfall); partitions emit day-delta partials (opened / shipped
+    counts per epoch-day), the driver combine is calendar-bounded, and
+    the running difference of the two cumsums is the backlog.
+    Integer epoch-days (`epoch_us // 86400e6`, the
+    `order_ship_calendar` convention)."""
+    from ray.data.context import ShuffleStrategy
+
+    DAY_NS = 86_400_000_000_000
+
+    def _epoch_days(col: pd.Series) -> pd.Series:
+        # parquet timestamps arrive as datetime64[us]; force ns before
+        # the integer view so the divisor is unit-correct
+        return (pd.to_datetime(col).astype("datetime64[ns]")
+                .astype("int64") // DAY_NS).astype("int64")
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["o_orderkey"].astype("int64"),
+                             "day": _epoch_days(df["o_orderdate"]),
+                             "is_order": np.int64(1)})
+
+    def line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["l_orderkey"].astype("int64"),
+                             "day": _epoch_days(df["l_shipdate"]),
+                             "is_order": np.int64(0)})
+
+    un = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+          .map_batches(order_rows, batch_format="pandas",
+                       batch_size=65536)
+          .union(_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+                 .map_batches(line_rows, batch_format="pandas",
+                              batch_size=65536))
+          .repartition(num_blocks=8, keys=["k"], sort=False))
+    un.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "opened": pd.Series(dtype="int64"),
+                                 "shipped": pd.Series(dtype="int64")})
+        od = df[df["is_order"] == 1].set_index("k")["day"]
+        li = df[df["is_order"] == 0]
+        open_day = li["k"].map(od)
+        opened = (pd.Series(open_day.to_numpy(np.int64))
+                  .value_counts().rename_axis("day")
+                  .rename("opened").reset_index())
+        shipped = (pd.Series(li["day"].to_numpy(np.int64))
+                   .value_counts().rename_axis("day")
+                   .rename("shipped").reset_index())
+        out = opened.merge(shipped, on="day", how="outer").fillna(0)
+        return out.astype("int64")
+
+    parts = (un.map_batches(deltas, batch_format="pandas",
+                            batch_size=None).to_pandas()
+             .groupby("day", as_index=False).sum().astype("int64")
+             .sort_values("day").reset_index(drop=True))
+    net = parts["opened"] - parts["shipped"]
+    parts["open_lines"] = net.cumsum().astype("int64")
+    return parts[["day", "opened", "shipped", "open_lines"]]
+
+
+SQL_OPEN_ORDERS_TIMELINE = """
+WITH li AS (
+  SELECT epoch_us(o.o_orderdate) // 86400000000 AS od,
+         epoch_us(l.l_shipdate) // 86400000000 AS sd
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), ev AS (
+  SELECT od AS day, count(*)::BIGINT AS opened, 0::BIGINT AS shipped
+  FROM li GROUP BY od
+  UNION ALL
+  SELECT sd AS day, 0::BIGINT, count(*)::BIGINT FROM li GROUP BY sd
+), g AS (
+  SELECT day::BIGINT AS day, sum(opened)::BIGINT AS opened,
+         sum(shipped)::BIGINT AS shipped
+  FROM ev GROUP BY day
+)
+SELECT day, opened, shipped,
+       (sum(opened - shipped) OVER (ORDER BY day))::BIGINT AS open_lines
+FROM g ORDER BY day
+"""
+
+
 def q_fk_integrity(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity AUDIT across the whole star schema — the
     data-quality gate every ingest owes its warehouse: for each of the
@@ -16098,6 +16186,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rfm_segments": q_rfm_segments,
     "zipf_spectrum": q_zipf_spectrum,
     "fk_integrity": q_fk_integrity,
+    "open_orders_timeline": q_open_orders_timeline,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16366,6 +16455,7 @@ ORACLE_SQL: dict[str, str] = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "zipf_spectrum": SQL_ZIPF_SPECTRUM,
     "fk_integrity": SQL_FK_INTEGRITY,
+    "open_orders_timeline": SQL_OPEN_ORDERS_TIMELINE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
