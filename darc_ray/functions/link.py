@@ -200,7 +200,10 @@ def canonicalize_urls(urls):
     matches ``TRACKING_PARAM_PAT`` (the ``=`` anchor means
     ``referrer=`` survives — `ref` is a prefix, not the key); sort the
     surviving ``k=v`` segments bytewise; path untouched (case and
-    trailing-slash significant).  One anchored regex split + explode /
+    trailing-slash significant).  A URL the anchored regex cannot
+    parse (relative, schemeless, opaque ``mailto:``) canonicalizes to
+    ITSELF with n_stripped 0 — rows pass through rather than silently
+    vanishing from the census.  One anchored regex split + explode /
     sort / groupby-join — no Python loop over rows."""
     import numpy as np
     import pandas as pd
@@ -230,4 +233,7 @@ def canonicalize_urls(urls):
               .groupby("i")["p"].agg("&".join)
               .reindex(urls.index))
     canon = base + np.where(joined.notna(), "?" + joined.fillna(""), "")
+    unparsed = parts[0].isna()
+    canon = pd.Series(np.where(unparsed, urls, canon), index=urls.index)
+    n_stripped = n_stripped.mask(unparsed, 0).astype(np.int64)
     return pd.DataFrame({"canon": canon, "n_stripped": n_stripped})

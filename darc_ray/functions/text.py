@@ -1084,13 +1084,16 @@ def ensure_intl_fixture(path: str = INTL_FIXTURE) -> str:
     capstone (NFC -> length gate -> homoglyph gate -> novelty gate):
     4 sources x 40 docs; kinds per doc_id % 8 — clean ASCII soup (0,5),
     decomposed accents that NFC must compose before any gate sees them
-    (1), Cyrillic-homoglyph spoofs (2), exact-copy TEMPLATE docs shared
-    corpus-wide so their 3-gram novelty is ~0 (3), sub-5-token shorts
-    (4), composed-accent clean docs (6), and the ORDER-PROVING kind
-    (7): decomposed text whose NFC form contains a Cyrillic homoglyph
-    inside a Latin word — flagged as spoof ONLY if the pipeline
-    normalizes before gating.  Fixed path + atomic write + ALWAYS
-    rewritten, sf-independent."""
+    (1), Cyrillic-homoglyph spoofs (2), exact-copy TEMPLATE docs — all
+    FOUR templates, 5 copies each — so their 3-gram novelty is 0 (3),
+    sub-5-token shorts (4), composed-accent docs (6), and the
+    ORDER-PROVING kind (7): each kind-7 doc is the NFD twin of its
+    kind-6 neighbor (raw bytes differ, NFC forms identical), so with
+    NFC-first both halves of every pair collapse to novelty 0 →
+    'template', while a gate-before-normalize pipeline would see 40
+    unique docs and pass them all — the ordering invariant is a 40-doc
+    disposition flip, not a vacuous claim.  Fixed path + atomic write
+    + ALWAYS rewritten, sf-independent."""
     import os
     import tempfile
 
@@ -1118,13 +1121,16 @@ def ensure_intl_fixture(path: str = INTL_FIXTURE) -> str:
         elif kind == 2:                    # homoglyph spoof
             words.append("pаyment")   # Cyrillic а in Latin word
         elif kind == 3:                    # corpus-wide template copy
-            words = templates[d % len(templates)].split()
+            words = templates[(d // 8) % len(templates)].split()
         elif kind == 4:                    # too short
             words = words[:int(rng.integers(1, 5))]
         elif kind == 6:                    # composed accents, clean
             words.append("café")
-        elif kind == 7:                    # NFC-then-spoof order proof
-            words.append("cаfé")  # Cyr а + combining acute
+        elif kind == 7:                    # ORDER PROOF: NFD twin of d-1
+            import unicodedata
+            docs.append(unicodedata.normalize("NFD", docs[-1]))
+            srcs.append(sources[d % 4])
+            continue
         docs.append(" ".join(words))
         srcs.append(sources[d % 4])
     table = pa.table({

@@ -2819,11 +2819,14 @@ def q_fk_integrity(sf_dir: str) -> pd.DataFrame:
          "region", "r_regionkey"),
     ]
 
+    child_counts: dict[str, int] = {}
     rows = []
     for name, child_t, child_k, parent_t, parent_k in RELS:
         child = _read(sf_dir, child_t, [child_k])
         parent = _read(sf_dir, parent_t, [parent_k])
-        n_child = int(child.count())
+        if child_t not in child_counts:          # lineitem is child 3×
+            child_counts[child_t] = int(child.count())
+        n_child = child_counts[child_t]
 
         def child_part(df: pd.DataFrame, _k=child_k) -> pd.DataFrame:
             g = df.groupby(_k).size().rename("cnt").reset_index()
@@ -6060,11 +6063,15 @@ def q_intl_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     """EIGHTH composed capstone — the INTERNATIONAL text-curation
     funnel, chaining the four late-r5 machines under one oracle and
     one first-failure disposition per doc: NFC normalization FIRST
-    (a transform, not a gate — the order-proving planted doc's
-    homoglyph only exists after composition), then token-length gate
-    (< 5 → 'short'), homoglyph gate on the NFC text (cross-script
-    word → 'spoof'), and 3-gram novelty over the NFC corpus
-    (< 300‰ → 'template'; exact template copies score 0).  Composes
+    (a transform, not a gate), then token-length gate (< 5 →
+    'short'), homoglyph gate on the NFC text (cross-script word →
+    'spoof'), and 3-gram novelty over the NFC corpus (< 300‰ →
+    'template'; exact template copies score 0).  The NFC-first
+    ordering is pinned by the fixture's kind-6/7 NFD TWIN pairs:
+    normalized, each pair collapses to novelty 0 and both
+    dispositions read 'template'; a gate-before-normalize pipeline
+    would score all 40 twin docs unique and pass them — the ordering
+    invariant is a 40-doc disposition flip, not a comment.  Composes
     `nfc_gate` + `script_mix_gate` + `ngram_novelty` semantics
     end-to-end.  Shape: stateless flag pass + the novelty inverted-
     index exchange, reconciled through ONE doc-keyed tagged-union

@@ -4312,7 +4312,8 @@ def image_sharpness_batch(batch: "pa.Table") -> "pa.Table":
     ``sharp`` ⇔ vnum ≥ 5000·n² (σ² ≥ 5000 — cross-multiplied,
     division-free; measured on the fixture: noise 46-54·10³, the
     half-sharp split 23·10³, ONE box blur already only 0.9-1.0·10³,
-    two blurs ≈ 10², ramps/solids exactly 0 — an order-of-magnitude
+    two blurs ≈ 10², solids exactly 0, and the ramp's floor-
+    quantization seams leave only σ² ≈ 0.13 — an order-of-magnitude
     margin on both sides of the gate).  Images smaller than 3×3 have
     no interior and are rejected loudly.  Stateless ``map_batches``,
     no shuffle."""

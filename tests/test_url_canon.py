@@ -33,6 +33,21 @@ def test_canonicalize_urls_kernel_rules():
     assert out["n_stripped"].tolist() == [0, 0, 0, 1, 1, 0, 0]
 
 
+def test_canonicalize_urls_unparseable_passthrough():
+    from darc_ray.functions.link import canonicalize_urls
+
+    s = pd.Series(["example.com/p?utm_source=x",   # schemeless
+                   "mailto:a@b.c",                 # opaque
+                   "/relative/path",
+                   "https://ok.example/p"])
+    out = canonicalize_urls(s)
+    # unparseable rows pass through verbatim, never dropped
+    assert out["canon"].tolist()[:3] == s.tolist()[:3]
+    assert out["n_stripped"].tolist() == [0, 0, 0, 0]
+    assert out.loc[3, "canon"] == "https://ok.example/p"
+    assert len(out) == len(s)
+
+
 def test_url_canon_dedup_planted_census(ray_session):
     from darc_ray.pipelines.queries import q_url_canon_dedup
 
