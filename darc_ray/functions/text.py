@@ -1012,6 +1012,17 @@ def script_mix_features(texts: pd.Series) -> pd.DataFrame:
     out = pd.DataFrame(index=idx)
     for name, pat in _SCRIPT_PATS.items():
         out[f"n_{name}"] = texts.str.count(pat).astype("int64")
+    out["n_mixed_words"] = mixed_script_word_counts(texts)
+    out["spoof"] = (out["n_mixed_words"] >= 1).astype("int64")
+    return out
+
+
+def mixed_script_word_counts(texts: pd.Series) -> pd.Series:
+    """Per-doc count of whitespace words mixing letters of ≥ 2 of
+    {Latin, Cyrillic, Greek} — the homoglyph-signal kernel shared by
+    `script_mix_gate` and the intl curation capstone (one definition,
+    one place for the word-split and script-class contracts)."""
+    idx = texts.index
     w = texts.str.strip().str.split(r"\s+", regex=True).explode()
     w = w[w.notna() & w.ne("")]
     has = {k: w.str.contains(_SCRIPT_PATS[k], regex=True)
@@ -1019,10 +1030,8 @@ def script_mix_features(texts: pd.Series) -> pd.DataFrame:
     mixed = ((has["latin"] & has["cyr"])
              | (has["latin"] & has["greek"])
              | (has["cyr"] & has["greek"]))
-    out["n_mixed_words"] = (mixed.groupby(level=0).sum()
-                            .reindex(idx, fill_value=0).astype("int64"))
-    out["spoof"] = (out["n_mixed_words"] >= 1).astype("int64")
-    return out
+    return (mixed.groupby(level=0).sum()
+            .reindex(idx, fill_value=0).astype("int64"))
 
 
 NFC_FIXTURE = "/tmp/darc_ray_fixtures/text_nfc.parquet"

@@ -6082,10 +6082,8 @@ def q_intl_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
 
-    from darc_ray.functions.sketches import _shingle_hashes
-    from darc_ray.functions.text import (_SCRIPT_PATS,
-                                         ensure_intl_fixture,
-                                         word_shingles)
+    from darc_ray.functions.text import (ensure_intl_fixture,
+                                         mixed_script_word_counts)
 
     path = ensure_intl_fixture()
     COLS = ["doc_id", "source", "changed", "n_toks", "short", "spoof",
@@ -6093,15 +6091,7 @@ def q_intl_curation_pipeline(sf_dir: str) -> pd.DataFrame:
 
     def flags(df: pd.DataFrame) -> pd.DataFrame:
         nfc = df["text"].map(lambda t: unicodedata.normalize("NFC", t))
-        w = nfc.str.strip().str.split(r"\s+", regex=True).explode()
-        w = w[w.notna() & w.ne("")]
-        has = {k: w.str.contains(_SCRIPT_PATS[k], regex=True)
-               for k in ("latin", "cyr", "greek")}
-        mixed = ((has["latin"] & has["cyr"])
-                 | (has["latin"] & has["greek"])
-                 | (has["cyr"] & has["greek"]))
-        spoof = (mixed.groupby(level=0).max()
-                 .reindex(df.index, fill_value=False))
+        spoof = (mixed_script_word_counts(nfc) >= 1)
         n_toks = nfc.str.split().map(len).astype("int64")
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
@@ -6114,16 +6104,8 @@ def q_intl_curation_pipeline(sf_dir: str) -> pd.DataFrame:
             "is_flag": np.int64(1)})[COLS]
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids, hs = [], []
-        for d, txt in zip(df["doc_id"].astype("int64"), df["text"]):
-            sh = word_shingles(unicodedata.normalize("NFC", txt), 3)
-            if not sh:
-                continue
-            hh = _shingle_hashes(sh)
-            hs.extend(int(v) & 0x7FFFFFFFFFFFFFFF for v in hh)
-            ids.extend([d] * len(hh))
-        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
-                             "sh": np.asarray(hs, dtype=np.int64)})
+        nfc = df["text"].map(lambda t: unicodedata.normalize("NFC", t))
+        return _shingle_hash_rows(df["doc_id"], nfc)
 
     base = rd.read_parquet(path)
     flag_rows = base.map_batches(flags, batch_format="pandas",
@@ -6441,17 +6423,8 @@ def q_cosine_hist(sf_dir: str) -> pd.DataFrame:
     is O(21) regardless of pair count.  Inherently O(n²) compute like
     every exact all-pairs scan — the LSH families are the prune; this
     family is the report that justifies their thresholds."""
-    import ray
+    from darc_ray.stages.dedup import _normalized_block, block_pair_tiles
 
-    from darc_ray.stages.dedup import _normalized_block
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    n = ds.count()
-    want_blocks = max(1, -(-n // 1024))
-    mat = ds.repartition(want_blocks).materialize()
-    refs = mat.to_arrow_refs()
-
-    @ray.remote
     def tile(t1: pa.Table, t2: pa.Table, same: bool) -> pd.DataFrame:
         _, m1 = _normalized_block(t1, "vec_id", "embedding")
         _, m2 = _normalized_block(t2, "vec_id", "embedding")
@@ -6466,11 +6439,9 @@ def q_cosine_hist(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"bucket": b.astype(np.int64),
                              "n_pairs": c.astype(np.int64)})
 
-    futs = []
-    for i in range(len(refs)):
-        for j in range(i, len(refs)):
-            futs.append(tile.remote(refs[i], refs[j], i == j))
-    parts = pd.concat(ray.get(futs), ignore_index=True)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = pd.concat(block_pair_tiles(ds, tile, block_rows=1024),
+                      ignore_index=True)
     out = (parts.groupby("bucket", as_index=False)["n_pairs"].sum()
            .astype("int64"))
     return out.sort_values("bucket").reset_index(drop=True)
@@ -6484,6 +6455,26 @@ SELECT CAST(floor(floor(list_cosine_similarity(
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 GROUP BY 1 ORDER BY 1
 """
+
+
+def _shingle_hash_rows(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+    """(doc_id, sh) exploded rows of each doc's DISTINCT 3-gram
+    shingles as int64 md5 hashes — the `word_shingles` contract shared
+    by `ngram_novelty` and the intl curation capstone (which feeds
+    NFC-normalized texts through the same definition)."""
+    from darc_ray.functions.sketches import _shingle_hashes
+    from darc_ray.functions.text import word_shingles
+
+    out_ids, hs = [], []
+    for d, txt in zip(ids.astype("int64"), texts):
+        sh = word_shingles(txt, 3)
+        if not sh:
+            continue
+        hh = _shingle_hashes(sh)
+        hs.extend(int(v) & 0x7FFFFFFFFFFFFFFF for v in hh)
+        out_ids.extend([d] * len(hh))
+    return pd.DataFrame({"doc_id": np.asarray(out_ids, dtype=np.int64),
+                         "sh": np.asarray(hs, dtype=np.int64)})
 
 
 def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
@@ -6502,25 +6493,11 @@ def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
     `ngram_jaccard` family already relies on."""
     from ray.data.context import ShuffleStrategy
 
-    from darc_ray.functions.sketches import _shingle_hashes
-    from darc_ray.functions.text import word_shingles
-
-    def explode(t: pa.Table) -> pa.Table:
-        ids, hs = [], []
-        for d, txt in zip(t.column("doc_id").to_pylist(),
-                          t.column("text").to_pylist()):
-            sh = word_shingles(txt, 3)
-            if not sh:
-                continue
-            hh = _shingle_hashes(sh)
-            hs.extend(int(v) & 0x7FFFFFFFFFFFFFFF for v in hh)
-            ids.extend([d] * len(hh))
-        return pa.Table.from_pydict({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "sh": pa.array(hs, type=pa.int64())})
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return _shingle_hash_rows(df["doc_id"], df["text"])
 
     sh = (_read(sf_dir, "documents", ["doc_id", "text"])
-          .map_batches(explode, batch_format="pyarrow", batch_size=4096)
+          .map_batches(explode, batch_format="pandas", batch_size=4096)
           .repartition(num_blocks=8, keys=["sh"], sort=False))
     sh.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 

@@ -838,15 +838,9 @@ def embedding_dup_pairs_blocked(ds, threshold: float = 0.95,
     the result — never the vectors.  (Exact all-pairs is inherently
     O(n²) compute; this distributes it across blocks² tasks.  For
     high thresholds prefer LSH bucketing — ``stages.ann.lsh_topk`` —
-    which prunes tiles instead of scanning them.)"""
-    import ray
-
-    n = ds.count()
-    want_blocks = max(1, -(-n // block_rows))
-    mat = ds.repartition(want_blocks).materialize()
-    refs = mat.to_arrow_refs()
-
-    @ray.remote
+    which prunes tiles instead of scanning them.)  Harness shared via
+    :func:`block_pair_tiles`; this function owns only the tile kernel
+    and the threshold reduction."""
     def tile(t1: pa.Table, t2: pa.Table, same: bool) -> pd.DataFrame:
         ids1, m1 = _normalized_block(t1, id_col, vec_col)
         ids2, m2 = _normalized_block(t2, id_col, vec_col)
@@ -867,9 +861,8 @@ def embedding_dup_pairs_blocked(ds, threshold: float = 0.95,
                              "cosine": np.floor(vals[mask].astype(np.float64)
                                                 * 1e6 + 0.5) / 1e6})
 
-    futures = [tile.remote(refs[i], refs[j], i == j)
-               for i in range(len(refs)) for j in range(i, len(refs))]
-    parts = [p for p in ray.get(futures) if len(p)]
+    parts = [p for p in block_pair_tiles(ds, tile, block_rows)
+             if len(p)]
     if not parts:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64"),
@@ -978,3 +971,26 @@ def embedding_dup_pairs_auto(ds, threshold: float = 0.95,
     if threshold >= 0.7:
         return embedding_dup_pairs_lsh(ds, threshold, id_col, vec_col, **kw)
     return embedding_dup_pairs_blocked(ds, threshold, id_col, vec_col, **kw)
+
+
+def block_pair_tiles(ds, tile_fn, block_rows: int = 4096):
+    """Shared distributed block-pair tile harness (the exact-all-pairs
+    O(n²) decomposition used by `embedding_dup_pairs_blocked` and the
+    `cosine_hist` report): repartition so Arrow blocks stay in the
+    object store, launch one Ray task per (i ≤ j) block pair, call
+    ``tile_fn(t1, t2, same)`` (a plain function over two Arrow tables;
+    ``same`` marks the diagonal so the callee can take the upper
+    triangle), and return the list of its DataFrame results.  The
+    driver holds block refs and tile outputs — never the vectors;
+    callers own the reduction (threshold filter, histogram, ...)."""
+    import ray
+
+    n = ds.count()
+    want_blocks = max(1, -(-n // block_rows))
+    mat = ds.repartition(want_blocks).materialize()
+    refs = mat.to_arrow_refs()
+
+    remote_tile = ray.remote(tile_fn)
+    futures = [remote_tile.remote(refs[i], refs[j], i == j)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    return ray.get(futures)
