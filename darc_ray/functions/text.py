@@ -1152,3 +1152,88 @@ def ensure_intl_fixture(path: str = INTL_FIXTURE) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)                      # atomic on POSIX
     return path
+
+
+INVISIBLE_FIXTURE = "/tmp/darc_ray_fixtures/text_invisible.parquet"
+
+# the six invisible/format codepoints the gate counts, each its own
+# single-char class (no alternation semantics between re and RE2)
+_INVISIBLE_PATS = {
+    "nbsp": " ",
+    "shy": "­",
+    "zwsp": "​",
+    "zwnj": "‌",
+    "zwj": "‍",
+    "bom": "﻿",
+}
+
+
+def ensure_invisible_fixture(path: str = INVISIBLE_FIXTURE) -> str:
+    """Deterministic invisible-codepoint corpus (the sf documents are
+    plain ASCII): docs seeded with NBSP word joins, soft hyphens
+    inside words, zero-width spaces/joiners, and leading BOMs — the
+    copy-paste and PDF-extraction residue that silently breaks
+    tokenizers — plus clean docs and decoys that must NOT count
+    (regular hyphens and spaces).  Completes the encoding-hygiene trio
+    next to `mojibake_gate` and `entity_gate`.  Fixed path + atomic
+    write + ALWAYS rewritten, sf-independent."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vocab = ("render layout export import margin kerning glyph "
+             "ligature caret spacing column gutter").split()
+    docs = []
+    for d in range(100):
+        rng = np.random.default_rng(91_000 + d)
+        words = list(rng.choice(vocab, size=int(rng.integers(8, 18))))
+        kind = d % 5
+        if kind == 1:                      # NBSP joins: 1-3
+            for _ in range(int(rng.integers(1, 4))):
+                i = int(rng.integers(0, len(words) - 1))
+                words[i] = words[i] + " " + words.pop(i + 1)
+        elif kind == 2:                    # soft hyphens inside words
+            for _ in range(int(rng.integers(1, 4))):
+                i = int(rng.integers(0, len(words)))
+                w = words[i]
+                words[i] = w[:len(w) // 2] + "­" + w[len(w) // 2:]
+        elif kind == 3:                    # zero-width residue
+            for ch in ("​", "‌", "‍")[
+                    :int(rng.integers(1, 4))]:
+                i = int(rng.integers(0, len(words)))
+                words[i] = words[i] + ch
+        elif kind == 4:                    # BOM at start
+            words[0] = "﻿" + words[0]
+        # decoys everywhere: a real hyphenated word and double spaces
+        words.append("well-known")
+        docs.append(" ".join(words))
+    table = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs)})
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)                      # atomic on POSIX
+    return path
+
+
+def invisible_features(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc invisible-codepoint census: one count per codepoint in
+    ``_INVISIBLE_PATS`` (single-char classes), total, cleaned length
+    (codepoints after deleting all six — NBSP deletion mirrors the
+    house rule that the CENSUS is the product; a production cleaner
+    would replace NBSP with a space), and ``flag`` ⇔ total ≥ 1."""
+    out = pd.DataFrame(index=texts.index)
+    total = None
+    for name, ch in _INVISIBLE_PATS.items():
+        c = texts.str.count(ch).astype("int64")
+        out[f"n_{name}"] = c
+        total = c if total is None else total + c
+    out["n_invisible"] = total.astype("int64")
+    out["len_raw"] = texts.str.len().astype("int64")
+    out["len_clean"] = (out["len_raw"] - out["n_invisible"]).astype("int64")
+    out["flag"] = (out["n_invisible"] >= 1).astype("int64")
+    return out

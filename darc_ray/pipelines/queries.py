@@ -6563,6 +6563,61 @@ FROM per ORDER BY doc_id
 """
 
 
+def q_invisible_chars_gate(sf_dir: str) -> pd.DataFrame:
+    """Invisible-codepoint gate — the third leg of the encoding-
+    hygiene trio (`mojibake_gate` catches double-decoding,
+    `entity_gate` markup residue; this catches the copy-paste / PDF
+    residue that breaks tokenizers WITHOUT being visible): per-doc
+    counts of NBSP / SOFT HYPHEN / ZWSP / ZWNJ / ZWJ / BOM (six
+    single-char classes — no alternation semantics to diverge),
+    total, cleaned codepoint length, flag ≥ 1.  Planted fixture with
+    regular-hyphen/space decoys that must not count.  Stateless
+    zero-shuffle; kernel `functions/text.py:invisible_features`."""
+    import ray.data as rd
+
+    from darc_ray.functions.text import (ensure_invisible_fixture,
+                                         invisible_features)
+
+    path = ensure_invisible_fixture()
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        f = invisible_features(df["text"])
+        f.insert(0, "doc_id", df["doc_id"].to_numpy(np.int64))
+        return f
+
+    out = (rd.read_parquet(path)
+           .map_batches(feats, batch_format="pandas", batch_size=4096)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_INVISIBLE_CHARS_GATE = """
+WITH d AS (
+  SELECT doc_id, text
+  FROM read_parquet('/tmp/darc_ray_fixtures/text_invisible.parquet')
+), c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\\x{00A0}'))::BIGINT AS n_nbsp,
+    len(regexp_extract_all(text, '\\x{00AD}'))::BIGINT AS n_shy,
+    len(regexp_extract_all(text, '\\x{200B}'))::BIGINT AS n_zwsp,
+    len(regexp_extract_all(text, '\\x{200C}'))::BIGINT AS n_zwnj,
+    len(regexp_extract_all(text, '\\x{200D}'))::BIGINT AS n_zwj,
+    len(regexp_extract_all(text, '\\x{FEFF}'))::BIGINT AS n_bom,
+    length(text)::BIGINT AS len_raw
+  FROM d
+)
+SELECT doc_id, n_nbsp, n_shy, n_zwsp, n_zwnj, n_zwj, n_bom,
+       (n_nbsp + n_shy + n_zwsp + n_zwnj + n_zwj + n_bom)::BIGINT
+         AS n_invisible,
+       len_raw,
+       (len_raw - (n_nbsp + n_shy + n_zwsp + n_zwnj + n_zwj
+                   + n_bom))::BIGINT AS len_clean,
+       CASE WHEN n_nbsp + n_shy + n_zwsp + n_zwnj + n_zwj + n_bom >= 1
+            THEN 1 ELSE 0 END::BIGINT AS flag
+FROM c ORDER BY doc_id
+"""
+
+
 def q_source_percentile_gate(sf_dir: str) -> pd.DataFrame:
     """Per-SOURCE rank-percentile normalization — the per-domain
     quality-threshold op (CCNet buckets / DoReMi reweighting both
@@ -16171,6 +16226,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zipf_spectrum": q_zipf_spectrum,
     "fk_integrity": q_fk_integrity,
     "open_orders_timeline": q_open_orders_timeline,
+    "invisible_chars_gate": q_invisible_chars_gate,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16440,6 +16496,7 @@ ORACLE_SQL: dict[str, str] = {
     "zipf_spectrum": SQL_ZIPF_SPECTRUM,
     "fk_integrity": SQL_FK_INTEGRITY,
     "open_orders_timeline": SQL_OPEN_ORDERS_TIMELINE,
+    "invisible_chars_gate": SQL_INVISIBLE_CHARS_GATE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
