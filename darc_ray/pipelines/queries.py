@@ -9508,6 +9508,122 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_split_leak_audit(sf_dir: str) -> pd.DataFrame:
+    """SPLIT-LEAKAGE audit — the measured version of the "dedup before
+    you split" lesson: among exact-duplicate pairs (md5 of the text,
+    the `dedup_exact` machine), how many CROSS the train/val/test
+    boundary that `dataset_split`'s md5-uniform rule assigns?  A
+    split-after-dedup pipeline measures 0; a split-before-dedup
+    pipeline leaks ≈ 2·p·(1−p) of its dup mass into eval
+    contamination — this family reports the leaked pair counts per
+    unordered split pair (train|val, train|test, val|test) plus the
+    within-split rows, all-integer.  The sf documents table carries
+    NO exact text dups, so (the `embedding_dups_lsh` precedent) the
+    corpus is augmented with planted copies — doc_id + 100000 for
+    doc_id < 40, mirrored by the oracle's UNION ALL — whose new ids
+    draw fresh split assignments: the planted leak is REAL, split by
+    the very rule under audit.  ONE text-md5-keyed exchange (a
+    partition owns every copy of a text, so pair expansion and split
+    lookups are local; the split is recomputed from doc_id — content-
+    free, no second input needed); split-pair-bounded (6-row)
+    combine."""
+    import hashlib
+
+    from ray.data.context import ShuffleStrategy
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["doc_id"], pa.scalar(40)))
+        return pa.table({"doc_id": pc.add(sub["doc_id"],
+                                          pa.scalar(100_000)),
+                         "text": sub["text"]})
+
+    ds = (base.union(base.map_batches(planted, batch_format="pyarrow"))
+          .map_batches(
+              lambda df: pd.DataFrame({
+                  "doc_id": df["doc_id"].astype("int64"),
+                  "h": [hashlib.md5(t.encode()).hexdigest()
+                        for t in df["text"]]}),
+              batch_format="pandas", batch_size=8192)
+          .repartition(num_blocks=8, keys=["h"], sort=False))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def _cells_table(cells: dict) -> pa.Table:
+        # explicit Arrow types: an empty object-dtype string column
+        # breaks Ray's block accounting (the keep_survivors pitfall)
+        return pa.table({
+            "split_a": pa.array([k[0] for k in cells], type=pa.string()),
+            "split_b": pa.array([k[1] for k in cells], type=pa.string()),
+            "n_pairs": pa.array(list(cells.values()), type=pa.int64())})
+
+    def pair_cells(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _cells_table({})
+        u = df["doc_id"].map(
+            lambda d: int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:8],
+                "big") % 100)
+        sp = np.where(u < SPLIT_TRAIN_PCT, "train",
+                      np.where(u < SPLIT_VAL_PCT, "val", "test"))
+        d = df.assign(split=sp)
+        cells: dict[tuple[str, str], int] = {}
+        for _, g in d.groupby("h"):
+            if len(g) < 2:
+                continue
+            ss = sorted(g["split"].tolist())
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    k = (ss[i], ss[j])
+                    cells[k] = cells.get(k, 0) + 1
+        return _cells_table(cells)
+
+    parts = (ds.map_batches(pair_cells, batch_format="pandas",
+                            batch_size=None).to_pandas())
+    if not len(parts):
+        parts = pd.DataFrame({"split_a": pd.Series(dtype="str"),
+                              "split_b": pd.Series(dtype="str"),
+                              "n_pairs": pd.Series(dtype="int64")})
+    out = (parts.groupby(["split_a", "split_b"], as_index=False)
+           ["n_pairs"].sum().astype({"n_pairs": "int64"}))
+    total = int(out["n_pairs"].sum())
+    out["leaked"] = (out["split_a"] != out["split_b"]).astype("int64")
+    out["share_milli"] = (out["n_pairs"] * 1000
+                          // max(total, 1)).astype("int64")
+    return (out.sort_values(["split_a", "split_b"])
+            .reset_index(drop=True))
+
+
+SQL_SPLIT_LEAK_AUDIT = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id < 40
+), s AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   ::UBIGINT % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   ::UBIGINT % 100 < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM aug
+), pairs AS (
+  SELECT least(x.split, y.split) AS split_a,
+         greatest(x.split, y.split) AS split_b
+  FROM s x JOIN s y ON x.h = y.h AND x.doc_id < y.doc_id
+), cells AS (
+  SELECT split_a, split_b, count(*)::BIGINT AS n_pairs
+  FROM pairs GROUP BY split_a, split_b
+), tot AS (SELECT sum(n_pairs)::BIGINT AS t FROM cells)
+SELECT split_a, split_b, n_pairs,
+       CASE WHEN split_a <> split_b THEN 1 ELSE 0 END::BIGINT AS leaked,
+       (n_pairs * 1000 // greatest((SELECT t FROM tot), 1))::BIGINT
+         AS share_milli
+FROM cells ORDER BY split_a, split_b
+"""
+
+
 DUP_NGRAM_W = 24     # character window length (ExactSubstr threshold)
 
 
@@ -16227,6 +16343,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fk_integrity": q_fk_integrity,
     "open_orders_timeline": q_open_orders_timeline,
     "invisible_chars_gate": q_invisible_chars_gate,
+    "split_leak_audit": q_split_leak_audit,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16497,6 +16614,7 @@ ORACLE_SQL: dict[str, str] = {
     "fk_integrity": SQL_FK_INTEGRITY,
     "open_orders_timeline": SQL_OPEN_ORDERS_TIMELINE,
     "invisible_chars_gate": SQL_INVISIBLE_CHARS_GATE,
+    "split_leak_audit": SQL_SPLIT_LEAK_AUDIT,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
