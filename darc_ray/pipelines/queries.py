@@ -16224,7 +16224,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # novelty gate (+ source_overlap at 51+), and shard bookkeeping is
     # weaker per-slot than the audit that replaces it
     "intl_curation_pipeline": q_intl_curation_pipeline,
-    "image_hot_pixels": q_image_hot_pixels,
+    # image_hot_pixels / image_checkerboard rotated to 51+ in the
+    # closing batch (narrow synthetic-defect gates; the image axis
+    # keeps exposure/blockiness/mirror/sharpness/letterbox/corner_logo
+    # in-window); in their slots the fifth audit (split_leak_audit)
+    # and the classifier eval (lang_id_eval)
+    "split_leak_audit": q_split_leak_audit,
     "image_exposure": q_image_exposure,
     "aesthetic_gate": q_aesthetic_gate,
     "image_blockiness": q_image_blockiness,
@@ -16232,7 +16237,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "phash_recall_audit": q_phash_recall_audit,
     "image_sharpness": q_image_sharpness,
     "url_canon_dedup": q_url_canon_dedup,
-    "image_checkerboard": q_image_checkerboard,
+    "lang_id_eval": q_lang_id_eval,
     "caption_gate": q_caption_gate,
     "caption_dedup": q_caption_dedup,
     "boilerplate_strip": q_boilerplate_strip,
@@ -16337,13 +16342,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_paths": q_event_paths,
     "caption_prefix_templates": q_caption_prefix_templates,
     "wds_shards": q_wds_shards,
-    "lang_id_eval": q_lang_id_eval,
+    "image_hot_pixels": q_image_hot_pixels,
+    "image_checkerboard": q_image_checkerboard,
     "rfm_segments": q_rfm_segments,
     "zipf_spectrum": q_zipf_spectrum,
     "fk_integrity": q_fk_integrity,
     "open_orders_timeline": q_open_orders_timeline,
     "invisible_chars_gate": q_invisible_chars_gate,
-    "split_leak_audit": q_split_leak_audit,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
