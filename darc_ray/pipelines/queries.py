@@ -3646,6 +3646,32 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return simhash_near_pairs(ds, max_hamming=3)
 
 
+def q_simhash_radius_sweep(sf_dir: str) -> pd.DataFrame:
+    """SimHash RADIUS-CALIBRATION sweep — the text sibling of
+    `phash_recall_audit`'s curve: what does each hamming radius buy?
+    Per radius 0..6, the pair count and the number of DISTINCT docs
+    touched (the mass a dedup pass at that radius would consider) —
+    the report behind `simhash_pairs`' production radius of 3.
+    Candidates come from the same pigeonhole-exact banded blocking at
+    the max radius (one hash shuffle); the sweep is a cumulative
+    bucket count over the returned (a, b, hamming) rows plus a
+    per-radius distinct-endpoint count — pair-set-bounded, and on this
+    corpus the pair set is the dup tail, not the corpus."""
+    from darc_ray.stages.dedup import simhash_near_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_near_pairs(ds, max_hamming=6)
+    rows = []
+    for r in range(7):
+        pr = pairs[pairs["hamming"] <= r]
+        docs = set(pr["a"]).union(pr["b"])
+        rows.append({"radius": r, "n_pairs": len(pr),
+                     "n_docs": len(docs)})
+    return pd.DataFrame(rows).astype("int64")
+
+
+
+
 # banded blocking is pigeonhole-exact at the radius, so the all-pairs
 # hamming scan over the SQL-computed simhashes is an exact oracle.
 # The CTE body is shared with the dedup-clusters oracle below.
@@ -3672,6 +3698,25 @@ _SQL_SIMHASH_CTE = """words AS (
                    ELSE coalesce(a.v, 0) END AS BIGINT) AS simhash
   FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 )"""
+
+
+SQL_SIMHASH_RADIUS_SWEEP = f"""
+WITH RECURSIVE {_SQL_SIMHASH_CTE},
+pr AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+  FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+), radii AS (SELECT unnest(generate_series(0, 6)) AS radius)
+SELECT r.radius::BIGINT AS radius,
+       (SELECT count(*) FROM pr WHERE hamming <= r.radius)::BIGINT
+         AS n_pairs,
+       (SELECT count(DISTINCT d) FROM (
+          SELECT a AS d FROM pr WHERE hamming <= r.radius
+          UNION SELECT b FROM pr WHERE hamming <= r.radius))::BIGINT
+         AS n_docs
+FROM radii r ORDER BY radius
+"""
 
 SQL_SIMHASH_PAIRS = f"""
 WITH {_SQL_SIMHASH_CTE}
@@ -16349,6 +16394,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fk_integrity": q_fk_integrity,
     "open_orders_timeline": q_open_orders_timeline,
     "invisible_chars_gate": q_invisible_chars_gate,
+    "simhash_radius_sweep": q_simhash_radius_sweep,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16620,6 +16666,7 @@ ORACLE_SQL: dict[str, str] = {
     "open_orders_timeline": SQL_OPEN_ORDERS_TIMELINE,
     "invisible_chars_gate": SQL_INVISIBLE_CHARS_GATE,
     "split_leak_audit": SQL_SPLIT_LEAK_AUDIT,
+    "simhash_radius_sweep": SQL_SIMHASH_RADIUS_SWEEP,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
