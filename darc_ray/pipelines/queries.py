@@ -3376,6 +3376,67 @@ FROM ruled ORDER BY doc_id
 """
 
 
+def q_source_quality_matrix(sf_dir: str) -> pd.DataFrame:
+    """Per-DOMAIN funnel-health dashboard — the pivot every corpus
+    operator reads first: (source × first-fail reason) counts with
+    each cell's per-mille share of its source, built on the SHARED
+    `_funnel_reasons` kernel (one implementation, so thresholds and
+    rule order cannot drift from `quality_funnel` and the
+    curation capstone).  Stateless per-batch partial cells,
+    |sources|×|reasons|-bounded combine, zero shuffles."""
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        reason, _ = _funnel_reasons(df)
+        return (pd.DataFrame({"source": df["source"], "reason": reason})
+                .groupby(["source", "reason"]).size()
+                .rename("n_docs").reset_index().astype({"n_docs": "int64"}))
+
+    parts = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+             .map_batches(cells, batch_format="pandas", batch_size=8192)
+             .to_pandas())
+    out = (parts.groupby(["source", "reason"], as_index=False)["n_docs"]
+           .sum().astype({"n_docs": "int64"}))
+    tot = out.groupby("source")["n_docs"].transform("sum")
+    out["source_milli"] = (out["n_docs"] * 1000 // tot).astype("int64")
+    return (out.sort_values(["source", "reason"])
+            .reset_index(drop=True))
+
+
+SQL_SOURCE_QUALITY_MATRIX = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT
+      AS n_tokens,
+    length(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT AS tok_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE list_aggregate(list_transform(
+                string_split_regex(trim(text), '\\s+'), x -> length(x)),
+              'max') END::BIGINT AS max_tok,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha_chars
+  FROM documents
+), ruled AS (
+  SELECT source,
+    CASE WHEN n_tokens < {FUNNEL_MIN_TOKENS} THEN 'too_short'
+         WHEN n_tokens > {FUNNEL_MAX_TOKENS} THEN 'too_long'
+         WHEN tok_chars * 1000 // greatest(n_tokens, 1)
+              NOT BETWEEN {FUNNEL_WORDLEN_MILLI[0]}
+                      AND {FUNNEL_WORDLEN_MILLI[1]} THEN 'word_len'
+         WHEN max_tok > {FUNNEL_MAX_TOKEN_LEN} THEN 'long_word'
+         WHEN alpha_chars * 100 // greatest(tok_chars, 1)
+              < {FUNNEL_MIN_ALPHA_PCT} THEN 'alpha'
+         ELSE 'ok' END AS reason
+  FROM feats
+), m AS (
+  SELECT source, reason, count(*)::BIGINT AS n_docs
+  FROM ruled GROUP BY source, reason
+)
+SELECT source, reason, n_docs,
+       (n_docs * 1000 // sum(n_docs) OVER (PARTITION BY source))::BIGINT
+         AS source_milli
+FROM m ORDER BY source, reason
+"""
+
+
 def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     """The CAPSTONE chain — a complete pre-training curation pass in
     one verified pipeline, each doc's final DISPOSITION auditable:
@@ -16395,6 +16456,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "open_orders_timeline": q_open_orders_timeline,
     "invisible_chars_gate": q_invisible_chars_gate,
     "simhash_radius_sweep": q_simhash_radius_sweep,
+    "source_quality_matrix": q_source_quality_matrix,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16667,6 +16729,7 @@ ORACLE_SQL: dict[str, str] = {
     "invisible_chars_gate": SQL_INVISIBLE_CHARS_GATE,
     "split_leak_audit": SQL_SPLIT_LEAK_AUDIT,
     "simhash_radius_sweep": SQL_SIMHASH_RADIUS_SWEEP,
+    "source_quality_matrix": SQL_SOURCE_QUALITY_MATRIX,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
