@@ -3376,6 +3376,113 @@ FROM ruled ORDER BY doc_id
 """
 
 
+def q_bloom_fpr_audit(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter FALSE-POSITIVE audit — the sketch-error eval
+    (`bloom_semijoin` uses the filter as a prefilter and verifies
+    survivors; this family measures what the verify step actually
+    pays): build `BloomFilter64` over the high-value order keys, probe
+    every NON-member order key, and report the measured FP count and
+    per-mille rate.  The filter's multiply-shift hashes are
+    re-derived EXACTLY in SQL via HUGEINT wrap-around multiplication
+    ((key·MUL) mod 2⁶⁴ >> shift), and the table geometry
+    (m = 2^max(6, ceil·log2(n·12)), k = 4) via the integer
+    bit_length identity — the ORACLE rebuilds the whole bit table, so
+    the audit is bit-proof, not statistical.  Probes ride a stateless
+    distributed scan with int64 FP partials (the bloom ships once via
+    `ray.put`)."""
+    import ray
+
+    from darc_ray.functions.sketches import BloomFilter64
+
+    keys = (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .map_batches(lambda t: t.filter(
+                pc.greater(t.column("o_totalprice"), 450000.0))
+                .select(["o_orderkey"]), batch_format="pyarrow")
+            .to_pandas()["o_orderkey"].to_numpy())
+    bloom = BloomFilter64(keys)
+    bloom_ref = ray.put(bloom)
+    member_ref = ray.put(np.sort(keys.astype(np.int64)))
+
+    def fp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bloom_ref)
+        members = ray.get(member_ref)
+        k = df["o_orderkey"].to_numpy(np.int64)
+        if len(members):
+            idx = np.minimum(np.searchsorted(members, k),
+                             len(members) - 1)
+            non = k[members[idx] != k]
+        else:
+            non = k
+        hits = b.contains(non)
+        return pd.DataFrame({"n_probes": [len(non)],
+                             "n_fp": [int(hits.sum())]}).astype("int64")
+
+    parts = (_read(sf_dir, "orders", ["o_orderkey"])
+             .map_batches(fp_partial, batch_format="pandas",
+                          batch_size=65536).to_pandas())
+    n_probes = int(parts["n_probes"].sum())
+    n_fp = int(parts["n_fp"].sum())
+    return pd.DataFrame({
+        "n_members": np.asarray([len(keys)], dtype=np.int64),
+        "m_bits": np.asarray([bloom.m], dtype=np.int64),
+        "k_hashes": np.asarray([bloom.k], dtype=np.int64),
+        "n_probes": np.asarray([n_probes], dtype=np.int64),
+        "n_fp": np.asarray([n_fp], dtype=np.int64),
+        "fpr_milli": np.asarray(
+            [n_fp * 1000 // n_probes if n_probes else 0],
+            dtype=np.int64)})
+
+
+SQL_BLOOM_FPR_AUDIT = """
+WITH members AS (
+  SELECT o_orderkey AS key FROM orders WHERE o_totalprice > 450000.0
+), nn AS (SELECT count(*)::BIGINT AS n FROM members),
+geom AS (
+  SELECT (1::BIGINT << e)::BIGINT AS m, e
+  FROM (SELECT greatest(6, (SELECT min(j)
+          FROM (SELECT unnest(generate_series(1, 62)) AS j)
+          WHERE (1::BIGINT << j) >= (SELECT greatest(n, 1) * 12
+                                     FROM nn))) AS e)
+), muls AS (
+  SELECT * FROM (VALUES
+    (0, 11400714819323198485::UBIGINT),
+    (1, 14029467366897019727::UBIGINT),
+    (2, 1609587929392839161::UBIGINT),
+    (3, 2870177450012600261::UBIGINT)) AS t(i, mul)
+), mpos AS (
+  -- ONE shared bit array: positions are hash-agnostic (a probe's
+  -- hash-2 bit may have been set by a member's hash-0)
+  SELECT DISTINCT
+         CAST(((key::UBIGINT::HUGEINT * h.mul::HUGEINT)
+               % 18446744073709551616)
+              >> (64 - (SELECT e FROM geom)) AS BIGINT) AS pos
+  FROM members CROSS JOIN muls h
+), probes AS (
+  SELECT o_orderkey AS key FROM orders
+  WHERE o_orderkey NOT IN (SELECT key FROM members)
+), phit AS (
+  SELECT p.key, count(*)::BIGINT AS n_set
+  FROM probes p CROSS JOIN muls h
+  WHERE EXISTS (
+    SELECT 1 FROM mpos m
+    WHERE m.pos = CAST(((p.key::UBIGINT::HUGEINT * h.mul::HUGEINT)
+                        % 18446744073709551616)
+                       >> (64 - (SELECT e FROM geom)) AS BIGINT))
+  GROUP BY p.key
+), agg AS (
+  SELECT (SELECT n FROM nn) AS n_members,
+         (SELECT m FROM geom) AS m_bits,
+         4::BIGINT AS k_hashes,
+         (SELECT count(*) FROM probes)::BIGINT AS n_probes,
+         (SELECT count(*) FROM phit WHERE n_set = 4)::BIGINT AS n_fp
+)
+SELECT n_members, m_bits, k_hashes, n_probes, n_fp,
+       CASE WHEN n_probes > 0 THEN n_fp * 1000 // n_probes
+            ELSE 0 END::BIGINT AS fpr_milli
+FROM agg
+"""
+
+
 def q_source_quality_matrix(sf_dir: str) -> pd.DataFrame:
     """Per-DOMAIN funnel-health dashboard — the pivot every corpus
     operator reads first: (source × first-fail reason) counts with
@@ -16457,6 +16564,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "invisible_chars_gate": q_invisible_chars_gate,
     "simhash_radius_sweep": q_simhash_radius_sweep,
     "source_quality_matrix": q_source_quality_matrix,
+    "bloom_fpr_audit": q_bloom_fpr_audit,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16730,6 +16838,7 @@ ORACLE_SQL: dict[str, str] = {
     "split_leak_audit": SQL_SPLIT_LEAK_AUDIT,
     "simhash_radius_sweep": SQL_SIMHASH_RADIUS_SWEEP,
     "source_quality_matrix": SQL_SOURCE_QUALITY_MATRIX,
+    "bloom_fpr_audit": SQL_BLOOM_FPR_AUDIT,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
