@@ -3376,6 +3376,57 @@ FROM ruled ORDER BY doc_id
 """
 
 
+def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """k-ANONYMITY census — the privacy axis none of the other
+    families touch: group customers by the quasi-identifier pair
+    (nation, market segment) and report the equivalence-class SIZE
+    histogram plus how many ROWS sit in classes smaller than k = 5
+    (re-identifiable under linkage attack).  Output: one row per
+    distinct class size (n_classes, n_rows, at_risk flag) + ordering
+    by size — distinct-size-bounded like `cluster_size_hist`.  ONE
+    QI-keyed exchange; a partition owns every row of its class, so
+    sizes are locally exact and only size-histogram partials reach
+    the driver."""
+    from ray.data.context import ShuffleStrategy
+
+    ds = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                     "c_mktsegment"])
+          .repartition(num_blocks=8,
+                       keys=["c_nationkey", "c_mktsegment"],
+                       sort=False))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"class_size": pd.Series(dtype="int64"),
+                                 "n_classes": pd.Series(dtype="int64")})
+        sizes = df.groupby(["c_nationkey", "c_mktsegment"]).size()
+        return (sizes.value_counts().rename_axis("class_size")
+                .rename("n_classes").reset_index().astype("int64"))
+
+    parts = (ds.map_batches(hist_part, batch_format="pandas",
+                            batch_size=None).to_pandas()
+             .groupby("class_size", as_index=False)["n_classes"].sum()
+             .astype("int64").sort_values("class_size")
+             .reset_index(drop=True))
+    parts["n_rows"] = (parts["class_size"]
+                       * parts["n_classes"]).astype("int64")
+    parts["at_risk"] = (parts["class_size"] < 5).astype("int64")
+    return parts[["class_size", "n_classes", "n_rows", "at_risk"]]
+
+
+SQL_K_ANONYMITY = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT class_size, count(*)::BIGINT AS n_classes,
+       (class_size * count(*))::BIGINT AS n_rows,
+       CASE WHEN class_size < 5 THEN 1 ELSE 0 END::BIGINT AS at_risk
+FROM cls GROUP BY class_size ORDER BY class_size
+"""
+
+
 def q_bloom_fpr_audit(sf_dir: str) -> pd.DataFrame:
     """Bloom-filter FALSE-POSITIVE audit — the sketch-error eval
     (`bloom_semijoin` uses the filter as a prefilter and verifies
@@ -16565,6 +16616,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash_radius_sweep": q_simhash_radius_sweep,
     "source_quality_matrix": q_source_quality_matrix,
     "bloom_fpr_audit": q_bloom_fpr_audit,
+    "k_anonymity": q_k_anonymity,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16839,6 +16891,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_radius_sweep": SQL_SIMHASH_RADIUS_SWEEP,
     "source_quality_matrix": SQL_SOURCE_QUALITY_MATRIX,
     "bloom_fpr_audit": SQL_BLOOM_FPR_AUDIT,
+    "k_anonymity": SQL_K_ANONYMITY,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
