@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "zipf_spectrum", "fk_integrity", "open_orders_timeline",
     "invisible_chars_gate", "split_leak_audit", "simhash_radius_sweep",
     "source_quality_matrix", "bloom_fpr_audit", "k_anonymity",
+    "mad_outlier_days",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

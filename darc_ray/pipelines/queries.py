@@ -3376,6 +3376,135 @@ FROM ruled ORDER BY doc_id
 """
 
 
+def q_mad_outlier_days(sf_dir: str) -> pd.DataFrame:
+    """Robust-statistics anomaly days — the MAD rule `spike_days`'
+    trailing-mean rule can't replace (a mean-based threshold is
+    dragged by the very outliers it hunts; the median absolute
+    deviation is 50%-breakdown robust): per event type, daily event
+    counts; a day is an outlier iff |2·x − med2| > 5·mad2, where
+    med2 = x₍(n−1)//2₎ + x₍n//2₎ (the DOUBLED median — exact int even
+    for even n) and mad2 is the doubled median of |2·x − med2| values
+    (doubled deviations keep everything integer; the 5× factor is the
+    usual ≈3σ-equivalent).  The events table is uniformly generated —
+    no natural anomalies — so a deterministic spike is PLANTED on both
+    sides (+500 'error' events on 2024-01-11, a 1-row UNION in the
+    day-count stream mirrored by the oracle's UNION ALL): the audit
+    detects a real planted signal, not an empty set.  All-integer,
+    order-statistic exact; types×days-bounded combine (the
+    `spike_days` shape with a robust center).  Output: per type
+    med2/mad2 + each outlier day."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    DAY_NS = 86_400_000_000_000
+    SPIKE_DAY = int(pd.Timestamp("2024-01-11").value // DAY_NS)
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = (pd.to_datetime(df["ts"]).astype("datetime64[ns]")
+             .astype("int64") // DAY_NS)
+        return (pd.DataFrame({"event_type": df["event_type"], "day": d})
+                .groupby(["event_type", "day"]).size()
+                .rename("n").reset_index().astype({"n": "int64",
+                                                   "day": "int64"}))
+
+    plant = rd.from_pandas(pd.DataFrame({
+        "event_type": ["error"],
+        "day": np.asarray([SPIKE_DAY], dtype=np.int64),
+        "n": np.asarray([500], dtype=np.int64)}))
+
+    parts = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(day_counts, batch_format="pandas",
+                          batch_size=65536)
+             .union(plant)
+             .repartition(num_blocks=8, keys=["event_type"], sort=False))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def _rows_table(rows: list) -> pa.Table:
+        return pa.table({
+            "event_type": pa.array([r["event_type"] for r in rows],
+                                   type=pa.string()),
+            "day": pa.array([r["day"] for r in rows], type=pa.int64()),
+            "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+            "med2": pa.array([r["med2"] for r in rows],
+                             type=pa.int64()),
+            "mad2": pa.array([r["mad2"] for r in rows],
+                             type=pa.int64())})
+
+    def outliers(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _rows_table([])
+        g = (df.groupby(["event_type", "day"], as_index=False)["n"]
+             .sum())
+        rows = []
+        for et, grp in g.groupby("event_type"):
+            x = np.sort(grp["n"].to_numpy(np.int64))
+            m = len(x)
+            med2 = int(x[(m - 1) // 2] + x[m // 2])
+            dev = np.sort(np.abs(2 * grp["n"].to_numpy(np.int64)
+                                 - med2))
+            mad2 = int(dev[(m - 1) // 2] + dev[m // 2])
+            out = grp[np.abs(2 * grp["n"].to_numpy(np.int64)
+                             - med2) * 2 > 5 * mad2]
+            for r in out.itertuples(index=False):
+                rows.append({"event_type": et, "day": int(r.day),
+                             "n": int(r.n), "med2": med2,
+                             "mad2": mad2})
+        return _rows_table(rows)
+
+    out = (parts.map_batches(outliers, batch_format="pandas",
+                             batch_size=None).to_pandas())
+    for c in ("day", "n", "med2", "mad2"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["event_type", "day"])
+            .reset_index(drop=True))
+
+
+SQL_MAD_OUTLIER_DAYS = """
+WITH dc0 AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, day
+  UNION ALL
+  SELECT 'error',
+         epoch_us(TIMESTAMP '2024-01-11') // 86400000000, 500::BIGINT
+), dc AS (
+  SELECT event_type, day, sum(n)::BIGINT AS n
+  FROM dc0 GROUP BY event_type, day
+), med AS (
+  SELECT event_type, count(*)::BIGINT AS m
+  FROM dc GROUP BY event_type
+), med2 AS (
+  SELECT d.event_type,
+         (max(CASE WHEN rk = (m - 1) // 2 THEN n END)
+          + max(CASE WHEN rk = m // 2 THEN n END))::BIGINT AS med2
+  FROM (SELECT event_type, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n, day) - 1 AS rk
+        FROM dc) d
+  JOIN med USING (event_type)
+  GROUP BY d.event_type
+), dev AS (
+  SELECT d.event_type, d.day, d.n,
+         abs(2 * d.n - m2.med2)::BIGINT AS dv, m2.med2
+  FROM dc d JOIN med2 m2 USING (event_type)
+), mad2 AS (
+  SELECT v.event_type,
+         (max(CASE WHEN rk = (m - 1) // 2 THEN dv END)
+          + max(CASE WHEN rk = m // 2 THEN dv END))::BIGINT AS mad2
+  FROM (SELECT event_type, dv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dv, day) - 1 AS rk
+        FROM dev) v
+  JOIN med USING (event_type)
+  GROUP BY v.event_type
+)
+SELECT d.event_type, d.day::BIGINT AS day, d.n, d.med2, m.mad2
+FROM dev d JOIN mad2 m USING (event_type)
+WHERE d.dv * 2 > 5 * m.mad2
+ORDER BY d.event_type, d.day
+"""
+
+
 def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
     """k-ANONYMITY census — the privacy axis none of the other
     families touch: group customers by the quasi-identifier pair
@@ -16617,6 +16746,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "source_quality_matrix": q_source_quality_matrix,
     "bloom_fpr_audit": q_bloom_fpr_audit,
     "k_anonymity": q_k_anonymity,
+    "mad_outlier_days": q_mad_outlier_days,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -16892,6 +17022,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_quality_matrix": SQL_SOURCE_QUALITY_MATRIX,
     "bloom_fpr_audit": SQL_BLOOM_FPR_AUDIT,
     "k_anonymity": SQL_K_ANONYMITY,
+    "mad_outlier_days": SQL_MAD_OUTLIER_DAYS,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
