@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "invisible_chars_gate", "split_leak_audit", "simhash_radius_sweep",
     "source_quality_matrix", "bloom_fpr_audit", "k_anonymity",
     "mad_outlier_days",
+    "knn_label_audit",
+    "kcore_census",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",
