@@ -16714,6 +16714,149 @@ def q_knn_label_audit(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _trunc_div(a, b: int) -> np.ndarray:
+    """Truncate-toward-zero integer division by a positive scalar —
+    mirrored token-for-token by the oracle's
+    ``CASE WHEN a >= 0 THEN a // b ELSE -(((-a)) // b) END`` (DuckDB
+    ``//`` truncates negatives where numpy's floors — the
+    `trend_detect` lesson, factored)."""
+    a = np.asarray(a)
+    return np.where(a >= 0, a // b, -((-a) // b))
+
+
+PCA_ITERS = 10
+PCA_SCALE = 1 << 20          # element quantization + vector max-norm
+PCA_MSCALE = 1 << 16         # matrix max-norm (keeps m·v·2²⁰ < 2⁶³)
+
+
+def q_embedding_pca(sf_dir: str) -> pd.DataFrame:
+    """Top PRINCIPAL DIRECTION of the embedding cloud by bounded
+    integer POWER ITERATION — the PCA/whitening audit an embedding
+    corpus owes its curation stack (SemDeDup-style pruning and every
+    cosine threshold silently assume the cloud isn't dominated by one
+    axis; this family measures that axis).  Exactly ``PCA_ITERS`` = 10
+    matrix-vector steps on BOTH engines, so parity never depends on
+    convergence.  All-integer end to end: elements quantized once
+    (`_qvec_block`'s 2²⁰ rule), per-dim means as trunc(s/n), the
+    centered Gram matrix summed exactly in int64 (loud n-cap keeps
+    n·2⁴² < 2⁶³), the matrix rescaled once to max-norm 2¹⁶ and the
+    vector to 2²⁰ each step via `_trunc_div` — every value crossing an
+    engine boundary is an integer, so the unrolled-CTE oracle is
+    bit-proof.  Distributed shape: two streaming passes with
+    d- and d²-BOUNDED partials (column sums, then centered Gram
+    per-batch partials — mu is a 64-int closure constant, vectors
+    never leave the object store); the 10 iterations run on the
+    driver's 64×64 integer matrix — O(d²) driver state, corpus-size
+    independent.  Output per dim: trunc-mean, scaled variance
+    (diagonal), principal component in 2²⁰ units."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def col_sums(t: pa.Table) -> pd.DataFrame:
+        q = _qvec_block(t)
+        return pd.DataFrame({"i": np.arange(q.shape[1], dtype=np.int64),
+                             "s": q.sum(axis=0).astype(np.int64),
+                             "n": np.int64(q.shape[0])})
+
+    st = (ds.map_batches(col_sums, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+          .groupby("i", as_index=False).sum())
+    if not len(st):
+        return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                             "mu": pd.Series(dtype="int64"),
+                             "var_s": pd.Series(dtype="int64"),
+                             "v_q": pd.Series(dtype="int64")})
+    n = int(st["n"].iloc[0])
+    d = len(st)
+    if n > 1_000_000:
+        raise NotImplementedError(
+            "embedding_pca exact int64 Gram needs n ≤ 10⁶ rows "
+            "(n·2⁴² < 2⁶³); run on a deterministic hash sample above")
+    mu = _trunc_div(st.sort_values("i")["s"].to_numpy(np.int64), n)
+
+    def gram_partial(t: pa.Table, _mu=mu) -> pd.DataFrame:
+        q = _qvec_block(t)
+        if q.shape[0] == 0:
+            return pd.DataFrame({"r": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64"),
+                                 "m": pd.Series(dtype="int64")})
+        c = q - _mu
+        m = c.T @ c
+        dd = m.shape[0]
+        return pd.DataFrame({
+            "r": np.repeat(np.arange(dd, dtype=np.int64), dd),
+            "c": np.tile(np.arange(dd, dtype=np.int64), dd),
+            "m": m.ravel().astype(np.int64)})
+
+    g = (ds.map_batches(gram_partial, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby(["r", "c"], as_index=False)["m"].sum())
+    M = np.zeros((d, d), dtype=np.int64)
+    M[g["r"].to_numpy(np.int64), g["c"].to_numpy(np.int64)] = \
+        g["m"].to_numpy(np.int64)
+    mx = int(np.abs(M).max())
+    Ms = _trunc_div(M * PCA_MSCALE, mx) if mx else np.zeros_like(M)
+    v = np.full(d, PCA_SCALE, dtype=np.int64)
+    for _ in range(PCA_ITERS):
+        w = Ms @ v
+        wx = int(np.abs(w).max())
+        v = _trunc_div(w * PCA_SCALE, wx) if wx else np.zeros_like(w)
+    return pd.DataFrame({"dim": np.arange(1, d + 1, dtype=np.int64),
+                         "mu": mu.astype(np.int64),
+                         "var_s": np.diag(Ms).astype(np.int64),
+                         "v_q": v.astype(np.int64)})
+
+
+def _embedding_pca_sql(iters: int = PCA_ITERS) -> str:
+    """The bounded power iteration unrolled as MATERIALIZED CTE stages
+    (generated so the iteration count stays one knob shared with the
+    Ray side)."""
+    s = f"""WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             e -> CAST(floor(e::DOUBLE * {PCA_SCALE}.0 + 0.5) AS BIGINT))
+             AS qv
+  FROM embeddings
+), el AS MATERIALIZED (
+  SELECT vec_id, i, qv[i] AS x FROM q CROSS JOIN range(1, 65) t(i)
+), st AS MATERIALIZED (
+  SELECT i, sum(x) AS s, count(*) AS n FROM el GROUP BY i
+), mu AS MATERIALIZED (
+  SELECT i, (CASE WHEN s >= 0 THEN s // n
+             ELSE -((-s) // n) END)::BIGINT AS mu
+  FROM st
+), cx AS MATERIALIZED (
+  SELECT el.vec_id, el.i, el.x - mu.mu AS cx FROM el JOIN mu USING (i)
+), m_raw AS MATERIALIZED (
+  SELECT a.i AS r, b.i AS c, sum(a.cx * b.cx)::BIGINT AS m
+  FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2
+), mmax AS (SELECT max(abs(m))::BIGINT AS mx FROM m_raw
+), ms AS MATERIALIZED (
+  SELECT r, c, (CASE WHEN mx = 0 THEN 0
+    WHEN m >= 0 THEN (m * {PCA_MSCALE}) // mx
+    ELSE -(((-m) * {PCA_MSCALE}) // mx) END)::BIGINT AS m
+  FROM m_raw, mmax
+), v0 AS (SELECT i, {PCA_SCALE}::BIGINT AS val FROM range(1, 65) t(i))"""
+    for t in range(1, iters + 1):
+        s += f""", w{t} AS MATERIALIZED (
+  SELECT ms.r AS i, sum(ms.m * v.val)::BIGINT AS w
+  FROM ms JOIN v{t - 1} v ON ms.c = v.i GROUP BY 1
+), wm{t} AS (SELECT max(abs(w))::BIGINT AS wx FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT i, (CASE WHEN wx = 0 THEN 0
+    WHEN w >= 0 THEN (w * {PCA_SCALE}) // wx
+    ELSE -(((-w) * {PCA_SCALE}) // wx) END)::BIGINT AS val
+  FROM w{t}, wm{t})"""
+    s += f"""
+SELECT mu.i AS dim, mu.mu AS mu, d.m AS var_s, v.val AS v_q
+FROM mu JOIN (SELECT r, m FROM ms WHERE r = c) d ON mu.i = d.r
+        JOIN v{iters} v ON mu.i = v.i
+ORDER BY dim"""
+    return s
+
+
+SQL_EMBEDDING_PCA = _embedding_pca_sql()
+
+
 def q_kcore_census(sf_dir: str, k: int = 64, rounds: int = 8
                    ) -> pd.DataFrame:
     """Bounded-round k-CORE peeling census over the part co-purchase
@@ -17091,6 +17234,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "mad_outlier_days": q_mad_outlier_days,
     "knn_label_audit": q_knn_label_audit,
     "kcore_census": q_kcore_census,
+    "embedding_pca": q_embedding_pca,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -17369,6 +17513,7 @@ ORACLE_SQL: dict[str, str] = {
     "mad_outlier_days": SQL_MAD_OUTLIER_DAYS,
     "knn_label_audit": SQL_KNN_LABEL_AUDIT,
     "kcore_census": SQL_KCORE_CENSUS,
+    "embedding_pca": SQL_EMBEDDING_PCA,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
