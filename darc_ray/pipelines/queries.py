@@ -16714,6 +16714,127 @@ def q_knn_label_audit(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+WM_LATENESS_US = 3_600_000_000          # 1 h allowed lateness
+WM_BUCKETS = 64
+WM_SENTINEL = -(1 << 62)                # watermark before the first event
+
+
+def q_watermark_audit(sf_dir: str) -> pd.DataFrame:
+    """Event-time WATERMARK audit — the out-of-orderness measurement a
+    streaming pipeline owes its window operators (every late-data
+    policy assumes a lateness bound; this family measures it): an
+    event is LATE if its event time sits more than 1 h behind the
+    watermark (the running max event time over all events that ARRIVED
+    before it, arrival order = event_id).  The corpus arrives
+    perfectly ordered (measured zero — that zero is the audit), so a
+    deterministic 20-event replay TAIL is planted on BOTH sides
+    (UNION-mirrored, the `mad_outlier_days` precedent): ids after the
+    corpus max, event times at corpus start + i hours — a batch
+    replayed after the stream, late by construction.  Shape: the
+    running max is `sequence_pack`'s two-pass distributed scan with
+    MAX instead of SUM — pass 1 reduces O(WM_BUCKETS) per-bucket maxes
+    (buckets = contiguous event_id ranges), the driver exclusive-
+    prefix-maxes them, pass 2 re-reads each bucket co-located and
+    rebases its local running max — then a days-bounded late census.
+    All-integer (epoch-µs, epoch-day floor-div); the first event's
+    watermark is a −2⁶² sentinel, mirrored by the oracle's NULL
+    window frame."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    max_eid = int(ev.max("event_id"))
+    min_us = int(pd.Timestamp(ev.min("ts")).value // 1000)
+    planted = pa.table({
+        "event_id": max_eid + 1 + np.arange(20, dtype=np.int64),
+        "us": min_us + np.arange(20, dtype=np.int64) * WM_LATENESS_US})
+    span = max_eid + 1 + 20
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "us": pc.cast(t["ts"], pa.int64())})   # timestamp[us] → µs
+
+    aug = (ev.map_batches(to_us, batch_format="pyarrow",
+                          batch_size=65536)
+           .union(ray.data.from_arrow(planted)))
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_id": eid,
+                         "us": t["us"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64),
+                         "bucket": eid * WM_BUCKETS // span})
+
+    bk = aug.map_batches(bucketed, batch_format="pyarrow",
+                         batch_size=65536)
+
+    # pass 1: O(buckets) maxes → driver exclusive prefix-max
+    tot = (bk.groupby("bucket").max("us").to_pandas()
+           .sort_values("bucket"))
+    offs = np.full(WM_BUCKETS, WM_SENTINEL, dtype=np.int64)
+    offs[tot["bucket"].to_numpy(np.int64)] = \
+        tot["max(us)"].to_numpy(np.int64)
+    offs = np.concatenate(
+        ([WM_SENTINEL], np.maximum.accumulate(offs)[:-1]))
+
+    # pass 2: each partition owns whole buckets — local running max
+    # rebased on the bucket's incoming watermark
+    parts = bk.repartition(num_blocks=16, keys=["bucket"], sort=False)
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def late_census(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "n_late": pd.Series(dtype="int64")})
+        df = df.sort_values("event_id", kind="mergesort")
+        us = df["us"].to_numpy(np.int64)
+        b = df["bucket"].to_numpy(np.int64)
+        wm = np.empty(len(df), dtype=np.int64)
+        for bb in np.unique(b):
+            m = b == bb
+            ub = us[m]
+            local = np.concatenate(
+                ([WM_SENTINEL], np.maximum.accumulate(ub)[:-1]))
+            wm[m] = np.maximum(local, offs[bb])
+        late = us < wm - WM_LATENESS_US
+        g = pd.DataFrame({"day": us // 86_400_000_000,
+                          "one": np.int64(1),
+                          "late": late.astype(np.int64)})
+        cen = g.groupby("day", as_index=False).sum()
+        return pd.DataFrame({"day": cen["day"].astype("int64"),
+                             "n_events": cen["one"].astype("int64"),
+                             "n_late": cen["late"].astype("int64")})
+
+    out = (parts.map_batches(late_census, batch_format="pandas",
+                             batch_size=None).to_pandas()
+           .groupby("day", as_index=False).sum())
+    for c in ("n_events", "n_late"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_WATERMARK_AUDIT = """
+WITH aug AS (
+  SELECT event_id, epoch_us(ts) AS us FROM events
+  UNION ALL
+  SELECT (SELECT max(event_id) FROM events) + 1 + i,
+         (SELECT min(epoch_us(ts)) FROM events) + i * 3600000000
+  FROM range(0, 20) t(i)
+), w AS (
+  SELECT us, max(us) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM aug
+)
+SELECT (us // 86400000000)::BIGINT AS day,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN wm IS NOT NULL AND us < wm - 3600000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_late
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def _trunc_div(a, b: int) -> np.ndarray:
     """Truncate-toward-zero integer division by a positive scalar —
     mirrored token-for-token by the oracle's
@@ -17235,6 +17356,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "knn_label_audit": q_knn_label_audit,
     "kcore_census": q_kcore_census,
     "embedding_pca": q_embedding_pca,
+    "watermark_audit": q_watermark_audit,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -17514,6 +17636,7 @@ ORACLE_SQL: dict[str, str] = {
     "knn_label_audit": SQL_KNN_LABEL_AUDIT,
     "kcore_census": SQL_KCORE_CENSUS,
     "embedding_pca": SQL_EMBEDDING_PCA,
+    "watermark_audit": SQL_WATERMARK_AUDIT,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
