@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "kcore_census",
     "embedding_pca",
     "watermark_audit",
+    "cluster_purity",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -520,8 +520,11 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
-SQL_KMEANS_ASSIGN = f"""
-WITH c AS (
+# the ONE assignment CTE shared by SQL_KMEANS_ASSIGN and
+# SQL_CLUSTER_PURITY (the `source_quality_matrix` shared-kernel
+# discipline: quantization and tie-break can never drift between the
+# assignment family and its evaluation family)
+_KMEANS_ASSIGN_CTE = f"""c AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {KMEANS_K}
 ), ranked AS (
   SELECT e.vec_id, c.cid,
@@ -533,8 +536,13 @@ WITH c AS (
                             c.cid)
          AS rn
   FROM embeddings e CROSS JOIN c
-)
-SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1 ORDER BY vec_id
+), asg AS (
+  SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1
+)"""
+
+SQL_KMEANS_ASSIGN = f"""
+WITH {_KMEANS_ASSIGN_CTE}
+SELECT vec_id, cluster FROM asg ORDER BY vec_id
 """
 
 
@@ -607,6 +615,102 @@ SELECT cluster, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS total_tokens
 FROM lab JOIN toks ON lab.vec_id = toks.doc_id
 GROUP BY cluster ORDER BY cluster
+"""
+
+
+def q_cluster_purity(sf_dir: str) -> pd.DataFrame:
+    """EXTERNAL clustering validation — does the k-means structure
+    agree with the label column?  The audit-discipline applied to
+    `kmeans_assign` (the `lang_id_eval` move: evaluate the machine the
+    repo ships, with the SAME shared kernel so the thing measured is
+    the thing deployed): per cluster the majority label, its count,
+    and purity in per-mille; plus the four EXACT Rand pair-confusion
+    counts (same-cluster∧same-label a, same-cluster∧diff b,
+    diff∧same c, diff∧diff d — the integers behind the Rand index,
+    published unreduced so no division crosses the engine boundary
+    beyond the one floor purity).  All from the (clusters × labels)
+    CONTINGENCY table: one `_kmeans_labels` assignment scan with the
+    label carried through (zero shuffles — `carry=` exists exactly
+    because list columns can't ride an Arrow hash join), per-batch
+    contingency partials, K·L-bounded driver closed form with exact
+    C(n,2) arithmetic.  Constant rand_* columns repeat per row (the
+    report is one table).  Tie-break: majority label = (count DESC,
+    label ASC), mirrored by the oracle's row_number."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    lab = _kmeans_labels(ds, carry=["label"])
+
+    def cont_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.assign(label=df["label"].astype("int64"))
+             .groupby(["cluster", "label"]).size()
+             .reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    cont = (lab.map_batches(cont_partial, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+            .groupby(["cluster", "label"], as_index=False)["n"].sum())
+    if not len(cont):
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("cluster", "n_vecs", "top_label", "top_n",
+                              "purity_milli", "rand_a", "rand_b",
+                              "rand_c", "rand_d")})
+
+    def comb2(x):
+        return x * (x - 1) // 2
+
+    per = cont.groupby("cluster", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_vecs"})
+    top = (cont.sort_values(["cluster", "n", "label"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+           .groupby("cluster", as_index=False).head(1)
+           .rename(columns={"label": "top_label", "n": "top_n"}))
+    a = int(comb2(cont["n"]).sum())
+    ab = int(comb2(per["n_vecs"]).sum())
+    ac = int(comb2(cont.groupby("label")["n"].sum()).sum())
+    ntot = int(cont["n"].sum())
+    d = comb2(ntot) - ab - ac + a
+    out = per.merge(top[["cluster", "top_label", "top_n"]], on="cluster")
+    out["purity_milli"] = out["top_n"] * 1000 // out["n_vecs"]
+    out["rand_a"], out["rand_b"] = a, ab - a
+    out["rand_c"], out["rand_d"] = ac - a, d
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+SQL_CLUSTER_PURITY = f"""
+WITH {_KMEANS_ASSIGN_CTE},
+j AS (
+  SELECT a.cluster, e.label::BIGINT AS label
+  FROM asg a JOIN embeddings e USING (vec_id)
+), cont AS (
+  SELECT cluster, label, count(*)::BIGINT AS n FROM j GROUP BY 1, 2
+), per AS (
+  SELECT cluster, sum(n)::BIGINT AS n_vecs FROM cont GROUP BY 1
+), top AS (
+  SELECT cluster, label AS top_label, n AS top_n,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n DESC, label) AS rn
+  FROM cont
+), pr AS (
+  SELECT (SELECT sum(n * (n - 1) // 2) FROM cont)::BIGINT AS a,
+         (SELECT sum(n_vecs * (n_vecs - 1) // 2) FROM per)::BIGINT AS ab,
+         (SELECT sum(m * (m - 1) // 2) FROM (
+            SELECT sum(n)::BIGINT AS m FROM cont GROUP BY label))::BIGINT
+             AS ac,
+         (SELECT sum(n) FROM cont)::BIGINT AS ntot
+)
+SELECT p.cluster, p.n_vecs, t.top_label, t.top_n,
+       (t.top_n * 1000 // p.n_vecs)::BIGINT AS purity_milli,
+       pr.a AS rand_a,
+       (pr.ab - pr.a)::BIGINT AS rand_b,
+       (pr.ac - pr.a)::BIGINT AS rand_c,
+       (pr.ntot * (pr.ntot - 1) // 2 - pr.ab - pr.ac + pr.a)::BIGINT
+           AS rand_d
+FROM per p JOIN top t ON p.cluster = t.cluster AND t.rn = 1
+CROSS JOIN pr
+ORDER BY p.cluster
 """
 
 
@@ -17357,6 +17461,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "mad_outlier_days": q_mad_outlier_days,
     "kcore_census": q_kcore_census,
     "watermark_audit": q_watermark_audit,
+    "cluster_purity": q_cluster_purity,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -17637,6 +17742,7 @@ ORACLE_SQL: dict[str, str] = {
     "kcore_census": SQL_KCORE_CENSUS,
     "embedding_pca": SQL_EMBEDDING_PCA,
     "watermark_audit": SQL_WATERMARK_AUDIT,
+    "cluster_purity": SQL_CLUSTER_PURITY,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
