@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "embedding_pca",
     "watermark_audit",
     "cluster_purity",
+    "feature_split_gain",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -17082,6 +17082,136 @@ ORDER BY dim"""
 SQL_EMBEDDING_PCA = _embedding_pca_sql()
 
 
+SPLIT_NB = 16
+
+
+def q_feature_split_gain(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension decision-STUMP audit over the labeled embedding
+    table — which single coordinate best separates the labels, and
+    where?  (The tree-split primitive behind feature-importance
+    reports and the quickest probe of whether labels are linearly
+    visible in any axis.)  For every dimension: elements quantized by
+    the shared 2²⁰ rule, CLAMPED to [−1, 1) BEFORE the bucket
+    division (a negative numerator would floor in numpy and truncate
+    in DuckDB — clamping makes it non-negative so the engines cannot
+    diverge), bucketed into 16 equal-width bins; each of the 15
+    boundaries is scored by the division-free Gini surrogate
+    score = (Σ_l cL² · nR + Σ_l cR² · nL) · 10⁶ // (nL · nR)
+    (monotone in the weighted impurity decrease — the parent term is
+    constant per dim), degenerate empty-side splits scored −1; best
+    boundary per dim under (score DESC, boundary ASC).  Shape: ONE
+    streaming pass reducing to the (dims × buckets × labels)
+    contingency cube — 64-bincount per batch, nonzero cells only —
+    then an exact Python-int closed form on the ≤ 10 k-row bounded
+    table (arbitrary-precision, no n³ int64 ceiling).  Oracle: the
+    same cube via unnest, a boundary × label LEFT JOIN (zero
+    left-counts must participate), and the identical integer score."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def cont_partial(t: pa.Table) -> pd.DataFrame:
+        q = _qvec_block(t)
+        if q.size == 0:
+            return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = np.unique(lab)
+        li = np.searchsorted(labs, lab)
+        qc = np.clip(q, -PCA_SCALE, PCA_SCALE - 1)
+        bq = (qc + PCA_SCALE) * SPLIT_NB // (2 * PCA_SCALE)
+        d = q.shape[1]
+        cube = np.zeros((d, SPLIT_NB, len(labs)), dtype=np.int64)
+        for i in range(d):
+            idx = bq[:, i] * len(labs) + li
+            cube[i] = np.bincount(
+                idx, minlength=SPLIT_NB * len(labs)
+            ).reshape(SPLIT_NB, len(labs))
+        nz = np.nonzero(cube)
+        return pd.DataFrame({"i": (nz[0] + 1).astype(np.int64),
+                             "b": nz[1].astype(np.int64),
+                             "label": labs[nz[2]],
+                             "n": cube[nz]})
+
+    cont = (ds.map_batches(cont_partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+            .groupby(["i", "b", "label"], as_index=False)["n"].sum())
+    rows = []
+    for i, gi in cont.groupby("i"):
+        piv = (gi.pivot_table(index="b", columns="label", values="n",
+                              aggfunc="sum", fill_value=0)
+               .reindex(range(SPLIT_NB), fill_value=0))
+        cum = piv.cumsum()
+        tot = piv.sum()
+        n = int(tot.sum())
+        best = None
+        for b in range(SPLIT_NB - 1):
+            nl = int(cum.iloc[b].sum())
+            nr = n - nl
+            if nl == 0 or nr == 0:
+                sq = -1
+            else:
+                s_l = sum(int(x) ** 2 for x in cum.iloc[b])
+                s_r = sum(int(x) ** 2 for x in (tot - cum.iloc[b]))
+                sq = (s_l * nr + s_r * nl) * 1_000_000 // (nl * nr)
+            if best is None or sq > best[1]:
+                best = (b, sq, nl, nr)
+        rows.append((int(i), best[0], best[2], best[3], int(best[1])))
+    out = pd.DataFrame(rows, columns=["dim", "best_split", "n_left",
+                                      "n_right", "score_q"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+SQL_FEATURE_SPLIT_GAIN = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label::BIGINT AS label,
+         list_transform(embedding,
+             e -> CAST(floor(e::DOUBLE * {PCA_SCALE}.0 + 0.5) AS BIGINT))
+             AS qv
+  FROM embeddings
+), el AS MATERIALIZED (
+  SELECT label, i,
+         (least(greatest(qv[i], -{PCA_SCALE}), {PCA_SCALE - 1})
+          + {PCA_SCALE}) * {SPLIT_NB} // {2 * PCA_SCALE} AS b
+  FROM q CROSS JOIN range(1, 65) t(i)
+), cont AS MATERIALIZED (
+  SELECT i, b, label, count(*)::BIGINT AS n FROM el GROUP BY 1, 2, 3
+), tot AS (
+  SELECT i, label, sum(n)::BIGINT AS nt FROM cont GROUP BY 1, 2
+), bounds AS (
+  SELECT i, b FROM (SELECT DISTINCT i FROM cont)
+  CROSS JOIN range(0, {SPLIT_NB - 1}) t(b)
+), lall AS (
+  SELECT bo.i, bo.b, t.label, t.nt, coalesce(sum(c.n), 0)::BIGINT AS nl
+  FROM bounds bo
+  JOIN tot t ON t.i = bo.i
+  LEFT JOIN cont c ON c.i = bo.i AND c.label = t.label AND c.b <= bo.b
+  GROUP BY 1, 2, 3, 4
+), sides AS (
+  SELECT i, b,
+         sum(nl * nl)::BIGINT AS sql2,
+         sum((nt - nl) * (nt - nl))::BIGINT AS sqr2,
+         sum(nl)::BIGINT AS n_left,
+         sum(nt - nl)::BIGINT AS n_right
+  FROM lall GROUP BY 1, 2
+), scored AS (
+  SELECT i, b, n_left, n_right,
+         (CASE WHEN n_left = 0 OR n_right = 0 THEN -1
+               ELSE (sql2 * n_right + sqr2 * n_left) * 1000000
+                    // (n_left * n_right) END)::BIGINT AS score_q
+  FROM sides
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY i
+                               ORDER BY score_q DESC, b) AS rn
+  FROM scored
+)
+SELECT i AS dim, b AS best_split, n_left, n_right, score_q
+FROM ranked WHERE rn = 1 ORDER BY dim
+"""
+
+
 def q_kcore_census(sf_dir: str, k: int = 64, rounds: int = 8
                    ) -> pd.DataFrame:
     """Bounded-round k-CORE peeling census over the part co-purchase
@@ -17462,6 +17592,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kcore_census": q_kcore_census,
     "watermark_audit": q_watermark_audit,
     "cluster_purity": q_cluster_purity,
+    "feature_split_gain": q_feature_split_gain,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -17743,6 +17874,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_pca": SQL_EMBEDDING_PCA,
     "watermark_audit": SQL_WATERMARK_AUDIT,
     "cluster_purity": SQL_CLUSTER_PURITY,
+    "feature_split_gain": SQL_FEATURE_SPLIT_GAIN,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
