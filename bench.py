@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "watermark_audit",
     "cluster_purity",
     "feature_split_gain",
+    "halflife_engagement",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

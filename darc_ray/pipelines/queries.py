@@ -17082,6 +17082,72 @@ ORDER BY dim"""
 SQL_EMBEDDING_PCA = _embedding_pca_sql()
 
 
+def q_halflife_engagement(sf_dir: str) -> pd.DataFrame:
+    """Recency-weighted engagement per event type under an EXACT
+    one-day binary half-life — the freshness signal behind trending /
+    popularity rankers, computed without a single float: value
+    quantized to integer cents per row (the one fixed IEEE
+    expression), summed exactly per (type, day), then each day's mass
+    arithmetic-right-shifted by its age in days from the corpus max
+    day (a shift IS the 2^-age decay; ages ≥ 63 contribute 0 — they
+    would anyway).  Decay applies to the per-day GROUP sum by
+    definition (shift-of-sum, not sum-of-shifts — deterministic and
+    identical on both engines; DuckDB's ``>>`` is arithmetic like
+    numpy's, probed).  Shape: zero-shuffle — per-batch (type, day)
+    cent partials, (types × days)-bounded driver combine, the decay
+    closed form on that bounded table."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        g = (pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "day": us // 86_400_000_000,
+                           "cents": cents,
+                           "n": np.int64(1)})
+             .groupby(["event_type", "day"], as_index=False).sum())
+        return g
+
+    d = (ds.map_batches(partials, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby(["event_type", "day"], as_index=False).sum())
+    if not len(d):
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "event_type"
+                                          else "object") for c in
+                             ("event_type", "n_events", "raw_cents",
+                              "decayed_cents")})
+    md = int(d["day"].max())
+    age = (md - d["day"].to_numpy(np.int64))
+    shifted = np.where(age >= 63, 0,
+                       d["cents"].to_numpy(np.int64)
+                       >> np.minimum(age, 62))
+    out = (d.assign(decayed=shifted)
+           .groupby("event_type", as_index=False)
+           .agg(n_events=("n", "sum"), raw_cents=("cents", "sum"),
+                decayed_cents=("decayed", "sum")))
+    for c in ("n_events", "raw_cents", "decayed_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HALFLIFE_ENGAGEMENT = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT max(day) AS md FROM d)
+SELECT event_type,
+       sum(n)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS raw_cents,
+       sum(CASE WHEN md - day >= 63 THEN 0
+                ELSE cents >> (md - day) END)::BIGINT AS decayed_cents
+FROM d, mx GROUP BY 1 ORDER BY 1
+"""
+
+
 SPLIT_NB = 16
 
 
@@ -17593,6 +17659,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "watermark_audit": q_watermark_audit,
     "cluster_purity": q_cluster_purity,
     "feature_split_gain": q_feature_split_gain,
+    "halflife_engagement": q_halflife_engagement,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -17875,6 +17942,7 @@ ORACLE_SQL: dict[str, str] = {
     "watermark_audit": SQL_WATERMARK_AUDIT,
     "cluster_purity": SQL_CLUSTER_PURITY,
     "feature_split_gain": SQL_FEATURE_SPLIT_GAIN,
+    "halflife_engagement": SQL_HALFLIFE_ENGAGEMENT,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
