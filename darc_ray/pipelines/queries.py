@@ -4428,16 +4428,22 @@ def _tri_graph(sf_dir: str):
     list (u<v) as a Dataset.  Two semantically-required exchanges
     (orderkey co-location for the bounded per-order pair expansion;
     (u,v) key for pair distinct), per-batch combiners ahead of both.
-    The MATERIALIZED result is memoized per sf_dir for the session —
-    four graph families (triangle_count, edge_embeddedness,
-    kcore_census, and tests) start from the identical immutable edge
-    set, so one build serves them all (saves ~4 s × 3 rebuilds per
-    bench sweep; blocks live in the object store, not the driver)."""
+    The MATERIALIZED result is memoized per (sf_dir, Ray instance)
+    for the session — four graph families (triangle_count,
+    edge_embeddedness, kcore_census, and tests) start from the
+    identical immutable edge set, so one build serves them all (saves
+    ~4 s × 3 rebuilds per bench sweep; blocks live in the object
+    store, not the driver).  The Ray node id in the key invalidates
+    the memo across ray.shutdown()/re-init cycles (dead object refs
+    otherwise); regenerating the parquet IN PLACE within one session
+    is not detected — tests use fresh tmp dirs."""
+    import ray
     from ray.data.context import ShuffleStrategy
 
+    node_id = ray.nodes()[0]["NodeID"] if ray.is_initialized() else None
     cached = _TRI_GRAPH_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == node_id:
+        return cached[1]
 
     items = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
              # combiner: per-batch (order,part) distinct before the shuffle
@@ -4467,7 +4473,7 @@ def _tri_graph(sf_dir: str):
     out = edges.map_batches(
         lambda t: t.group_by(["u", "v"]).aggregate([]),
         batch_format="pyarrow", batch_size=None).materialize()
-    _TRI_GRAPH_CACHE[sf_dir] = out
+    _TRI_GRAPH_CACHE[sf_dir] = (node_id, out)
     return out
 
 
@@ -16709,7 +16715,8 @@ def _qvec_block(t: pa.Table) -> np.ndarray:
     if n and flat.size % n:
         raise ValueError("ragged embedding column")
     dim = flat.size // n if n else 0
-    return np.floor(flat * 1048576.0 + 0.5).astype(np.int64).reshape(n, dim)
+    return (np.floor(flat * float(PCA_SCALE) + 0.5).astype(np.int64)
+            .reshape(n, dim))
 
 
 def q_knn_label_audit(sf_dir: str) -> pd.DataFrame:
@@ -16784,13 +16791,11 @@ def q_knn_label_audit(sf_dir: str) -> pd.DataFrame:
             drop=True)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    parts = [p for p in block_pair_tiles(ds, tile, block_rows=1024)
-             if len(p)]
-    if not parts:
-        return pd.DataFrame({"label": pd.Series(dtype="int64"),
-                             "n_agree": pd.Series(dtype="int64"),
-                             "n_vecs": pd.Series(dtype="int64")})
-    cand = (ray.data.from_pandas(parts)
+    # tile outputs never land on the driver: refs feed the exchange
+    # straight from the object store (O(k) rows per (query, tile) is
+    # still quadratic in tiles — a driver list of them would not be)
+    refs = block_pair_tiles(ds, tile, block_rows=1024, as_refs=True)
+    cand = (ray.data.from_pandas_refs(refs)
             .repartition(num_blocks=8, keys=["qa"], sort=False))
     cand.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
@@ -16812,6 +16817,10 @@ def q_knn_label_audit(sf_dir: str) -> pd.DataFrame:
     out = (cand.map_batches(census_partial, batch_format="pandas",
                             batch_size=None)
            .to_pandas())
+    if not len(out):
+        return pd.DataFrame({"label": pd.Series(dtype="int64"),
+                             "n_agree": pd.Series(dtype="int64"),
+                             "n_vecs": pd.Series(dtype="int64")})
     out = (out.groupby(["label", "n_agree"], as_index=False)["n_vecs"]
            .sum().astype("int64"))
     return (out.sort_values(["label", "n_agree"])
@@ -16846,9 +16855,15 @@ def q_watermark_audit(sf_dir: str) -> pd.DataFrame:
     import ray
     from ray.data.context import ShuffleStrategy
 
+    from ray.data.aggregate import Max, Min
+
     ev = _read(sf_dir, "events", ["event_id", "ts"])
-    max_eid = int(ev.max("event_id"))
-    min_us = int(pd.Timestamp(ev.min("ts")).value // 1000)
+    # one fused aggregate scan (not two); with pass 1 and pass 2 the
+    # family reads the source exactly three times — the two-pass scan
+    # plus the span probe the bucket layout needs up front
+    ext = ev.aggregate(Max("event_id"), Min("ts"))
+    max_eid = int(ext["max(event_id)"])
+    min_us = int(pd.Timestamp(ext["min(ts)"]).value // 1000)
     planted = pa.table({
         "event_id": max_eid + 1 + np.arange(20, dtype=np.int64),
         "us": min_us + np.arange(20, dtype=np.int64) * WM_LATENESS_US})
@@ -17015,11 +17030,25 @@ def q_embedding_pca(sf_dir: str) -> pd.DataFrame:
     g = (ds.map_batches(gram_partial, batch_format="pyarrow",
                         batch_size=65536).to_pandas()
          .groupby(["r", "c"], as_index=False)["m"].sum())
+    if d > 64:
+        raise NotImplementedError(
+            "embedding_pca iteration products are int64-proven for "
+            "d ≤ 64 (d·2⁵⁶ < 2⁶³)")
     M = np.zeros((d, d), dtype=np.int64)
     M[g["r"].to_numpy(np.int64), g["c"].to_numpy(np.int64)] = \
         g["m"].to_numpy(np.int64)
     mx = int(np.abs(M).max())
-    Ms = _trunc_div(M * PCA_MSCALE, mx) if mx else np.zeros_like(M)
+    # the one-time rescale multiplies entries as large as n·2⁴² by
+    # 2¹⁶ — past int64 for n near the cap, so it runs in exact Python
+    # ints on the bounded d×d table (the oracle's HUGEINT mirror)
+    if mx:
+        Ms = np.array(
+            [[(v * PCA_MSCALE) // mx if v >= 0
+              else -(((-v) * PCA_MSCALE) // mx)
+              for v in map(int, row)] for row in M],
+            dtype=np.int64)
+    else:
+        Ms = np.zeros_like(M)
     v = np.full(d, PCA_SCALE, dtype=np.int64)
     for _ in range(PCA_ITERS):
         w = Ms @ v
@@ -17057,8 +17086,8 @@ def _embedding_pca_sql(iters: int = PCA_ITERS) -> str:
 ), mmax AS (SELECT max(abs(m))::BIGINT AS mx FROM m_raw
 ), ms AS MATERIALIZED (
   SELECT r, c, (CASE WHEN mx = 0 THEN 0
-    WHEN m >= 0 THEN (m * {PCA_MSCALE}) // mx
-    ELSE -(((-m) * {PCA_MSCALE}) // mx) END)::BIGINT AS m
+    WHEN m >= 0 THEN (m::HUGEINT * {PCA_MSCALE}) // mx
+    ELSE -(((-m)::HUGEINT * {PCA_MSCALE}) // mx) END)::BIGINT AS m
   FROM m_raw, mmax
 ), v0 AS (SELECT i, {PCA_SCALE}::BIGINT AS val FROM range(1, 65) t(i))"""
     for t in range(1, iters + 1):
@@ -17265,8 +17294,9 @@ WITH q AS MATERIALIZED (
 ), scored AS (
   SELECT i, b, n_left, n_right,
          (CASE WHEN n_left = 0 OR n_right = 0 THEN -1
-               ELSE (sql2 * n_right + sqr2 * n_left) * 1000000
-                    // (n_left * n_right) END)::BIGINT AS score_q
+               ELSE (sql2::HUGEINT * n_right + sqr2::HUGEINT * n_left)
+                    * 1000000 // (n_left::HUGEINT * n_right) END
+          )::BIGINT AS score_q
   FROM sides
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY i
@@ -17433,11 +17463,11 @@ FROM e{r}""")
 SQL_KCORE_CENSUS = _kcore_census_sql()
 
 
-SQL_KNN_LABEL_AUDIT = """
+SQL_KNN_LABEL_AUDIT = f"""
 WITH q AS (
   SELECT vec_id, label::BIGINT AS label,
          list_transform(embedding,
-             e -> CAST(floor(e::DOUBLE * 1048576.0 + 0.5) AS BIGINT))
+             e -> CAST(floor(e::DOUBLE * {PCA_SCALE}.0 + 0.5) AS BIGINT))
              AS qv
   FROM embeddings
 ),

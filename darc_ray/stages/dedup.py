@@ -973,7 +973,8 @@ def embedding_dup_pairs_auto(ds, threshold: float = 0.95,
     return embedding_dup_pairs_blocked(ds, threshold, id_col, vec_col, **kw)
 
 
-def block_pair_tiles(ds, tile_fn, block_rows: int = 4096):
+def block_pair_tiles(ds, tile_fn, block_rows: int = 4096,
+                     as_refs: bool = False):
     """Shared distributed block-pair tile harness (the exact-all-pairs
     O(n²) decomposition used by `embedding_dup_pairs_blocked` and the
     `cosine_hist` report): repartition so Arrow blocks stay in the
@@ -993,4 +994,9 @@ def block_pair_tiles(ds, tile_fn, block_rows: int = 4096):
     remote_tile = ray.remote(tile_fn)
     futures = [remote_tile.remote(refs[i], refs[j], i == j)
                for i in range(len(refs)) for j in range(i, len(refs))]
+    if as_refs:
+        # tile outputs stay in the object store (ObjectRef list) so a
+        # caller can feed them to ray.data.from_pandas_refs without
+        # ever holding the full result set on the driver
+        return futures
     return ray.get(futures)
