@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "cluster_purity",
     "feature_split_gain",
     "halflife_engagement",
+    "dbscan_census",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

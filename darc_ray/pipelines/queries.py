@@ -17111,6 +17111,158 @@ ORDER BY dim"""
 SQL_EMBEDDING_PCA = _embedding_pca_sql()
 
 
+DBSCAN_EPS_D2 = 1_600_000_000_000    # ≈ the 1% pair-distance quantile
+DBSCAN_MINPTS = 4                    # core ⇔ ≥ 4 OTHER points in eps
+
+
+def q_dbscan_census(sf_dir: str) -> pd.DataFrame:
+    """DBSCAN point-role CENSUS over the embedding cloud — the
+    density-clustering primitive (how much of the corpus sits in
+    dense regions vs on their rims vs isolated — the structural
+    complement of `cosine_hist`'s pairwise view and the direct input
+    to density-based dedup/outlier policies).  Exact semantics, both
+    engines: CORE ⇔ ≥ 4 OTHER vectors within integer squared-L2
+    eps = 1.6·10¹² (the shared 2²⁰ quantization; eps probed at the
+    ~1% pair quantile so all three roles are populated at the sf
+    scales); BORDER ⇔ non-core with ≥ 1 core vector within eps;
+    NOISE ⇔ the rest.  The textbook two-phase shape: pass 1 = tile
+    partial neighbor counts → one qa-keyed exchange → core flags
+    (core ids broadcast once via ``ray.put``, loud 5·10⁷ cap); pass 2
+    = tiles mask their columns to core members and emit non-core hit
+    rows → a distinct-count exchange; the output is the 3-row role
+    census.  Tile outputs ride object refs end to end
+    (`from_pandas_refs` — never a driver list)."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    from darc_ray.stages.dedup import block_pair_tiles
+
+    def _ids_q(t1, t2):
+        id1 = t1["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        id2 = t2["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q1, q2 = _qvec_block(t1), _qvec_block(t2)
+        n1 = (q1 * q1).sum(axis=1)
+        n2 = (q2 * q2).sum(axis=1)
+        d2 = n1[:, None] + n2[None, :] - 2 * (q1 @ q2.T)
+        return id1, id2, d2
+
+    def tile_counts(t1: pa.Table, t2: pa.Table, same: bool
+                    ) -> pd.DataFrame:
+        id1, id2, d2 = _ids_q(t1, t2)
+        if same:
+            np.fill_diagonal(d2, np.iinfo(np.int64).max)
+        w = d2 <= DBSCAN_EPS_D2
+        out = [pd.DataFrame({"qa": id1, "c": w.sum(axis=1,
+                                                   dtype=np.int64)})]
+        if not same:
+            out.append(pd.DataFrame({"qa": id2,
+                                     "c": w.sum(axis=0,
+                                                dtype=np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_total = int(ds.count())
+    cnt_refs = block_pair_tiles(ds, tile_counts, block_rows=1024,
+                                as_refs=True)
+    cnts = (ray.data.from_pandas_refs(cnt_refs)
+            .repartition(num_blocks=8, keys=["qa"], sort=False))
+    cnts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def core_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"qa": pd.Series(dtype="int64")})
+        g = df.groupby("qa", as_index=False)["c"].sum()
+        return g.loc[g["c"] >= DBSCAN_MINPTS, ["qa"]]
+
+    core_ids = np.sort(
+        cnts.map_batches(core_rows, batch_format="pandas",
+                         batch_size=None).to_pandas()["qa"]
+        .to_numpy(np.int64))
+    if len(core_ids) > 50_000_000:
+        raise NotImplementedError(
+            "dbscan_census core-id broadcast capped at 5·10⁷; use a "
+            "co-shuffled core semi-join above")
+    n_core = len(core_ids)
+    cref = ray.put(core_ids)
+
+    def tile_border(t1: pa.Table, t2: pa.Table, same: bool
+                    ) -> pd.DataFrame:
+        cids = ray.get(cref)
+        id1, id2, d2 = _ids_q(t1, t2)
+        if same:
+            np.fill_diagonal(d2, np.iinfo(np.int64).max)
+
+        def hits(qids, nids, dmat):
+            ncore = np.isin(nids, cids)
+            if not ncore.any():
+                return pd.DataFrame({"qa": pd.Series(dtype="int64")})
+            hit = (dmat[:, ncore] <= DBSCAN_EPS_D2).any(axis=1)
+            keep = hit & ~np.isin(qids, cids)
+            return pd.DataFrame({"qa": qids[keep]})
+
+        out = [hits(id1, id2, d2)]
+        if not same:
+            out.append(hits(id2, id1, d2.T))
+        return pd.concat(out, ignore_index=True)
+
+    b_refs = block_pair_tiles(ds, tile_border, block_rows=1024,
+                              as_refs=True)
+    bd = (ray.data.from_pandas_refs(b_refs)
+          .repartition(num_blocks=8, keys=["qa"], sort=False))
+    bd.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": [np.int64(df["qa"].nunique() if len(df) else 0)]})
+
+    bdf = bd.map_batches(distinct_partial, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    # zero border rows anywhere → empty schema-less frame, not an
+    # empty "n" column
+    n_border = int(bdf["n"].sum()) if "n" in bdf.columns else 0
+    return pd.DataFrame({
+        "status": ["border", "core", "noise"],
+        "n": np.asarray([n_border, n_core,
+                         n_total - n_core - n_border],
+                        dtype=np.int64)})
+
+
+SQL_DBSCAN_CENSUS = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             e -> CAST(floor(e::DOUBLE * {PCA_SCALE}.0 + 0.5) AS BIGINT))
+             AS qv
+  FROM embeddings
+), d AS MATERIALIZED (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         list_sum(list_transform(list_zip(a.qv, b.qv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS d2
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+), cnt AS (
+  SELECT qa, sum(CASE WHEN d2 <= {DBSCAN_EPS_D2} THEN 1 ELSE 0 END)
+             ::BIGINT AS c
+  FROM d GROUP BY 1
+), core AS MATERIALIZED (
+  SELECT qa FROM cnt WHERE c >= {DBSCAN_MINPTS}
+), border AS (
+  SELECT DISTINCT d.qa
+  FROM d JOIN core co ON d.qb = co.qa
+  WHERE d.d2 <= {DBSCAN_EPS_D2}
+    AND d.qa NOT IN (SELECT qa FROM core)
+)
+SELECT * FROM (
+  SELECT 'border' AS status, (SELECT count(*) FROM border)::BIGINT AS n
+  UNION ALL
+  SELECT 'core', (SELECT count(*) FROM core)::BIGINT
+  UNION ALL
+  SELECT 'noise', ((SELECT count(*) FROM q)
+                   - (SELECT count(*) FROM core)
+                   - (SELECT count(*) FROM border))::BIGINT
+) ORDER BY status
+"""
+
+
 def q_halflife_engagement(sf_dir: str) -> pd.DataFrame:
     """Recency-weighted engagement per event type under an EXACT
     one-day binary half-life — the freshness signal behind trending /
@@ -17690,6 +17842,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cluster_purity": q_cluster_purity,
     "feature_split_gain": q_feature_split_gain,
     "halflife_engagement": q_halflife_engagement,
+    "dbscan_census": q_dbscan_census,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -17973,6 +18126,7 @@ ORACLE_SQL: dict[str, str] = {
     "cluster_purity": SQL_CLUSTER_PURITY,
     "feature_split_gain": SQL_FEATURE_SPLIT_GAIN,
     "halflife_engagement": SQL_HALFLIFE_ENGAGEMENT,
+    "dbscan_census": SQL_DBSCAN_CENSUS,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
