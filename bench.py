@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "feature_split_gain",
     "halflife_engagement",
     "dbscan_census",
+    "conversion_window",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -17111,6 +17111,127 @@ ORDER BY dim"""
 SQL_EMBEDDING_PCA = _embedding_pca_sql()
 
 
+CONV_WINDOW_US = 3_600_000_000       # view → purchase within 1 h
+
+
+def q_conversion_window(sf_dir: str) -> pd.DataFrame:
+    """Time-CONSTRAINED conversion funnel — the classic product
+    question `funnel`'s unordered membership test cannot answer: for
+    every 'view' event, did the SAME user 'purchase' STRICTLY after
+    it and within one hour?  Daily conversion census
+    (day of the view, n_views, n_converted, conv_milli).  Boundary
+    semantics pinned on both engines: a purchase at exactly
+    view + 1 h converts (≤, inclusive), a purchase at the same µs as
+    the view does not (strict >).  Shape: ONE user-keyed hash
+    repartition co-locating each user's views and purchases, then
+    `burst_detect`'s composite-key idiom — user-segment·huge + t_rel
+    keys make a SINGLE ``np.searchsorted`` find every view's next
+    purchase at once (loud overflow guard falls back per-segment) —
+    and days-bounded census partials.  Oracle: the correlated-EXISTS
+    window probe DuckDB decorrelates."""
+    from ray.data.context import ShuffleStrategy
+
+    W = CONV_WINDOW_US
+
+    def pre(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["view", "purchase"]))
+        tt = t.filter(m)
+        return pa.table({
+            "user_id": tt["user_id"],
+            "us": pc.cast(tt["ts"], pa.int64()),
+            "is_p": pc.cast(pc.equal(tt["event_type"], "purchase"),
+                            pa.int64())})
+
+    ev = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+          .map_batches(pre, batch_format="pyarrow", batch_size=65536)
+          .repartition(num_blocks=8, keys=["user_id"], sort=False))
+    ev.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series(dtype="int64"),
+                              "n_views": pd.Series(dtype="int64"),
+                              "n_converted": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        df = df.sort_values(["user_id", "us"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        isp = df["is_p"].to_numpy(np.int64).astype(bool)
+        uidx = np.searchsorted(np.unique(u), u)
+        rel = us - us.min()
+        vi, pi = ~isp, isp
+        if not vi.any():
+            return empty
+        huge = int(rel.max()) + W + 2
+        n_seg = int(uidx.max()) + 1
+        if n_seg * huge < 2 ** 62:
+            pcomp = uidx[pi] * huge + rel[pi]
+            target = uidx[vi] * huge + rel[vi]
+            pos = np.searchsorted(pcomp, target, "right")
+            posc = np.minimum(pos, max(len(pcomp) - 1, 0))
+            if len(pcomp):
+                conv = ((pos < len(pcomp))
+                        & (pcomp[posc] <= target + W))
+            else:
+                conv = np.zeros(int(vi.sum()), dtype=bool)
+        else:                            # overflow guard: per-segment
+            p_u, p_rel = uidx[pi], rel[pi]
+            v_u, v_rel = uidx[vi], rel[vi]
+            conv = np.zeros(len(v_u), dtype=bool)
+            for s in np.unique(v_u):
+                pr = p_rel[p_u == s]
+                vm = v_u == s
+                vr = v_rel[vm]
+                pos = np.searchsorted(pr, vr, "right")
+                ok = pos < len(pr)
+                c = np.zeros(len(vr), dtype=bool)
+                if len(pr):
+                    c[ok] = pr[np.minimum(pos[ok], len(pr) - 1)] \
+                        <= vr[ok] + W
+                conv[vm] = c
+        g = pd.DataFrame({"day": us[vi] // 86_400_000_000,
+                          "n_views": np.int64(1),
+                          "n_converted": conv.astype(np.int64)})
+        return g.groupby("day", as_index=False).sum()
+
+    out = (ev.map_batches(census, batch_format="pandas",
+                          batch_size=None).to_pandas())
+    if not len(out):
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("day", "n_views", "n_converted",
+                              "conv_milli")})
+    out = out.groupby("day", as_index=False).sum()
+    out["conv_milli"] = out["n_converted"] * 1000 // out["n_views"]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_CONVERSION_WINDOW = f"""
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'
+), flags AS (
+  SELECT v.us,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM p
+           WHERE p.user_id = v.user_id AND p.us > v.us
+             AND p.us <= v.us + {CONV_WINDOW_US})
+         THEN 1 ELSE 0 END AS conv
+  FROM v
+)
+SELECT (us // 86400000000)::BIGINT AS day,
+       count(*)::BIGINT AS n_views,
+       sum(conv)::BIGINT AS n_converted,
+       (sum(conv) * 1000 // count(*))::BIGINT AS conv_milli
+FROM flags GROUP BY 1 ORDER BY 1
+"""
+
+
 DBSCAN_EPS_D2 = 1_600_000_000_000    # ≈ the 1% pair-distance quantile
 DBSCAN_MINPTS = 4                    # core ⇔ ≥ 4 OTHER points in eps
 
@@ -17843,6 +17964,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "feature_split_gain": q_feature_split_gain,
     "halflife_engagement": q_halflife_engagement,
     "dbscan_census": q_dbscan_census,
+    "conversion_window": q_conversion_window,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -18127,6 +18249,7 @@ ORACLE_SQL: dict[str, str] = {
     "feature_split_gain": SQL_FEATURE_SPLIT_GAIN,
     "halflife_engagement": SQL_HALFLIFE_ENGAGEMENT,
     "dbscan_census": SQL_DBSCAN_CENSUS,
+    "conversion_window": SQL_CONVERSION_WINDOW,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
