@@ -17111,6 +17111,141 @@ ORDER BY dim"""
 SQL_EMBEDDING_PCA = _embedding_pca_sql()
 
 
+RRF_K_LIST = 20                      # per-list depth entering fusion
+RRF_K_OUT = 5
+RRF_C = 60                           # the standard RRF constant
+
+
+def q_rrf_fusion(sf_dir: str,
+                 query_ids: tuple = (0, 1, 2, 3, 4)) -> pd.DataFrame:
+    """Reciprocal-rank FUSION of two retrieval rankings — the
+    rank-level ensemble every hybrid-retrieval stack runs (two
+    retrievers disagree; RRF merges them without comparable scores):
+    for each of the 5 `ann_brute`-convention queries, the integer
+    squared-L2 ranking (ASC) and the integer dot-product ranking
+    (DESC) are each cut at depth 20, and every candidate scores
+    Σ_lists 10⁶ // (60 + rank) over the lists it appears in; top-5
+    fused per query under (score DESC, neighbor ASC).  All-integer
+    (the 2²⁰ element rule; ranks from int64 matmuls; the RRF
+    reciprocal floored at micro scale) so the oracle's two
+    window-ranked CTEs + FULL OUTER fusion join are bit-proof, ties
+    included — the planted test builds a deliberate cross-list tie
+    broken by neighbor id.  Shape: query matrix broadcast once via
+    ``ray.put``, per-batch LOCAL top-20s per metric (provably contain
+    the global top-20s), driver merge O(queries · 20)."""
+    import ray
+
+    id_list = ", ".join(str(int(i)) for i in query_ids)
+    qdf = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .filter(expr=f"vec_id in [{id_list}]")
+           .to_pandas().sort_values("vec_id"))
+    qm = np.floor(np.stack(qdf["embedding"].to_numpy())
+                  .astype(np.float64) * float(PCA_SCALE)
+                  + 0.5).astype(np.int64)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qref = ray.put((qids, qm))
+
+    def local_topk(t: pa.Table) -> pd.DataFrame:
+        ids_q, qmat = ray.get(qref)
+        cid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(cid, kind="stable")
+        cid = cid[o]
+        c = _qvec_block(t)[o]
+        dot = qmat @ c.T
+        d2 = ((qmat * qmat).sum(axis=1)[:, None]
+              + (c * c).sum(axis=1)[None, :] - 2 * dot)
+        rows = []
+        for qi in range(len(ids_q)):
+            mask = cid != ids_q[qi]
+            cc, dd, pp = cid[mask], d2[qi][mask], dot[qi][mask]
+            kk = min(RRF_K_LIST, len(cc))
+            if kk == 0:
+                continue
+            t1 = np.argsort(dd, kind="stable")[:kk]       # (d2, qb)
+            t2 = np.argsort(-pp, kind="stable")[:kk]      # (dot↓, qb)
+            keep = np.union1d(t1, t2)
+            rows.append(pd.DataFrame({
+                "q": np.full(len(keep), ids_q[qi], dtype=np.int64),
+                "qb": cc[keep], "d2": dd[keep], "dot": pp[keep]}))
+        if not rows:
+            return pd.DataFrame({"q": pd.Series(dtype="int64"),
+                                 "qb": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="int64"),
+                                 "dot": pd.Series(dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cand = (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    out_rows = []
+    for q, g in cand.groupby("q"):
+        g = g.drop_duplicates("qb")
+        r1 = (g.sort_values(["d2", "qb"], kind="mergesort")
+              .head(RRF_K_LIST).reset_index(drop=True))
+        r2 = (g.sort_values(["dot", "qb"], ascending=[False, True],
+                            kind="mergesort")
+              .head(RRF_K_LIST).reset_index(drop=True))
+        score: dict[int, int] = {}
+        for rank, qb in enumerate(r1["qb"], start=1):
+            score[qb] = score.get(qb, 0) + 1_000_000 // (RRF_C + rank)
+        for rank, qb in enumerate(r2["qb"], start=1):
+            score[qb] = score.get(qb, 0) + 1_000_000 // (RRF_C + rank)
+        fused = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (qb, sc) in enumerate(fused[:RRF_K_OUT], start=1):
+            out_rows.append((q, rank, qb, sc))
+    out = pd.DataFrame(out_rows, columns=["query_id", "rank",
+                                          "neighbor_id", "rrf_score"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["query_id", "rank"])
+            .reset_index(drop=True))
+
+
+SQL_RRF_FUSION = f"""
+WITH qq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             e -> CAST(floor(e::DOUBLE * {PCA_SCALE}.0 + 0.5) AS BIGINT))
+             AS qv
+  FROM embeddings
+), d AS MATERIALIZED (
+  SELECT q.vec_id AS qid, c.vec_id AS qb,
+         list_sum(list_transform(list_zip(q.qv, c.qv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS d2,
+         list_sum(list_transform(list_zip(q.qv, c.qv),
+                  p -> p[1] * p[2]))::BIGINT AS dot
+  FROM qq q JOIN qq c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+), r1 AS (
+  SELECT qid, qb,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, qb) AS rk
+  FROM d QUALIFY rk <= {RRF_K_LIST}
+), r2 AS (
+  SELECT qid, qb,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, qb)
+             AS rk
+  FROM d QUALIFY rk <= {RRF_K_LIST}
+), fused AS (
+  SELECT coalesce(r1.qid, r2.qid) AS query_id,
+         coalesce(r1.qb, r2.qb) AS neighbor_id,
+         (coalesce(1000000 // ({RRF_C} + r1.rk), 0)
+          + coalesce(1000000 // ({RRF_C} + r2.rk), 0))::BIGINT
+             AS rrf_score
+  FROM r1 FULL OUTER JOIN r2
+       ON r1.qid = r2.qid AND r1.qb = r2.qb
+), ranked AS (
+  SELECT query_id, neighbor_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, neighbor_id)
+             AS rank
+  FROM fused
+)
+SELECT query_id, rank, neighbor_id, rrf_score
+FROM ranked WHERE rank <= {RRF_K_OUT}
+ORDER BY query_id, rank
+"""
+
+
 CONV_WINDOW_US = 3_600_000_000       # view → purchase within 1 h
 
 
@@ -17965,6 +18100,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "halflife_engagement": q_halflife_engagement,
     "dbscan_census": q_dbscan_census,
     "conversion_window": q_conversion_window,
+    "rrf_fusion": q_rrf_fusion,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -18250,6 +18386,7 @@ ORACLE_SQL: dict[str, str] = {
     "halflife_engagement": SQL_HALFLIFE_ENGAGEMENT,
     "dbscan_census": SQL_DBSCAN_CENSUS,
     "conversion_window": SQL_CONVERSION_WINDOW,
+    "rrf_fusion": SQL_RRF_FUSION,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
