@@ -17111,6 +17111,91 @@ ORDER BY dim"""
 SQL_EMBEDDING_PCA = _embedding_pca_sql()
 
 
+BOOT_REPS = 100
+
+
+def q_bootstrap_subsample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic SUBSAMPLE-bootstrap of mean lineitem revenue —
+    the statistical-inference primitive (how stable is a corpus mean
+    under resampling?) made exactly reproducible: replicate b ∈
+    0..99 contains a row iff bit b of the row key's md5 is set (two
+    UBIGINT halves of the digest carry bits 0-63 and 64-99 — the
+    `dataset_split` md5-uniform idiom extended to a bit matrix), an
+    expected-half subsample per replicate with zero RNG state.  Per
+    replicate: member count, exact cent sum, and the integer mean in
+    micro-cents (sum·10⁶ // n, 0 for an empty replicate); the SPREAD
+    of the 100 replicate means is the corpus mean's stability report.
+    Shape: zero-shuffle — each batch computes one md5 per row and 100
+    vectorized bit-mask partial sums, the driver combines the 100-row
+    bounded table in Python ints (no sum·10⁶ int64 ceiling).  Oracle:
+    rows × range(100) CROSS JOIN with the same hex-parse bit test."""
+    import hashlib
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        n = len(ok)
+        h1 = np.empty(n, dtype=np.uint64)
+        h2 = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            h = hashlib.md5(f"{ok[i]}:{ln[i]}".encode()).hexdigest()
+            h1[i] = int(h[:16], 16)
+            h2[i] = int(h[16:32], 16)
+        rows = []
+        for b in range(BOOT_REPS):
+            bit = ((h1 >> np.uint64(b)) if b < 64
+                   else (h2 >> np.uint64(b - 64))) & np.uint64(1)
+            m = bit.astype(bool)
+            rows.append((b, int(m.sum()), int(cents[m].sum())))
+        return pd.DataFrame(rows, columns=["b", "n_rows", "sum_cents"])
+
+    d = (ds.map_batches(partials, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+         .groupby("b", as_index=False).sum())
+    out_rows = []
+    for b, n, s in zip(d["b"], d["n_rows"], d["sum_cents"]):
+        mean = (int(s) * 1_000_000 // int(n)) if n else 0
+        out_rows.append((int(b), int(n), int(s), mean))
+    out = pd.DataFrame(out_rows, columns=["b", "n_rows", "sum_cents",
+                                          "mean_micro"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("b").reset_index(drop=True)
+
+
+SQL_BOOTSTRAP_SUBSAMPLE = f"""
+WITH k AS (
+  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR) AS h
+  FROM lineitem
+), bits AS (
+  SELECT t.b, k.cents,
+         CASE WHEN t.b < 64
+              THEN (('0x' || substr(k.h, 1, 16))::UBIGINT
+                    >> t.b) & 1
+              ELSE (('0x' || substr(k.h, 17, 16))::UBIGINT
+                    >> (t.b - 64)) & 1 END AS bit
+  FROM k CROSS JOIN range(0, {BOOT_REPS}) t(b)
+)
+SELECT b::BIGINT AS b,
+       sum(bit)::BIGINT AS n_rows,
+       sum(CASE WHEN bit = 1 THEN cents ELSE 0 END)::BIGINT
+           AS sum_cents,
+       (CASE WHEN sum(bit) = 0 THEN 0
+             ELSE sum(CASE WHEN bit = 1 THEN cents ELSE 0 END)
+                  * 1000000 // sum(bit) END)::BIGINT AS mean_micro
+FROM bits GROUP BY b ORDER BY b
+"""
+
+
 RRF_K_LIST = 20                      # per-list depth entering fusion
 RRF_K_OUT = 5
 RRF_C = 60                           # the standard RRF constant
@@ -18101,6 +18186,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dbscan_census": q_dbscan_census,
     "conversion_window": q_conversion_window,
     "rrf_fusion": q_rrf_fusion,
+    "bootstrap_subsample": q_bootstrap_subsample,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -18387,6 +18473,7 @@ ORACLE_SQL: dict[str, str] = {
     "dbscan_census": SQL_DBSCAN_CENSUS,
     "conversion_window": SQL_CONVERSION_WINDOW,
     "rrf_fusion": SQL_RRF_FUSION,
+    "bootstrap_subsample": SQL_BOOTSTRAP_SUBSAMPLE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
