@@ -4423,6 +4423,21 @@ def _tri_pair_expand(p: np.ndarray, starts: np.ndarray,
 _TRI_GRAPH_CACHE: dict[str, Any] = {}
 
 
+def _ray_instance_id() -> str | None:
+    """A stable fingerprint of the LIVE Ray instance (sorted node
+    ids; order-insensitive on multi-node), or None when Ray is not
+    initialized — callers treat None as a cache miss on both lookup
+    and store."""
+    import ray
+
+    if not ray.is_initialized():
+        return None
+    try:
+        return "|".join(sorted(n["NodeID"] for n in ray.nodes()))
+    except Exception:
+        return None
+
+
 def _tri_graph(sf_dir: str):
     """Shared build for `triangle_count`: the distinct co-purchase edge
     list (u<v) as a Dataset.  Two semantically-required exchanges
@@ -4437,12 +4452,11 @@ def _tri_graph(sf_dir: str):
     the memo across ray.shutdown()/re-init cycles (dead object refs
     otherwise); regenerating the parquet IN PLACE within one session
     is not detected — tests use fresh tmp dirs."""
-    import ray
     from ray.data.context import ShuffleStrategy
 
-    node_id = ray.nodes()[0]["NodeID"] if ray.is_initialized() else None
+    iid = _ray_instance_id()
     cached = _TRI_GRAPH_CACHE.get(sf_dir)
-    if cached is not None and cached[0] == node_id:
+    if cached is not None and iid is not None and cached[0] == iid:
         return cached[1]
 
     items = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -4473,7 +4487,12 @@ def _tri_graph(sf_dir: str):
     out = edges.map_batches(
         lambda t: t.group_by(["u", "v"]).aggregate([]),
         batch_format="pyarrow", batch_size=None).materialize()
-    _TRI_GRAPH_CACHE[sf_dir] = (node_id, out)
+    # capture the instance id AFTER materialize — Ray may have
+    # auto-initialized during the build; a None id is never cached
+    # (and never matches), so dead refs cannot be served
+    iid = _ray_instance_id()
+    if iid is not None:
+        _TRI_GRAPH_CACHE[sf_dir] = (iid, out)
     return out
 
 
@@ -17011,6 +17030,10 @@ def q_embedding_pca(sf_dir: str) -> pd.DataFrame:
         raise NotImplementedError(
             "embedding_pca exact int64 Gram needs n ≤ 10⁶ rows "
             "(n·2⁴² < 2⁶³); run on a deterministic hash sample above")
+    if d > 64:
+        raise NotImplementedError(
+            "embedding_pca iteration products are int64-proven for "
+            "d ≤ 64 (d·2⁵⁶ < 2⁶³)")
     mu = _trunc_div(st.sort_values("i")["s"].to_numpy(np.int64), n)
 
     def gram_partial(t: pa.Table, _mu=mu) -> pd.DataFrame:
@@ -17030,10 +17053,6 @@ def q_embedding_pca(sf_dir: str) -> pd.DataFrame:
     g = (ds.map_batches(gram_partial, batch_format="pyarrow",
                         batch_size=65536).to_pandas()
          .groupby(["r", "c"], as_index=False)["m"].sum())
-    if d > 64:
-        raise NotImplementedError(
-            "embedding_pca iteration products are int64-proven for "
-            "d ≤ 64 (d·2⁵⁶ < 2⁶³)")
     M = np.zeros((d, d), dtype=np.int64)
     M[g["r"].to_numpy(np.int64), g["c"].to_numpy(np.int64)] = \
         g["m"].to_numpy(np.int64)
@@ -17476,7 +17495,7 @@ def q_dbscan_census(sf_dir: str) -> pd.DataFrame:
     import ray
     from ray.data.context import ShuffleStrategy
 
-    from darc_ray.stages.dedup import block_pair_tiles
+    from darc_ray.stages.dedup import pair_blocks, run_pair_tiles
 
     def _ids_q(t1, t2):
         id1 = t1["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -17502,9 +17521,10 @@ def q_dbscan_census(sf_dir: str) -> pd.DataFrame:
         return pd.concat(out, ignore_index=True)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    n_total = int(ds.count())
-    cnt_refs = block_pair_tiles(ds, tile_counts, block_rows=1024,
-                                as_refs=True)
+    # ONE materialization serves the count, pass 1 AND pass 2 (review
+    # fix: three source scans collapsed into one)
+    blocks, n_total = pair_blocks(ds, block_rows=1024)
+    cnt_refs = run_pair_tiles(blocks, tile_counts, as_refs=True)
     cnts = (ray.data.from_pandas_refs(cnt_refs)
             .repartition(num_blocks=8, keys=["qa"], sort=False))
     cnts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
@@ -17546,8 +17566,7 @@ def q_dbscan_census(sf_dir: str) -> pd.DataFrame:
             out.append(hits(id2, id1, d2.T))
         return pd.concat(out, ignore_index=True)
 
-    b_refs = block_pair_tiles(ds, tile_border, block_rows=1024,
-                              as_refs=True)
+    b_refs = run_pair_tiles(blocks, tile_border, as_refs=True)
     bd = (ray.data.from_pandas_refs(b_refs)
           .repartition(num_blocks=8, keys=["qa"], sort=False))
     bd.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE

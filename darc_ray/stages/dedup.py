@@ -984,12 +984,26 @@ def block_pair_tiles(ds, tile_fn, block_rows: int = 4096,
     triangle), and return the list of its DataFrame results.  The
     driver holds block refs and tile outputs — never the vectors;
     callers own the reduction (threshold filter, histogram, ...)."""
-    import ray
+    refs, _ = pair_blocks(ds, block_rows)
+    return run_pair_tiles(refs, tile_fn, as_refs=as_refs)
 
+
+def pair_blocks(ds, block_rows: int = 4096):
+    """Materialize a Dataset into ~block_rows Arrow blocks ONCE and
+    return (block refs, row count) — callers running several tile
+    passes over the same input (`dbscan_census`'s two phases) reuse
+    one materialization instead of re-reading and re-repartitioning
+    the source per pass."""
     n = ds.count()
     want_blocks = max(1, -(-n // block_rows))
     mat = ds.repartition(want_blocks).materialize()
-    refs = mat.to_arrow_refs()
+    return mat.to_arrow_refs(), n
+
+
+def run_pair_tiles(refs, tile_fn, as_refs: bool = False):
+    """Launch one task per (i ≤ j) block pair over pre-materialized
+    block refs (see `pair_blocks`)."""
+    import ray
 
     remote_tile = ray.remote(tile_fn)
     futures = [remote_tile.remote(refs[i], refs[j], i == j)
