@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "conversion_window",
     "rrf_fusion",
     "bootstrap_subsample",
+    "pareto_skyline",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

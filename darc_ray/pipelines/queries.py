@@ -17130,6 +17130,88 @@ ORDER BY dim"""
 SQL_EMBEDDING_PCA = _embedding_pca_sql()
 
 
+def _skyline2d(size: np.ndarray, price: np.ndarray, ids: np.ndarray):
+    """Exact 2-D skyline (maximize size, minimize price): keep a row
+    iff NO other row has size ≥ AND price ≤ with one strict.  Sort by
+    (size DESC, price ASC), take each size group's min price, and
+    compare against the running min over strictly-larger groups —
+    equal (size, price) DUPLICATES are mutually non-dominating and
+    all survive.  Used both as the per-batch combiner and the final
+    reduce (a global skyline point always survives its local pass)."""
+    if len(size) == 0:
+        return ids, size, price
+    order = np.lexsort((ids, price, -size))
+    sz, pr, pid = size[order], price[order], ids[order]
+    new_g = np.concatenate(([True], sz[1:] != sz[:-1]))
+    gidx = np.cumsum(new_g) - 1
+    gmin = pr[new_g]                       # price ASC within group
+    prev = np.concatenate(([np.iinfo(np.int64).max],
+                           np.minimum.accumulate(gmin)[:-1]))
+    keep = (pr == gmin[gidx]) & (pr < prev[gidx])
+    return pid[keep], sz[keep], pr[keep]
+
+
+def q_pareto_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto SKYLINE of the part catalog — the dominance-filtering
+    operator (multi-objective shortlisting: every part for which no
+    other part is at least as big AND at least as cheap with one
+    strict improvement; the classic skyline query, a shape none of
+    the rank/top-k families cover).  Size is maximized, retail price
+    (integer cents, the one fixed expression) minimized; equal
+    (size, price) twins are mutually non-dominating and BOTH survive
+    (planted).  Shape: the skyline operator is a bounded-output
+    idempotent combiner — per-batch local skylines (a global skyline
+    point provably survives its local pass), then the same kernel
+    once on the concatenated partials; zero shuffles, driver work
+    O(Σ local skylines).  Oracle: the NOT EXISTS domination query."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local_sky(t: pa.Table) -> pd.DataFrame:
+        ids = t["p_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        price = np.floor(
+            t["p_retailprice"].to_numpy(zero_copy_only=False) * 100
+            + 0.5).astype(np.int64)
+        pid, sz, pr = _skyline2d(size, price, ids)
+        return pd.DataFrame({"p_partkey": pid, "size": sz,
+                             "price_cents": pr})
+
+    parts = (ds.map_batches(local_sky, batch_format="pyarrow",
+                            batch_size=65536).to_pandas())
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("p_partkey", "size", "price_cents")})
+    pid, sz, pr = _skyline2d(parts["size"].to_numpy(np.int64),
+                             parts["price_cents"].to_numpy(np.int64),
+                             parts["p_partkey"].to_numpy(np.int64))
+    out = pd.DataFrame({"p_partkey": pid, "size": sz,
+                        "price_cents": pr})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["size", "price_cents", "p_partkey"],
+                            ascending=[False, True, True])
+            .reset_index(drop=True))
+
+
+SQL_PARETO_SKYLINE = """
+WITH p AS (
+  SELECT p_partkey, p_size::BIGINT AS size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+  FROM part
+)
+SELECT p_partkey, size, price_cents
+FROM p b
+WHERE NOT EXISTS (
+  SELECT 1 FROM p a
+  WHERE a.size >= b.size AND a.price_cents <= b.price_cents
+    AND (a.size > b.size OR a.price_cents < b.price_cents))
+ORDER BY size DESC, price_cents, p_partkey
+"""
+
+
 BOOT_REPS = 100
 
 
@@ -18206,6 +18288,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "conversion_window": q_conversion_window,
     "rrf_fusion": q_rrf_fusion,
     "bootstrap_subsample": q_bootstrap_subsample,
+    "pareto_skyline": q_pareto_skyline,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -18493,6 +18576,7 @@ ORACLE_SQL: dict[str, str] = {
     "conversion_window": SQL_CONVERSION_WINDOW,
     "rrf_fusion": SQL_RRF_FUSION,
     "bootstrap_subsample": SQL_BOOTSTRAP_SUBSAMPLE,
+    "pareto_skyline": SQL_PARETO_SKYLINE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
