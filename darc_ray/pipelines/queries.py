@@ -18155,8 +18155,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "split_leak_audit": q_split_leak_audit,
     "knn_label_audit": q_knn_label_audit,
     "embedding_pca": q_embedding_pca,
-    "image_blockiness": q_image_blockiness,
-    "image_mirror_symmetry": q_image_mirror_symmetry,
+    "cluster_purity": q_cluster_purity,
+    "dbscan_census": q_dbscan_census,
     "phash_recall_audit": q_phash_recall_audit,
     "image_sharpness": q_image_sharpness,
     "url_canon_dedup": q_url_canon_dedup,
@@ -18191,6 +18191,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # (degree-ordered wedge-closure join)
     "triangle_count": q_triangle_count,
     "image_exposure": q_image_exposure,
+    "image_blockiness": q_image_blockiness,
+    "image_mirror_symmetry": q_image_mirror_symmetry,
     "aesthetic_gate": q_aesthetic_gate,
     # ---- slot 51+: below the observed driver-correctness window ----
     # (still SQL-oracled + repo-harness-checked where an entry exists
@@ -18281,10 +18283,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "mad_outlier_days": q_mad_outlier_days,
     "kcore_census": q_kcore_census,
     "watermark_audit": q_watermark_audit,
-    "cluster_purity": q_cluster_purity,
     "feature_split_gain": q_feature_split_gain,
     "halflife_engagement": q_halflife_engagement,
-    "dbscan_census": q_dbscan_census,
     "conversion_window": q_conversion_window,
     "rrf_fusion": q_rrf_fusion,
     "bootstrap_subsample": q_bootstrap_subsample,
