@@ -24,6 +24,10 @@ import pyarrow.compute as pc
 
 from darc_ray.config import CrawlConfig
 
+PCA_ITERS = 10
+PCA_SCALE = 1 << 20          # element quantization + vector max-norm
+PCA_MSCALE = 1 << 16         # matrix max-norm (keeps m·v·2²⁰ < 2⁶³)
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
@@ -13405,16 +13409,14 @@ ORDER BY day
 """
 
 
-def q_event_transitions(sf_dir: str) -> pd.DataFrame:
-    """Session-scoped behavior-model transition matrix: for each
-    user's event stream ordered by (ts, event_id), count consecutive
-    (src_type → dst_type) transitions whose gap is ≤ 30 min (the
-    `sessionize` boundary), and report each edge's count plus its
-    per-mille share of the source type's outgoing transitions — the
-    Markov-chain fit step of a behavior/abuse model.  Shape: ONE hash
-    shuffle by user, a per-PARTITION vectorized shift/mask pass, then
-    a (types × types)-bounded partial-count combine on the driver (the
-    `domain_mix` reduce); nothing row-scaled leaves the partitions."""
+def _transition_counts(sf_dir: str) -> pd.DataFrame:
+    """(src_type, dst_type, n) session-scoped transition counts — the
+    ONE kernel shared by `event_transitions` and `markov_stationary`
+    (gap rule and ordering cannot drift between the fit family and
+    its stationary-distribution consumer): per user ordered by
+    (ts, event_id), consecutive pairs with gap ≤ 30 min.  ONE hash
+    shuffle by user, per-partition vectorized shift/mask, (types ×
+    types)-bounded combine."""
     gap_us = 30 * 60 * 1_000_000
 
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
@@ -13445,10 +13447,113 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
     out = (partials.groupby(["src_type", "dst_type"], as_index=False)["n"]
            .sum())
     out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Session-scoped behavior-model transition matrix: each
+    (src_type → dst_type) edge's count plus its per-mille share of
+    the source type's outgoing transitions — the Markov-chain fit
+    step of a behavior/abuse model (see `_transition_counts` for the
+    shared gap/ordering contract and the shuffle shape)."""
+    out = _transition_counts(sf_dir)
     tot = out.groupby("src_type")["n"].transform("sum")
+    out = out.copy()
     out["share_milli"] = (out["n"] * 1000 // tot).astype("int64")
     return (out.sort_values(["src_type", "dst_type"])
             .reset_index(drop=True))
+
+
+MARKOV_ITERS = 10
+
+
+def q_markov_stationary(sf_dir: str) -> pd.DataFrame:
+    """Bounded-iteration STATIONARY DISTRIBUTION of the session
+    Markov chain — where does user attention settle if the observed
+    transition behavior repeats?  (The fourth iterative-algorithm
+    family; `event_transitions` fits the chain, this family runs it.)
+    States are the types touched by any qualifying transition; the
+    row-stochastic matrix is quantized once as n·2²⁰ // rowsum, then
+    EXACTLY 10 left-multiplication steps on both engines (parity
+    never depends on convergence): w = Σ_i v_i·p_ij // 2²⁰ (floor of
+    the sum quotient — one division AFTER the exact integer sum),
+    rescaled to max-norm 2²⁰ each step; every operand is a
+    non-negative int64 so ``//`` is identical everywhere.  Shape: the
+    (types × types)-bounded counts come from the shared
+    `_transition_counts` exchange; the iterations run on the tiny
+    driver matrix — O(types²) state.  Oracle: the same transition CTE
+    plus 10 unrolled join-aggregate stages with a LEFT JOIN back to
+    the state list (a state with no incoming mass must stay an
+    explicit 0)."""
+    cnt = _transition_counts(sf_dir)
+    if not len(cnt):
+        return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                             "v_q": pd.Series(dtype="int64"),
+                             "out_n": pd.Series(dtype="int64")})
+    states = sorted(set(cnt["src_type"]) | set(cnt["dst_type"]))
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    C = np.zeros((k, k), dtype=np.int64)
+    for s, d, n in zip(cnt["src_type"], cnt["dst_type"], cnt["n"]):
+        C[idx[s], idx[d]] = n
+    rs = C.sum(axis=1)
+    pq = np.zeros_like(C)
+    nz = rs > 0
+    pq[nz] = (C[nz] * PCA_SCALE) // rs[nz][:, None]
+    v = np.full(k, PCA_SCALE, dtype=np.int64)
+    for _ in range(MARKOV_ITERS):
+        w = (v @ pq) // PCA_SCALE
+        m = int(w.max())
+        v = (w * PCA_SCALE) // m if m else np.zeros_like(w)
+    return pd.DataFrame({"event_type": states,
+                         "v_q": v.astype("int64"),
+                         "out_n": rs.astype("int64")})
+
+
+def _markov_stationary_sql(iters: int = MARKOV_ITERS) -> str:
+    """The bounded chain run unrolled (generated — the iteration
+    count stays one knob shared with the Ray side)."""
+    s = f"""WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS src_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tr AS MATERIALIZED (
+  SELECT src_type, event_type AS dst_type, count(*)::BIGINT AS n
+  FROM seq WHERE src_type IS NOT NULL AND gap_us <= 1800000000
+  GROUP BY 1, 2
+), states AS MATERIALIZED (
+  SELECT src_type AS s FROM tr UNION SELECT dst_type FROM tr
+), rs AS MATERIALIZED (
+  SELECT src_type, sum(n)::BIGINT AS m FROM tr GROUP BY 1
+), pq AS MATERIALIZED (
+  SELECT t.src_type, t.dst_type,
+         ((t.n * {PCA_SCALE}) // r.m)::BIGINT AS p
+  FROM tr t JOIN rs r USING (src_type)
+), v0 AS (SELECT s, {PCA_SCALE}::BIGINT AS val FROM states)"""
+    for t in range(1, iters + 1):
+        s += f""", w{t} AS MATERIALIZED (
+  SELECT st.s,
+         coalesce((SELECT sum(pq.p * v.val) // {PCA_SCALE}
+                   FROM pq JOIN v{t - 1} v ON pq.src_type = v.s
+                   WHERE pq.dst_type = st.s), 0)::BIGINT AS w
+  FROM states st
+), wm{t} AS (SELECT max(w)::BIGINT AS mx FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT s, (CASE WHEN mx = 0 THEN 0
+             ELSE (w * {PCA_SCALE}) // mx END)::BIGINT AS val
+  FROM w{t}, wm{t})"""
+    s += f"""
+SELECT st.s AS event_type, v.val AS v_q,
+       coalesce(r.m, 0)::BIGINT AS out_n
+FROM states st JOIN v{iters} v ON st.s = v.s
+LEFT JOIN rs r ON r.src_type = st.s
+ORDER BY event_type"""
+    return s
+
+
+SQL_MARKOV_STATIONARY = _markov_stationary_sql()
 
 
 SQL_EVENT_TRANSITIONS = """
@@ -16983,9 +17088,6 @@ def _trunc_div(a, b: int) -> np.ndarray:
     return np.where(a >= 0, a // b, -((-a) // b))
 
 
-PCA_ITERS = 10
-PCA_SCALE = 1 << 20          # element quantization + vector max-norm
-PCA_MSCALE = 1 << 16         # matrix max-norm (keeps m·v·2²⁰ < 2⁶³)
 
 
 def q_embedding_pca(sf_dir: str) -> pd.DataFrame:
@@ -18289,6 +18391,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rrf_fusion": q_rrf_fusion,
     "bootstrap_subsample": q_bootstrap_subsample,
     "pareto_skyline": q_pareto_skyline,
+    "markov_stationary": q_markov_stationary,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -18577,6 +18680,7 @@ ORACLE_SQL: dict[str, str] = {
     "rrf_fusion": SQL_RRF_FUSION,
     "bootstrap_subsample": SQL_BOOTSTRAP_SUBSAMPLE,
     "pareto_skyline": SQL_PARETO_SKYLINE,
+    "markov_stationary": SQL_MARKOV_STATIONARY,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
