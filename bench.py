@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "bootstrap_subsample",
     "pareto_skyline",
     "markov_stationary",
+    "source_divergence",
     # previously-missing SQL-oracled families (cheap; complete the sweep)
     "host_alive", "host_since", "gate_filter", "fingerprint",
     "round_metrics", "image_quality_gate", "image_thumbs_pooled",

@@ -13464,6 +13464,114 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_source_divergence(sf_dir: str) -> pd.DataFrame:
+    """Pairwise KL DIVERGENCE between sources over their character
+    distributions — the distribution-drift report a multi-source
+    corpus owes its mixing policy (which domains are stylistically
+    interchangeable, which pair would shift the model?): for every
+    ordered source pair, KL(a‖b) with add-one smoothing over the
+    PAIR's union alphabet (a char one side never emits is the whole
+    point of drift — smoothing keeps the term finite and the measure
+    exact).  Each class term is quantized to integer micro-nats
+    BEFORE the sum (the `char_entropy` rule; the float expression is
+    mirrored token-for-token, p_a computed once and reused).  Shape:
+    one streaming pass to (sources × bytes)-bounded count partials
+    (ASCII corpus ⇒ byte classes == the oracle's char classes, the
+    `char_entropy` precedent), then an O(sources² · alphabet) driver
+    closed form — nothing row-scaled leaves the scan."""
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in df.groupby("source"):
+            b = np.frombuffer(
+                "".join(str(s) for s in g["text"]).encode(),
+                dtype=np.uint8)
+            if not len(b):
+                continue
+            ch, c = np.unique(b, return_counts=True)
+            rows.append(pd.DataFrame({
+                "source": src, "ch": ch.astype(np.int64),
+                "c": c.astype(np.int64)}))
+        if not rows:
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "ch": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    cnt = (_read(sf_dir, "documents", ["source", "text"])
+           .map_batches(cnt_partial, batch_format="pandas",
+                        batch_size=4096).to_pandas()
+           .groupby(["source", "ch"], as_index=False)["c"].sum())
+    if not len(cnt):
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c not in
+                                          ("source_a", "source_b")
+                                          else object) for c in
+                             ("source_a", "source_b", "n_a", "n_b",
+                              "kl_unats")})
+    tot = cnt.groupby("source")["c"].sum().to_dict()
+    per = {s: dict(zip(g["ch"], g["c"]))
+           for s, g in cnt.groupby("source")}
+    rows = []
+    for sa in sorted(per):
+        for sb in sorted(per):
+            if sa == sb:
+                continue
+            alpha = sorted(set(per[sa]) | set(per[sb]))
+            k = len(alpha)
+            na, nb = tot[sa] + k, tot[sb] + k
+            kl = 0
+            for ch in alpha:
+                pa_ = (per[sa].get(ch, 0) + 1) / na
+                pb_ = (per[sb].get(ch, 0) + 1) / nb
+                kl += int(np.floor(pa_ * np.log(pa_ / pb_) * 1e6))
+            rows.append((sa, sb, int(tot[sa]), int(tot[sb]), kl))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b", "n_a",
+                                      "n_b", "kl_unats"])
+    for c in ("n_a", "n_b", "kl_unats"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
+SQL_SOURCE_DIVERGENCE = """
+WITH chars AS (
+  SELECT source, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE text <> ''
+), cnt AS (
+  SELECT source, ch, count(*)::BIGINT AS c FROM chars GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(c)::BIGINT AS n FROM cnt GROUP BY 1
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM tot a JOIN tot b ON a.source <> b.source
+), alpha AS (
+  SELECT p.sa, p.sb, c.ch
+  FROM pairs p JOIN cnt c ON c.source IN (p.sa, p.sb)
+  GROUP BY 1, 2, 3
+), sz AS (
+  SELECT sa, sb, count(*)::BIGINT AS k FROM alpha GROUP BY 1, 2
+), terms AS (
+  SELECT al.sa, al.sb,
+         CAST(floor(
+           ((coalesce(ca.c, 0) + 1)::DOUBLE / (ta.n + sz.k))
+           * ln(((coalesce(ca.c, 0) + 1)::DOUBLE / (ta.n + sz.k))
+                / ((coalesce(cb.c, 0) + 1)::DOUBLE / (tb.n + sz.k)))
+           * 1e6) AS BIGINT) AS term
+  FROM alpha al
+  JOIN sz ON sz.sa = al.sa AND sz.sb = al.sb
+  LEFT JOIN cnt ca ON ca.source = al.sa AND ca.ch = al.ch
+  LEFT JOIN cnt cb ON cb.source = al.sb AND cb.ch = al.ch
+  JOIN tot ta ON ta.source = al.sa
+  JOIN tot tb ON tb.source = al.sb
+)
+SELECT t.sa AS source_a, t.sb AS source_b,
+       any_value(ta.n)::BIGINT AS n_a, any_value(tb.n)::BIGINT AS n_b,
+       sum(t.term)::BIGINT AS kl_unats
+FROM terms t JOIN tot ta ON ta.source = t.sa
+             JOIN tot tb ON tb.source = t.sb
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 MARKOV_ITERS = 10
 
 
@@ -18392,6 +18500,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bootstrap_subsample": q_bootstrap_subsample,
     "pareto_skyline": q_pareto_skyline,
     "markov_stationary": q_markov_stationary,
+    "source_divergence": q_source_divergence,
     "image_border_contrast": q_image_border_contrast,
     "audio_stereo_imbalance": q_audio_stereo_imbalance,
     "minhash_band_stats": q_minhash_band_stats,
@@ -18681,6 +18790,7 @@ ORACLE_SQL: dict[str, str] = {
     "bootstrap_subsample": SQL_BOOTSTRAP_SUBSAMPLE,
     "pareto_skyline": SQL_PARETO_SKYLINE,
     "markov_stationary": SQL_MARKOV_STATIONARY,
+    "source_divergence": SQL_SOURCE_DIVERGENCE,
     "image_border_contrast": SQL_IMAGE_BORDER_CONTRAST,
     "audio_stereo_imbalance": SQL_AUDIO_STEREO_IMBALANCE,
     "minhash_band_stats": SQL_MINHASH_BAND_STATS,
