@@ -13458,7 +13458,6 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
     shared gap/ordering contract and the shuffle shape)."""
     out = _transition_counts(sf_dir)
     tot = out.groupby("src_type")["n"].transform("sum")
-    out = out.copy()
     out["share_milli"] = (out["n"] * 1000 // tot).astype("int64")
     return (out.sort_values(["src_type", "dst_type"])
             .reset_index(drop=True))
@@ -13483,7 +13482,8 @@ def q_source_divergence(sf_dir: str) -> pd.DataFrame:
         rows = []
         for src, g in df.groupby("source"):
             b = np.frombuffer(
-                "".join(str(s) for s in g["text"]).encode(),
+                "".join(str(s) if s is not None else ""
+                        for s in g["text"]).encode(),
                 dtype=np.uint8)
             if not len(b):
                 continue
