@@ -2087,7 +2087,10 @@ def q_char_entropy(sf_dir: str) -> pd.DataFrame:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ids, ent, nn = [], [], []
         for doc_id, s in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
-            b = np.frombuffer(str(s).encode(), dtype=np.uint8)
+            # NULL text == empty (the oracle's WHERE drops it)
+            b = np.frombuffer(
+                (str(s) if s is not None else "").encode(),
+                dtype=np.uint8)
             n = len(b)
             if n == 0:
                 continue
@@ -10218,7 +10221,7 @@ def q_dup_ngrams(sf_dir: str) -> pd.DataFrame:
         gs: list[int] = []
         for doc_id, txt in zip(df["doc_id"].to_numpy(),
                                df["text"].to_numpy()):
-            t = str(txt)
+            t = str(txt) if txt is not None else ""
             if len(t) < w:
                 continue
             uniq = {t[i:i + w] for i in range(len(t) - w + 1)}
